@@ -1,0 +1,388 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the star-schema lake, one query per
+  * SURVEY.md §2 inventory row (tags in each scaladoc). Every query has a
+  * DuckDB oracle in [[RelationalQueries.oracles]] with IDENTICAL column
+  * names and explicitly-cast aggregate types.
+  *
+  * Determinism rules applied throughout (the driver hash-compares):
+  *  - double aggregates rounded (2 dp for money sums, 4 dp for ratios);
+  *  - every top-k / arbitration has a total order (unique id tiebreak);
+  *  - time arithmetic in exact integer micros (`unix_micros` ↔
+  *    DuckDB `epoch_us`), never float seconds.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q01 — scan + group-agg (§2.4 A3/A4 family; TPC-H Q1 shape).
+    * Ref: stats counts `stats/api.py:46-79`. Filter pushes to parquet;
+    * partial aggregation (map-side combine) before the single shuffle.
+    */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** q02 — projection + range/comparison predicates (§2.1 S1/S2, §2.2 P1/P3).
+    * Ref: keyset scan `siri/add_ride_durations.py:139-147`. In Spark the
+    * whole filter reaches the parquet reader (PushedFilters) — no
+    * pagination machinery needed.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") > 30)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+
+  /** q03 — LIKE-prefix filter (§2.2 P4, §2.8 F9).
+    * Ref: `snapshot_id LIKE 'YYYY/MM/DD/%'` `stats/api.py:51-53`.
+    * `startsWith` compiles to a StartsWith pushed filter.
+    */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").startsWith("small"))
+      .select("p_partkey", "p_name", "p_brand")
+
+  /** q04 — enum filter + ORDER BY DESC LIMIT n (§2.2 P6, §2.6 O3/O4).
+    * Ref: `etl_status != pending` + latest-n `stats/api.py:20-22`.
+    * Total order (price desc, key asc) makes the top-10 a deterministic
+    * set. Spark plans this as TakeOrderedAndProject — no global sort.
+    */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") =!= "F")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+  /** q05 — day-truncation grouping (§2.2 P5, §2.8 F1).
+    * Ref: `date_trunc('day', scheduled_start_time)` `siri/common.py:21`.
+    */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("day_total"))
+
+  /** q06 — multi-way FK-chain inner join (§2.3 J1; TPC-H Q5 shape).
+    * Ref: the 6-table export join `packagers/siri.py:51-56`.
+    * `nation`/`region` are broadcast (explicit hint): at 100 TB the only
+    * shuffles left are lineitem⋈orders⋈customer on their keys, and AQE
+    * handles the rest.
+    */
+  def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** q07 — left outer join preserving unmatched rows (§2.3 J2).
+    * Ref: `siri_ride LEFT JOIN gtfs_ride` `packagers/siri.py:57`.
+    * Count/max over the nullable side; customers with no big order keep
+    * n_big=0 / max_big=null — the reference's IS-NULL progress semantics.
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count("o_orderkey").as("n_big"),
+        round(max("o_totalprice"), 2).as("max_big"))
+  }
+
+  /** q08 — left join with range residual on the join condition (§2.3 J3).
+    * Ref: versioned-dim date-window join `packagers/siri.py:58,60`.
+    * The equi key drives the shuffle; the interval predicate is a
+    * residual filter inside the join.
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    t(s, dir, "orders")
+      .join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left")
+      .groupBy("o_orderkey")
+      .agg(count("l_linenumber").as("n_early_lines"))
+  }
+
+  /** q09 — composite-key equi join (§2.3 J4) + last-element-per-group
+    * (§2.4 A8 shape): the "last line of each order" fetched by joining
+    * back on (orderkey, max linenumber). Ref: `grs.gtfs_ride_id = gr.id
+    * AND grs.gtfs_stop_id = srs.gtfs_stop_id` `packagers/siri.py:59`.
+    */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val lastLine = li.groupBy("l_orderkey")
+      .agg(max("l_linenumber").as("l_linenumber"))
+    li.join(lastLine, Seq("l_orderkey", "l_linenumber"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+  }
+
+  /** q13 — join on a computed (expression) key (§2.3 J8, §2.8 F3).
+    * Ref: journey_ref reconstruction join `siri/update_rides_gtfs.py:67-78`.
+    * The derived key is materialized as a column first so the join stays
+    * a plain hash join on both engines.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("src_num", regexp_extract(col("source"), "src(\\d+)", 1).cast("long"))
+    docs.join(broadcast(t(s, dir, "supplier")), col("src_num") === col("s_suppkey"), "left")
+      .groupBy("src_num")
+      .agg(count(lit(1)).as("n_docs"),
+        max("s_name").as("supplier_name"))
+  }
+
+  /** q14 — exact-timestamp equi join (§2.3 J9).
+    * Ref: `scheduled_start_time = start_time` `siri/update_rides_gtfs.py:30-44`.
+    * Self-join on order date; aggregated to same-day pair counts so the
+    * result stays bounded.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_orderkey").as("a_key"),
+      col("o_orderdate").as("a_date"), col("o_orderpriority").as("a_prio"))
+    val b = t(s, dir, "orders").select(col("o_orderkey").as("b_key"),
+      col("o_orderdate").as("b_date"))
+    a.filter(col("a_prio") === "1-URGENT")
+      .join(b, col("a_date") === col("b_date"))
+      .filter(col("a_key") =!= col("b_key"))
+      .groupBy(col("a_date").as("order_date"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** q15 — anti join (§2.3 J13).
+    * Ref: dates with no task row, `NOT IN` subquery
+    * `idempotent_process_gtfs_data.py:95-108`. `left_anti` never
+    * materializes the right payload — only the key set is shuffled.
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** q16 — semi join / EXISTS (§2.3 J14).
+    * Ref: snapshots `.has()` locations `stats/api.py:55-58`.
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val window97 = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    t(s, dir, "customer")
+      .join(window97, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** q17 — coalesce-precedence enrichment (§2.3 J15, §2.8 F12).
+    * Ref: journey-match overwrites route-match
+    * `siri/update_rides_gtfs.py:98-114` → `coalesce(journey, route)`.
+    * Two candidate lookups with a declared priority, resolved by
+    * coalesce — deterministic, unlike the reference's UPDATE ordering.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // preferred: the order's line 1 part; fallback: the order's last-line part
+    // l_linenumber is NOT unique per order in this lake — both candidate
+    // lookups are aggregated to one row per key (deterministic min/max
+    // tiebreak) so the enrichment join can never fan out (§7.3 invariant).
+    val first = li.filter(col("l_linenumber") === 1)
+      .groupBy(col("l_orderkey").as("f_key"))
+      .agg(min(col("l_partkey")).as("first_part"))
+    val last = li.groupBy(col("l_orderkey").as("g_key"))
+      .agg(max(struct(col("l_linenumber"), col("l_partkey"))).as("m"))
+      .select(col("g_key"), col("m.l_partkey").as("last_part"))
+    t(s, dir, "orders")
+      .join(first, col("o_orderkey") === col("f_key"), "left")
+      .join(last, col("o_orderkey") === col("g_key"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("first_part"), col("last_part"), lit(-1L)).as("resolved_part"))
+  }
+
+  /** q18 — ratio-of-counts with zero guard (§2.4 A4, §2.8 F10).
+    * Ref: ≥90% completeness check `gtfs/update_ride_aggregations.py:58-74`.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(to_date(date_trunc("MONTH", col("o_orderdate"))).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(
+          when(count(lit(1)) === 0, 0.0)
+            .otherwise(count(when(col("o_orderstatus") === "O", 1)) * lit(100.0) / count(lit(1))),
+          4).as("pct_open"))
+
+  /** q20 — UNION with dedup (§2.7 U1).
+    * Ref: never-run ∪ failed dates `idempotent_process_gtfs_data.py:96-108`.
+    */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(to_date(col("o_orderdate")).as("order_day"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(to_date(col("o_orderdate")).as("order_day"))
+    a.union(b).distinct()
+  }
+
+  /** q21 — min/max over a filtered window (§2.4 A2).
+    * Ref: materialized-CTE min/max id `siri/add_ride_durations.py:119-124`
+    * — a Postgres-planner workaround we don't need: one partial-agg scan.
+    */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        count(lit(1)).as("n_rows"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_group_agg" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_like_prefix" -> (q03 _),
+    "q04_topn" -> (q04 _),
+    "q05_day_trunc" -> (q05 _),
+    "q06_join_chain" -> (q06 _),
+    "q07_left_join" -> (q07 _),
+    "q08_left_join_residual" -> (q08 _),
+    "q09_composite_key_join" -> (q09 _),
+    "q13_expr_key_join" -> (q13 _),
+    "q14_exact_ts_join" -> (q14 _),
+    "q15_anti_join" -> (q15 _),
+    "q16_semi_join" -> (q16 _),
+    "q17_coalesce_precedence" -> (q17 _),
+    "q18_ratio_counts" -> (q18 _),
+    "q20_union_distinct" -> (q20 _),
+    "q21_minmax_window" -> (q21 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        | round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+        | round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+        | round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_quantity > 30""".stripMargin,
+    "q03_like_prefix" ->
+      "SELECT p_partkey, p_name, p_brand FROM part WHERE p_name LIKE 'small%'",
+    "q04_topn" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderstatus <> 'F'
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_day_trunc" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_day,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS day_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q06_join_chain" ->
+      """SELECT n_name,
+        | round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q07_left_join" ->
+      """SELECT c_custkey,
+        | CAST(count(o_orderkey) AS BIGINT) AS n_big,
+        | round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_big
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q08_left_join_residual" ->
+      """SELECT o_orderkey, CAST(count(l_linenumber) AS BIGINT) AS n_early_lines
+        |FROM orders LEFT JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+    "q09_composite_key_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |JOIN (SELECT l_orderkey, max(l_linenumber) AS l_linenumber
+        |      FROM lineitem GROUP BY l_orderkey) last
+        |USING (l_orderkey, l_linenumber)""".stripMargin,
+    "q13_expr_key_join" ->
+      """SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) AS src_num,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | max(s_name) AS supplier_name
+        |FROM documents LEFT JOIN supplier
+        |  ON CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "q14_exact_ts_join" ->
+      """SELECT a.o_orderdate AS order_date, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM orders a JOIN orders b ON a.o_orderdate = b.o_orderdate
+        |WHERE a.o_orderpriority = '1-URGENT' AND a.o_orderkey <> b.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q15_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q16_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00')""".stripMargin,
+    "q17_coalesce_precedence" ->
+      """SELECT o_orderkey,
+        | COALESCE(f.first_part, l.last_part, -1) AS resolved_part
+        |FROM orders
+        |LEFT JOIN (SELECT l_orderkey, min(l_partkey) AS first_part FROM lineitem
+        |           WHERE l_linenumber = 1 GROUP BY l_orderkey) f ON o_orderkey = f.l_orderkey
+        |LEFT JOIN (SELECT l_orderkey, l_partkey AS last_part FROM (
+        |            SELECT l_orderkey, l_partkey, row_number() OVER (
+        |              PARTITION BY l_orderkey
+        |              ORDER BY l_linenumber DESC, l_partkey DESC) AS rn
+        |            FROM lineitem) WHERE rn = 1) l ON o_orderkey = l.l_orderkey""".stripMargin,
+    "q18_ratio_counts" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | round(CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) * 100.0
+        |   / count(*) AS DOUBLE), 4) AS pct_open
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q20_union_distinct" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_day FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT CAST(o_orderdate AS DATE) AS order_day FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q21_minmax_window" ->
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)
+}

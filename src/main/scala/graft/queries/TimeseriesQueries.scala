@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GeoFunctions, TimeFunctions}
+import graft.operators.BandJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / telemetry operators over `events` — the star-schema
+  * analog of the reference's SIRI vehicle-location stream. Covers the
+  * first/last-per-ride, duration-watermark, band-match, nearest-point
+  * and packaging-format operators (SURVEY.md §2.3 J5-J7/J11, §2.4
+  * A5-A7/A11, §2.8 F2/F4-F8/F11, §2.9 T2/T3).
+  */
+object TimeseriesQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Fixed "now" so the watermark queries are deterministic across runs
+    * (data epoch is Jan 2024, see TESTDATA.md).
+    */
+  val NowLit = "2024-01-31 00:00:00"
+
+  /** q10 — first/last row per group in ONE aggregation (§2.4 A5, §2.6 O1,
+    * §2.3 J5). Ref: two point-queries per ride
+    * (`siri/add_ride_durations.py:28-48`), a 1+2N pattern. Here:
+    * `min/max(struct(ts, id))` with map-side partial aggregation — one
+    * shuffle on user_id, no window sort. Null timestamps are dropped
+    * first (`NULLS LAST` take-first semantics: a null can never win).
+    */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("ts"), col("event_id"))).as("f"),
+        max(struct(col("ts"), col("event_id"))).as("l"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("f.event_id").as("first_event_id"), col("f.ts").as("first_ts"),
+        col("l.event_id").as("last_event_id"), col("l.ts").as("last_ts"),
+        col("n_events"))
+
+  /** q11 — duration with completion watermark + late-data give-up
+    * (§2.4 A6, §2.9 T2/T3). Ref: `siri/add_ride_durations.py:68-84`:
+    * duration only when the last point is >6h old (ride surely over);
+    * rows stale >2 days get duration 0; otherwise still pending (null).
+    * Time math in exact integer micros.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val now = lit(NowLit).cast("timestamp")
+    q10(s, dir).select(
+      col("user_id"),
+      when(col("last_ts") < now - expr("INTERVAL 6 HOURS"),
+        round((unix_micros(col("last_ts")) - unix_micros(col("first_ts"))) / 6e7)
+          .cast("long"))
+        .when(col("first_ts") < now - expr("INTERVAL 2 DAYS"), 0L)
+        .otherwise(lit(null).cast("long"))
+        .as("duration_min"))
+  }
+
+  /** q12 — band join with deterministic nearest arbitration (§2.3 J7,
+    * §7.4). Ref: ±1/±3/±5-min cascade with arbitrary pick
+    * (`siri/update_rides_gtfs.py:80-97`); ours: one join, global nearest
+    * within the widest band, total tiebreak. Each signup is matched to
+    * the nearest purchase of the same user within ±12h.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    BandJoin.nearestWithin(signups, purchases,
+      equiKeys = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts",
+      toleranceSec = 12 * 3600,
+      leftId = "signup_id", rightTieBreak = "purchase_id")
+      .select(col("signup_id"), col("l.user_id").as("user_id"),
+        col("purchase_id"), col("_diff_us").as("diff_us"))
+  }
+
+  /** q19 — per-hour count/min/max/sum (§2.4 A11, A3).
+    * Ref: legacy hours-report fold `packagers/siri.py:460-482` — a
+    * single-threaded Python dict fold; here one hash aggregation.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"),
+        round(sum("value"), 2).as("sum_value"))
+
+  /** q22 — per-group argmin by a computed distance (§2.4 A7, §2.8 F2).
+    * Ref: nearest vehicle location per ride stop, Python argmin over
+    * geodesic distances (`siri/update_ride_stops_vehicle_locations.py:14-56`).
+    * Coordinates are synthesized deterministically from event fields
+    * (the lake has no geo columns); the haversine is pure column math,
+    * the argmin one aggregation — no window sort, no UDF.
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("lat", col("value") % 90.0)
+      .withColumn("lon", (col("event_id") % 360L).cast("double") - 180.0)
+    val dist = GeoFunctions.haversineMeters(
+      col("lat"), col("lon"), lit(32.0853), lit(34.7818)) // Tel Aviv
+    e.withColumn("dist_m", round(dist).cast("long"))
+      .groupBy("user_id")
+      .agg(min(struct(col("dist_m"), col("event_id"))).as("m"),
+        count(lit(1)).as("n_points"))
+      .select(col("user_id"), col("m.dist_m").as("nearest_dist_m"),
+        col("m.event_id").as("nearest_event_id"), col("n_points"))
+  }
+
+  /** q24 — interval arithmetic (§2.8 F4). Ref: `'{n} minutes'::interval`
+    * `siri/update_rides_gtfs.py:22-23`.
+    */
+  def q24(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("due_date"))
+      .filter(col("due_date") < lit("1996-01-01").cast("timestamp"))
+
+  /** q25 — timezone conversion to Israel-local display strings
+    * (§2.8 F6/F13, §2.2 P7). Ref: row normalizer `packagers/siri.py:70-80`.
+    * Session TZ stays UTC; the conversion is an explicit expression.
+    */
+  def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"),
+        TimeFunctions.israelIso(col("ts")).as("local_time"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("utc_time"))
+
+  /** q26 — path/partition formatting (§2.8 F7/F8/F15). Ref: snapshot_id
+    * `YYYY/MM/DD/HH/MM` (`common.py:8-9`) and `%Y/%m/` partition paths
+    * (`packagers/siri.py:166-167`). Grouped so the output is a partition
+    * manifest, the packager's work list (§2.9 T6).
+    */
+  def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy/MM/dd/HH").as("hour_path"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(TimeFunctions.toSnapshotId(col("ts"))).as("max_snapshot_id"))
+
+  /** q27 — JSON field extraction + per-type stats (§2.8 F11, §2.4 A12).
+    * Ref: metadata_json `artifacts/common.py:41,104`. Extraction by
+    * regexp so the DuckDB oracle needs no JSON extension; `get_json_
+    * object` is the production path (see JsonSpec).
+    */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"))
+
+  /** q39 — running aggregate window (§2.5; beyond-reference but core
+    * Spark): per-user running sum of `value` ordered by time. The window
+    * sort shares the shuffle with the partition key.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_first_last_per_group" -> (q10 _),
+    "q11_duration_watermark" -> (q11 _),
+    "q12_band_join_nearest" -> (q12 _),
+    "q19_hourly_stats" -> (q19 _),
+    "q22_argmin_nearest" -> (q22 _),
+    "q24_interval_arith" -> (q24 _),
+    "q25_tz_convert" -> (q25 _),
+    "q26_partition_paths" -> (q26 _),
+    "q27_json_extract" -> (q27 _),
+    "q39_running_window" -> (q39 _))
+
+  val oracles: Map[String, String] = Map(
+    "q10_first_last_per_group" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events WHERE ts IS NOT NULL)
+        |SELECT user_id,
+        | max(CASE WHEN rn_a = 1 THEN event_id END) AS first_event_id,
+        | max(CASE WHEN rn_a = 1 THEN ts END) AS first_ts,
+        | max(CASE WHEN rn_d = 1 THEN event_id END) AS last_event_id,
+        | max(CASE WHEN rn_d = 1 THEN ts END) AS last_ts,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY user_id""".stripMargin,
+    "q11_duration_watermark" ->
+      """WITH r AS (
+        | SELECT user_id, event_id, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+        | FROM events WHERE ts IS NOT NULL),
+        |fl AS (
+        | SELECT user_id,
+        |  max(CASE WHEN rn_a = 1 THEN ts END) AS first_ts,
+        |  max(CASE WHEN rn_d = 1 THEN ts END) AS last_ts
+        | FROM r GROUP BY user_id)
+        |SELECT user_id,
+        | CASE
+        |  WHEN last_ts < TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 6 HOUR
+        |   THEN CAST(round((epoch_us(last_ts) - epoch_us(first_ts)) / 6e7) AS BIGINT)
+        |  WHEN first_ts < TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 2 DAY
+        |   THEN 0
+        |  ELSE NULL END AS duration_min
+        |FROM fl""".stripMargin,
+    "q12_band_join_nearest" ->
+      """WITH j AS (
+        | SELECT a.event_id AS signup_id, a.user_id, b.event_id AS purchase_id,
+        |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS diff_us,
+        |  row_number() OVER (PARTITION BY a.event_id
+        |    ORDER BY abs(epoch_us(a.ts) - epoch_us(b.ts)), b.event_id) AS rn
+        | FROM events a JOIN events b ON a.user_id = b.user_id
+        | WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+        |   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 43200000000)
+        |SELECT signup_id, user_id, purchase_id, diff_us FROM j WHERE rn = 1""".stripMargin,
+    "q19_hourly_stats" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | min(ts) AS min_ts, max(ts) AS max_ts,
+        | round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q22_argmin_nearest" ->
+      """WITH pts AS (
+        | SELECT user_id, event_id,
+        |  CAST(round(2 * 6371008.8 * asin(sqrt(
+        |    pow(sin(radians(32.0853 - (value % 90.0)) / 2), 2) +
+        |    cos(radians(value % 90.0)) * cos(radians(32.0853)) *
+        |    pow(sin(radians(34.7818 - (CAST(event_id % 360 AS DOUBLE) - 180.0)) / 2), 2)
+        |  ))) AS BIGINT) AS dist_m
+        | FROM events),
+        |rk AS (
+        | SELECT user_id, event_id, dist_m,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY dist_m, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_points
+        | FROM pts)
+        |SELECT user_id, dist_m AS nearest_dist_m, event_id AS nearest_event_id,
+        | CAST(n_points AS BIGINT) AS n_points
+        |FROM rk WHERE rn = 1""".stripMargin,
+    "q24_interval_arith" ->
+      """SELECT o_orderkey, o_orderdate + INTERVAL 90 DAY AS due_date
+        |FROM orders
+        |WHERE o_orderdate + INTERVAL 90 DAY < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+    "q25_tz_convert" ->
+      """SELECT event_id,
+        | strftime(timezone('Asia/Jerusalem', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS local_time,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_time
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "q26_partition_paths" ->
+      """SELECT strftime(ts, '%Y/%m/%d/%H') AS hour_path,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | max(strftime(ts, '%Y/%m/%d/%H/%M')) AS max_snapshot_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "q27_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q39_running_window" ->
+      """SELECT event_id, user_id, ts,
+        | round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value
+        |FROM events""".stripMargin)
+}
