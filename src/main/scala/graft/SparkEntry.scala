@@ -21,9 +21,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
-      graft.queries.TimeseriesQueries.queries
+      graft.queries.TimeseriesQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.VectorQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
-      graft.queries.TimeseriesQueries.oracles
+      graft.queries.TimeseriesQueries.oracles ++
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.MultimodalQueries.oracles
 }

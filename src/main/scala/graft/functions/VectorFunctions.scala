@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Dense-vector math over `array<float>` embedding columns, as pure
   * column expressions (`zip_with` + `aggregate`) — codegen-friendly, no
   * UDF, no driver round-trips. Accumulation is in double, sequential
-  * left-to-right, so results are bit-deterministic regardless of
-  * partitioning (the fold happens within one row).
+  * left-to-right from a 0.0 seed, so results are bit-deterministic
+  * regardless of partitioning (the fold happens within one row) and
+  * bit-equal to DuckDB's `list_reduce` over the same product list.
   */
 object VectorFunctions {
 
@@ -35,25 +36,38 @@ object VectorFunctions {
       }),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Deterministic random-hyperplane signature bit: sign of the dot
-    * product with a pseudo-random plane derived from (seed, dim index)
-    * via a splitmix-style integer mix — reproducible across engines and
+  /** Deterministic pseudo-random hyperplane for LSH bucketing: component
+    * i of plane `planeId` is MurmurHash3(planeId, i) scaled to [-1, 1].
+    * Generated once at build time and inlined as LITERALS into both the
+    * Spark plan and the oracle SQL — reproducible across engines and
     * cluster sizes without shipping plane matrices.
     */
-  def hyperplaneBit(vec: Column, planeId: Int, dims: Int): Column = {
-    // plane component for (planeId, i): mix to [-1, 1]
-    val terms = (0 until dims).map { i =>
+  def planeWeights(planeId: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
       val h = scala.util.hashing.MurmurHash3.productHash((planeId, i))
-      val w = (h.toDouble / Int.MaxValue.toDouble)
-      element_at(vec, i + 1).cast("double") * lit(w)
+      h.toDouble / Int.MaxValue.toDouble
     }
-    val s = terms.reduce(_ + _)
-    when(s >= 0.0, 1).otherwise(0)
-  }
 
-  /** LSH bucket id from `nBits` hyperplane bits. */
+  /** Dot product of `vec` with a literal weight vector, same fold shape
+    * as [[dot]] (zip_with + 0.0-seeded aggregate) so the arithmetic is
+    * bit-identical on any engine that folds left-to-right.
+    */
+  def dotLiteral(vec: Column, weights: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, array(weights.map(lit): _*),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign bit of the projection onto plane `planeId`. */
+  def hyperplaneBit(vec: Column, planeId: Int, dims: Int): Column =
+    when(dotLiteral(vec, planeWeights(planeId, dims)) >= 0.0, 1L).otherwise(0L)
+
+  /** LSH bucket id from `nBits` hyperplane sign bits (LSB-first).
+    * Vectors likely to be cosine-close land in the same bucket; the ANN
+    * search then only scans the query's bucket instead of the corpus.
+    */
   def lshBucket(vec: Column, nBits: Int, dims: Int): Column =
     (0 until nBits).map { b =>
-      hyperplaneBit(vec, b, dims) * lit(1 << b)
+      hyperplaneBit(vec, b, dims) * lit(1L << b)
     }.reduce(_ + _)
 }

@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pipelines over the `documents` / `embeddings` corpus —
+  * the training-data-scale operators beyond the reference's inventory
+  * (SURVEY.md §7.6 north star): exact hash dedup, MinHash+LSH candidate
+  * generation, SimHash, LSH-candidate n-gram Jaccard verification, and
+  * embedding-cosine near-dup.
+  *
+  * Everything is pure column expressions (codegen'd, no UDFs). The hash
+  * constants (MinHash permutation coefficients, primes) live in
+  * [[DedupFunctions]] and are interpolated into the DuckDB oracle SQL
+  * from the SAME Scala values, so both engines run the same math.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - signatures/fingerprints are a single projection over the corpus —
+  *    no shuffle, no driver round-trips;
+  *  - LSH banding shuffles `nBands × corpus` small (band_idx, band_key)
+  *    rows and joins them — O(n·bands) instead of the O(n²) pairwise
+  *    compare of naive dedup;
+  *  - the exact-Jaccard verify runs ONLY on LSH candidates (the classic
+  *    two-phase near-dup pipeline);
+  *  - embedding near-dup blocks on `label` (the stand-in for a coarse
+  *    cluster id) so the pairwise cosine stays within-bucket.
+  */
+object DedupQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val ShingleN = 3
+  val NPerms = 16
+  val NBands = 8
+  val RowsPerBand = 2
+  val EmbDims = 64
+  val NearDupCos = 0.35
+
+  /** q28 — exact dedup by content hash (hash-groupBy).
+    * One shuffle of (md5, doc_id); the canonical id is the group min —
+    * deterministic. `n_copies > 1` marks exact duplicates.
+    */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("content_md5", md5(col("text").cast("binary")))
+      .groupBy("content_md5")
+      .agg(min("doc_id").as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures via explode → hash-once → 16 `min` aggregates.
+    *
+    * NOT the naive `array_min(transform(...))`-per-permutation shape:
+    * higher-order array lambdas are interpreted (no whole-stage codegen,
+    * no common-subexpression elimination), so that shape re-computes the
+    * md5 of every shingle once PER PERMUTATION — measured 16× slower at
+    * sf0.1. Here each distinct shingle is md5-hashed exactly once, and
+    * the 16 permuted minima ride one hash aggregation with map-side
+    * partial combine — one shuffle of (doc_id, 16 longs). Same math,
+    * same signatures. Shared by q29/q31.
+    */
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
+    val P = DedupFunctions.MinHashPrime
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.wordShingles(col("text"), ShingleN))).as("sh"))
+      .select(col("doc_id"), (DedupFunctions.md5Hash32(col("sh")) % P).as("h"))
+    val aggs = DedupFunctions.permCoeffs(NPerms).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"_s$i")
+    }
+    hashed.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until NPerms).map(i => col(s"_s$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band). */
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = signatures(s, dir)
+      .select(col("doc_id"),
+        explode(DedupFunctions.lshBands(col("sig"), NBands, RowsPerBand)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** q29 — MinHash+LSH near-dup candidates with estimated similarity
+    * (fraction of equal signature slots). shingle→minhash→band→bucket-join.
+    */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    lshCandidates(s, dir)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / NPerms, 4).as("est_sim"))
+  }
+
+  /** q30 — SimHash fingerprints + Hamming distance to a reference doc
+    * (doc_id 0). Near-dup test is `hamming <= k`; the reference-doc
+    * compare keeps the output linear while exercising the distance.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val sims = t(s, dir, "documents")
+      .select(col("doc_id"),
+        DedupFunctions.simHash(TextFunctions.words(col("text")), 32).as("simhash"))
+    val ref = sims.filter(col("doc_id") === 0)
+      .select(col("simhash").as("ref_simhash"))
+    sims.crossJoin(broadcast(ref))
+      .select(col("doc_id"), col("simhash"),
+        DedupFunctions.hammingDist(col("simhash"), col("ref_simhash"))
+          .cast("long").as("hamming_to_doc0"))
+  }
+
+  /** q31 — exact n-gram Jaccard on the LSH candidate pairs (the verify
+    * phase of the two-phase near-dup pipeline). Union size via
+    * |A|+|B|−|A∩B| so both engines do identical integer math.
+    */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val sets = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.wordShingles(col("text"), ShingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    lshCandidates(s, dir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+  }
+
+  /** q32 — embedding-cosine near-dup, blocked by `label` (coarse cluster)
+    * so the pairwise compare is per-bucket, not corpus².
+    */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    // Norms are computed ONCE per row before the pairwise join (n ops),
+    // not inside it (n² ops) — the interpreted array fold is the hot
+    // path here. cos = dot/(norm_a·norm_b) is arithmetically identical.
+    val e = t(s, dir, "embeddings")
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+    val cos = VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
+    e.alias("a")
+      .join(e.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= NearDupCos)
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_dedup_exact" -> (q28 _),
+    "q29_minhash_lsh" -> (q29 _),
+    "q30_simhash" -> (q30 _),
+    "q31_jaccard_verify" -> (q31 _),
+    "q32_embedding_neardup" -> (q32 _))
+
+  // ---- oracle SQL (DuckDB), generated from the same constants ----
+
+  private val P = DedupFunctions.MinHashPrime
+
+  /** `[list_min(...), ...]` — the 16-slot signature array in SQL. */
+  private val sigArraySql: String =
+    DedupFunctions.permCoeffs(NPerms)
+      .map { case (a, b) => s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))" }
+      .mkString("[", ",\n    ", "]")
+
+  /** Shared CTE prefix: tokenize → shingle → hash → signature → bands →
+    * candidate pairs. Mirrors [[signatures]]/[[lshCandidates]] exactly.
+    */
+  private val lshCteSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT doc_id, CASE WHEN len(ws) < $ShingleN THEN []
+       |    ELSE list_transform(range(1, len(ws) - ${ShingleN - 2}),
+       |           i -> array_to_string(ws[i:i+${ShingleN - 1}], ' ')) END AS shingles
+       |  FROM toks),
+       |hashed AS (
+       |  SELECT doc_id, list_transform(list_distinct(shingles),
+       |      s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % $P) AS hs
+       |  FROM shingled WHERE len(shingles) > 0),
+       |sig AS (SELECT doc_id, $sigArraySql AS sig FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    array_to_string(sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand], '-') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, $NBands)) AS b)),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Sequential 0.0-seeded double dot product — bit-equal to
+    * [[VectorFunctions.dot]]'s fold.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |    list_transform(range(1, ${EmbDims + 1}),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |    (x, y) -> x + y)""".stripMargin
+
+  private[queries] def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val simhashTermsSql: String =
+    (0 until 32).map { b =>
+      val mask = 1L << b
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (h & $mask) != 0)) >= len(hs) THEN $mask ELSE 0 END"
+    }.mkString(" +\n    ")
+
+  val oracles: Map[String, String] = Map(
+    "q28_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_doc_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q29_minhash_lsh" ->
+      s"""$lshCteSql
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_filter(range(1, ${NPerms + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $NPerms.0, 4) AS est_sim
+         |FROM cand
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id""".stripMargin,
+    "q30_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS ws
+         |  FROM documents),
+         |hashed AS (
+         |  SELECT doc_id, list_transform(ws,
+         |      s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % $P) AS hs
+         |  FROM toks),
+         |sims AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) > 0 THEN $simhashTermsSql
+         |    ELSE NULL END AS simhash
+         |  FROM hashed)
+         |SELECT doc_id, simhash,
+         |  CAST(bit_count(xor(simhash, (SELECT simhash FROM sims WHERE doc_id = 0))) AS BIGINT) AS hamming_to_doc0
+         |FROM sims""".stripMargin,
+    "q31_jaccard_verify" ->
+      s"""$lshCteSql,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(shingles) AS sh
+         |  FROM shingled WHERE len(shingles) > 0)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+         |FROM cand
+         |JOIN sets sa ON doc_a = sa.doc_id
+         |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin,
+    "q32_embedding_neardup" ->
+      s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupCos""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pipeline over `documents` — the per-document scoring
+  * pass a training-data pipeline runs before dedup/filtering: language
+  * ID, quality scoring, token counting, content fingerprinting. All pure
+  * column expressions (one projection over the corpus, no shuffle except
+  * where a query aggregates).
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Fixed marker-language precedence for deterministic argmax ties. */
+  val LangOrder: Seq[String] = Seq("en", "de", "fr", "es")
+
+  /** q33 — heuristic language ID (marker-word counts, deterministic
+    * precedence on ties, "und" when no marker hits). The `lang` column
+    * rides along so accuracy can be eyeballed; zh has no markers and
+    * falls out as "und" by design.
+    */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val scores: Seq[(String, Column)] = LangOrder.map { l =>
+      l -> TextFunctions.langScore(col("text"), TextFunctions.LangMarkers(l))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = scores.foldLeft(when(m === 0, "und")) { case (acc, (l, sc)) =>
+      acc.when(sc === m, l)
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pred.as("lang_pred"), m.cast("long").as("marker_hits"))
+  }
+
+  /** q34 — per-document quality scores: whitespace token count,
+    * punctuation ratio, stopword ratio, composite quality score.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+
+  /** q35 — corpus token statistics by language: whitespace tokens and the
+    * BPE-ish regex token proxy, aggregated per `lang` (map-side partial
+    * agg, one small shuffle).
+    */
+  def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("n_ws_tokens"),
+        sum(TextFunctions.tokenCountRegex(col("text")).cast("long")).as("n_re_tokens"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+
+  /** q36 — rolling-hash document fingerprints (order-sensitive, unlike
+    * the MinHash set signature): equal fp ⇒ identical token stream.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        DedupFunctions.fingerprint(TextFunctions.words(col("text"))).as("fp"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_langid" -> (q33 _),
+    "q34_quality_score" -> (q34 _),
+    "q35_token_stats" -> (q35 _),
+    "q36_fingerprint" -> (q36 _))
+
+  // ---- oracle SQL ----
+
+  private def markersSql(l: String): String =
+    TextFunctions.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val wsSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)"
+  private val wsLowerSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0)"
+  private val punctRatioSql =
+    """CASE WHEN len(text) = 0 THEN 0.0
+      | ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
+      |      / CAST(len(text) AS DOUBLE) END""".stripMargin
+  private val stopwordsSql =
+    TextFunctions.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q33_langid" -> {
+      val scoreCols = LangOrder.map(l =>
+        s"len(list_filter($wsLowerSql, w -> list_contains(${markersSql(l)}, w))) AS s_$l")
+        .mkString(",\n  ")
+      val caseArms = LangOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH s AS (
+         | SELECT doc_id, lang,
+         |  $scoreCols
+         | FROM documents),
+         |g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m FROM s)
+         |SELECT doc_id, lang,
+         | CASE WHEN m = 0 THEN 'und' $caseArms END AS lang_pred,
+         | CAST(m AS BIGINT) AS marker_hits
+         |FROM g""".stripMargin
+    },
+    "q34_quality_score" ->
+      s"""WITH b AS (
+         | SELECT doc_id,
+         |  len($wsSql) AS n_ws,
+         |  $punctRatioSql AS praw,
+         |  CASE WHEN len($wsSql) = 0 THEN 0.0
+         |   ELSE CAST(len(list_filter($wsSql, w -> list_contains($stopwordsSql, w))) AS DOUBLE)
+         |        / CAST(len($wsSql) AS DOUBLE) END AS sraw
+         | FROM documents)
+         |SELECT doc_id, CAST(n_ws AS BIGINT) AS n_tokens,
+         | round(praw, 4) AS punct_ratio,
+         | round(sraw, 4) AS stopword_ratio,
+         | round(least(CAST(n_ws AS DOUBLE) / 100.0, 1.0)
+         |   * greatest(0.0, 1.0 - praw * 5.0), 4) AS quality
+         |FROM b""".stripMargin,
+    "q35_token_stats" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len($wsSql)) AS BIGINT) AS n_ws_tokens,
+         | CAST(sum(len(list_filter(regexp_split_to_array(text, '[^\\p{L}\\p{N}]+'), w -> len(w) > 0))
+         |   + len(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))) AS BIGINT) AS n_re_tokens,
+         | round(CAST(avg(n_chars) AS DOUBLE), 2) AS avg_chars
+         |FROM documents GROUP BY lang""".stripMargin,
+    "q36_fingerprint" ->
+      s"""WITH h AS (
+         | SELECT doc_id, list_transform($wsSql,
+         |   s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % ${DedupFunctions.FpPrime}) AS hs
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN len(hs) > 0
+         |  THEN list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+         |    (acc, x) -> (acc * ${DedupFunctions.FpBase} + x) % ${DedupFunctions.FpPrime})
+         |  ELSE NULL END AS fp
+         |FROM h""".stripMargin)
+}

@@ -113,6 +113,19 @@ object TimeseriesQueries {
         col("m.event_id").as("nearest_event_id"), col("n_points"))
   }
 
+  /** q23 — bbox (geo window) filter (§2.2 P8). Ref: stops within
+    * `min_lon,min_lat,max_lon,max_lat` (`urbanaccess/areas.yaml:1-17`,
+    * `update_areas_fake_gtfs.py:14-16,43`). Coordinates synthesized as
+    * in q22; both `between` predicates push down to the scan.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("lat", col("value") % 90.0)
+      .withColumn("lon", (col("event_id") % 360L).cast("double") - 180.0)
+      .filter(col("lat").between(10.0, 40.0) && col("lon").between(-30.0, 60.0))
+      .select(col("event_id"), col("user_id"),
+        round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"))
+
   /** q24 — interval arithmetic (§2.8 F4). Ref: `'{n} minutes'::interval`
     * `siri/update_rides_gtfs.py:22-23`.
     */
@@ -175,6 +188,7 @@ object TimeseriesQueries {
     "q11_duration_watermark" -> (q11 _),
     "q12_band_join_nearest" -> (q12 _),
     "q19_hourly_stats" -> (q19 _),
+    "q23_bbox_filter" -> (q23 _),
     "q22_argmin_nearest" -> (q22 _),
     "q24_interval_arith" -> (q24 _),
     "q25_tz_convert" -> (q25 _),
@@ -248,6 +262,13 @@ object TimeseriesQueries {
         |SELECT user_id, dist_m AS nearest_dist_m, event_id AS nearest_event_id,
         | CAST(n_points AS BIGINT) AS n_points
         |FROM rk WHERE rn = 1""".stripMargin,
+    "q23_bbox_filter" ->
+      """SELECT event_id, user_id,
+        | round(value % 90.0, 6) AS lat,
+        | round(CAST(event_id % 360 AS DOUBLE) - 180.0, 6) AS lon
+        |FROM events
+        |WHERE (value % 90.0) BETWEEN 10.0 AND 40.0
+        |  AND (CAST(event_id % 360 AS DOUBLE) - 180.0) BETWEEN -30.0 AND 60.0""".stripMargin,
     "q24_interval_arith" ->
       """SELECT o_orderkey, o_orderdate + INTERVAL 90 DAY AS due_date
         |FROM orders

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` corpus (`array<float>` + a
+  * coarse `label`): brute-force cosine top-k as the exact baseline, and
+  * a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale shape: brute-force is one broadcast of the query vector + a
+  * full scan with a TakeOrderedAndProject (no global sort, no shuffle of
+  * the corpus). The LSH variant buckets the corpus in ONE projection
+  * (sign bits of literal-hyperplane projections — codegen'd column math,
+  * no plane matrices shipped) and then scans only the query's bucket:
+  * at 1B vectors / 2^16 buckets that is a ~15k-row scan instead of 1B.
+  * The hyperplanes are deterministic build-time literals shared verbatim
+  * with the DuckDB oracle, so bucket ids are engine-portable.
+  */
+object VectorQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val Dims = 64
+  val NBits = 8
+  val TopK = 10
+  val QueryVecId = 0L
+
+  /** q37 — brute-force cosine top-k against the query vector (vec_id 0).
+    * The exact-recall baseline every ANN variant is judged against.
+    */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= QueryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** q38 — LSH-bucketed ANN: bucket the corpus by hyperplane sign bits,
+    * search only the query's bucket. Approximate — recall is traded for
+    * a 2^NBits scan reduction; candidates are still ranked by exact
+    * cosine within the bucket.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), NBits, Dims))
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= QueryVecId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_ann_bruteforce" -> (q37 _),
+    "q38_ann_lsh" -> (q38 _))
+
+  // ---- oracle SQL ----
+
+  /** The literal hyperplanes, identical to the Spark plan's. Doubles are
+    * rendered with Scala's shortest-round-trip formatting, which DuckDB
+    * parses back to the same bit pattern.
+    */
+  private def planeSql(planeId: Int): String =
+    VectorFunctions.planeWeights(planeId, Dims)
+      .map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
+
+  private def dotLiteralSql(vec: String, planeId: Int): String =
+    s"""list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |    list_transform(range(1, ${Dims + 1}),
+       |      i -> CAST($vec[i] AS DOUBLE) * (${planeSql(planeId)})[i])),
+       |    (x, y) -> x + y)""".stripMargin
+
+  private def bucketSql(vec: String): String =
+    (0 until NBits).map { b =>
+      s"CASE WHEN ${dotLiteralSql(vec, b)} >= 0.0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q37_ann_bruteforce" ->
+      s"""SELECT e.vec_id,
+         | round(${DedupQueries.cosineSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM embeddings e
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId) q
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY ${DedupQueries.cosineSql("e.embedding", "q.qv")} DESC, e.vec_id ASC
+         |LIMIT $TopK""".stripMargin,
+    "q38_ann_lsh" ->
+      s"""WITH bucketed AS (
+         | SELECT vec_id, embedding, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
+         | FROM embeddings)
+         |SELECT e.vec_id, e.bucket,
+         | round(${DedupQueries.cosineSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM bucketed e
+         |JOIN (SELECT bucket, embedding AS qv FROM bucketed WHERE vec_id = $QueryVecId) q
+         |  ON e.bucket = q.bucket
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY ${DedupQueries.cosineSql("e.embedding", "q.qv")} DESC, e.vec_id ASC
+         |LIMIT $TopK""".stripMargin)
+}
