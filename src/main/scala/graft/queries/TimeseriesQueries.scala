@@ -183,6 +183,31 @@ object TimeseriesQueries {
         round(sum(col("value")).over(w), 2).as("running_value"))
   }
 
+  /** q42 — gap-based sessionization, batch form (§2.9 beyond-reference;
+    * the streaming twin is [[graft.streaming.EventStreams.sessionize]]).
+    * Classic lag→gap-flag→running-sum→group: one shuffle on user_id,
+    * both windows and the final groupBy share it (same partition key).
+    */
+  val SessionGapHours = 6
+
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = SessionGapHours * 3600L * 1000000L
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_s").over(run))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_first_last_per_group" -> (q10 _),
     "q11_duration_watermark" -> (q11 _),
@@ -194,7 +219,8 @@ object TimeseriesQueries {
     "q25_tz_convert" -> (q25 _),
     "q26_partition_paths" -> (q26 _),
     "q27_json_extract" -> (q27 _),
-    "q39_running_window" -> (q39 _))
+    "q39_running_window" -> (q39 _),
+    "q42_sessionize" -> (q42 _))
 
   val oracles: Map[String, String] = Map(
     "q10_first_last_per_group" ->
@@ -292,5 +318,24 @@ object TimeseriesQueries {
       """SELECT event_id, user_id, ts,
         | round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q42_sessionize" ->
+      s"""WITH l AS (
+         | SELECT user_id, event_id, ts, value,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         | FROM events WHERE ts IS NOT NULL),
+         |f AS (
+         | SELECT *, CASE WHEN prev_ts IS NULL
+         |   OR epoch_us(ts) - epoch_us(prev_ts) > ${6 * 3600L * 1000000L}
+         |  THEN 1 ELSE 0 END AS new_s
+         | FROM l),
+         |g AS (
+         | SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         | FROM f)
+         |SELECT user_id, session_seq,
+         | min(ts) AS session_start, max(ts) AS session_end,
+         | CAST(count(*) AS BIGINT) AS n_events,
+         | round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+         |FROM g GROUP BY user_id, session_seq""".stripMargin)
 }

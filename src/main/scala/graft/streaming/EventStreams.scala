@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for the typed streaming surface (mirrors the lake's
+  * `events` table minus `props`).
+  */
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+              ts: Timestamp, value: Double)
+
+/** Open-session accumulator kept in stream state (epoch millis). */
+case class SessionAcc(start: Long, last: Long, n: Long, total: Double)
+
+/** Emitted closed session. */
+case class UserSession(user_id: Long, session_start: Timestamp,
+                       session_end: Timestamp, n_events: Long, total_value: Double)
+
+/** Structured Streaming surface over the event stream.
+  *
+  * The reference is pure batch (Airflow cron), but its semantics are
+  * streaming-shaped (SURVEY.md §2.9): the 6-hour "ride surely over"
+  * completion cutoff (T2, `siri/add_ride_durations.py:74`) is exactly an
+  * event-time watermark, and the hourly reprocessing window (T1) is a
+  * windowed aggregation. These jobs express that natively:
+  * `readStream → withWatermark → window/agg → writeStream`, so the same
+  * library serves both the batch lake and a live feed.
+  *
+  * Scale notes: both operators keep bounded state — the windowed agg
+  * drops state for windows older than the watermark; sessionization
+  * stores ONE small accumulator per open (user, session) and removes it
+  * on event-time timeout. No unbounded buffering, no driver state.
+  */
+object EventStreams {
+
+  /** Per-hour per-type stats with a 6-hour watermark (T2's cutoff as a
+    * real watermark): late rows beyond 6h are dropped, finalized windows
+    * are emitted exactly once in append mode.
+    */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "6 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when `gapMinutes` pass with no event (event-time timeout —
+    * the watermark drives emission, not wall clock). Batch q42 computes
+    * the same sessions with window functions; this is the incremental
+    * form with O(open sessions) state.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(userId: Long, a: SessionAcc): UserSession =
+      UserSession(userId, new Timestamp(a.start), new Timestamp(a.last), a.n, a.total)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val closed = close(userId, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            // Within one micro-batch events arrive unordered; sort before
+            // folding (bounded by the batch, not the stream).
+            val evs = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Vector.newBuilder[UserSession]
+            var acc = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              acc = acc match {
+                case Some(a) if t - a.last <= gapMs =>
+                  Some(SessionAcc(a.start, math.max(a.last, t), a.n + 1, a.total + e.value))
+                case Some(a) =>
+                  out += close(userId, a)
+                  Some(SessionAcc(t, t, 1, e.value))
+                case None =>
+                  Some(SessionAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5Hash32 is the portable first-8-hex-chars value") {
+    // DuckDB: CAST(concat('0x', substr(md5('hello'),1,8)) AS BIGINT) = 1564557354
+    val got = Seq("hello").toDF("s")
+      .select(DedupFunctions.md5Hash32($"s")).as[Long].head()
+    assert(got == 1564557354L)
+  }
+
+  private def sig(text: String): Seq[Long] =
+    Seq(text).toDF("t")
+      .select(DedupFunctions.minHashSignature(
+        TextFunctions.wordShingles($"t", 3), 16)).as[Seq[Long]].head()
+
+  test("minhash: identical docs → identical signature; est ≈ jaccard") {
+    val a = (0 until 50).map(i => s"w$i").mkString(" ")
+    val b = (0 until 49).map(i => s"w$i").mkString(" ") + " zz" // 1 word changed
+    val c = (0 until 50).map(i => s"x$i").mkString(" ")         // disjoint
+    assert(sig(a) == sig(a))
+    assert(sig(a).size == 16)
+    def est(s1: Seq[Long], s2: Seq[Long]): Double =
+      s1.zip(s2).count { case (x, y) => x == y } / 16.0
+    assert(est(sig(a), sig(b)) >= 0.6)  // true jaccard = 45/51 ≈ 0.88
+    assert(est(sig(a), sig(c)) <= 0.25) // true jaccard = 0
+  }
+
+  test("minhash signature is null for docs with no shingles") {
+    assert(Seq("a b").toDF("t")
+      .select(DedupFunctions.minHashSignature(
+        TextFunctions.wordShingles($"t", 3), 16)).head().isNullAt(0))
+  }
+
+  test("lsh bands: identical signatures share every band key") {
+    val df = Seq("k0 k1 k2 k3 k4 k5").toDF("t")
+      .select(DedupFunctions.minHashSignature(
+        TextFunctions.wordShingles($"t", 3), 16).as("sig"))
+      .select(explode(DedupFunctions.lshBands($"sig", 8, 2)).as("b"))
+      .select($"b.band_idx", $"b.band_key").as[(Int, String)].collect()
+    assert(df.length == 8)
+    assert(df.map(_._1).toSeq == (0 until 8))
+    assert(df.forall(_._2.matches("\\d+-\\d+")))
+  }
+
+  test("simhash: identical docs at distance 0, perturbed docs nearby") {
+    def sh(t: String): Long = Seq(t).toDF("t")
+      .select(DedupFunctions.simHash(TextFunctions.words($"t"), 32)).as[Long].head()
+    val a = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val b = (0 until 58).map(i => s"tok$i").mkString(" ") + " q r"
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sh(a), sh(a)) == 0)
+    assert(ham(sh(a), sh(b)) <= 12) // small perturbation → small distance
+    assert(sh(a) >= 0 && sh(a) < (1L << 32))
+  }
+
+  test("fingerprint is order-sensitive (unlike the minhash set signature)") {
+    def fp(t: String): Long = Seq(t).toDF("t")
+      .select(DedupFunctions.fingerprint(TextFunctions.words($"t"))).as[Long].head()
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+    assert(Seq("").toDF("t")
+      .select(DedupFunctions.fingerprint(TextFunctions.words($"t"))).head().isNullAt(0))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.operators.{ArgMinMax, BandJoin, UpdateInPlace}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- BandJoin (J7, §7.4) ----
+
+  private val signups = Seq(
+    (1L, 10L, ts("2024-01-01 12:00:00")), // nearest purchase: 101 (+30m)
+    (2L, 10L, ts("2024-01-02 12:00:00")), // boundary: exactly +12h included
+    (3L, 11L, ts("2024-01-03 12:00:00")), // tie ±1h → smaller id wins
+    (4L, 12L, ts("2024-01-04 12:00:00"))  // only candidate is 12h1s away → no match
+  ).toDF("signup_id", "user_id", "ts")
+
+  private val purchases = Seq(
+    (101L, 10L, ts("2024-01-01 12:30:00")),
+    (102L, 10L, ts("2024-01-01 10:00:00")),
+    (103L, 10L, ts("2024-01-03 00:00:00")), // exactly +12h from signup 2
+    (104L, 11L, ts("2024-01-03 11:00:00")),
+    (105L, 11L, ts("2024-01-03 13:00:00")),
+    (106L, 12L, ts("2024-01-05 00:00:01"))
+  ).toDF("purchase_id", "user_id", "ts")
+
+  test("BandJoin picks the nearest match within the band") {
+    val out = BandJoin.nearestWithin(signups, purchases,
+      Seq("user_id"), "ts", "ts", 12 * 3600, "signup_id", "purchase_id")
+      .select($"signup_id", $"purchase_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 101L)
+  }
+
+  test("BandJoin band boundary is inclusive, beyond-band rows drop out") {
+    val out = BandJoin.nearestWithin(signups, purchases,
+      Seq("user_id"), "ts", "ts", 12 * 3600, "signup_id", "purchase_id")
+      .select($"signup_id", $"purchase_id").as[(Long, Long)].collect().toMap
+    assert(out(2L) == 103L)      // exactly 12h: included
+    assert(!out.contains(4L))    // 12h + 1s: excluded
+  }
+
+  test("BandJoin ties break on the right-side id (deterministic)") {
+    val out = BandJoin.nearestWithin(signups, purchases,
+      Seq("user_id"), "ts", "ts", 12 * 3600, "signup_id", "purchase_id")
+      .select($"signup_id", $"purchase_id").as[(Long, Long)].collect().toMap
+    assert(out(3L) == 104L)      // 104 and 105 both 1h away → min id
+  }
+
+  // ---- ArgMinMax (A5/O1) ----
+
+  test("firstLastBy drops null-ordered rows and is tie-deterministic") {
+    val df = Seq(
+      (10L, Some(ts("2024-01-01 00:00:00")), 1L),
+      (10L, Some(ts("2024-01-03 00:00:00")), 2L),
+      (10L, None, 3L),                              // NULLS LAST: never wins
+      (11L, Some(ts("2024-01-02 00:00:00")), 4L),
+      (11L, Some(ts("2024-01-02 00:00:00")), 5L)    // tie → id order decides
+    ).toDF("ride_id", "t", "id")
+    val out = ArgMinMax.firstLastBy(df, Seq("ride_id"), "t", "id", Seq.empty)
+      .select($"ride_id", $"_first.id", $"_last.id", $"n_rows")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 1L, 2L, 2L))) // null row excluded from count too
+    assert(out(11L) == ((11L, 4L, 5L, 2L)))
+  }
+
+  // ---- UpdateInPlace (J12 → §7.3) ----
+
+  test("UpdateInPlace coalesces new over old and preserves row count") {
+    val target = Seq(
+      (1L, Some(10L), "a"),
+      (2L, None, "b"),
+      (3L, Some(30L), "c")
+    ).toDF("id", "v", "tag")
+    val enrichment = Seq(
+      (2L, 20L), (3L, 31L)
+    ).toDF("id", "new_v")
+    val out = UpdateInPlace(target, enrichment, Seq("id"))
+    assert(out.count() == 3)
+    val m = out.select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+    assert(m(1L).contains(10L)) // unmatched keeps old value
+    assert(m(2L).contains(20L)) // null filled
+    assert(m(3L).contains(31L)) // overwritten
+    assert(out.columns.toSet == Set("id", "v", "tag"))
+  }
+
+  test("overwritePartitions only rewrites touched partitions") {
+    val dir = Files.createTempDirectory("graft_dyn_overwrite").toString
+    val v1 = Seq((1L, "2024-01-01", 100L), (2L, "2024-01-02", 200L))
+      .toDF("id", "day", "v")
+    UpdateInPlace.overwritePartitions(v1, dir, Seq("day"))
+    // second write touches only day=2024-01-02
+    val v2 = Seq((2L, "2024-01-02", 999L)).toDF("id", "day", "v")
+    UpdateInPlace.overwritePartitions(v2, dir, Seq("day"))
+    val back = spark.read.parquet(dir)
+      .select($"id", $"day", $"v").as[(Long, String, Long)].collect().toSet
+    assert(back == Set((1L, "2024-01-01", 100L), (2L, "2024-01-02", 999L)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Ev, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyStats aggregates per (hour, type) over micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.hourlyStats(in.toDF())
+      .writeStream.format("memory").queryName("hs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(1, 10, "click", ts("2024-01-01 10:05:00"), 1.0),
+        Ev(2, 10, "click", ts("2024-01-01 10:55:00"), 2.0),
+        Ev(3, 11, "view", ts("2024-01-01 10:10:00"), 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, 10, "click", ts("2024-01-01 11:05:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("hs")
+        .select($"hour", $"event_type", $"n_events", $"sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 5.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 10 min apart; then a 2-hour gap within the
+      // same batch closes it immediately
+      in.addData(
+        Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Ev(2, 10, "click", ts("2024-01-01 10:10:00"), 2.0),
+        Ev(3, 10, "click", ts("2024-01-01 12:30:00"), 4.0))
+      q.processAllAvailable()
+      // advancing the watermark far past 12:30+30min times out the open
+      // session — emission is event-time-driven, not wall-clock-driven
+      in.addData(Ev(9, 99, "click", ts("2024-01-01 23:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(Ev(10, 99, "click", ts("2024-01-02 23:00:00"), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(sessions.contains(
+        (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 3.0)))
+      assert(sessions.contains(
+        (10L, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("batch q42 and streaming sessionize agree on the same events") {
+    // the lake's events at sf0.001 through the BATCH sessionizer vs the
+    // same rows folded through the streaming session logic (state-machine
+    // equivalence, gap = 6h to match q42)
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q42(spark, sfDir)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val evs = Tables.load(spark, sfDir, "events")
+      .filter($"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+    val gapMs = 6 * 3600 * 1000L
+    // keep the original Timestamp objects: the lake has microsecond
+    // precision, which epoch-millis reconstruction would truncate
+    val replay = evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, Timestamp, Long)]
+      var start = sorted.head.ts
+      var last = sorted.head.ts
+      var n = 0L
+      sorted.foreach { e =>
+        if (e.ts.getTime - last.getTime > gapMs) {
+          sessions += ((uid, start, last, n))
+          start = e.ts; n = 0
+        }
+        last = e.ts; n += 1
+      }
+      sessions += ((uid, start, last, n))
+      sessions
+    }.toSet
+    assert(batch == replay)
+  }
+}
