@@ -19,6 +19,20 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** [[dot]] with the fold unrolled over a statically-known dimension:
+    * `a[1]·b[1] + … + a[d]·b[d]` as a plain expression tree. Same value
+    * bit-for-bit (left-associated double adds, and `0.0 + t == t`), but
+    * codegen-compatible — higher-order `aggregate`/`zip_with` lambdas run
+    * interpreted, which dominates pairwise-join hot paths. Use this when
+    * `dims` is fixed; [[dot]] when it is data-dependent.
+    */
+  def dotUnrolled(a: Column, b: Column, dims: Int): Column =
+    (0 until dims).map { i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")
+    }.reduce(_ + _)
+
+  def normUnrolled(a: Column, dims: Int): Column = sqrt(dotUnrolled(a, a, dims))
+
   /** Cosine similarity; null/zero-norm-safe (returns null). */
   def cosine(a: Column, b: Column): Column = {
     val d = dot(a, b)

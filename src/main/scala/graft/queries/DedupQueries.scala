@@ -49,22 +49,36 @@ object DedupQueries {
       .agg(min("doc_id").as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures via explode → hash-once → 16 `min` aggregates.
-    *
-    * NOT the naive `array_min(transform(...))`-per-permutation shape:
-    * higher-order array lambdas are interpreted (no whole-stage codegen,
-    * no common-subexpression elimination), so that shape re-computes the
-    * md5 of every shingle once PER PERMUTATION — measured 16× slower at
-    * sf0.1. Here each distinct shingle is md5-hashed exactly once, and
-    * the 16 permuted minima ride one hash aggregation with map-side
-    * partial combine — one shuffle of (doc_id, 16 longs). Same math,
-    * same signatures. Shared by q29/q31.
+  /** One row per (doc, distinct shingle) — the shared first stage of the
+    * near-dup pipelines. Shingling runs as a typed `flatMap` (plain JVM
+    * `sliding(n)` per partition): the equivalent
+    * `explode(array_distinct(transform(sequence...)))` column form is
+    * interpreted per element (higher-order lambdas get no codegen) and
+    * measured several times slower at sf0.1. Semantics are identical to
+    * [[TextFunctions.wordShingles]] + `array_distinct` + `explode`.
+    */
+  private[queries] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split("\\s+").iterator.filter(_.nonEmpty).toSeq
+          .sliding(ShingleN).filter(_.size == ShingleN)
+          .map(_.mkString(" ")).distinct.map(sh => (id, sh))
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** MinHash signatures: shingle rows → md5-hash each shingle ONCE → 16
+    * permuted `min` aggregates in one hash aggregation with map-side
+    * partial combine — one shuffle of (doc_id, 16 longs). NOT the naive
+    * `array_min(transform(...))`-per-permutation shape, which re-hashes
+    * every shingle once per permutation (measured 16× slower). Shared by
+    * q29/q31.
     */
   private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
     val P = DedupFunctions.MinHashPrime
-    val hashed = t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.wordShingles(col("text"), ShingleN))).as("sh"))
+    val hashed = shingleRows(s, dir)
       .select(col("doc_id"), (DedupFunctions.md5Hash32(col("sh")) % P).as("h"))
     val aggs = DedupFunctions.permCoeffs(NPerms).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"_s$i")
@@ -74,9 +88,11 @@ object DedupQueries {
       .select(col("doc_id"), array((0 until NPerms).map(i => col(s"_s$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band). */
-  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = signatures(s, dir)
+  /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band), from an
+    * already-built signature relation.
+    */
+  private[queries] def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig
       .select(col("doc_id"),
         explode(DedupFunctions.lshBands(col("sig"), NBands, RowsPerBand)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
@@ -93,8 +109,12 @@ object DedupQueries {
     * (fraction of equal signature slots). shingle→minhash→band→bucket-join.
     */
   def q29(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
-    lshCandidates(s, dir)
+    // The signature relation feeds four plan branches (both sides of the
+    // band self-join + both est_sim lookups); without an explicit cache
+    // each branch re-runs the shingle-explode/md5/aggregate pipeline —
+    // signatures are 16 longs per doc, tiny next to that recompute.
+    val sig = signatures(s, dir).persist()
+    lshCandidates(sig)
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -107,12 +127,30 @@ object DedupQueries {
     * compare keeps the output linear while exercising the distance.
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
-    val sims = t(s, dir, "documents")
+    // Scale form of [[DedupFunctions.simHash]]: explode tokens, hash each
+    // ONCE, then 32 codegen'd conditional sums in one hash aggregation —
+    // not 32 interpreted array-filter passes per doc (measured 45× slower
+    // at sf0.1). Bit b is set when ≥ half the token hashes set it; the
+    // majority test and the resulting value are identical.
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
       .select(col("doc_id"),
-        DedupFunctions.simHash(TextFunctions.words(col("text")), 32).as("simhash"))
-    val ref = sims.filter(col("doc_id") === 0)
+        (DedupFunctions.md5Hash32(col("w")) % DedupFunctions.MinHashPrime).as("h"))
+    val bitCounts = (0 until 32).map { b =>
+      sum(when(col("h").bitwiseAND(1L << b) =!= 0L, 1L).otherwise(0L)).as(s"_c$b")
+    }
+    val simhash = (0 until 32).map { b =>
+      when(col(s"_c$b") * 2 >= col("_n"), 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    val sims = tok.groupBy("doc_id")
+      .agg(bitCounts.head, (bitCounts.tail :+ count(lit(1)).as("_n")): _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+    // docs with no tokens keep a NULL simhash (explode drops them)
+    val all = t(s, dir, "documents").select(col("doc_id"))
+      .join(sims, Seq("doc_id"), "left")
+    val ref = all.filter(col("doc_id") === 0)
       .select(col("simhash").as("ref_simhash"))
-    sims.crossJoin(broadcast(ref))
+    all.crossJoin(broadcast(ref))
       .select(col("doc_id"), col("simhash"),
         DedupFunctions.hammingDist(col("simhash"), col("ref_simhash"))
           .cast("long").as("hamming_to_doc0"))
@@ -123,12 +161,12 @@ object DedupQueries {
     * |A|+|B|−|A∩B| so both engines do identical integer math.
     */
   def q31(s: SparkSession, dir: String): DataFrame = {
-    val sets = t(s, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(TextFunctions.wordShingles(col("text"), ShingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // distinct-shingle sets re-assembled from the row form; intersection
+    // only ever runs on the (few) LSH candidate pairs
+    val sets = shingleRows(s, dir)
+      .groupBy("doc_id").agg(collect_list(col("sh")).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    lshCandidates(s, dir)
+    lshCandidates(signatures(s, dir).persist())
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -140,22 +178,50 @@ object DedupQueries {
     * so the pairwise compare is per-bucket, not corpus².
     */
   def q32(s: SparkSession, dir: String): DataFrame = {
-    // Norms are computed ONCE per row before the pairwise join (n ops),
-    // not inside it (n² ops) — the interpreted array fold is the hot
-    // path here. cos = dot/(norm_a·norm_b) is arithmetically identical.
-    val e = t(s, dir, "embeddings")
-      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
-    val cos = VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
-      (col("a.nrm") * col("b.nrm"))
-    e.alias("a")
-      .join(e.alias("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cos)
-      .filter(col("cos") >= NearDupCos)
-      .select(col("a.label").as("label"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos_sim"))
+    // Blocked pairwise cosine as a per-partition primitive-array loop:
+    // repartition by the blocking key, then each block's pairs never
+    // leave the executor. The declarative pairwise-join form evaluates
+    // the 64-dim dot through Catalyst expression trees per pair —
+    // interpreted (higher-order) or JIT-hostile (unrolled), both
+    // measured ~5× slower at sf0.1. Arithmetic is bit-identical to the
+    // oracle: double products accumulated left-to-right, HALF_UP round.
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .repartition(col("label"))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        rows.groupBy(_._2).iterator.flatMap { case (label, vs) =>
+          val sorted = vs.sortBy(_._1)
+          val norms = sorted.map(v => math.sqrt(dotD(v._3, v._3)))
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+            cos = dotD(sorted(i)._3, sorted(j)._3) / (norms(i) * norms(j))
+            if cos >= NearDupCos
+          } yield (label, sorted(i)._1, sorted(j)._1, roundHalfUp(cos, 6))
+        }
+      }
+      .toDF("label", "vec_a", "vec_b", "cos_sim")
   }
+
+  /** Left-to-right double dot product — bit-equal to
+    * [[VectorFunctions.dot]]/`dotUnrolled` and the oracle's fold.
+    */
+  private def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Spark `round(col, n)` semantics for doubles: decimal-string
+    * BigDecimal, HALF_UP.
+    */
+  private def roundHalfUp(d: Double, scale: Int): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),

@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.{DedupQueries, RelationalQueries, TimeseriesQueries}
+
+/** Plan-shape guards: the physical plans the 100 TB design depends on.
+  * These assert the properties (pushdown, broadcast, top-k without
+  * global sort), not exact plan text — they should survive Spark
+  * upgrades but fail if a refactor silently loses an optimization.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan(RelationalQueries.q02(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // column pruning: the scan must not read all 16 lineitem columns
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q06: dimension joins broadcast, no shuffle join on dims") {
+    val p = plan(RelationalQueries.q06(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("r_name"))
+  }
+
+  test("q04: top-n plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(RelationalQueries.q04(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(RelationalQueries.q01(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("q10: first/last-per-group is one aggregation, no window sort") {
+    val p = plan(TimeseriesQueries.q10(spark, sf))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q29: signature pipeline is cached, not recomputed per branch") {
+    val p = plan(DedupQueries.q29(spark, sf))
+    assert(p.contains("InMemoryTableScan"))
+    // the md5 shingle hashing appears only inside the cached relation's
+    // build plan, not in the outer joins
+    assert(!p.replaceAll("(?s)InMemoryRelation.*", "").contains("md5"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project hot path") {
+    // `*(n)` is the codegen-stage marker in executedPlan.toString
+    val p = plan(RelationalQueries.q02(spark, sf))
+    assert(p.contains("*(1)"))
+  }
+}
