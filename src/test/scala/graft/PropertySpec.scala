@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{BandJoin, UpdateInPlace}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property tests for the invariants SURVEY.md §5.3 calls out: the
+  * update-in-place rewrite must never lose/duplicate rows and must be
+  * idempotent; band-join arbitration must be total. Case counts are kept
+  * small — every case runs real Spark jobs.
+  */
+class PropertySpec extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val kvGen: Gen[List[(Long, Option[Long])]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 19L), Gen.option(Gen.choose(0L, 99L))))
+      .map(_.distinctBy(_._1))
+
+  property("UpdateInPlace preserves count and unmatched rows") =
+    Prop.forAll(kvGen, kvGen) { (targetRows, enrichRows) =>
+      val target = targetRows.toDF("id", "v")
+      val enrichment = enrichRows.toDF("id", "new_v")
+      val out = UpdateInPlace(target, enrichment, Seq("id"))
+      val got = out.select($"id", $"v").as[(Long, Option[Long])].collect().toMap
+      val enrich = enrichRows.toMap
+      val expected = targetRows.map { case (k, old) =>
+        k -> enrich.get(k).flatten.orElse(old)
+      }.toMap
+      got == expected && out.count() == targetRows.size.toLong
+    }
+
+  property("UpdateInPlace is idempotent") =
+    Prop.forAll(kvGen, kvGen) { (targetRows, enrichRows) =>
+      val target = targetRows.toDF("id", "v")
+      val enrichment = enrichRows.toDF("id", "new_v")
+      val once = UpdateInPlace(target, enrichment, Seq("id"))
+      val twice = UpdateInPlace(once, enrichment, Seq("id"))
+      val a = once.as[(Long, Option[Long])].collect().toSet
+      val b = twice.as[(Long, Option[Long])].collect().toSet
+      a == b
+    }
+
+  private val tsGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(10, Gen.zip(Gen.choose(0L, 999L), Gen.choose(0L, 100000L)))
+      .map(_.distinctBy(_._1))
+
+  property("BandJoin emits at most one in-band match per left row") =
+    Prop.forAll(tsGen, tsGen) { (ls, rs) =>
+      val tol = 5000L // seconds
+      val left = ls.map { case (id, s) => (id, 1L, new java.sql.Timestamp(s * 1000)) }
+        .toDF("lid", "k", "ts")
+      val right = rs.map { case (id, s) => (id, 1L, new java.sql.Timestamp(s * 1000)) }
+        .toDF("rid", "k", "ts")
+      val out = BandJoin.nearestWithin(left, right, Seq("k"), "ts", "ts",
+        tol, "lid", "rid")
+        .select($"lid", $"rid", $"_diff_us").as[(Long, Long, Long)].collect()
+      val perLeft = out.groupBy(_._1).forall(_._2.length == 1)
+      val inBand = out.forall(_._3 <= tol * 1000000L)
+      // nearest: no right row is strictly closer than the chosen one
+      val rightUs = rs.map(_._2 * 1000000L)
+      val nearest = out.forall { case (lid, _, diff) =>
+        val lt = ls.toMap.apply(lid) * 1000000L
+        rightUs.forall(rt => math.abs(rt - lt) >= diff)
+      }
+      perLeft && inBand && nearest
+    }
+}
