@@ -1,0 +1,47 @@
+package graft
+
+import graft.expressions.FloatVectorDot
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers the engine's native
+  * expressions as SQL functions (`SELECT vec_dot(a, b)`), so the custom
+  * codegen path is reachable from `spark.sql(...)` as well as the Column
+  * API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+  }
+}
+
+/** Session factory applying the engine's recommended configuration —
+  * what a cluster deployment would set once:
+  *  - AQE on (default) with skew-join handling;
+  *  - shuffle partitions sized to the local core count (a cluster sets
+  *    this to 2-3× total cores; AQE coalesces the excess);
+  *  - dynamic partition overwrite (the update-in-place write contract);
+  *  - UTC session timezone (all local-time logic is explicit);
+  *  - the graft SQL extensions.
+  */
+object GraftSession {
+  def create(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -24,16 +24,25 @@ object TextQueries {
     * falls out as "und" by design.
     */
   def q33(s: SparkSession, dir: String): DataFrame = {
-    val scores: Seq[(String, Column)] = LangOrder.map { l =>
-      l -> TextFunctions.langScore(col("text"), TextFunctions.LangMarkers(l))
-    }
-    val m = greatest(scores.map(_._2): _*)
-    val pred = scores.foldLeft(when(m === 0, "und")) { case (acc, (l, sc)) =>
-      acc.when(sc === m, l)
-    }
+    // One typed pass per doc computing all four marker counts — the
+    // column form re-tokenizes once per language through interpreted
+    // array lambdas (4× the work, no codegen). Tie precedence = first
+    // language in LangOrder with the maximal count, same as the oracle's
+    // CASE arm order.
+    import s.implicits._
+    val markers: Map[String, Set[String]] =
+      LangOrder.map(l => l -> TextFunctions.LangMarkers(l).toSet).toMap
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        pred.as("lang_pred"), m.cast("long").as("marker_hits"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val counts = LangOrder.map(l => ws.count(markers(l)))
+        val m = counts.max
+        val pred = if (m == 0) "und" else LangOrder(counts.indexOf(m))
+        (id, lang, pred, m.toLong)
+      }
+      .toDF("doc_id", "lang", "lang_pred", "marker_hits")
   }
 
   /** q34 — per-document quality scores: whitespace token count,

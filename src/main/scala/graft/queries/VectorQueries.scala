@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.expressions.VectorExpressions
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,7 +37,7 @@ object VectorQueries {
       .select(col("embedding").as("qv"))
     e.filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qv")))
+      .withColumn("cos", VectorExpressions.vecCosine(col("embedding"), col("qv")))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(TopK)
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
@@ -54,7 +55,7 @@ object VectorQueries {
       .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
     e.filter(col("vec_id") =!= QueryVecId)
       .join(broadcast(q), col("bucket") === col("qbucket"))
-      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("qv")))
+      .withColumn("cos", VectorExpressions.vecCosine(col("embedding"), col("qv")))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(TopK)
       .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos_sim"))

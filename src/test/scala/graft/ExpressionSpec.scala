@@ -1,0 +1,63 @@
+package graft
+
+import graft.expressions.{FloatVectorDot, VectorExpressions}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vecDot matches the declarative fold bit-for-bit on real embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val mismatches = e.select(
+      VectorExpressions.vecDot(col("embedding"), col("embedding")).as("native"),
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("fold"))
+      .filter(!(col("native") <=> col("fold"))) // exact, not approximate
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("vecDot null semantics match zip_with/aggregate") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),     // 11.0
+      (Some(Seq(1f, 2f)), Some(Seq(3f))),         // length mismatch → null
+      (None, Some(Seq(1f, 2f))),                  // null array → null
+      (Some(Seq[Float]()), Some(Seq[Float]()))    // empty → 0.0
+    ).toDF("a", "b")
+    val got = df.select(VectorExpressions.vecDot($"a", $"b"))
+      .as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(11.0), None, None, Some(0.0)))
+  }
+
+  test("interpreted eval and generated code produce the same results") {
+    val expr = FloatVectorDot(
+      BoundReference(0, ArrayType(FloatType), nullable = true),
+      BoundReference(1, ArrayType(FloatType), nullable = true))
+    val cases = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(0.1f, -0.2f), Array(-0.3f, 0.4f)))
+    val proj = GenerateMutableProjection.generate(Seq(expr)) // forces doGenCode
+    cases.foreach { case (a, b) =>
+      val row = InternalRow(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val interpreted = expr.eval(row)
+      val generated = proj(row).get(0, expr.dataType)
+      assert(interpreted == generated)
+    }
+    // generated null paths: length mismatch and null element
+    val bad = InternalRow(
+      ArrayData.toArrayData(Array(1f)), ArrayData.toArrayData(Array(1f, 2f)))
+    assert(proj(bad).isNullAt(0) && expr.eval(bad) == null)
+  }
+
+  test("vec_dot is registered as a SQL function via GraftExtensions") {
+    Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
+    val got = spark.sql("SELECT vec_dot(a, b) AS d FROM v").as[Double].head()
+    assert(got == 11.0)
+  }
+}

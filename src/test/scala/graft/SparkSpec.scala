@@ -7,12 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * it across suites in the same JVM; sbt forks one test JVM).
   */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.create("4")
 }
 
 trait SparkSpec extends AnyFunSuite {
