@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -35,6 +35,22 @@ case class UserSession(user_id: Long, session_start: Timestamp,
   * on event-time timeout. No unbounded buffering, no driver state.
   */
 object EventStreams {
+
+  /** File-source entry over an events parquet directory: the
+    * `readStream → transform → writeStream` front door. New files landing
+    * under `path` become micro-batches; with `Trigger.AvailableNow` the
+    * same code runs as an incremental batch catch-up (the reference's
+    * hourly-cron semantics, minus the cron).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .parquet(path)
 
   /** Per-hour per-type stats with a 6-hour watermark (T2's cutoff as a
     * real watermark): late rows beyond 6h are dropped, finalized windows

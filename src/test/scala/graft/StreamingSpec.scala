@@ -65,6 +65,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream catches up over a parquet directory (AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString + "/in"
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    events.write.parquet(dir)
+    val q = EventStreams.hourlyStats(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("fs_hs")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("fs_hs")
+        .agg(org.apache.spark.sql.functions.sum($"n_events")).as[Long].head()
+      assert(streamed == events.count())
+    } finally q.stop()
+  }
+
   test("batch q42 and streaming sessionize agree on the same events") {
     // the lake's events at sf0.001 through the BATCH sessionizer vs the
     // same rows folded through the streaming session logic (state-machine
