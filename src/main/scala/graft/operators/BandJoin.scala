@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,16 +39,21 @@ object BandJoin {
     * @param toleranceSec  band half-width in seconds
     * @param leftId        unique left row id (arbitration group)
     * @param rightTieBreak unique right-side column making arbitration total
+    * @param extraCond     additional join predicate over the aliased
+    *                      sides (columns must be unambiguous), e.g. the
+    *                      route/date keys of the GTFS matcher
     */
   def nearestWithin(left: DataFrame, right: DataFrame,
                     equiKeys: Seq[String],
                     leftTs: String, rightTs: String,
                     toleranceSec: Long,
-                    leftId: String, rightTieBreak: String): DataFrame = {
+                    leftId: String, rightTieBreak: String,
+                    extraCond: Option[Column] = None): DataFrame = {
     val l = left.alias("l")
     val r = right.alias("r")
     val diffUs = abs(unix_micros(col(s"l.$leftTs")) - unix_micros(col(s"r.$rightTs")))
-    val cond = (equiKeys.map(k => col(s"l.$k") === col(s"r.$k")) :+
+    val cond = (equiKeys.map(k => col(s"l.$k") === col(s"r.$k")) ++
+      extraCond :+
       (diffUs <= toleranceSec * 1000000L)).reduce(_ && _)
     val w = Window.partitionBy(col(s"l.$leftId"))
       .orderBy(col("_diff_us").asc, col(s"r.$rightTieBreak").asc)
