@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.SamplingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
-      graft.queries.MultimodalQueries.oracles
+      graft.queries.MultimodalQueries.oracles ++
+      graft.queries.SamplingQueries.oracles
 }

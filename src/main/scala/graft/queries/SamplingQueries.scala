@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.DedupFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / sketching operators a corpus pipeline leans on: portable
+  * deterministic sampling, heavy hitters, exact quantiles, and an
+  * approximate-distinct sketch. All except the sketch are
+  * oracle-checked; the HLL sketch is engine-specific by nature, so q46
+  * ships without oracle SQL (rows-only check) and is pinned against the
+  * exact distinct count in its own output instead.
+  */
+object SamplingQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q43 — deterministic hash sampling (the reproducible alternative to
+    * `df.sample`): a row is in the p% sample iff md5(key) mod 100 < p.
+    * Stable across engines, runs, and cluster sizes — the property that
+    * matters when a 100 TB pipeline must re-derive the same sample.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("_h", DedupFunctions.md5Hash32(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber"))) % 100)
+      .filter(col("_h") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** q44 — heavy hitters: top-3 sources per language by document count,
+    * deterministic (count desc, source asc) arbitration.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_docs").desc, col("source").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("source"), col("n_docs"), col("rank").cast("long").as("rank"))
+  }
+
+  /** q45 — exact interpolated quantiles per group (`percentile`, the
+    * sort-based exact form — linear interpolation, same definition as
+    * SQL `quantile_cont`). For 100 TB use `percentile_approx`; the exact
+    * form is the oracle-able baseline its error is judged against.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("p"), 1), 4).as("p50"),
+        round(element_at(col("p"), 2), 4).as("p90"),
+        round(element_at(col("p"), 3), 4).as("p99"))
+
+  /** q46 — HLL++ approximate distinct vs exact, with the relative error
+    * surfaced. No DuckDB oracle (sketches are engine-specific); the
+    * correctness claim is the bounded error against the exact count in
+    * the same row, asserted in SamplingSpec.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        round(abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts"), 4).as("rel_err"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_hash_sample" -> (q43 _),
+    "q44_heavy_hitters" -> (q44 _),
+    "q45_percentiles" -> (q45 _),
+    "q46_approx_distinct" -> (q46 _))
+
+  /** q46 intentionally absent: engine-specific sketch → rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q43_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE CAST(concat('0x', substr(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin,
+    "q44_heavy_hitters" ->
+      """WITH c AS (
+        | SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents GROUP BY lang, source),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY lang
+        |   ORDER BY n_docs DESC, source ASC) AS rank FROM c)
+        |SELECT lang, source, n_docs, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "q45_percentiles" ->
+      """WITH q AS (
+        | SELECT l_returnflag,
+        |  CAST(quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS DOUBLE[]) AS p
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round(p[1], 4) AS p50, round(p[2], 4) AS p90, round(p[3], 4) AS p99
+        |FROM q""".stripMargin)
+}
