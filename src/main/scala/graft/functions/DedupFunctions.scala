@@ -52,6 +52,23 @@ object DedupFunctions {
   def md5Hash32(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** [[md5Hash32]] evaluated JVM-side (first 4 md5 bytes as an unsigned
+    * 32-bit value == first 8 hex chars parsed base-16) for typed
+    * map/flatMap pipelines. Bit-identical to the column form.
+    */
+  def md5Hash32Jvm(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
   /** Element-wise 32-bit hashes of a string array, pre-reduced mod `m`
     * (pre-reduction keeps downstream fold arithmetic overflow-free and
     * makes Spark's fold-with-init equal DuckDB's init-less list_reduce).

@@ -127,30 +127,38 @@ object DedupQueries {
     * compare keeps the output linear while exercising the distance.
     */
   def q30(s: SparkSession, dir: String): DataFrame = {
-    // Scale form of [[DedupFunctions.simHash]]: explode tokens, hash each
-    // ONCE, then 32 codegen'd conditional sums in one hash aggregation —
-    // not 32 interpreted array-filter passes per doc (measured 45× slower
-    // at sf0.1). Bit b is set when ≥ half the token hashes set it; the
-    // majority test and the resulting value are identical.
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
-      .select(col("doc_id"),
-        (DedupFunctions.md5Hash32(col("w")) % DedupFunctions.MinHashPrime).as("h"))
-    val bitCounts = (0 until 32).map { b =>
-      sum(when(col("h").bitwiseAND(1L << b) =!= 0L, 1L).otherwise(0L)).as(s"_c$b")
-    }
-    val simhash = (0 until 32).map { b =>
-      when(col(s"_c$b") * 2 >= col("_n"), 1L << b).otherwise(0L)
-    }.reduce(_ + _)
-    val sims = tok.groupBy("doc_id")
-      .agg(bitCounts.head, (bitCounts.tail :+ count(lit(1)).as("_n")): _*)
-      .select(col("doc_id"), simhash.as("simhash"))
-    // docs with no tokens keep a NULL simhash (explode drops them)
-    val all = t(s, dir, "documents").select(col("doc_id"))
-      .join(sims, Seq("doc_id"), "left")
-    val ref = all.filter(col("doc_id") === 0)
+    // Scale form of [[DedupFunctions.simHash]]: one NARROW typed map —
+    // per doc, a single pass over token md5s accumulating 32 bit
+    // counters, no explode, no shuffle at all until the tiny reference
+    // join. (The column-lambda form re-filters the hash array 32×
+    // interpreted; the explode+agg form shuffles tokens×docs rows. This
+    // beats both — and the single-node DuckDB baseline.) Bit b is set
+    // when ≥ half the token hashes set it; hashes are md5Hash32 mod the
+    // MinHash prime (a no-op for 32-bit values, kept for formula parity
+    // with the oracle SQL).
+    import s.implicits._
+    val sims = t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        if (ws.isEmpty) (id, None: Option[Long])
+        else {
+          val counts = new Array[Int](32)
+          ws.foreach { w =>
+            val h = DedupFunctions.md5Hash32Jvm(w)
+            var b = 0
+            while (b < 32) { if (((h >> b) & 1L) != 0L) counts(b) += 1; b += 1 }
+          }
+          var sim = 0L
+          var b = 0
+          while (b < 32) { if (2 * counts(b) >= ws.length) sim |= 1L << b; b += 1 }
+          (id, Some(sim))
+        }
+      }
+      .toDF("doc_id", "simhash")
+    val ref = sims.filter(col("doc_id") === 0)
       .select(col("simhash").as("ref_simhash"))
-    all.crossJoin(broadcast(ref))
+    sims.crossJoin(broadcast(ref))
       .select(col("doc_id"), col("simhash"),
         DedupFunctions.hammingDist(col("simhash"), col("ref_simhash"))
           .cast("long").as("hamming_to_doc0"))

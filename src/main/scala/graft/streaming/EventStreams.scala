@@ -65,6 +65,16 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Exactly-once-ish ingest dedup: drop replayed `event_id`s while
+    * keeping only `horizon` of id-state (watermark-bounded — without the
+    * bound, dedup state grows with the stream forever). The streaming
+    * twin of q28's exact hash dedup.
+    */
+  def dedupWithinWatermark(events: DataFrame, horizon: String): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when `gapMinutes` pass with no event (event-time timeout —
     * the watermark drives emission, not wall clock). Batch q42 computes

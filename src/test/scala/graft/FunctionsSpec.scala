@@ -36,10 +36,22 @@ class FunctionsSpec extends SparkSpec {
   test("Israel-local conversion uses the DST offset of the target date") {
     val df = Seq(
       Timestamp.valueOf("2024-01-15 12:00:00"), // winter: UTC+2
-      Timestamp.valueOf("2024-07-15 12:00:00")  // summer (IDT): UTC+3
+      Timestamp.valueOf("2024-07-15 12:00:00"), // summer (IDT): UTC+3
+      // the 2024 IDT transition day (clocks jump 02:00→03:00 on Mar 29):
+      // one instant before the jump, one after — offsets must differ
+      Timestamp.valueOf("2024-03-28 23:30:00"),
+      Timestamp.valueOf("2024-03-29 01:30:00")
     ).toDF("ts")
     val got = df.select(TimeFunctions.israelIso($"ts")).as[String].collect().toSeq
-    assert(got == Seq("2024-01-15 14:00:00", "2024-07-15 15:00:00"))
+    assert(got == Seq(
+      "2024-01-15 14:00:00", "2024-07-15 15:00:00",
+      "2024-03-29 01:30:00",  // still +2
+      "2024-03-29 04:30:00")) // after the spring-forward: +3
+    // round-trip through fromIsraelLocal restores the instants (F13's
+    // documented fix: the offset of the TARGET date, not today's)
+    val back = df.select(TimeFunctions.fromIsraelLocal(
+      TimeFunctions.toIsraelLocal($"ts"))).as[Timestamp].collect().toSeq
+    assert(back == df.select($"ts").as[Timestamp].collect().toSeq)
   }
 
   test("snapshot id round-trips and journeyRefKey matches the reference formula") {

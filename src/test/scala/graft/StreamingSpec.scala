@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops replayed ids across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0), // in-batch dup
+        Ev(2, 10, "click", ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0)) // replay
+      q.processAllAvailable()
+      in.addData(Ev(3, 10, "click", ts("2024-01-01 10:10:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select($"event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("batch q42 and streaming sessionize agree on the same events") {
     // the lake's events at sf0.001 through the BATCH sessionizer vs the
     // same rows folded through the streaming session logic (state-machine
