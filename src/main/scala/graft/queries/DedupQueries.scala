@@ -49,43 +49,63 @@ object DedupQueries {
       .agg(min("doc_id").as("canonical_doc_id"),
         count(lit(1)).as("n_copies"))
 
-  /** One row per (doc, distinct shingle) — the shared first stage of the
-    * near-dup pipelines. Shingling runs as a typed `flatMap` (plain JVM
-    * `sliding(n)` per partition): the equivalent
-    * `explode(array_distinct(transform(sequence...)))` column form is
+  /** Per-doc distinct word shingles, computed in one JVM pass (plain
+    * `sliding(n)`): the `transform(sequence...)` column form is
     * interpreted per element (higher-order lambdas get no codegen) and
-    * measured several times slower at sf0.1. Semantics are identical to
-    * [[TextFunctions.wordShingles]] + `array_distinct` + `explode`.
+    * measured several times slower at sf0.1. Semantics identical to
+    * [[TextFunctions.wordShingles]] + `array_distinct`.
     */
-  private[queries] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private def shingleSet(text: String): Array[String] =
+    text.split("\\s+").iterator.filter(_.nonEmpty).toSeq
+      .sliding(ShingleN).filter(_.size == ShingleN)
+      .map(_.mkString(" ")).distinct.toArray
+
+  /** Per-doc distinct shingle sets as arrays — q31's exact-Jaccard
+    * inputs. Narrow typed map, no shuffle.
+    */
+  private[queries] def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        text.split("\\s+").iterator.filter(_.nonEmpty).toSeq
-          .sliding(ShingleN).filter(_.size == ShingleN)
-          .map(_.mkString(" ")).distinct.map(sh => (id, sh))
-      }
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .filter(_._2.nonEmpty)
       .toDF("doc_id", "sh")
   }
 
-  /** MinHash signatures: shingle rows → md5-hash each shingle ONCE → 16
-    * permuted `min` aggregates in one hash aggregation with map-side
-    * partial combine — one shuffle of (doc_id, 16 longs). NOT the naive
-    * `array_min(transform(...))`-per-permutation shape, which re-hashes
-    * every shingle once per permutation (measured 16× slower). Shared by
-    * q29/q31.
+  /** MinHash signatures in ONE narrow pass per doc: each distinct
+    * shingle md5-hashed once JVM-side, 16 permuted minima folded
+    * in-place — no explode, no aggregation shuffle (the doc row IS the
+    * aggregation boundary). Same signatures as the declarative
+    * `array_min(transform(...))` form, which re-hashes per permutation
+    * interpreted (measured 16× slower), and as the explode→groupBy form,
+    * which shuffles tokens×docs rows. Shared by q29/q31.
     */
   private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val P = DedupFunctions.MinHashPrime
-    val hashed = shingleRows(s, dir)
-      .select(col("doc_id"), (DedupFunctions.md5Hash32(col("sh")) % P).as("h"))
-    val aggs = DedupFunctions.permCoeffs(NPerms).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"_s$i")
-    }
-    hashed.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until NPerms).map(i => col(s"_s$i")): _*).as("sig"))
+    val coeffs = DedupFunctions.permCoeffs(NPerms).toArray
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val shingles = shingleSet(text)
+        if (shingles.isEmpty) (id, None: Option[Array[Long]])
+        else {
+          val mins = Array.fill(NPerms)(Long.MaxValue)
+          shingles.foreach { sh =>
+            val h = DedupFunctions.md5Hash32Jvm(sh) % P
+            var i = 0
+            while (i < NPerms) {
+              val v = (h * coeffs(i)._1 + coeffs(i)._2) % P
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (id, Some(mins))
+        }
+      }
+      .filter(_._2.isDefined)
+      .map { case (id, sig) => (id, sig.get) }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band), from an
@@ -171,8 +191,7 @@ object DedupQueries {
   def q31(s: SparkSession, dir: String): DataFrame = {
     // distinct-shingle sets re-assembled from the row form; intersection
     // only ever runs on the (few) LSH candidate pairs
-    val sets = shingleRows(s, dir)
-      .groupBy("doc_id").agg(collect_list(col("sh")).as("sh"))
+    val sets = shingleSets(s, dir)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     lshCandidates(signatures(s, dir).persist())
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
