@@ -58,7 +58,7 @@ object VectorFunctions {
     */
   def planeWeights(planeId: Int, dims: Int): Seq[Double] =
     (0 until dims).map { i =>
-      val h = scala.util.hashing.MurmurHash3.productHash((planeId, i))
+      val h = scala.util.hashing.MurmurHash3.stringHash(s"plane-$planeId-$i")
       h.toDouble / Int.MaxValue.toDouble
     }
 
