@@ -208,6 +208,24 @@ object TimeseriesQueries {
         round(sum("value"), 2).as("total_value"))
   }
 
+  /** q47 — as-of join (§2.3 beyond-reference; the brief's named missing
+    * operator): each signup picks up the most recent prior-or-equal
+    * purchase value of the same user via [[graft.operators.AsOfJoin]]'s
+    * union+window form — one shuffle, no join fanout. The oracle
+    * emulates the identical semantics (latest ts, then latest id) with
+    * a window, not DuckDB's ASOF keyword, so tie arbitration is pinned.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("ts").isNotNull)
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    graft.operators.AsOfJoin.latestAtOrBefore(
+      signups, purchases, "user_id", "ts", "ts", "value", "event_id")
+      .select(col("signup_id"), col("user_id"), col("asof_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_first_last_per_group" -> (q10 _),
     "q11_duration_watermark" -> (q11 _),
@@ -220,7 +238,8 @@ object TimeseriesQueries {
     "q26_partition_paths" -> (q26 _),
     "q27_json_extract" -> (q27 _),
     "q39_running_window" -> (q39 _),
-    "q42_sessionize" -> (q42 _))
+    "q42_sessionize" -> (q42 _),
+    "q47_asof_join" -> (q47 _))
 
   val oracles: Map[String, String] = Map(
     "q10_first_last_per_group" ->
@@ -337,5 +356,20 @@ object TimeseriesQueries {
          | min(ts) AS session_start, max(ts) AS session_end,
          | CAST(count(*) AS BIGINT) AS n_events,
          | round(CAST(sum(value) AS DOUBLE), 2) AS total_value
-         |FROM g GROUP BY user_id, session_seq""".stripMargin)
+         |FROM g GROUP BY user_id, session_seq""".stripMargin,
+    "q47_asof_join" ->
+      """WITH s AS (
+        | SELECT event_id AS signup_id, user_id, ts FROM events
+        | WHERE event_type = 'signup' AND ts IS NOT NULL),
+        |p AS (
+        | SELECT user_id, ts, value, event_id FROM events
+        | WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |j AS (
+        | SELECT s.signup_id, s.user_id, p.value, p.event_id AS pid,
+        |  row_number() OVER (PARTITION BY s.signup_id
+        |    ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        | FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.ts <= s.ts)
+        |SELECT signup_id, user_id,
+        | CASE WHEN pid IS NULL THEN NULL ELSE value END AS asof_value
+        |FROM j WHERE rn = 1""".stripMargin)
 }

@@ -51,6 +51,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == 104L)      // 104 and 105 both 1h away → min id
   }
 
+  // ---- AsOfJoin ----
+
+  test("asof join: latest at-or-before per key, equal-ts inclusive, null before first") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")), // between rights → latest before
+      (2L, 7L, ts("2024-01-01 09:30:00")), // exactly at a right ts → included
+      (3L, 7L, ts("2024-01-01 08:00:00")), // before any right → null
+      (4L, 8L, ts("2024-01-01 10:00:00"))  // other key: its own timeline
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (101L, 7L, ts("2024-01-01 09:00:00"), 10.0),
+      (102L, 7L, ts("2024-01-01 09:30:00"), 20.0),
+      (103L, 7L, ts("2024-01-01 09:30:00"), 30.0), // ts tie → latest id wins
+      (104L, 8L, ts("2024-01-01 09:59:00"), 40.0)
+    ).toDF("rid", "k", "ts", "v")
+    val out = graft.operators.AsOfJoin.latestAtOrBefore(
+      left, right, "k", "ts", "ts", "v", "rid")
+      .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(30.0))
+    assert(out(2L).contains(30.0))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(40.0))
+  }
+
   // ---- ArgMinMax (A5/O1) ----
 
   test("firstLastBy drops null-ordered rows and is tie-deterministic") {
