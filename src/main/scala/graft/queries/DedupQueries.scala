@@ -250,12 +250,27 @@ object DedupQueries {
     new java.math.BigDecimal(java.lang.Double.toString(d))
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** q48 — dedup clustering: LSH candidate pairs → connected components
+    * → one canonical id per document (min doc id of its component;
+    * un-clustered docs are their own canonical). The decision artifact a
+    * dedup pipeline actually ships — "keep doc_id == canonical_doc_id".
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.run(
+      lshCandidates(signatures(s, dir).persist()), "doc_a", "doc_b")
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(comp.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
     "q30_simhash" -> (q30 _),
     "q31_jaccard_verify" -> (q31 _),
-    "q32_embedding_neardup" -> (q32 _))
+    "q32_embedding_neardup" -> (q32 _),
+    "q48_dedup_clusters" -> (q48 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -352,6 +367,18 @@ object DedupQueries {
          |FROM cand
          |JOIN sets sa ON doc_a = sa.doc_id
          |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin,
+    "q48_dedup_clusters" ->
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_doc_id
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v""".stripMargin,
     "q32_embedding_neardup" ->
       s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim

@@ -92,6 +92,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(11L) == ((11L, 4L, 5L, 2L)))
   }
 
+  // ---- ConnectedComponents ----
+
+  test("connected components: chains, cliques, and singleton pairs converge to min label") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), // chain {1,2,3,4} → 1
+      (10L, 11L), (11L, 10L),       // duplicate/reversed pair {10,11} → 10
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle {20,21,22} → 20
+    ).toDF("src", "dst")
+    val comp = graft.operators.ConnectedComponents.run(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   // ---- UpdateInPlace (J12 → §7.3) ----
 
   test("UpdateInPlace coalesces new over old and preserves row count") {
