@@ -264,13 +264,33 @@ object DedupQueries {
         coalesce(col("comp"), col("doc_id")).as("canonical_doc_id"))
   }
 
+  /** Corpus-filter quality cutoff (q49). */
+  val KeepQuality = 0.5
+
+  /** q49 — the end-to-end corpus filter: a document survives iff its
+    * quality score clears the bar AND it is its near-dup cluster's
+    * canonical member. Composes the text-scoring pass (q34) with the
+    * dedup-clustering pass (q48) — the actual keep/drop decision a
+    * training-data pipeline emits.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .join(q48(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"),
+        (col("doc_id") === col("canonical_doc_id")).as("is_canonical"),
+        (col("quality") >= KeepQuality &&
+          col("doc_id") === col("canonical_doc_id")).as("kept"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
     "q30_simhash" -> (q30 _),
     "q31_jaccard_verify" -> (q31 _),
     "q32_embedding_neardup" -> (q32 _),
-    "q48_dedup_clusters" -> (q48 _))
+    "q48_dedup_clusters" -> (q48 _),
+    "q49_corpus_filter" -> (q49 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -379,6 +399,27 @@ object DedupQueries {
          |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_doc_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v""".stripMargin,
+    "q49_corpus_filter" ->
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |q AS (
+         | SELECT doc_id,
+         |  round(least(CAST(len(${TextQueries.wsSql}) AS DOUBLE) / 100.0, 1.0)
+         |    * greatest(0.0, 1.0 - (${TextQueries.punctRatioSql}) * 5.0), 4) AS quality
+         | FROM documents)
+         |SELECT d.doc_id, q.quality,
+         | (d.doc_id = coalesce(c.comp, d.doc_id)) AS is_canonical,
+         | (q.quality >= $KeepQuality AND d.doc_id = coalesce(c.comp, d.doc_id)) AS kept
+         |FROM documents d
+         |JOIN q ON d.doc_id = q.doc_id
+         |LEFT JOIN comp c ON d.doc_id = c.v""".stripMargin,
     "q32_embedding_neardup" ->
       s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim

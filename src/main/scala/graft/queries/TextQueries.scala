@@ -84,14 +84,14 @@ object TextQueries {
 
   // ---- oracle SQL ----
 
-  private def markersSql(l: String): String =
+  private[queries] def markersSql(l: String): String =
     TextFunctions.LangMarkers(l).map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val wsSql =
+  private[queries] val wsSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)"
   private val wsLowerSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0)"
-  private val punctRatioSql =
+  private[queries] val punctRatioSql =
     """CASE WHEN len(text) = 0 THEN 0.0
       | ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE)
       |      / CAST(len(text) AS DOUBLE) END""".stripMargin
