@@ -87,6 +87,26 @@ class SiriStopsSpec extends SparkSpec {
     assert(out(53L).isEmpty) // invalid coords → null, job doesn't crash
   }
 
+  test("fake-gtfs extract: bbox + hour window + csv bundle") {
+    import graft.jobs.FakeGtfsExtract
+    val area = FakeGtfsExtract.Area("tlv", 31.9, 34.6, 32.2, 35.0,
+      fromHour = 8, untilHour = 9)
+    // of the three fixture stops only Tel Aviv (32.0853,34.7818) and
+    // Holon (32.0,34.8) fall in the bbox; Jerusalem (31.77,35.21) not
+    val stops = FakeGtfsExtract.areaStops(gtfsStop, area)
+    assert(stops.select($"id").as[Long].collect().toSet == Set(301L, 303L))
+    val rideStops = Seq(
+      (401L, 301L, ts("2024-03-10 08:10:00")), // in window, in area
+      (402L, 301L, ts("2024-03-10 09:10:00")), // out of hour window
+      (403L, 302L, ts("2024-03-10 08:20:00"))  // out of area
+    ).toDF("id", "gtfs_stop_id", "departure_time")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fake").toString
+    val report = FakeGtfsExtract.run(spark, gtfsStop, rideStops, area, dir)
+    assert(report == Map("stops" -> 2L, "stop_times" -> 1L))
+    assert(new java.io.File(s"$dir/tlv_stops.csv").exists())
+    assert(new java.io.File(s"$dir/tlv_stop_times.datapackage.json").exists())
+  }
+
   test("gtfs ride aggregation: first/last by sequence, empty rides, completeness") {
     val gtfsRide = Seq(
       (101L, 201L), (102L, 201L), (103L, 202L)
