@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Connected components by iterative minimum-label propagation — the
@@ -11,8 +11,22 @@ import org.apache.spark.sql.functions._
   * labels and (b) SHORTCUTS: adopts the label of the current label
   * (pointer doubling). The shortcut makes convergence O(log diameter)
   * instead of O(diameter) — measured 4 rounds instead of the 20-round
-  * cap on sf0.1's chain-heavy LSH graph. Convergence when no label
-  * changes; everything is joins + aggregations, no driver-side graph.
+  * cap on sf0.1's chain-heavy LSH graph.
+  *
+  * Scale shape (the two things an iterative DataFrame loop MUST do):
+  *  - `localCheckpoint` every round truncates lineage, so round N's
+  *    plan is two joins over round N−1's materialized blocks — not a
+  *    2^N-deep nest that Catalyst re-analyzes and re-executes. Without
+  *    it this loop was 45 s at sf0.1; with it, the per-round cost is
+  *    the joins themselves.
+  *  - convergence detection rides the SAME job that materializes the
+  *    round (a `LongAccumulator` bumped while the checkpoint job runs),
+  *    so each round is exactly one Spark job — no separate
+  *    `filter(...).count()` pass. Accumulators in transformations can
+  *    only over-count (task retry), never under-count, so "0 changes"
+  *    is a safe convergence signal; an over-count just buys one extra
+  *    (idempotent) round.
+  *
   * (At extreme scale swap in large-star/small-star (Kiveris et al.) —
   * same fixpoint, same output, better skew behavior on giant stars.)
   */
@@ -21,40 +35,56 @@ object ConnectedComponents {
   /** @param edges two-column DataFrame of undirected edges (src, dst)
     * @return (vertex, component) — component = min vertex id reachable;
     *         isolated vertices (absent from edges) are the caller's
-    *         concern (they are their own component by definition)
+    *         concern (they are their own component by definition).
+    *         The result is backed by local-checkpoint blocks: they are
+    *         released by Spark's ContextCleaner once the frame becomes
+    *         unreachable (no `unpersist` needed, and none would be safe
+    *         — the checkpoint IS the data, there is no lineage left to
+    *         recompute from).
     */
   def run(edges: DataFrame, src: String, dst: String, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    // Symmetrized edges are re-read every round: checkpoint once.
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v"))
-      .persist()
+      .localCheckpoint()
+    val outSchema = labels.schema
+    val outEnc = Encoders.row(outSchema)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      // (a) every vertex adopts min(own label, neighbors' labels)
+      val changed = sc.longAccumulator(s"cc_changed_$iter")
+      // (a) every vertex adopts min(own label, neighbors' labels);
+      // carry the old label through for the change count
       val prop = sym
         .join(labels.withColumnRenamed("v", "b").withColumnRenamed("comp", "nComp"), Seq("b"))
         .groupBy(col("a").as("v"))
         .agg(min(col("nComp")).as("neighborMin"))
         .join(labels, Seq("v"))
-        .select(col("v"), least(col("comp"), col("neighborMin")).as("comp"))
+        .select(col("v"), least(col("comp"), col("neighborMin")).as("comp"),
+          col("comp").as("old"))
       // (b) shortcut: follow the label pointer one hop (comp := label's
       // own label when smaller) — pointer doubling
       val next = prop.alias("x")
         .join(prop.select(col("v").as("cv"), col("comp").as("ccomp")).alias("y"),
           col("x.comp") === col("cv"), "left")
         .select(col("x.v").as("v"),
-          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("v"))
-        .filter(col("comp") =!= col("old")).limit(1).count() > 0
-      labels.unpersist()
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"),
+          col("x.old").as("old"))
+        .map { r =>
+          if (r.get(1) != r.get(2)) changed.add(1L)
+          Row(r.get(0), r.get(1))
+        }(outEnc)
+        .localCheckpoint() // eager: runs the round's one job, fills `changed`
+      labels.unpersist() // previous round's blocks — never read again
       labels = next
-      converged = !changed
+      converged = changed.value == 0L
     }
     sym.unpersist()
     labels
