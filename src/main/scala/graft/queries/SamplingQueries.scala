@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
 
 /** Sampling / sketching operators a corpus pipeline leans on: portable
   * deterministic sampling, heavy hitters, exact quantiles, and an
-  * approximate-distinct sketch. All except the sketch are
-  * oracle-checked; the HLL sketch is engine-specific by nature, so q46
-  * ships without oracle SQL (rows-only check) and is pinned against the
-  * exact distinct count in its own output instead.
+  * approximate-distinct sketch. All four are oracle-checked: the HLL
+  * sketch VALUE is engine-specific, so q46's gate row checks the exact
+  * count plus a boolean error-bound assertion, and SamplingSpec pins
+  * the raw estimate's error from [[SamplingQueries.q46Detail]].
   */
 object SamplingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -58,12 +58,12 @@ object SamplingQueries {
         round(element_at(col("p"), 2), 4).as("p90"),
         round(element_at(col("p"), 3), 4).as("p99"))
 
-  /** q46 — HLL++ approximate distinct vs exact, with the relative error
-    * surfaced. No DuckDB oracle (sketches are engine-specific); the
-    * correctness claim is the bounded error against the exact count in
-    * the same row, asserted in SamplingSpec.
+  /** q46 detail — HLL++ approximate distinct vs exact, with the
+    * relative error surfaced. The sketch VALUE is engine-specific so it
+    * cannot be hash-compared across engines; SamplingSpec pins its
+    * error bound from this frame.
     */
-  def q46(s: SparkSession, dir: String): DataFrame =
+  def q46Detail(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
@@ -72,14 +72,31 @@ object SamplingQueries {
         round(abs(col("approx_parts") - col("exact_parts")) /
           col("exact_parts"), 4).as("rel_err"))
 
+  /** q46 — the gate-checkable projection of the sketch comparison: the
+    * exact distinct count (plain `count(DISTINCT ...)`, fully
+    * oracle-able) plus `approx_ok`, true iff the HLL estimate landed
+    * within 5% of exact (rsd 0.02, 2.5× headroom). The oracle asserts
+    * `approx_ok = TRUE` for every group, so the sketch's error bound is
+    * part of the hash compare even though the sketch value itself is
+    * engine-specific.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    q46Detail(s, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (col("rel_err") <= 0.05).as("approx_ok"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
     "q45_percentiles" -> (q45 _),
     "q46_approx_distinct" -> (q46 _))
 
-  /** q46 intentionally absent: engine-specific sketch → rows-only check. */
   val oracles: Map[String, String] = Map(
+    "q46_approx_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q43_hash_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

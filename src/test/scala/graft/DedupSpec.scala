@@ -58,6 +58,42 @@ class DedupSpec extends SparkSpec {
     assert(sh(a) >= 0 && sh(a) < (1L << 32))
   }
 
+  test("embedding near-dup is exact under label skew (one hot label)") {
+    // 150 of 200 vectors share one label: the shape that OOM'd the old
+    // whole-partition buffering under skew. flatMapGroups must still
+    // produce exactly the brute-force within-label pairs.
+    import graft.queries.DedupQueries
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, if (i < 150) 1 else 2 + i % 3,
+        Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    vecs.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DedupQueries.q32(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    val expected = (for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && a._2 == b._2
+      cos = dot(a._3, b._3) / (math.sqrt(dot(a._3, a._3)) * math.sqrt(dot(b._3, b._3)))
+      if cos >= DedupQueries.NearDupCos
+    } yield (a._1, b._1)).toSet
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("dedup queries leave the cache manager empty (persist hygiene)") {
+    import graft.queries.DedupQueries
+    val sf = "/root/testdata/sf0.001"
+    DedupQueries.q29(spark, sf).count()
+    DedupQueries.q31(spark, sf).count()
+    DedupQueries.q48(spark, sf).count()
+    DedupQueries.q49(spark, sf).count()
+    assert(org.apache.spark.sql.GraftBridge.cacheIsEmpty(spark))
+  }
+
   test("fingerprint is order-sensitive (unlike the minhash set signature)") {
     def fp(t: String): Long = Seq(t).toDF("t")
       .select(DedupFunctions.fingerprint(TextFunctions.words($"t"))).as[Long].head()

@@ -26,7 +26,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("approx distinct stays within the configured HLL error") {
-    val rows = SamplingQueries.q46(spark, sf)
+    val rows = SamplingQueries.q46Detail(spark, sf)
       .select($"rel_err").as[Double].collect()
     assert(rows.nonEmpty && rows.forall(_ < 0.05)) // rsd 0.02, headroom 2.5x
   }
