@@ -54,9 +54,12 @@ object UpdateRidesGtfs {
     val routeKeys = col("s_op") === col("g_op") &&
       col("s_line") === col("g_line") && col("s_date") === col("g_date")
 
-    // J8 — journey-ref match, smallest candidate id on ties
+    // J8 — journey-ref match, smallest candidate id on ties. The
+    // reference's journey UPDATE constrains ONLY the reconstructed ref
+    // and the GTFS version date (`update_rides_gtfs.py:70-79`) — no
+    // operator/line equality — so neither do we.
     val journeyMatch = rides.join(gtfs,
-        routeKeys && col("s_jkey") === col("g_journey_ref"))
+        col("s_date") === col("g_date") && col("s_jkey") === col("g_journey_ref"))
       .groupBy(col("s_id").as("j_sid"))
       .agg(min(col("g_id")).as("new_journey_gtfs_ride_id"))
 
@@ -68,8 +71,15 @@ object UpdateRidesGtfs {
         extraCond = Some(routeKeys))
       .select(col("s_id").as("b_sid"), col("g_id").as("new_route_gtfs_ride_id"))
 
-    // J9 — exact scheduled-time match
-    val exactMatch = rides.join(gtfs, routeKeys && col("s_start") === col("g_start"))
+    // J9 — exact scheduled-time match. The reference accepts the GTFS
+    // version of the ride's date OR the next day
+    // (`gtfs_route.date between '{start_date}' and '{end_date}'` with
+    // end = start + 1, `update_rides_gtfs.py:30-44,115-119`) so
+    // late-night rides can match a next-day GTFS publication.
+    val exactMatch = rides.join(gtfs,
+        col("s_op") === col("g_op") && col("s_line") === col("g_line") &&
+          col("g_date").between(col("s_date"), date_add(col("s_date"), 1)) &&
+          col("s_start") === col("g_start"))
       .groupBy(col("s_id").as("e_sid"))
       .agg(min(col("g_id")).as("new_scheduled_time_gtfs_ride_id"))
 

@@ -33,6 +33,11 @@ object BandJoin {
   /** Output: all `left` columns (alias `l`), all `right` columns (alias
     * `r`), plus `_diff_us` (abs time difference in microseconds).
     *
+    * The band is OPEN (strict `<`), matching the reference's
+    * `> start - n minutes AND < start + n minutes`
+    * (`siri/update_rides_gtfs.py:22-23`): a row exactly at ±tolerance
+    * does NOT match.
+    *
     * @param equiKeys      exact-match key columns present on both sides
     * @param leftTs        timestamp column on `left`
     * @param rightTs       timestamp column on `right`
@@ -54,7 +59,7 @@ object BandJoin {
     val diffUs = abs(unix_micros(col(s"l.$leftTs")) - unix_micros(col(s"r.$rightTs")))
     val cond = (equiKeys.map(k => col(s"l.$k") === col(s"r.$k")) ++
       extraCond :+
-      (diffUs <= toleranceSec * 1000000L)).reduce(_ && _)
+      (diffUs < toleranceSec * 1000000L)).reduce(_ && _)
     val w = Window.partitionBy(col(s"l.$leftId"))
       .orderBy(col("_diff_us").asc, col(s"r.$rightTieBreak").asc)
     l.join(r, cond, "inner")

@@ -282,7 +282,7 @@ object TimeseriesQueries {
         |    ORDER BY abs(epoch_us(a.ts) - epoch_us(b.ts)), b.event_id) AS rn
         | FROM events a JOIN events b ON a.user_id = b.user_id
         | WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
-        |   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 43200000000)
+        |   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 43200000000)
         |SELECT signup_id, user_id, purchase_id, diff_us FROM j WHERE rn = 1""".stripMargin,
     "q19_hourly_stats" ->
       """SELECT date_trunc('hour', ts) AS hour,

@@ -15,7 +15,7 @@ class OperatorsSpec extends SparkSpec {
 
   private val signups = Seq(
     (1L, 10L, ts("2024-01-01 12:00:00")), // nearest purchase: 101 (+30m)
-    (2L, 10L, ts("2024-01-02 12:00:00")), // boundary: exactly +12h included
+    (2L, 10L, ts("2024-01-02 12:00:00")), // boundary: exactly +12h excluded (open band)
     (3L, 11L, ts("2024-01-03 12:00:00")), // tie ±1h → smaller id wins
     (4L, 12L, ts("2024-01-04 12:00:00"))  // only candidate is 12h1s away → no match
   ).toDF("signup_id", "user_id", "ts")
@@ -36,11 +36,13 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) == 101L)
   }
 
-  test("BandJoin band boundary is inclusive, beyond-band rows drop out") {
+  test("BandJoin band is open: exact-boundary and beyond-band rows drop out") {
+    // reference semantics: > start - n AND < start + n (strict), so a
+    // row exactly AT ±tolerance is not a match
     val out = BandJoin.nearestWithin(signups, purchases,
       Seq("user_id"), "ts", "ts", 12 * 3600, "signup_id", "purchase_id")
       .select($"signup_id", $"purchase_id").as[(Long, Long)].collect().toMap
-    assert(out(2L) == 103L)      // exactly 12h: included
+    assert(!out.contains(2L))    // exactly 12h: excluded
     assert(!out.contains(4L))    // 12h + 1s: excluded
   }
 

@@ -59,7 +59,7 @@ class PropertySpec extends Properties("graft") {
         tol, "lid", "rid")
         .select($"lid", $"rid", $"_diff_us").as[(Long, Long, Long)].collect()
       val perLeft = out.groupBy(_._1).forall(_._2.length == 1)
-      val inBand = out.forall(_._3 <= tol * 1000000L)
+      val inBand = out.forall(_._3 < tol * 1000000L) // open band (strict)
       // nearest: no right row is strictly closer than the chosen one
       val rightUs = rs.map(_._2 * 1000000L)
       val nearest = out.forall { case (lid, _, diff) =>

@@ -24,10 +24,14 @@ class SiriPipelineSpec extends SparkSpec {
   // ride 2: one location, complete; no journey match; TWO band
   //   candidates 2min away (103) and 4min away (104) → nearest=103
   // ride 3: zero locations, scheduled >2 days ago → gives up (duration 0)
-  // ride 4: null-time location ignored; candidate exactly at +5min
-  //   boundary (105) → matched inclusively
+  // ride 4: null-time location ignored; candidate exactly at the +5min
+  //   band boundary (105) → NOT matched (the reference band is open:
+  //   `> start - n AND < start + n`)
   // ride 5: last location <6h old → still pending; NOT gated into
   //   GTFS matching even though a candidate (106) exists
+  // ride 6: late-night ride whose exact start-time match (107) sits in
+  //   the NEXT DAY's GTFS version → J9's date..date+1 window finds it;
+  //   the band match does not (it is same-date keyed)
 
   private def siriRoute: DataFrame = Seq(
     (10L, "op1", "line1"), (11L, "op1", "line2")
@@ -38,7 +42,8 @@ class SiriPipelineSpec extends SparkSpec {
     (2L, 10L, "2024-03-10-99-9", ts("2024-03-10 09:00:00")),
     (3L, 11L, "2024-03-09-17-4", ts("2024-03-09 07:00:00")),
     (4L, 11L, "2024-03-10-55-1", ts("2024-03-10 10:00:00")),
-    (5L, 10L, "2024-03-12-17-5", ts("2024-03-12 07:30:00"))
+    (5L, 10L, "2024-03-12-17-5", ts("2024-03-12 07:30:00")),
+    (6L, 10L, "2024-03-11-88-8", ts("2024-03-11 23:50:00"))
   ).toDF("id", "siri_route_id", "journey_ref", "scheduled_start_time")
     .withColumn("duration_minutes", org.apache.spark.sql.functions.lit(null).cast("int"))
     .withColumn("first_vehicle_location_id", org.apache.spark.sql.functions.lit(null).cast("long"))
@@ -51,7 +56,7 @@ class SiriPipelineSpec extends SparkSpec {
     .withColumn("scheduled_time_gtfs_ride_id", org.apache.spark.sql.functions.lit(null).cast("long"))
 
   private def siriRideStop: DataFrame = Seq(
-    (21L, 1L), (22L, 2L), (23L, 3L), (24L, 4L), (25L, 5L)
+    (21L, 1L), (22L, 2L), (23L, 3L), (24L, 4L), (25L, 5L), (26L, 6L)
   ).toDF("id", "siri_ride_id")
 
   private def siriVehicleLocation: DataFrame = Seq(
@@ -66,7 +71,9 @@ class SiriPipelineSpec extends SparkSpec {
     (36L, 24L, Some(ts("2024-03-10 10:01:00"))),
     (37L, 24L, Some(ts("2024-03-10 10:31:00"))),
     // ride 5: recent (within 6h of Now) → watermark holds
-    (38L, 25L, Some(ts("2024-03-12 07:35:00")))
+    (38L, 25L, Some(ts("2024-03-12 07:35:00"))),
+    // ride 6: complete (well before Now-6h)
+    (39L, 26L, Some(ts("2024-03-11 23:52:00")))
   ).toDF("id", "siri_ride_stop_id", "recorded_at_time")
 
   private def gtfsRoute: DataFrame = Seq(
@@ -81,7 +88,8 @@ class SiriPipelineSpec extends SparkSpec {
     (103L, 201L, "yy_999999", ts("2024-03-10 09:02:00")), // band 2min (r2)
     (104L, 201L, "zz_999999", ts("2024-03-10 08:56:00")), // band 4min (r2)
     (105L, 202L, "ww_999999", ts("2024-03-10 10:05:00")), // boundary +5min (r4)
-    (106L, 203L, "vv_999999", ts("2024-03-12 07:30:00"))  // r5's would-be match
+    (106L, 203L, "vv_999999", ts("2024-03-12 07:30:00")), // r5's would-be match
+    (107L, 203L, "uu_999999", ts("2024-03-11 23:50:00"))  // next-day version, exact (r6)
   ).toDF("id", "gtfs_route_id", "journey_ref", "start_time")
 
   private lazy val afterDurations =
@@ -129,14 +137,17 @@ class SiriPipelineSpec extends SparkSpec {
     assert(m(2L) == ((2L, None, Some(103L), Some(103L), None)))
     // ride 3: gave up (duration done) but no candidates on line2/03-09
     assert(m(3L) == ((3L, None, None, None, None)))
-    // ride 4: +5min boundary is inclusive
-    assert(m(4L) == ((4L, None, Some(105L), Some(105L), None)))
+    // ride 4: exactly AT the +5min boundary → open band excludes it
+    assert(m(4L) == ((4L, None, None, None, None)))
     // ride 5: pending → gated out even though 106 would match
     assert(m(5L) == ((5L, None, None, None, None)))
+    // ride 6: exact match found in the NEXT day's GTFS version (J9's
+    // date..date+1 window); same-date band match correctly absent
+    assert(m(6L) == ((6L, None, None, None, Some(107L))))
   }
 
   test("matching preserves row count and leaves non-participating columns") {
-    assert(afterMatch.count() == 5)
+    assert(afterMatch.count() == 6)
     assert(afterMatch.columns.toSet == siriRide.columns.toSet)
   }
 }
