@@ -2,7 +2,7 @@ package graft.jobs
 
 import graft.Tables
 import graft.operators.UpdateInPlace
-import graft.sources.{CsvPackage, TaskLedger}
+import graft.sources.{ArtifactUploader, CsvPackage, LocalFsObjectStore, TaskLedger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
 object EnrichAndPackage {
 
   case class Report(daysPackaged: Seq[String], daysSkipped: Seq[String],
-                    rowsEnriched: Long, outDir: String)
+                    rowsEnriched: Long, outDir: String,
+                    artifactUrls: Seq[String] = Seq.empty)
 
   val NowLit = "2024-01-31 00:00:00"
 
@@ -79,7 +80,14 @@ object EnrichAndPackage {
     val days = Tables.events(spark, sfDir)
       .select(to_date(col("ts")).cast("date").as("date")).distinct()
     val ledgerPath = s"$pkgDir/ledger"
+    // S7/S9: each published day-package is uploaded through the object
+    // store with the artifact status ledger + collision-avoiding key
+    // protocol (the reference uploads every packager result,
+    // `artifacts/common.py:33-87`)
+    val store = new LocalFsObjectStore(s"$pkgDir/objectstore")
+    val artifactLedger = s"$pkgDir/artifact_ledger"
     var packaged = Seq.empty[String]
+    var uploaded = Seq.empty[String]
     val processed = TaskLedger.catchUp(spark, ledgerPath, days, "package_day",
       maxIterations = 1000) { day =>
       val dayDf = Tables.events(spark, sfDir)
@@ -89,12 +97,18 @@ object EnrichAndPackage {
           col("value"))
         .orderBy(col("ts"), col("event_id"))
       val res = CsvPackage.write(dayDf, pkgDir, day.toString)
-      if (!res.skipped) CsvPackage.zip(pkgDir, day.toString)
+      if (!res.skipped) {
+        val zipPath = CsvPackage.zip(pkgDir, day.toString)
+        val up = ArtifactUploader.upload(spark, artifactLedger, store,
+          java.nio.file.Paths.get(zipPath), s"packages/$day", ".zip",
+          metadataJson = s"""{"rows":${res.rows},"hash":"${res.sha256}"}""")
+        uploaded :+= up.url
+      }
       packaged :+= day.toString
       true
     }
     val skipped = days.collect().map(_.getDate(0).toString).toSeq
       .filterNot(processed.map(_.toString).contains)
-    Report(packaged, skipped, rowsEnriched, pkgDir)
+    Report(packaged, skipped, rowsEnriched, pkgDir, uploaded)
   }
 }

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** S7 — the object-store edge every reference packager run crosses
+  * (`packagers/common.py:14-71`: head_object / upload_file /
+  * download_file / list_objects_v2 over an S3-compatible endpoint).
+  *
+  * The engine depends only on this interface; the sandbox binds it to
+  * [[LocalFsObjectStore]], a production deployment binds the same five
+  * operations to its S3-compatible client. Keys are `/`-separated,
+  * bucket-relative — exactly the reference's `Key=` strings.
+  */
+trait ObjectStore {
+
+  /** `head_object`-style existence probe (`packagers/common.py:25-32`). */
+  def exists(key: String): Boolean
+
+  /** Upload a local file; returns the object's public URL
+    * (`packagers/common.py:35-37` returns endpoint/bucket/key).
+    */
+  def put(localFile: Path, key: String): String
+
+  /** Download to a local file; false when the key is absent
+    * (`packagers/common.py:44-52`'s 404 contract).
+    */
+  def get(key: String, localFile: Path): Boolean
+
+  /** All non-empty objects under a prefix (`packagers/common.py:66-72`). */
+  def list(prefix: String): Seq[String]
+
+  /** Millis last-modified, None when absent (`packagers/common.py:25-32`). */
+  def lastModified(key: String): Option[Long]
+
+  /** The URL `put` would return for this key. */
+  def url(key: String): String
+}
+
+/** Filesystem-rooted [[ObjectStore]] — the sandbox binding (and a
+  * perfectly good NFS/local-artifact binding). Keys map to paths under
+  * `root`; empty files are invisible to `list`, matching the
+  * reference's `Size > 0` filter (`packagers/common.py:70-71`).
+  */
+class LocalFsObjectStore(root: String) extends ObjectStore {
+  private def p(key: String): Path = Paths.get(root, key)
+
+  override def exists(key: String): Boolean = Files.isRegularFile(p(key))
+
+  override def put(localFile: Path, key: String): String = {
+    val target = p(key)
+    Files.createDirectories(target.getParent)
+    Files.copy(localFile, target, StandardCopyOption.REPLACE_EXISTING)
+    url(key)
+  }
+
+  override def get(key: String, localFile: Path): Boolean =
+    if (!exists(key)) false
+    else {
+      Option(localFile.getParent).foreach(Files.createDirectories(_))
+      Files.copy(p(key), localFile, StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+
+  override def list(prefix: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) Seq.empty
+    else {
+      val stream = Files.walk(rootPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => rootPath.relativize(f).toString.replace(File.separatorChar, '/'))
+          .filter(k => k.startsWith(prefix) && Files.size(p(k)) > 0)
+          .toSeq.sorted
+      } finally stream.close()
+    }
+  }
+
+  override def lastModified(key: String): Option[Long] =
+    if (exists(key)) Some(Files.getLastModifiedTime(p(key)).toMillis) else None
+
+  override def url(key: String): String = s"file://$root/$key"
+}
+
+object ObjectStore {
+
+  /** Zip a directory recursively with root-relative entry names — the
+    * reference's `compress_directory` (`artifacts/common.py:17-29`, a
+    * recursive glob zipped under `os.path.relpath` names). Returns the
+    * zip path; the caller supplies the target location.
+    */
+  def zipDirectory(sourceDir: Path, zipFile: Path): Path = {
+    val out = new ZipOutputStream(Files.newOutputStream(zipFile))
+    val stream = Files.walk(sourceDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .toSeq.sortBy(_.toString)
+        .foreach { f =>
+          out.putNextEntry(new ZipEntry(
+            sourceDir.relativize(f).toString.replace(File.separatorChar, '/')))
+          out.write(Files.readAllBytes(f))
+          out.closeEntry()
+        }
+    } finally { stream.close(); out.close() }
+    zipFile
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Date
 
-import graft.sources.{CsvPackage, TaskLedger}
+import graft.sources.{ArtifactUploader, CsvPackage, LocalFsObjectStore, TaskLedger}
 
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
@@ -76,5 +76,102 @@ class SourcesSpec extends SparkSpec {
     val mOther = TaskLedger.missingDates(candidates, TaskLedger.load(spark, path), "other")
       .as[Date].collect()
     assert(mOther.length == 3)
+  }
+
+  test("object store: put/exists/get/list/lastModified round-trip") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val store = new LocalFsObjectStore(root)
+    val src = Files.createTempFile("graft_src", ".txt")
+    Files.writeString(src, "payload")
+    assert(!store.exists("a/b.txt"))
+    assert(store.lastModified("a/b.txt").isEmpty)
+    val url = store.put(src, "a/b.txt")
+    assert(url == s"file://$root/a/b.txt")
+    assert(store.exists("a/b.txt") && store.lastModified("a/b.txt").nonEmpty)
+    val dst = Files.createTempFile("graft_dst", ".txt")
+    assert(store.get("a/b.txt", dst))
+    assert(Files.readString(dst) == "payload")
+    assert(!store.get("a/missing.txt", dst))
+    store.put(src, "a/c.txt")
+    store.put(src, "z/d.txt")
+    assert(store.list("a/") == Seq("a/b.txt", "a/c.txt"))
+  }
+
+  test("artifact upload: collision-avoiding __N keys and success rows") {
+    val base = Files.createTempDirectory("graft_art").toString
+    val store = new LocalFsObjectStore(s"$base/store")
+    val ledger = s"$base/ledger"
+    val f = Files.createTempFile("graft_artifact", ".csv")
+    Files.writeString(f, "x,y\n1,2\n")
+    // same prefix three times → plain, __2, __3 (never overwrites)
+    val r1 = ArtifactUploader.upload(spark, ledger, store, f, "pkg/2024-01-01", ".csv")
+    val r2 = ArtifactUploader.upload(spark, ledger, store, f, "pkg/2024-01-01", ".csv")
+    val r3 = ArtifactUploader.upload(spark, ledger, store, f, "pkg/2024-01-01", ".csv")
+    assert(r1.key == "artifacts/pkg/2024-01-01.csv")
+    assert(r2.key == "artifacts/pkg/2024-01-01__2.csv")
+    assert(r3.key == "artifacts/pkg/2024-01-01__3.csv")
+    assert(Seq(r1, r2, r3).map(_.artifactId).distinct.size == 3)
+    val st = ArtifactUploader.load(spark, ledger)
+      .select($"artifact_id", $"status").as[(Long, String)].collect().toMap
+    assert(Seq(r1, r2, r3).forall(r => st(r.artifactId) == "success"))
+  }
+
+  test("artifact upload: failure transitions the row to error and rethrows") {
+    val base = Files.createTempDirectory("graft_artf").toString
+    val ledger = s"$base/ledger"
+    val boom = new LocalFsObjectStore(s"$base/store") {
+      override def put(localFile: java.nio.file.Path, key: String): String =
+        sys.error("upload exploded")
+    }
+    val f = Files.createTempFile("graft_artifact", ".csv")
+    Files.writeString(f, "x\n")
+    intercept[RuntimeException] {
+      ArtifactUploader.upload(spark, ledger, boom, f, "pkg/boom", ".csv")
+    }
+    val rows = ArtifactUploader.load(spark, ledger)
+      .select($"status", $"error").as[(String, String)].collect()
+    assert(rows.length == 1)
+    assert(rows.head._1 == "error" && rows.head._2.contains("upload exploded"))
+    // failed uploads never surface from iterate_artifacts
+    assert(ArtifactUploader.iterateArtifacts(spark, ledger, "pkg/").count() == 0)
+  }
+
+  test("artifact upload: directories are zipped with relative entry names") {
+    val base = Files.createTempDirectory("graft_artd").toString
+    val store = new LocalFsObjectStore(s"$base/store")
+    val ledger = s"$base/ledger"
+    val dir = Files.createTempDirectory("graft_payload")
+    Files.writeString(dir.resolve("one.txt"), "1")
+    Files.createDirectories(dir.resolve("sub"))
+    Files.writeString(dir.resolve("sub/two.txt"), "2")
+    val r = ArtifactUploader.upload(spark, ledger, store, dir, "dumps/d1", "",
+      isDirectory = true)
+    assert(r.key == "artifacts/dumps/d1.zip")
+    val local = Files.createTempFile("graft_dl", ".zip")
+    assert(store.get(r.key, local))
+    val zf = new java.util.zip.ZipFile(local.toFile)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names == Set("one.txt", "sub/two.txt"))
+    } finally zf.close()
+  }
+
+  test("iterate_artifacts: success-only, prefix-filtered, newest first, limited") {
+    val base = Files.createTempDirectory("graft_arti").toString
+    val store = new LocalFsObjectStore(s"$base/store")
+    val ledger = s"$base/ledger"
+    val f = Files.createTempFile("graft_artifact", ".txt")
+    Files.writeString(f, "v")
+    val a = ArtifactUploader.upload(spark, ledger, store, f, "reports/a", ".txt")
+    val b = ArtifactUploader.upload(spark, ledger, store, f, "reports/b", ".txt")
+    ArtifactUploader.upload(spark, ledger, store, f, "other/c", ".txt")
+    val all = ArtifactUploader.iterateArtifacts(spark, ledger, "reports/")
+      .select($"artifact_id").as[Long].collect().toSeq
+    assert(all.toSet == Set(a.artifactId, b.artifactId))
+    assert(all.head == b.artifactId) // newest first
+    val limited = ArtifactUploader.iterateArtifacts(spark, ledger, "reports/",
+      limit = Some(1)).select($"artifact_id").as[Long].collect().toSeq
+    assert(limited == Seq(b.artifactId))
   }
 }
