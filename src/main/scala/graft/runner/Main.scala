@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   case class Args(job: String, minDate: Option[String], maxDate: Option[String],
-                  numDays: Int, sfDir: String)
+                  numDays: Int, sfDir: String, workDir: Option[String] = None)
 
   /** F14: Airflow passes the *string* "None" for unset kwargs. */
   def sanitize(v: Option[String]): Option[String] =
@@ -31,7 +31,8 @@ object Main {
       minDate = sanitize(opt("--min-date")),
       maxDate = sanitize(opt("--max-date")),
       numDays = sanitize(opt("--num-days")).map(_.toInt).getOrElse(1),
-      sfDir = sanitize(opt("--sf-dir")).getOrElse("/root/testdata/sf0.001"))
+      sfDir = sanitize(opt("--sf-dir")).getOrElse("/root/testdata/sf0.001"),
+      workDir = sanitize(opt("--work-dir")))
   }
 
   /** Job registry — the dags.yaml equivalent. Each entry is pure
@@ -49,6 +50,19 @@ object Main {
         spark, a.sfDir, "2024-01-31 00:00:00", maxAgeHours = 72)
       println(s"freshness: fresh=$fresh newest=$newest")
       if (!fresh) sys.exit(1) // the reference's stale-data exit code
+    },
+    // the whole pipeline surface from the declarative DAG config —
+    // the reference's `airflow.yaml` entry point
+    "run-dags" -> { (spark, a) =>
+      val results = JobGraph.run(spark, StrideDags.config, StrideDags.registry,
+        overrides = Map(
+          "work_dir" -> a.workDir.getOrElse(""),
+          "sf_dir" -> a.sfDir,
+          "min_date" -> a.minDate.getOrElse(""),
+          "max_date" -> a.maxDate.getOrElse("")))
+      results.foreach(r =>
+        println(s"${r.dag}/${r.taskId}: ${r.status}${if (r.error.nonEmpty) s" (${r.error})" else ""}"))
+      if (results.exists(_.status != "success")) sys.exit(1)
     })
 
   def main(argv: Array[String]): Unit = {

@@ -1,0 +1,139 @@
+package graft.runner
+
+import java.nio.file.{Files, Paths}
+
+import graft.jobs._
+import graft.sources.{ArtifactUploader, LocalFsObjectStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The named-table lake the DAG tasks read and maintain — the stand-in
+  * for the reference's Postgres schema (`siri_ride`, `gtfs_ride`, …):
+  * one parquet directory per table under a work dir. `replace` is the
+  * `UPDATE`-equivalent publish: the new version is fully written to a
+  * side directory first (the plan may read the current version — Spark
+  * cannot overwrite a path it is reading), then swapped in.
+  */
+object SiriLake {
+  def path(workDir: String, table: String): String = s"$workDir/$table"
+
+  def read(spark: SparkSession, workDir: String, table: String): DataFrame =
+    spark.read.parquet(path(workDir, table))
+
+  def seed(df: DataFrame, workDir: String, table: String): Unit =
+    df.write.mode("overwrite").parquet(path(workDir, table))
+
+  def replace(spark: SparkSession, workDir: String, table: String,
+              df: DataFrame): Unit = {
+    val target = Paths.get(path(workDir, table))
+    val next = Paths.get(path(workDir, s"${table}__next"))
+    df.write.mode("overwrite").parquet(next.toString)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p): Unit
+    }
+    rm(target)
+    Files.move(next, target)
+  }
+}
+
+/** Binds the DAG config (`resources/graft/dags.yaml`) to the domain
+  * jobs: every reference pipeline the engine ports, runnable as one
+  * config-driven chain (`Main` job `run-dags`). Each function takes the
+  * resolved kwargs; `work_dir` locates the [[SiriLake]].
+  */
+object StrideDags {
+
+  val config: Seq[DagDef] = JobGraph.fromResource()
+
+  private def wd(kw: Map[String, String]): String =
+    kw.getOrElse("work_dir", sys.error("work_dir kwarg required"))
+
+  val registry: Map[String, JobGraph.TaskFn] = Map(
+    "gtfs.update_ride_aggregations" -> { (s, kw) =>
+      val d = wd(kw)
+      SiriLake.replace(s, d, "gtfs_ride", GtfsRideAggregations.run(
+        SiriLake.read(s, d, "gtfs_ride"), SiriLake.read(s, d, "gtfs_ride_stop")))
+    },
+
+    "siri.add_ride_durations" -> { (s, kw) =>
+      val d = wd(kw)
+      val now = kw.getOrElse("now",
+        java.time.LocalDateTime.now().toString.replace("T", " ").substring(0, 19))
+      SiriLake.replace(s, d, "siri_ride", AddRideDurations.run(
+        SiriLake.read(s, d, "siri_ride"), SiriLake.read(s, d, "siri_ride_stop"),
+        SiriLake.read(s, d, "siri_vehicle_location"), now))
+    },
+
+    "siri.update_ride_stops_gtfs" -> { (s, kw) =>
+      val d = wd(kw)
+      SiriLake.replace(s, d, "siri_ride_stop", UpdateRideStops.matchStopsGtfs(
+        SiriLake.read(s, d, "siri_ride_stop"), SiriLake.read(s, d, "siri_stop"),
+        SiriLake.read(s, d, "siri_ride"), SiriLake.read(s, d, "gtfs_stop")))
+    },
+
+    "siri.update_ride_stops_vehicle_locations" -> { (s, kw) =>
+      val d = wd(kw)
+      SiriLake.replace(s, d, "siri_ride_stop", UpdateRideStops.nearestLocations(
+        SiriLake.read(s, d, "siri_ride_stop"),
+        SiriLake.read(s, d, "siri_vehicle_location"),
+        SiriLake.read(s, d, "gtfs_stop")))
+      SiriLake.replace(s, d, "siri_vehicle_location",
+        UpdateRideStops.locationDistances(
+          SiriLake.read(s, d, "siri_ride_stop"),
+          SiriLake.read(s, d, "siri_vehicle_location"),
+          SiriLake.read(s, d, "gtfs_stop")))
+    },
+
+    "siri.update_rides_gtfs" -> { (s, kw) =>
+      val d = wd(kw)
+      SiriLake.replace(s, d, "siri_ride", UpdateRidesGtfs.run(
+        SiriLake.read(s, d, "siri_ride"), SiriLake.read(s, d, "siri_route"),
+        SiriLake.read(s, d, "gtfs_ride"), SiriLake.read(s, d, "gtfs_route")))
+    },
+
+    "packagers.siri.update_package" -> { (s, kw) =>
+      val d = wd(kw)
+      val rows = SiriPackager.exportRows(
+        SiriLake.read(s, d, "siri_vehicle_location"),
+        SiriLake.read(s, d, "siri_ride_stop"), SiriLake.read(s, d, "siri_ride"),
+        SiriLake.read(s, d, "siri_stop"), SiriLake.read(s, d, "siri_route"),
+        SiriLake.read(s, d, "siri_snapshot"), SiriLake.read(s, d, "gtfs_ride"),
+        SiriLake.read(s, d, "gtfs_stop"))
+      // hourly driver work-list, like the reference's hour loop
+      // (`packagers/siri.py` hourly_update_packages)
+      val hours = rows
+        .select(translate(substring(
+          graft.functions.TimeFunctions.israelIso(col("recorded_at_time")), 1, 13),
+          " ", ".").as("h"))
+        .distinct().orderBy("h").collect().map(_.getString(0))
+      val outDir = s"$d/packages"
+      val store = new LocalFsObjectStore(s"$d/objectstore")
+      hours.foreach { hour =>
+        val res = SiriPackager.packageHour(s, rows, hour, outDir)
+        if (!res.skipped)
+          ArtifactUploader.upload(s, s"$d/artifact_ledger", store,
+            Paths.get(s"$outDir/$hour.zip"),
+            s"stride-etl-packages/siri/$hour", ".zip",
+            metadataJson = s"""{"rows":${res.rows},"hash":"${res.sha256}"}""")
+      }
+    },
+
+    "urbanaccess.update_areas_fake_gtfs" -> { (s, kw) =>
+      val d = wd(kw)
+      val area = FakeGtfsExtract.Area(
+        kw.getOrElse("area_name", "center"),
+        kw("min_lat").toDouble, kw("min_lon").toDouble,
+        kw("max_lat").toDouble, kw("max_lon").toDouble,
+        kw("from_hour").toInt, kw("until_hour").toInt)
+      FakeGtfsExtract.run(s, SiriLake.read(s, d, "gtfs_stop"),
+        SiriLake.read(s, d, "gtfs_ride_stop"), area, s"$d/fake_gtfs"): Unit
+    },
+
+    "stats.collect" -> { (s, kw) =>
+      StatsCollect.dailyCounts(s,
+        kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required")))
+        .count(): Unit
+    })
+}

@@ -12,10 +12,9 @@ class ContractSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("queries without an oracle are exactly the declared sketch set") {
+  test("every registered query has an oracle (no rows-only gate rows)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q46_approx_distinct"),
-      s"unexpected oracle-less queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected oracle-less queries: $rowsOnly")
   }
 
   test("query names are unique across modules (no silent map overwrite)") {

@@ -1,8 +1,10 @@
 package graft
 
 import java.nio.file.Files
+import java.sql.{Date, Timestamp}
 
 import graft.jobs.EnrichAndPackage
+import graft.runner.{JobGraph, SiriLake, StrideDags}
 import org.apache.spark.sql.functions._
 
 class JobsSpec extends SparkSpec {
@@ -35,5 +37,134 @@ class JobsSpec extends SparkSpec {
     assert(r2.daysPackaged.isEmpty)
     assert(r2.daysSkipped.toSet == r1.daysPackaged.toSet)
     assert(r2.rowsEnriched == nUsers) // enrichment re-run stays stable
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Seed a consistent mini-lake: one complete ride (1) whose journey
+    * ref resolves to gtfs ride 101, one still-pending ride (2) the
+    * watermark gates out of everything downstream.
+    */
+  private def seedLake(wd: String): Unit = {
+    val nullL = lit(null).cast("long")
+    SiriLake.seed(Seq((10L, "op1", "line1"))
+      .toDF("id", "operator_ref", "line_ref"), wd, "siri_route")
+    SiriLake.seed(Seq(
+      (1L, 10L, "2024-03-10-17-3", "v1", ts("2024-03-10 08:00:00")),
+      (2L, 10L, "2024-03-12-99-9", "v2", ts("2024-03-12 11:30:00")))
+      .toDF("id", "siri_route_id", "journey_ref", "vehicle_ref",
+        "scheduled_start_time")
+      .withColumn("duration_minutes", lit(null).cast("int"))
+      .withColumn("first_vehicle_location_id", nullL)
+      .withColumn("last_vehicle_location_id", nullL)
+      .withColumn("updated_first_last_vehicle_locations", lit(null).cast("timestamp"))
+      .withColumn("updated_duration_minutes", lit(null).cast("timestamp"))
+      .withColumn("gtfs_ride_id", nullL)
+      .withColumn("route_gtfs_ride_id", nullL)
+      .withColumn("journey_gtfs_ride_id", nullL)
+      .withColumn("scheduled_time_gtfs_ride_id", nullL), wd, "siri_ride")
+    SiriLake.seed(Seq((41L, "S100")).toDF("id", "code"), wd, "siri_stop")
+    SiriLake.seed(Seq((21L, 1L, 41L, 1), (22L, 2L, 41L, 1))
+      .toDF("id", "siri_ride_id", "siri_stop_id", "order")
+      .withColumn("gtfs_stop_id", nullL)
+      .withColumn("nearest_siri_vehicle_location_id", nullL), wd, "siri_ride_stop")
+    SiriLake.seed(Seq((61L, "2024/03/10/08/05")).toDF("id", "snapshot_id"),
+      wd, "siri_snapshot")
+    SiriLake.seed(Seq(
+      (51L, 21L, 61L, ts("2024-03-10 08:05:00"), 32.08, 34.78, 40, 180, 100),
+      (52L, 21L, 61L, ts("2024-03-10 08:20:00"), 32.09, 34.78, 42, 181, 900),
+      (53L, 22L, 61L, ts("2024-03-12 11:35:00"), 32.10, 34.78, 41, 182, 500))
+      .toDF("id", "siri_ride_stop_id", "siri_snapshot_id", "recorded_at_time",
+        "lat", "lon", "velocity", "bearing", "distance_from_journey_start")
+      .withColumn("distance_from_siri_ride_stop_meters", lit(null).cast("int")),
+      wd, "siri_vehicle_location")
+    SiriLake.seed(Seq((201L, Date.valueOf("2024-03-10"), "op1", "line1"))
+      .toDF("id", "date", "operator_ref", "line_ref"), wd, "gtfs_route")
+    SiriLake.seed(Seq((101L, 201L, "17_100324"))
+      .toDF("id", "gtfs_route_id", "journey_ref")
+      .withColumn("start_time", lit(null).cast("timestamp"))
+      .withColumn("end_time", lit(null).cast("timestamp"))
+      .withColumn("first_gtfs_ride_stop_id", nullL)
+      .withColumn("last_gtfs_ride_stop_id", nullL), wd, "gtfs_ride")
+    SiriLake.seed(Seq(
+      (301L, Date.valueOf("2024-03-10"), "S100", 32.0853, 34.7818, "TA", "Dizengoff"))
+      .toDF("id", "date", "code", "lat", "lon", "city", "name"), wd, "gtfs_stop")
+    SiriLake.seed(Seq(
+      (401L, 101L, 301L, 1, ts("2024-03-10 08:10:00"), ts("2024-03-10 08:10:00")),
+      (402L, 101L, 301L, 2, ts("2024-03-10 08:40:00"), ts("2024-03-10 08:40:00")))
+      .toDF("id", "gtfs_ride_id", "gtfs_stop_id", "stop_sequence",
+        "arrival_time", "departure_time"), wd, "gtfs_ride_stop")
+  }
+
+  test("the whole pipeline surface runs from the declarative DAG config") {
+    val wd = Files.createTempDirectory("graft_dags").toString
+    seedLake(wd)
+    val results = JobGraph.run(spark, StrideDags.config, StrideDags.registry,
+      overrides = Map("work_dir" -> wd, "sf_dir" -> sf,
+        "now" -> "2024-03-12 12:00:00"))
+    assert(results.nonEmpty && results.forall(_.status == "success"),
+      results.mkString("\n"))
+
+    // gtfs aggregation filled start/end from the ride's stops
+    val g = SiriLake.read(spark, wd, "gtfs_ride")
+      .select($"id", $"start_time", $"first_gtfs_ride_stop_id",
+        $"last_gtfs_ride_stop_id")
+      .as[(Long, Timestamp, Option[Long], Option[Long])].head()
+    assert(g == ((101L, ts("2024-03-10 08:10:00"), Some(401L), Some(402L))))
+
+    // durations + gtfs matching landed on the complete ride only
+    val rides = SiriLake.read(spark, wd, "siri_ride")
+      .select($"id", $"duration_minutes", $"gtfs_ride_id",
+        $"journey_gtfs_ride_id")
+      .as[(Long, Option[Int], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rides(1L) == ((1L, Some(15), Some(101L), Some(101L))))
+    assert(rides(2L) == ((2L, None, None, None))) // pending: gated out
+
+    // ride-stop enrichment: stop-code match + nearest location
+    val srs = SiriLake.read(spark, wd, "siri_ride_stop")
+      .select($"id", $"gtfs_stop_id", $"nearest_siri_vehicle_location_id")
+      .as[(Long, Option[Long], Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(srs(21L) == ((21L, Some(301L), Some(52L)))) // 52 is nearest
+    assert(srs(22L) == ((22L, None, None)))
+    assert(SiriLake.read(spark, wd, "siri_vehicle_location")
+      .filter($"distance_from_siri_ride_stop_meters".isNotNull).count() == 2)
+
+    // packager produced the Israel-local hour package and its artifact
+    assert(new java.io.File(s"$wd/packages/2024-03-10.10.zip").exists())
+    assert(graft.sources.ArtifactUploader.iterateArtifacts(spark,
+      s"$wd/artifact_ledger", "stride-etl-packages/siri/").count() == 1)
+
+    // fake-GTFS area extract wrote the two-file bundle
+    assert(new java.io.File(s"$wd/fake_gtfs/center_stops.csv").exists())
+    assert(new java.io.File(s"$wd/fake_gtfs/center_stop_times.csv").exists())
+  }
+
+  test("DAG executor: failed task skips the rest of its DAG only") {
+    val dags = JobGraph.parseYaml(
+      """dags:
+        |  - name: d1
+        |    tasks:
+        |      - id: t1
+        |        function: boom
+        |      - id: t2
+        |        function: fine
+        |  - name: d2
+        |    schedule_interval: "@hourly"
+        |    tasks:
+        |      - id: t3
+        |        function: fine
+        |""".stripMargin)
+    val registry: Map[String, JobGraph.TaskFn] = Map(
+      "boom" -> ((_, _) => sys.error("kaput")),
+      "fine" -> ((_, _) => ()))
+    val rs = JobGraph.run(spark, dags, registry)
+    assert(rs.map(r => (r.dag, r.taskId, r.status)) == Seq(
+      ("d1", "t1", "error"), ("d1", "t2", "skipped"), ("d2", "t3", "success")))
+    assert(rs.head.error.contains("kaput"))
+    // schedule filter selects only the matching tier
+    val hourly = JobGraph.run(spark, dags, registry,
+      scheduleFilter = Some("@hourly"))
+    assert(hourly.map(_.taskId) == Seq("t3"))
   }
 }
