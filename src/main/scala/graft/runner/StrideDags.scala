@@ -50,6 +50,13 @@ object StrideDags {
   private def wd(kw: Map[String, String]): String =
     kw.getOrElse("work_dir", sys.error("work_dir kwarg required"))
 
+  /** Deterministic "now" when passed (tests, backfills), wall-clock
+    * otherwise (the reference's `datetime.now()`).
+    */
+  private def nowOf(kw: Map[String, String]): java.time.LocalDateTime =
+    kw.get("now").map(n => java.sql.Timestamp.valueOf(n).toLocalDateTime)
+      .getOrElse(java.time.LocalDateTime.now())
+
   val registry: Map[String, JobGraph.TaskFn] = Map(
     "gtfs.update_ride_aggregations" -> { (s, kw) =>
       val d = wd(kw)
@@ -59,8 +66,8 @@ object StrideDags {
 
     "siri.add_ride_durations" -> { (s, kw) =>
       val d = wd(kw)
-      val now = kw.getOrElse("now",
-        java.time.LocalDateTime.now().toString.replace("T", " ").substring(0, 19))
+      val now = nowOf(kw).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       SiriLake.replace(s, d, "siri_ride", AddRideDurations.run(
         SiriLake.read(s, d, "siri_ride"), SiriLake.read(s, d, "siri_ride_stop"),
         SiriLake.read(s, d, "siri_vehicle_location"), now))
@@ -118,6 +125,22 @@ object StrideDags {
             s"stride-etl-packages/siri/$hour", ".zip",
             metadataJson = s"""{"rows":${res.rows},"hash":"${res.sha256}"}""")
       }
+    },
+
+    "siri.storage_backup_cleanup" -> { (s, kw) =>
+      val d = wd(kw)
+      StorageBackup.run(new LocalFsObjectStore(s"$d/objectstore"),
+        Seq(
+          StorageBackup.RootConfig(s"$d/siri_storage", None),
+          StorageBackup.RootConfig(s"$d/parse_failed",
+            Some("siri_etl_monitored_stop_visits_parse_failed"))),
+        nowOf(kw).toLocalDate): Unit
+    },
+
+    "db.copy_backup_to_s3" -> { (s, kw) =>
+      val d = wd(kw)
+      DbBackupCopy.run(new LocalFsObjectStore(s"$d/objectstore"),
+        s"$d/siri_storage", nowOf(kw)): Unit
     },
 
     "urbanaccess.update_areas_fake_gtfs" -> { (s, kw) =>

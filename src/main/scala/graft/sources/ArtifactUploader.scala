@@ -82,14 +82,8 @@ object ArtifactUploader {
     record(spark, ledgerPath, id, targetPrefix, "uploading", metadataJson,
       "", "", Files.size(file))
     try {
-      val key = (0 until MaxKeyAttempts).iterator
-        .map {
-          case 0 => s"artifacts/$targetPrefix$suffix"
-          case i => s"artifacts/${targetPrefix}__${i + 1}$suffix"
-        }
-        .find(!store.exists(_))
-        .getOrElse(sys.error(
-          s"failed to find available target path for $targetPrefix$suffix"))
+      val key = ObjectStore.freeKey(store, s"artifacts/$targetPrefix$suffix",
+        n => s"artifacts/${targetPrefix}__$n$suffix", MaxKeyAttempts)
       val url = store.put(file, key)
       record(spark, ledgerPath, id, targetPrefix, "success", metadataJson,
         "", url, Files.size(file))

@@ -87,6 +87,19 @@ class LocalFsObjectStore(root: String) extends ObjectStore {
 
 object ObjectStore {
 
+  /** The reference's collision-avoiding key probe
+    * (`artifacts/common.py:50-64`, `siri/storage_backup_cleanup.py:
+    * 20-36`): try the plain key, then `__2`, `__3`, … up to `attempts`,
+    * returning the first key not already present — re-publishing never
+    * overwrites history.
+    */
+  def freeKey(store: ObjectStore, plain: String, withSuffix: Int => String,
+              attempts: Int = 30): String =
+    (0 until attempts).iterator
+      .map(i => if (i == 0) plain else withSuffix(i + 1))
+      .find(!store.exists(_))
+      .getOrElse(sys.error(s"failed to find available target path for $plain"))
+
   /** Zip a directory recursively with root-relative entry names — the
     * reference's `compress_directory` (`artifacts/common.py:17-29`, a
     * recursive glob zipped under `os.path.relpath` names). Returns the

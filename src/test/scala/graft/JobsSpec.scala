@@ -94,6 +94,15 @@ class JobsSpec extends SparkSpec {
       (402L, 101L, 301L, 2, ts("2024-03-10 08:40:00"), ts("2024-03-10 08:40:00")))
       .toDF("id", "gtfs_ride_id", "gtfs_stop_id", "stop_sequence",
         "arrival_time", "departure_time"), wd, "gtfs_ride_stop")
+    // S10/S11 fixtures: an expired raw-storage day (pre-cutoff), an
+    // expired parse-failed day (backed up before removal), the latest
+    // DB backup dump
+    Files.createDirectories(java.nio.file.Paths.get(s"$wd/siri_storage/2024/02/01"))
+    Files.writeString(java.nio.file.Paths.get(s"$wd/siri_storage/2024/02/01/raw.br"), "raw")
+    Files.createDirectories(java.nio.file.Paths.get(s"$wd/parse_failed/2024/02/01"))
+    Files.writeString(java.nio.file.Paths.get(s"$wd/parse_failed/2024/02/01/bad.json"), "{}")
+    Files.createDirectories(java.nio.file.Paths.get(s"$wd/siri_storage/stride_db_backup"))
+    Files.writeString(java.nio.file.Paths.get(s"$wd/siri_storage/stride_db_backup/stride_db.sql.gz"), "dump")
   }
 
   test("the whole pipeline surface runs from the declarative DAG config") {
@@ -138,6 +147,54 @@ class JobsSpec extends SparkSpec {
     // fake-GTFS area extract wrote the two-file bundle
     assert(new java.io.File(s"$wd/fake_gtfs/center_stops.csv").exists())
     assert(new java.io.File(s"$wd/fake_gtfs/center_stop_times.csv").exists())
+
+    // backup+retention: raw day removed outright, parse-failed day
+    // backed up then removed, DB dump copied to the dated path
+    assert(!new java.io.File(s"$wd/siri_storage/2024/02/01").exists())
+    assert(!new java.io.File(s"$wd/parse_failed/2024").exists()) // pruned empty
+    assert(new java.io.File(s"$wd/objectstore/" +
+      "siri_etl_monitored_stop_visits_parse_failed/2024/02/01.tar.bz2").exists())
+    assert(new java.io.File(
+      s"$wd/objectstore/stride_db_backups/2024/03/12/120000.sql.gz").exists())
+    // the watched DB-backup source file itself is untouched
+    assert(new java.io.File(s"$wd/siri_storage/stride_db_backup/stride_db.sql.gz").exists())
+  }
+
+  test("storage backup: tar.bz2 contents, __N collision, 7-day cutoff") {
+    import graft.jobs.StorageBackup
+    import graft.sources.LocalFsObjectStore
+    val base = Files.createTempDirectory("graft_bk").toString
+    val store = new LocalFsObjectStore(s"$base/store")
+    def mkday(day: String, file: String, content: String): Unit = {
+      val d = java.nio.file.Paths.get(s"$base/r/$day")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve(file), content): Unit
+    }
+    mkday("2024/03/01", "a.txt", "A")  // expired (cutoff = 03-05)
+    mkday("2024/03/06", "b.txt", "B")  // within the week: kept
+    val cfg = Seq(StorageBackup.RootConfig(s"$base/r", Some("bk")))
+    val rep = StorageBackup.run(store, cfg, java.time.LocalDate.parse("2024-03-12"))
+    assert(rep.backedUp == Seq("bk/2024/03/01.tar.bz2"))
+    assert(rep.removed == Seq("2024/03/01"))
+    assert(new java.io.File(s"$base/r/2024/03/06/b.txt").exists())
+
+    // the archive round-trips with ./-relative names
+    val dl = Files.createTempFile("graft_bk_dl", ".tar.bz2")
+    assert(store.get("bk/2024/03/01.tar.bz2", dl))
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        Files.newInputStream(dl)))
+    try {
+      val e = tin.getNextEntry
+      assert(e.getName == "./a.txt")
+      assert(new String(tin.readAllBytes()) == "A")
+      assert(tin.getNextEntry == null)
+    } finally tin.close()
+
+    // same day re-appears -> second backup takes the __2 key
+    mkday("2024/03/01", "a.txt", "A")
+    val rep2 = StorageBackup.run(store, cfg, java.time.LocalDate.parse("2024-03-12"))
+    assert(rep2.backedUp == Seq("bk/2024/03/01__2.tar.bz2"))
   }
 
   test("DAG executor: failed task skips the rest of its DAG only") {
