@@ -89,4 +89,73 @@ object ConnectedComponents {
     sym.unpersist()
     labels
   }
+
+  /** Large-star / small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    * same fixpoint as [[run]] with a different per-round shape: instead
+    * of propagating labels along every edge (where one giant star makes
+    * one reduce key carry the whole component), each round REWRITES the
+    * edge set —
+    *
+    *  - large-star: every node links its larger neighbors to its
+    *    minimum neighborhood member — long chains contract toward small
+    *    ids without growing any node's degree unboundedly;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    (its parents, post-large-star) to their collective minimum —
+    *    flattening multi-level trees into stars.
+    *
+    * Edges strictly shrink toward the star fixpoint, so the heavy key's
+    * payload shrinks every round instead of being re-shuffled whole —
+    * the skew-robust choice when one component dominates (e.g. a
+    * boilerplate near-dup cluster spanning half the corpus). Output is
+    * identical to [[run]] (OperatorsSpec pins equivalence on random
+    * graphs); q48 uses [[run]] (fewer rounds on the LSH graph's small
+    * components), this variant is the declared swap-in for giant-star
+    * corpora.
+    */
+  def runAlternating(edges: DataFrame, src: String, dst: String,
+                     maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    // canonical child→parent orientation: (c, p) with p < c
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("c"),
+        least(col("u"), col("v")).as("p"))
+      .distinct()
+    var e = canon(edges.select(col(src).as("u"), col(dst).as("v")))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      // large-star: per node u over its full neighborhood, attach every
+      // LARGER neighbor to min(N(u) ∪ {u})
+      val sym = e.select(col("c").as("u"), col("p").as("v"))
+        .union(e.select(col("p").as("u"), col("c").as("v")))
+      val minN = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = canon(sym.filter(col("v") > col("u"))
+        .join(minN, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+        .localCheckpoint()
+      // small-star: per node c over its parents, attach them (and c) to
+      // the collective minimum
+      val minP = large.groupBy("c").agg(min(col("p")).as("m"))
+      val small = canon(
+        large.join(minP, "c").select(col("p").as("u"), col("m").as("v"))
+          .union(minP.select(col("c").as("u"), col("m").as("v"))))
+        .localCheckpoint()
+      // fixpoint: the rewritten edge set is unchanged (cheap: both
+      // sides are checkpointed in-memory blocks)
+      converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
+      e.unpersist()
+      large.unpersist()
+      e = small
+    }
+    // stars: children point at their component min; roots label themselves
+    val roots = e.select(col("p").as("v")).distinct()
+      .join(e.select(col("c").as("v")).distinct(), Seq("v"), "left_anti")
+    e.select(col("c").as("v"), col("p").as("comp"))
+      .union(roots.select(col("v"), col("v").as("comp")))
+  }
 }

@@ -108,6 +108,32 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: star-contraction variant matches label propagation") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 40)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val byProp = graft.operators.ConnectedComponents.run(edges, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      val byStar = graft.operators.ConnectedComponents.runAlternating(edges, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(byProp == byStar)
+    }
+  }
+
+  test("connected components: star contraction handles a giant-star component") {
+    // hub 0 with 200 leaves plus a chain hanging off one leaf — the
+    // skew shape the alternating algorithm exists for
+    val star = ((1 to 200).map(i => (0L, i.toLong)) ++
+      (200 to 210).map(i => (i.toLong, i + 1L))).toDF("a", "b")
+    val labels = graft.operators.ConnectedComponents.runAlternating(star, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(labels.length == 212 && labels.forall(_._2 == 0L))
+  }
+
   // ---- UpdateInPlace (J12 → §7.3) ----
 
   test("UpdateInPlace coalesces new over old and preserves row count") {
