@@ -211,35 +211,57 @@ object DedupQueries {
   /** q32 — embedding-cosine near-dup, blocked by `label` (coarse cluster)
     * so the pairwise compare is per-bucket, not corpus².
     */
-  def q32(s: SparkSession, dir: String): DataFrame = {
-    // Blocked pairwise cosine as a per-GROUP primitive-array loop:
-    // groupByKey(label) shuffles by the blocking key and flatMapGroups
-    // hands each block's rows as one iterator, so the executor buffers
-    // exactly ONE label block at a time — never the whole partition
-    // (the round-1 `repartition + mapPartitions { it.toArray }` form
-    // buffered every label hash-routed into the partition, an OOM
-    // hazard under label skew). The declarative pairwise-join form
-    // evaluates the 64-dim dot through Catalyst expression trees per
-    // pair — interpreted (higher-order) or JIT-hostile (unrolled), both
-    // measured ~5× slower at sf0.1. Arithmetic is bit-identical to the
-    // oracle: double products accumulated left-to-right, HALF_UP round.
-    // (If a single label ever outgrows executor memory, the next step
-    // is secondary bucketing — split the hot label by a hash of vec_id
-    // and union the cross-bucket pairs — same output, bounded blocks.)
+  /** Memory cap for one cosine block: a group buffers at most
+    * 2 × this many vectors (two sub-buckets), ~2 MB at 64-dim floats.
+    */
+  val MaxCosBlock = 4096
+
+  def q32(s: SparkSession, dir: String): DataFrame =
+    blockedCosinePairs(s, t(s, dir, "embeddings"), MaxCosBlock)
+
+  /** Blocked pairwise cosine with SIZE-CAPPED blocks: a label larger
+    * than `maxBlock` is split into `nb = ceil(count/maxBlock)` hash
+    * sub-buckets and every unordered sub-bucket pair (i ≤ j) becomes
+    * its own group, so an executor buffers at most two sub-buckets
+    * (never a whole hot label — the unbounded-block OOM the round-1
+    * form risked). Each vector is replicated `nb` times (the standard
+    * blocked all-pairs fanout); with in-cap labels nb = 1 and the plan
+    * degenerates to one group per label, zero replication.
+    *
+    * The per-group work is a primitive-array loop: the declarative
+    * pairwise-join form evaluates the 64-dim dot through Catalyst
+    * expression trees per pair — interpreted (higher-order) or
+    * JIT-hostile (unrolled), both measured ~5× slower at sf0.1.
+    * Arithmetic is bit-identical to the oracle: double products
+    * accumulated left-to-right, HALF_UP round. Sub-bucketing uses
+    * engine-side xxhash64 — it only routes work; the output pair set is
+    * hash-choice-independent (DedupSpec pins it against brute force).
+    */
+  private[graft] def blockedCosinePairs(s: SparkSession, embeddings: DataFrame,
+                                        maxBlock: Int): DataFrame = {
     import s.implicits._
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .as[(Long, Int, Array[Float])]
-      .groupByKey(_._2)
-      .flatMapGroups { (label, it) =>
-        val sorted = it.toArray.sortBy(_._1)
-        val norms = sorted.map(v => math.sqrt(dotD(v._3, v._3)))
+    val nb = embeddings.groupBy(col("label")).agg(
+      ceil(count(lit(1)).cast("double") / maxBlock).cast("int").as("nb"))
+    embeddings.join(nb, "label")
+      .withColumn("k", pmod(xxhash64(col("vec_id")), col("nb")).cast("int"))
+      .withColumn("o", explode(sequence(lit(0), col("nb") - 1)))
+      .select(col("label"),
+        least(col("k"), col("o")).as("i"), greatest(col("k"), col("o")).as("j"),
+        col("vec_id"), col("k"), col("embedding"))
+      .as[(Int, Int, Int, Long, Int, Array[Float])]
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Long, Int, Array[Float])]) =>
+        val (label, bi, bj) = key
+        val sorted = it.toArray.sortBy(_._4)
+        val norms = sorted.map(v => math.sqrt(dotD(v._6, v._6)))
         for {
-          i <- sorted.indices.iterator
-          j <- (i + 1) until sorted.length
-          cos = dotD(sorted(i)._3, sorted(j)._3) / (norms(i) * norms(j))
+          x <- sorted.indices.iterator
+          y <- (x + 1) until sorted.length
+          // same-bucket pairs belong to the (i, i) group only
+          if bi == bj || sorted(x)._5 != sorted(y)._5
+          cos = dotD(sorted(x)._6, sorted(y)._6) / (norms(x) * norms(y))
           if cos >= NearDupCos
-        } yield (label, sorted(i)._1, sorted(j)._1, roundHalfUp(cos, 6))
+        } yield (label, sorted(x)._4, sorted(y)._4, roundHalfUp(cos, 6))
       }
       .toDF("label", "vec_a", "vec_b", "cos_sim")
   }

@@ -82,6 +82,14 @@ class DedupSpec extends SparkSpec {
       if cos >= DedupQueries.NearDupCos
     } yield (a._1, b._1)).toSet
     assert(expected.nonEmpty && got == expected)
+
+    // force secondary bucketing (cap 16 → the 150-vector label splits
+    // into 10 sub-buckets): identical pair set, blocks stay capped
+    val capped = DedupQueries.blockedCosinePairs(
+      spark, spark.read.parquet(s"$dir/embeddings.parquet"), 16)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    assert(capped.length == capped.distinct.length) // no duplicate pairs
+    assert(capped.toSet == expected)
   }
 
   test("dedup queries leave the cache manager empty (persist hygiene)") {
