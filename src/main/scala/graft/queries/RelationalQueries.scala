@@ -201,20 +201,21 @@ object RelationalQueries {
     * coalesce — deterministic, unlike the reference's UPDATE ordering.
     */
   def q17(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    // preferred: the order's line 1 part; fallback: the order's last-line part
-    // l_linenumber is NOT unique per order in this lake — both candidate
-    // lookups are aggregated to one row per key (deterministic min/max
-    // tiebreak) so the enrichment join can never fan out (§7.3 invariant).
-    val first = li.filter(col("l_linenumber") === 1)
-      .groupBy(col("l_orderkey").as("f_key"))
-      .agg(min(col("l_partkey")).as("first_part"))
-    val last = li.groupBy(col("l_orderkey").as("g_key"))
-      .agg(max(struct(col("l_linenumber"), col("l_partkey"))).as("m"))
-      .select(col("g_key"), col("m.l_partkey").as("last_part"))
+    // preferred: the order's line 1 part; fallback: the order's last-line
+    // part. l_linenumber is NOT unique per order in this lake — both
+    // candidates use a deterministic min/max tiebreak so the enrichment
+    // join can never fan out (§7.3 invariant). Both lookups ride ONE
+    // aggregation pass (a conditional min beside the struct max), so
+    // lineitem is scanned and shuffled once and a single join resolves
+    // the precedence — not one scan+join per candidate.
+    val both = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(
+        min(when(col("l_linenumber") === 1, col("l_partkey"))).as("first_part"),
+        max(struct(col("l_linenumber"), col("l_partkey"))).as("m"))
+      .select(col("k"), col("first_part"), col("m.l_partkey").as("last_part"))
     t(s, dir, "orders")
-      .join(first, col("o_orderkey") === col("f_key"), "left")
-      .join(last, col("o_orderkey") === col("g_key"), "left")
+      .join(both, col("o_orderkey") === col("k"), "left")
       .select(col("o_orderkey"),
         coalesce(col("first_part"), col("last_part"), lit(-1L)).as("resolved_part"))
   }
