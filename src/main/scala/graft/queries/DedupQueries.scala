@@ -333,6 +333,43 @@ object DedupQueries {
         (col("quality") >= KeepQuality &&
           col("doc_id") === col("canonical_doc_id")).as("kept"))
 
+  /** Eval-set source and flag threshold for contamination checking. */
+  val EvalSource = "src1"
+  val ContamThreshold = 0.2
+
+  /** q50 — benchmark-contamination check: for every non-eval document,
+    * the fraction of its distinct word shingles that also appear
+    * anywhere in the eval subset (source = [[EvalSource]]), flagged at
+    * [[ContamThreshold]]. The decontamination pass every pretraining
+    * pipeline runs before shipping a corpus against held-out benchmarks.
+    *
+    * Scale shape: shingles explode to (doc, shingle) pairs once; the
+    * eval vocabulary is a distinct projection of the same relation; the
+    * membership test is a semi-join on the shingle (no payload moves)
+    * followed by a per-doc count — O(corpus shingles), no pairwise
+    * document comparison anywhere.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val sets = shingleSets(s, dir).join(docs, "doc_id")
+    val pairs = sets.select(col("doc_id"), col("source"),
+      explode(col("sh")).as("shingle"))
+    val evalShingles = pairs.filter(col("source") === EvalSource)
+      .select("shingle").distinct()
+    val overlap = pairs.filter(col("source") =!= EvalSource)
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    sets.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contam_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated",
+        col("n_overlap").cast("double") / col("n_shingles") >= ContamThreshold)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -340,7 +377,8 @@ object DedupQueries {
     "q31_jaccard_verify" -> (q31 _),
     "q32_embedding_neardup" -> (q32 _),
     "q48_dedup_clusters" -> (q48 _),
-    "q49_corpus_filter" -> (q49 _))
+    "q49_corpus_filter" -> (q49 _),
+    "q50_contamination" -> (q50 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -352,18 +390,22 @@ object DedupQueries {
       .map { case (a, b) => s"list_min(list_transform(hs, h -> (h * $a + $b) % $P))" }
       .mkString("[", ",\n    ", "]")
 
-  /** Shared CTE prefix: tokenize → shingle → hash → signature → bands →
-    * candidate pairs. Mirrors [[signatures]]/[[lshCandidates]] exactly.
-    */
-  private val lshCteSql: String =
-    s"""WITH toks AS (
+  /** Tokenize → shingle CTE pair, mirroring [[shingleSet]]. */
+  private val tokShingleCte: String =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0) AS ws
        |  FROM documents),
        |shingled AS (
        |  SELECT doc_id, CASE WHEN len(ws) < $ShingleN THEN []
        |    ELSE list_transform(range(1, len(ws) - ${ShingleN - 2}),
        |           i -> array_to_string(ws[i:i+${ShingleN - 1}], ' ')) END AS shingles
-       |  FROM toks),
+       |  FROM toks)""".stripMargin
+
+  /** Shared CTE prefix: tokenize → shingle → hash → signature → bands →
+    * candidate pairs. Mirrors [[signatures]]/[[lshCandidates]] exactly.
+    */
+  private val lshCteSql: String =
+    s"""WITH $tokShingleCte,
        |hashed AS (
        |  SELECT doc_id, list_transform(list_distinct(shingles),
        |      s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % $P) AS hs
@@ -475,5 +517,25 @@ object DedupQueries {
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupCos""".stripMargin)
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupCos""".stripMargin,
+    "q50_contamination" ->
+      s"""WITH $tokShingleCte,
+         |sets AS (
+         |  SELECT sh.doc_id, d.source, list_distinct(shingles) AS sh
+         |  FROM shingled sh JOIN documents d ON sh.doc_id = d.doc_id
+         |  WHERE len(shingles) > 0),
+         |pairs AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sets),
+         |ev AS (SELECT DISTINCT shingle FROM pairs WHERE source = '$EvalSource'),
+         |ov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM pairs
+         |  WHERE source != '$EvalSource'
+         |    AND shingle IN (SELECT shingle FROM ev)
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles,
+         |  coalesce(ov.n_overlap, 0) AS n_overlap,
+         |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(s.sh), 4) AS contam_ratio,
+         |  (CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(s.sh)) >= $ContamThreshold AS contaminated
+         |FROM sets s LEFT JOIN ov ON s.doc_id = ov.doc_id
+         |WHERE s.source != '$EvalSource'""".stripMargin)
 }

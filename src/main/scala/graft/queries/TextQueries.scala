@@ -76,11 +76,29 @@ object TextQueries {
       .select(col("doc_id"),
         DedupFunctions.fingerprint(TextFunctions.words(col("text"))).as("fp"))
 
+  /** q51 — token-budget report: documents and whitespace tokens per
+    * source plus each source's share of the total — the domain-mix
+    * table a pretraining pipeline derives sampling weights from. One
+    * partial-agg shuffle to 20 rows; the share is a window over the
+    * already-tiny aggregate.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
     "q35_token_stats" -> (q35 _),
-    "q36_fingerprint" -> (q36 _))
+    "q36_fingerprint" -> (q36 _),
+    "q51_token_budget" -> (q51 _))
 
   // ---- oracle SQL ----
 
@@ -136,6 +154,14 @@ object TextQueries {
          |   + len(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))) AS BIGINT) AS n_re_tokens,
          | round(CAST(avg(n_chars) AS DOUBLE), 2) AS avg_chars
          |FROM documents GROUP BY lang""".stripMargin,
+    "q51_token_budget" ->
+      s"""WITH c AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+         |FROM c""".stripMargin,
     "q36_fingerprint" ->
       s"""WITH h AS (
          | SELECT doc_id, list_transform($wsSql,
