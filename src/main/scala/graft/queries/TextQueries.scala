@@ -93,12 +93,71 @@ object TextQueries {
           sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
   }
 
+  /** q52 — intra-document repetition metrics (the Gopher/C4-style
+    * quality signals): repeated-token ratio (1 − distinct/total) and
+    * the most-frequent-bigram share of all bigrams. High values mark
+    * boilerplate/spam for the corpus filter. One narrow typed pass per
+    * document — token and bigram counting in a single JVM loop, no
+    * explode, no shuffle (the same hot-path shape as q30/q33: the
+    * column-lambda form would re-scan the token array interpreted).
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        val tokenRep =
+          if (ws.isEmpty) None
+          else Some(1.0 - ws.distinct.length.toDouble / ws.length)
+        val bigramTop =
+          if (ws.length < 2) None
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            while (i < ws.length - 1) {
+              val bg = ws(i) + " " + ws(i + 1)
+              counts.update(bg, counts.getOrElse(bg, 0) + 1)
+              i += 1
+            }
+            Some(counts.values.max.toDouble / (ws.length - 1))
+          }
+        (id, ws.length.toLong, tokenRep, bigramTop)
+      }
+      .toDF("doc_id", "n_tokens", "token_rep_raw", "bigram_top_raw")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("token_rep_raw"), 4).as("token_rep_ratio"),
+        round(col("bigram_top_raw"), 4).as("top_bigram_ratio"))
+  }
+
+  /** Stratified-sample size per source (q53). */
+  val StratifiedK = 5
+
+  /** q53 — deterministic stratified sampling: the [[StratifiedK]]
+    * documents per source with the smallest md5-derived hash — the
+    * reproducible per-domain sample (debugging, eval splits, human
+    * review) that stays STABLE across engines, runs, and cluster sizes,
+    * unlike `df.sample`. One small window per source partition.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = DedupFunctions.md5Hash32(col("doc_id").cast("string"))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= StratifiedK)
+      .select(col("doc_id"), col("source"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
     "q35_token_stats" -> (q35 _),
     "q36_fingerprint" -> (q36 _),
-    "q51_token_budget" -> (q51 _))
+    "q51_token_budget" -> (q51 _),
+    "q52_repetition" -> (q52 _),
+    "q53_stratified_sample" -> (q53 _))
 
   // ---- oracle SQL ----
 
@@ -162,6 +221,35 @@ object TextQueries {
          |SELECT source, n_docs, n_tokens,
          | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM c""".stripMargin,
+    "q52_repetition" ->
+      s"""WITH base AS (
+         | SELECT doc_id, $wsSql AS ws FROM documents),
+         |bigrams AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |   i -> concat(ws[i], ' ', ws[i+1]))) AS bg
+         | FROM base WHERE len(ws) >= 2),
+         |bgtop AS (
+         | SELECT doc_id, max(c) AS top_c FROM (
+         |  SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+         | GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens,
+         | CASE WHEN len(b.ws) = 0 THEN NULL
+         |  ELSE round(1.0 - CAST(len(list_distinct(b.ws)) AS DOUBLE) / len(b.ws), 4)
+         | END AS token_rep_ratio,
+         | CASE WHEN len(b.ws) < 2 THEN NULL
+         |  ELSE round(CAST(t.top_c AS DOUBLE) / (len(b.ws) - 1), 4)
+         | END AS top_bigram_ratio
+         |FROM base b LEFT JOIN bgtop t ON b.doc_id = t.doc_id""".stripMargin,
+    "q53_stratified_sample" ->
+      s"""WITH h AS (
+         | SELECT doc_id, source,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         | FROM documents),
+         |r AS (
+         | SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rank
+         | FROM h)
+         |SELECT doc_id, source, rank FROM r WHERE rank <= ${StratifiedK}""".stripMargin,
     "q36_fingerprint" ->
       s"""WITH h AS (
          | SELECT doc_id, list_transform($wsSql,

@@ -61,9 +61,34 @@ object VectorQueries {
       .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** q54 — per-label centroids: element-wise mean embedding + member
+    * count per coarse label. The vector-analytics reduction behind an
+    * IVF index build (centroid per inverted list), cluster drift
+    * monitoring, and class prototypes. posexplode → (label, dim)
+    * partial-agg shuffle (nothing quadratic, no vectors collected to
+    * the driver); the re-assembly groupBy touches labels × dims tiny
+    * rows. Rounded to 6 decimals so the float-sum order difference
+    * between engines cannot surface.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val centroid = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"),
+        transform(col("ps"), p => round(p("m"), 6)).as("centroid"))
+    counts.join(centroid, "label")
+      .select(col("label"), col("n_vecs"), col("centroid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
-    "q38_ann_lsh" -> (q38 _))
+    "q38_ann_lsh" -> (q38 _),
+    "q54_label_centroids" -> (q54 _))
 
   // ---- oracle SQL ----
 
@@ -106,5 +131,16 @@ object VectorQueries {
          |  ON e.bucket = q.bucket
          |WHERE e.vec_id <> $QueryVecId
          |ORDER BY ${DedupQueries.cosineSql("e.embedding", "q.qv")} DESC, e.vec_id ASC
-         |LIMIT $TopK""".stripMargin)
+         |LIMIT $TopK""".stripMargin,
+    "q54_label_centroids" ->
+      s"""WITH ex AS (
+         | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         | FROM embeddings, (SELECT unnest(range(1, ${Dims + 1})) AS i)),
+         |m AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos),
+         |c AS (SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+         |      FROM m GROUP BY label),
+         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+         |      FROM embeddings GROUP BY label)
+         |SELECT n.label, n.n_vecs, c.centroid
+         |FROM n JOIN c ON n.label = c.label""".stripMargin)
 }
