@@ -54,6 +54,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("md5"))
   }
 
+  test("q50: contamination membership test is a semi-join, nothing pairwise") {
+    val p = plan(DedupQueries.q50(spark, sf))
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // `*(n)` is the codegen-stage marker in executedPlan.toString
     val p = plan(RelationalQueries.q02(spark, sf))
