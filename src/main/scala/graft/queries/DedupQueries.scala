@@ -136,6 +136,13 @@ object DedupQueries {
   private def checkpointedSignatures(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir).localCheckpoint()
 
+  /** Same materialize-once treatment for the shingle sets: q31 reads
+    * them on both sides of the candidate join and q50 on three plan
+    * branches — without it each branch re-tokenizes the corpus.
+    */
+  private def checkpointedShingleSets(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir).localCheckpoint()
+
   /** q29 — MinHash+LSH near-dup candidates with estimated similarity
     * (fraction of equal signature slots). shingle→minhash→band→bucket-join.
     */
@@ -198,7 +205,7 @@ object DedupQueries {
   def q31(s: SparkSession, dir: String): DataFrame = {
     // distinct-shingle sets re-assembled from the row form; intersection
     // only ever runs on the (few) LSH candidate pairs
-    val sets = shingleSets(s, dir)
+    val sets = checkpointedShingleSets(s, dir)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     lshCandidates(checkpointedSignatures(s, dir))
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -351,7 +358,7 @@ object DedupQueries {
     */
   def q50(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val sets = shingleSets(s, dir).join(docs, "doc_id")
+    val sets = checkpointedShingleSets(s, dir).join(docs, "doc_id")
     val pairs = sets.select(col("doc_id"), col("source"),
       explode(col("sh")).as("shingle"))
     val evalShingles = pairs.filter(col("source") === EvalSource)
