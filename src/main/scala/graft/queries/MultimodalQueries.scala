@@ -84,9 +84,41 @@ object MultimodalQueries {
         ascii(expr("substr(CAST(payload AS STRING), CAST(frame_idx + 1 AS INT), 1)"))
           .cast("long").as("byte_val"))
 
+  /** Resize target + stub feature dimensionality (q55). */
+  val ResizeW = 224L
+  val FeatDims = 8
+
+  /** q55 — resize + feature-extract plumbing: each payload gets its
+    * post-resize dimensions (fixed target width, aspect-preserving
+    * height) and a fixed-[[FeatDims]]-dim "embedding" read at strided
+    * byte offsets, normalized to [0,1]. Same stub discipline as q40:
+    * a real pipeline swaps the arithmetic for an image library +
+    * encoder batch call; the typed batch pass, the fixed-length
+    * `array<double>` output column, and the downstream joinability to
+    * the ANN operators are the real plumbing being exercised.
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).as[MediaIn]
+      .filter(_.payload.nonEmpty)
+      .mapPartitions(_.map { m =>
+        val meta = MediaCodecStub.decode(m)
+        val n = meta.n_bytes
+        val resizeH = math.round(meta.height * ResizeW.toDouble / meta.width)
+        val feat = Array.tabulate(FeatDims) { d =>
+          val off = (d * n / FeatDims).toInt
+          BigDecimal((m.payload(off) & 0xff) / 255.0)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        (m.doc_id, meta.width, meta.height, ResizeW, resizeH, feat)
+      })
+      .toDF("doc_id", "width", "height", "resize_w", "resize_h", "feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40 _),
-    "q41_frame_sample" -> (q41 _))
+    "q41_frame_sample" -> (q41 _),
+    "q55_media_features" -> (q55 _))
 
   val oracles: Map[String, String] = Map(
     "q40_media_metadata" ->
@@ -102,5 +134,19 @@ object MultimodalQueries {
          | CAST(ascii(substr(text, CAST(f + 1 AS INT), 1)) AS BIGINT) AS byte_val
          |FROM documents
          |CROSS JOIN unnest(range(0, octet_length(encode(text)), $FrameStep)) AS t(f)
-         |WHERE octet_length(encode(text)) > 0""".stripMargin)
+         |WHERE octet_length(encode(text)) > 0""".stripMargin,
+    "q55_media_features" ->
+      s"""WITH m AS (
+         | SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 577 AS width,
+         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 353 AS height
+         | FROM documents
+         | WHERE octet_length(encode(text)) > 0)
+         |SELECT doc_id, width, height,
+         | CAST($ResizeW AS BIGINT) AS resize_w,
+         | CAST(round(height * $ResizeW.0 / width) AS BIGINT) AS resize_h,
+         | list_transform(range(0, $FeatDims),
+         |   d -> round(ascii(substr(text, CAST((d * n) // $FeatDims + 1 AS INT), 1)) / 255.0, 4))
+         |  AS feature
+         |FROM m""".stripMargin)
 }
