@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * The hyperplanes are deterministic build-time literals shared verbatim
   * with the DuckDB oracle, so bucket ids are engine-portable.
   */
-object VectorQueries {
+object VectorQueries extends Serializable {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -85,10 +85,77 @@ object VectorQueries {
       .select(col("label"), col("n_vecs"), col("centroid"))
   }
 
+  /** Probe count for the IVF search (q56). */
+  val NProbe = 2
+
+  /** Left-to-right double cosine — bit-equal to the oracle's
+    * `cosineSql` fold (products in index order, 0.0-seeded sum).
+    */
+  private def cosD(a: Array[Float], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** q56 — IVF-style ANN: the q54 centroids are the coarse quantizer
+    * (inverted lists). Every vector is assigned to its nearest centroid
+    * (one broadcast of labels × dims doubles — the classic small-dim
+    * broadcast, no shuffle); the query probes its [[NProbe]] nearest
+    * lists and only those lists' members are ranked by exact cosine.
+    * The second ANN scale path beside q38's LSH buckets: at 1B vectors
+    * / 4k lists, a probe scans ~nprobe/4k of the corpus. The 6-decimal
+    * centroid rounding (q54) makes the quantizer engine-portable, so
+    * assignments — and therefore results — hash-match the oracle.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents: Array[(Int, Array[Double])] = q54(s, dir)
+      .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
+      .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    // nearest centroid, ties to the smaller label (strict > keeps first)
+    def assign(emb: Array[Float]): Int = {
+      val cs = bc.value
+      var best = cs(0)._1; var bestCos = cosD(emb, cs(0)._2)
+      var i = 1
+      while (i < cs.length) {
+        val c = cosD(emb, cs(i)._2)
+        if (c > bestCos) { bestCos = c; best = cs(i)._1 }
+        i += 1
+      }
+      best
+    }
+    val assigned = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) => (id, assign(emb), emb) }
+      .toDF("vec_id", "list_id", "embedding")
+    val qEmb = t(s, dir, "embeddings")
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).as[Array[Float]].head()
+    val probeLists = bc.value
+      .map { case (l, c) => (l, cosD(qEmb, c)) }
+      .sortBy { case (l, c) => (-c, l) }
+      .take(NProbe).map(_._1).toSet
+    assigned
+      .filter(col("vec_id") =!= QueryVecId &&
+        col("list_id").isin(probeLists.toSeq: _*))
+      .withColumn("cos", VectorExpressions.vecCosine(col("embedding"),
+        typedLit(qEmb)))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"), col("list_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
-    "q54_label_centroids" -> (q54 _))
+    "q54_label_centroids" -> (q54 _),
+    "q56_ann_ivf" -> (q56 _))
 
   // ---- oracle SQL ----
 
@@ -142,5 +209,29 @@ object VectorQueries {
          |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
          |      FROM embeddings GROUP BY label)
          |SELECT n.label, n.n_vecs, c.centroid
-         |FROM n JOIN c ON n.label = c.label""".stripMargin)
+         |FROM n JOIN c ON n.label = c.label""".stripMargin,
+    "q56_ann_ivf" ->
+      s"""WITH ex AS (
+         | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         | FROM embeddings, (SELECT unnest(range(1, ${Dims + 1})) AS i)),
+         |m AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos),
+         |cents AS (SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+         |          FROM m GROUP BY label),
+         |scored AS (
+         | SELECT e.vec_id, e.embedding, c.label,
+         |  ${DedupQueries.cosineSql("e.embedding", "c.centroid")} AS ccos
+         | FROM embeddings e CROSS JOIN cents c),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY ccos DESC, label ASC) AS rn
+         | FROM scored),
+         |asg AS (SELECT vec_id, embedding, label AS list_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT label FROM ranked WHERE vec_id = $QueryVecId AND rn <= $NProbe)
+         |SELECT a.vec_id, a.list_id,
+         | round(${DedupQueries.cosineSql("a.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM asg a
+         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId) q
+         |WHERE a.vec_id <> $QueryVecId AND a.list_id IN (SELECT label FROM probes)
+         |ORDER BY ${DedupQueries.cosineSql("a.embedding", "q.qv")} DESC, a.vec_id ASC
+         |LIMIT $TopK""".stripMargin)
 }
