@@ -64,10 +64,18 @@ object SamplingQueries {
     * error bound from this frame.
     */
   def q46Detail(s: SparkSession, dir: String): DataFrame =
+    // one map-side-combined distinct of (flag, part) pairs feeds BOTH
+    // counts: the exact count is a plain count over distinct pairs, and
+    // the HLL sketch of distinct values has byte-identical registers to
+    // a sketch of the raw rows (duplicates hash to the same register),
+    // so the estimate is unchanged. This replaces the planner's
+    // expand-based distinct-aggregate (which re-aggregates the full
+    // table twice) with a single shuffle of already-reduced pairs.
     t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        count_distinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
         round(abs(col("approx_parts") - col("exact_parts")) /
           col("exact_parts"), 4).as("rel_err"))
