@@ -150,6 +150,31 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** Token budget per packed bin (q57). */
+  val TokensPerBin = 2048L
+
+  /** q57 — sequence-packing plan: assign documents to fixed-token-budget
+    * bins (cumulative greedy fill in doc_id order) — the packing step
+    * that turns a filtered corpus into pretraining shards. Packing is
+    * PER SOURCE: each source partition packs independently (a running
+    * sum inside its window partition), so the window parallelizes
+    * across sources instead of serializing the corpus through one
+    * global cumsum — the same per-shard packing a real pipeline does.
+    * Documents longer than the budget occupy their own bin(s)' worth of
+    * ids (greedy by count, no splitting).
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        floor((col("cum_tokens") - col("n_tokens")) / TokensPerBin).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
@@ -157,7 +182,8 @@ object TextQueries {
     "q36_fingerprint" -> (q36 _),
     "q51_token_budget" -> (q51 _),
     "q52_repetition" -> (q52 _),
-    "q53_stratified_sample" -> (q53 _))
+    "q53_stratified_sample" -> (q53 _),
+    "q57_sequence_pack" -> (q57 _))
 
   // ---- oracle SQL ----
 
@@ -221,6 +247,17 @@ object TextQueries {
          |SELECT source, n_docs, n_tokens,
          | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM c""".stripMargin,
+    "q57_sequence_pack" ->
+      s"""WITH c AS (
+         | SELECT doc_id, source, CAST(len($wsSql) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         | CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens)
+         |   / $TokensPerBin.0) AS BIGINT) AS bin_id
+         |FROM c
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q52_repetition" ->
       s"""WITH base AS (
          | SELECT doc_id, $wsSql AS ws FROM documents),
