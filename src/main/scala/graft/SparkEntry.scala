@@ -5,11 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the full operator-coverage surface (one entry per
-  * SURVEY.md §2 inventory row, tags in each query's scaladoc);
-  * `oracleSql` holds the DuckDB-equivalent SQL for the hash-compare gate.
-  * Non-SQL-expressible operators (engine-specific hashes: MinHash/
-  * SimHash/LSH) ship without an oracle → rows-only check, with their
-  * exact semantics pinned by ScalaTest specs instead.
+  * SURVEY.md §2 inventory row plus the beyond-reference corpus
+  * operators, tags in each query's scaladoc); `oracleSql` holds the
+  * DuckDB-equivalent SQL for the hash-compare gate. EVERY query has an
+  * oracle (ContractSpec enforces the 1:1 pairing): engine-specific
+  * hash constants are Scala values interpolated into both sides, and
+  * the one sketch query gates on its exact column plus an error-bound
+  * boolean.
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -51,6 +51,6 @@ object AsOfJoin {
     unioned
       .withColumn(s"asof_$valueCol", last(col("_v"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) :+ col(s"asof_$valueCol"): _*)
+      .select(leftCols.toIndexedSeq.map(col) :+ col(s"asof_$valueCol"): _*)
   }
 }
