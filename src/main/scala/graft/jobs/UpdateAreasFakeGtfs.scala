@@ -1,0 +1,93 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import graft.sources.{ArtifactUploader, ObjectStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** The urbanaccess pipeline's full shape
+  * (`urbanaccess/update_areas_fake_gtfs.py:13-78`, `areas.yaml:1-17`):
+  * a YAML area config (bbox + Israel-local inclusive hour windows),
+  * one fake-GTFS artifact per (area, GTFS date, hour window), and
+  * SKIP-IF-EXISTS keyed by artifact prefix with a bbox-metadata match
+  * (`:36-41` — an artifact whose recorded bbox differs from the current
+  * config is rebuilt). Extraction and packaging reuse
+  * [[FakeGtfsExtract]] / [[graft.sources.ArtifactUploader]].
+  *
+  * The reference iterates wall-clock `now - 1..32` days; here the date
+  * axis is the set of GTFS versions actually present (same idempotent
+  * per-date artifact contract, no dependence on when the job runs).
+  */
+object UpdateAreasFakeGtfs {
+
+  case class AreaCfg(id: String, minLon: Double, minLat: Double,
+                     maxLon: Double, maxLat: Double, hours: Seq[(Int, Int)])
+
+  case class Report(created: Seq[String], skipped: Seq[String])
+
+  /** Parse the reference-shaped areas YAML (id → bbox CSV + hour list). */
+  def parseAreas(yaml: String): Seq[AreaCfg] = {
+    val root = new ObjectMapper(new YAMLFactory()).readTree(yaml)
+    root.fieldNames().asScala.map { id =>
+      val n = root.get(id)
+      val bbox = n.get("bbox").asText().split(",").map(_.trim.toDouble)
+      AreaCfg(id, bbox(0), bbox(1), bbox(2), bbox(3),
+        n.get("hours").elements().asScala
+          .map(h => (h.get(0).asInt(), h.get(1).asInt())).toSeq)
+    }.toSeq
+  }
+
+  def areasFromResource(path: String = "/graft/areas.yaml"): Seq[AreaCfg] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try parseAreas(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+  }
+
+  def run(spark: SparkSession, store: ObjectStore, ledgerPath: String,
+          gtfsStop: DataFrame, gtfsRideStop: DataFrame,
+          areas: Seq[AreaCfg]): Report = {
+    val dates = gtfsStop.select(col("date")).distinct()
+      .collect().map(_.getDate(0)).sorted.toSeq
+    var created = Seq.empty[String]
+    var skipped = Seq.empty[String]
+    for {
+      area <- areas
+      (fromH, untilH) <- area.hours
+      date <- dates
+    } {
+      val bboxCsv = s"${area.minLon},${area.minLat},${area.maxLon},${area.maxLat}"
+      val prefix = s"stride-etl/urbanaccess/areas_fake_gtfs/" +
+        f"${area.id}-$date-$fromH%02d-$untilH%02d"
+      val existing = ArtifactUploader
+        .iterateArtifacts(spark, ledgerPath, prefix, Some(1))
+        .select(col("metadata_json")).collect().headOption
+        .exists(_.getString(0).contains(s""""bbox":"$bboxCsv""""))
+      if (existing) skipped :+= prefix
+      else {
+        val out = Files.createTempDirectory("graft-fake-gtfs").toString
+        // the window is Israel-local INCLUSIVE [from, until]
+        // (`areas.yaml:5`): pre-filter stop-times on the Israel-local
+        // hour and give the extractor a pass-through hour window
+        val localTimes = gtfsRideStop.filter(
+          hour(from_utc_timestamp(col("departure_time"), "Asia/Jerusalem"))
+            .between(fromH, untilH))
+        FakeGtfsExtract.run(spark,
+          gtfsStop.filter(col("date") === lit(date)), localTimes,
+          FakeGtfsExtract.Area(area.id, area.minLat, area.minLon,
+            area.maxLat, area.maxLon, fromHour = 0, untilHour = 24), out)
+        ArtifactUploader.upload(spark, ledgerPath, store,
+          java.nio.file.Paths.get(out), prefix, "",
+          metadataJson =
+            s"""{"area_id":"${area.id}","date":"$date","bbox":"$bboxCsv"}""",
+          isDirectory = true)
+        created :+= prefix
+      }
+    }
+    Report(created, skipped)
+  }
+}

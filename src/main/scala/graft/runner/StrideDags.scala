@@ -145,13 +145,10 @@ object StrideDags {
 
     "urbanaccess.update_areas_fake_gtfs" -> { (s, kw) =>
       val d = wd(kw)
-      val area = FakeGtfsExtract.Area(
-        kw.getOrElse("area_name", "center"),
-        kw("min_lat").toDouble, kw("min_lon").toDouble,
-        kw("max_lat").toDouble, kw("max_lon").toDouble,
-        kw("from_hour").toInt, kw("until_hour").toInt)
-      FakeGtfsExtract.run(s, SiriLake.read(s, d, "gtfs_stop"),
-        SiriLake.read(s, d, "gtfs_ride_stop"), area, s"$d/fake_gtfs"): Unit
+      UpdateAreasFakeGtfs.run(s, new LocalFsObjectStore(s"$d/objectstore"),
+        s"$d/artifact_ledger",
+        SiriLake.read(s, d, "gtfs_stop"), SiriLake.read(s, d, "gtfs_ride_stop"),
+        UpdateAreasFakeGtfs.areasFromResource()): Unit
     },
 
     "stats.collect" -> { (s, kw) =>

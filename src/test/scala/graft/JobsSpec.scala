@@ -144,9 +144,21 @@ class JobsSpec extends SparkSpec {
     assert(graft.sources.ArtifactUploader.iterateArtifacts(spark,
       s"$wd/artifact_ledger", "stride-etl-packages/siri/").count() == 1)
 
-    // fake-GTFS area extract wrote the two-file bundle
-    assert(new java.io.File(s"$wd/fake_gtfs/center_stops.csv").exists())
-    assert(new java.io.File(s"$wd/fake_gtfs/center_stop_times.csv").exists())
+    // fake-GTFS: one artifact per (area, gtfs date, hour window), and
+    // the in-bbox stop landed in the tel-aviv morning extract
+    val fakeArts = graft.sources.ArtifactUploader.iterateArtifacts(spark,
+      s"$wd/artifact_ledger", "stride-etl/urbanaccess/areas_fake_gtfs/")
+    assert(fakeArts.count() == 4) // 2 areas x 2 windows x 1 gtfs date
+    assert(new java.io.File(s"$wd/objectstore/artifacts/" +
+      "stride-etl/urbanaccess/areas_fake_gtfs/tel-aviv-center-2024-03-10-08-12.zip").exists())
+
+    // second run of the urbanaccess DAG: everything skips (idempotent)
+    val again = graft.runner.JobGraph.run(spark,
+      StrideDags.config.filter(_.name.contains("urbanaccess")),
+      StrideDags.registry, overrides = Map("work_dir" -> wd))
+    assert(again.forall(_.status == "success"))
+    assert(graft.sources.ArtifactUploader.iterateArtifacts(spark,
+      s"$wd/artifact_ledger", "stride-etl/urbanaccess/").count() == 4)
 
     // backup+retention: raw day removed outright, parse-failed day
     // backed up then removed, DB dump copied to the dated path
