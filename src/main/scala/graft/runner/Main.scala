@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   case class Args(job: String, minDate: Option[String], maxDate: Option[String],
-                  numDays: Int, sfDir: String, workDir: Option[String] = None)
+                  numDays: Int, sfDir: String, workDir: Option[String] = None,
+                  source: Option[String] = None, prefix: Option[String] = None,
+                  suffix: Option[String] = None)
 
   /** F14: Airflow passes the *string* "None" for unset kwargs. */
   def sanitize(v: Option[String]): Option[String] =
@@ -32,7 +34,10 @@ object Main {
       maxDate = sanitize(opt("--max-date")),
       numDays = sanitize(opt("--num-days")).map(_.toInt).getOrElse(1),
       sfDir = sanitize(opt("--sf-dir")).getOrElse("/root/testdata/sf0.001"),
-      workDir = sanitize(opt("--work-dir")))
+      workDir = sanitize(opt("--work-dir")),
+      source = sanitize(opt("--source")),
+      prefix = sanitize(opt("--prefix")),
+      suffix = sanitize(opt("--suffix")))
   }
 
   /** Job registry — the dags.yaml equivalent. Each entry is pure
@@ -50,6 +55,26 @@ object Main {
         spark, a.sfDir, "2024-01-31 00:00:00", maxAgeHours = 72)
       println(s"freshness: fresh=$fresh newest=$newest")
       if (!fresh) sys.exit(1) // the reference's stale-data exit code
+    },
+    // the reference's `artifacts upload` / `artifacts list` commands
+    // (`artifacts/cli.py:11-30`) over the work dir's store + ledger
+    "artifact-upload" -> { (spark, a) =>
+      val wd = a.workDir.getOrElse(sys.error("--work-dir required"))
+      val src = java.nio.file.Paths.get(
+        a.source.getOrElse(sys.error("--source required")))
+      val res = graft.sources.ArtifactUploader.upload(
+        spark, s"$wd/artifact_ledger",
+        new graft.sources.LocalFsObjectStore(s"$wd/objectstore"), src,
+        a.prefix.getOrElse(sys.error("--prefix required")),
+        a.suffix.getOrElse(""),
+        isDirectory = java.nio.file.Files.isDirectory(src))
+      println(s"uploaded: id=${res.artifactId}, url=${res.url}")
+    },
+    "artifact-list" -> { (spark, a) =>
+      val wd = a.workDir.getOrElse(sys.error("--work-dir required"))
+      graft.sources.ArtifactUploader.iterateArtifacts(
+        spark, s"$wd/artifact_ledger", a.prefix.getOrElse(""))
+        .show(100, truncate = false)
     },
     // the whole pipeline surface from the declarative DAG config —
     // the reference's `airflow.yaml` entry point

@@ -81,6 +81,7 @@ class PackagerSpec extends SparkSpec {
       "--max-date", "2024-01-05", "--num-days", "4"))
     assert(a.minDate.isEmpty && a.maxDate.contains("2024-01-05") && a.numDays == 4)
     assert(Main.parse(Array("stats-validate")).numDays == 1)
-    assert(Main.jobs.keySet == Set("stats-collect", "stats-validate", "run-dags"))
+    assert(Main.jobs.keySet == Set("stats-collect", "stats-validate", "run-dags",
+      "artifact-upload", "artifact-list"))
   }
 }
