@@ -18,6 +18,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
       (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+    // cosine as a pure catalyst tree over the native dot (builders must
+    // not return Column-node wrappers), same null/zero-norm guard as
+    // the Column API
+    ext.injectFunction((
+      new FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_cosine"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.DoubleType
+        val a = children(0)
+        val b = children(1)
+        val na = Sqrt(FloatVectorDot(a, a))
+        val nb = Sqrt(FloatVectorDot(b, b))
+        CaseWhen(
+          Seq((Or(EqualTo(na, Literal(0.0)), EqualTo(nb, Literal(0.0))),
+            Literal(null, DoubleType))),
+          Some(Divide(FloatVectorDot(a, b), Multiply(na, nb))))
+      }))
   }
 }
 

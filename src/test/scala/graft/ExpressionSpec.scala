@@ -55,9 +55,15 @@ class ExpressionSpec extends SparkSpec {
     assert(proj(bad).isNullAt(0) && expr.eval(bad) == null)
   }
 
-  test("vec_dot is registered as a SQL function via GraftExtensions") {
+  test("vec_dot and vec_cosine are registered as SQL functions via GraftExtensions") {
     Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
     val got = spark.sql("SELECT vec_dot(a, b) AS d FROM v").as[Double].head()
     assert(got == 11.0)
+    val cos = spark.sql("SELECT vec_cosine(a, a) AS c FROM v").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // zero-norm guard → null, same as the Column API
+    val z = spark.sql("SELECT vec_cosine(a, array(CAST(0 AS FLOAT), CAST(0 AS FLOAT))) AS c FROM v")
+      .as[Option[Double]].head()
+    assert(z.isEmpty)
   }
 }
