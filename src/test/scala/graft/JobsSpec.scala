@@ -209,6 +209,17 @@ class JobsSpec extends SparkSpec {
     assert(rep2.backedUp == Seq("bk/2024/03/01__2.tar.bz2"))
   }
 
+  test("SiriLake.replace keeps the current version when the new one fails") {
+    val wd = Files.createTempDirectory("graft_lake").toString
+    SiriLake.seed(Seq((1L, "a")).toDF("id", "v"), wd, "t")
+    val bad = Seq((2L, "b")).toDF("id", "v")
+      .withColumn("boom", raise_error(lit("new version exploded")))
+    intercept[Exception] { SiriLake.replace(spark, wd, "t", bad) }
+    // the failed write went to the side directory; the table is intact
+    assert(SiriLake.read(spark, wd, "t")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("DAG executor: failed task skips the rest of its DAG only") {
     val dags = JobGraph.parseYaml(
       """dags:
