@@ -198,18 +198,50 @@ object DedupQueries {
           .cast("long").as("hamming_to_doc0"))
   }
 
+  /** One corpus pass emitting BOTH the distinct shingle set and the
+    * MinHash signature per doc (the signature is folded from the same
+    * in-memory shingle array), checkpointed once — q31 needs both and
+    * would otherwise tokenize the corpus twice.
+    */
+  private def shingleSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val P = DedupFunctions.MinHashPrime
+    val coeffs = DedupFunctions.permCoeffs(NPerms).toArray
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val shingles = shingleSet(text)
+        if (shingles.isEmpty) None
+        else {
+          val mins = Array.fill(NPerms)(Long.MaxValue)
+          shingles.foreach { sh =>
+            val h = DedupFunctions.md5Hash32Jvm(sh) % P
+            var i = 0
+            while (i < NPerms) {
+              val v = (h * coeffs(i)._1 + coeffs(i)._2) % P
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          Some((id, shingles, mins))
+        }
+      }
+      .toDF("doc_id", "sh", "sig")
+      .localCheckpoint()
+  }
+
   /** q31 — exact n-gram Jaccard on the LSH candidate pairs (the verify
     * phase of the two-phase near-dup pipeline). Union size via
     * |A|+|B|−|A∩B| so both engines do identical integer math.
     */
   def q31(s: SparkSession, dir: String): DataFrame = {
-    // distinct-shingle sets re-assembled from the row form; intersection
-    // only ever runs on the (few) LSH candidate pairs
-    val sets = checkpointedShingleSets(s, dir)
+    // shingle sets + signatures from ONE tokenization pass; the exact
+    // intersection only ever runs on the (few) LSH candidate pairs
+    val both = shingleSigs(s, dir)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    lshCandidates(checkpointedSignatures(s, dir))
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    lshCandidates(both.select(col("doc_id"), col("sig")))
+      .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
