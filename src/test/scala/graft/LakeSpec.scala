@@ -32,6 +32,21 @@ class LakeSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("bucketed tables join without any exchange") {
+    import graft.sources.BucketedLake
+    val facts = (0 until 5000).map(i => (i.toLong % 500, i.toDouble))
+      .toDF("user_id", "amount")
+    val dims = (0L until 500L).map(u => (u, s"user$u")).toDF("user_id", "name")
+    BucketedLake.publish(facts, "bk_facts", "user_id", 8)
+    BucketedLake.publish(dims, "bk_dims", "user_id", 8)
+    val joined = BucketedLake.read(spark, "bk_facts")
+      .hint("merge") // force SMJ so the assertion is about exchanges, not broadcast
+      .join(BucketedLake.read(spark, "bk_dims"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // co-located: no shuffle either side
+    assert(joined.count() == 5000)
+  }
+
   test("salted aggregation equals direct groupBy on skewed data") {
     // hot key 0 carries 10x the rows of every other key
     val skewed = (0 until 11000).map { i =>
