@@ -148,9 +148,9 @@ class JobsSpec extends SparkSpec {
     // the in-bbox stop landed in the tel-aviv morning extract
     val fakeArts = graft.sources.ArtifactUploader.iterateArtifacts(spark,
       s"$wd/artifact_ledger", "stride-etl/urbanaccess/areas_fake_gtfs/")
-    assert(fakeArts.count() == 4) // 2 areas x 2 windows x 1 gtfs date
+    assert(fakeArts.count() == 3) // (2 + 1) area windows x 1 gtfs date
     assert(new java.io.File(s"$wd/objectstore/artifacts/" +
-      "stride-etl/urbanaccess/areas_fake_gtfs/tel-aviv-center-2024-03-10-08-12.zip").exists())
+      "stride-etl/urbanaccess/areas_fake_gtfs/central-district-2024-03-10-07-11.zip").exists())
 
     // second run of the urbanaccess DAG: everything skips (idempotent)
     val again = graft.runner.JobGraph.run(spark,
@@ -158,7 +158,7 @@ class JobsSpec extends SparkSpec {
       StrideDags.registry, overrides = Map("work_dir" -> wd))
     assert(again.forall(_.status == "success"))
     assert(graft.sources.ArtifactUploader.iterateArtifacts(spark,
-      s"$wd/artifact_ledger", "stride-etl/urbanaccess/").count() == 4)
+      s"$wd/artifact_ledger", "stride-etl/urbanaccess/").count() == 3)
 
     // backup+retention: raw day removed outright, parse-failed day
     // backed up then removed, DB dump copied to the dated path
