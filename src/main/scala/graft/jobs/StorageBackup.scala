@@ -96,7 +96,8 @@ object StorageBackup {
         removed :+= prefix
         // prune the month then year directory when left empty
         Seq(dayDir.getParent, dayDir.getParent.getParent).foreach { p =>
-          if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext)
+          val f = p.toFile
+          if (f.isDirectory && Option(f.listFiles()).exists(_.isEmpty))
             Files.delete(p)
         }
       }
@@ -105,8 +106,8 @@ object StorageBackup {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    val f = p.toFile
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(c => deleteRecursively(c.toPath)))
     Files.delete(p)
   }
 }

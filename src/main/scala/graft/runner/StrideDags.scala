@@ -28,12 +28,11 @@ object SiriLake {
     val target = Paths.get(path(workDir, table))
     val next = Paths.get(path(workDir, s"${table}__next"))
     df.write.mode("overwrite").parquet(next.toString)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm(_))
-      Files.deleteIfExists(p): Unit
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
     }
-    rm(target)
+    rm(target.toFile)
     Files.move(next, target)
   }
 }
