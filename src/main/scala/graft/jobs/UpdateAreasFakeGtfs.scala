@@ -53,6 +53,16 @@ object UpdateAreasFakeGtfs {
           areas: Seq[AreaCfg]): Report = {
     val dates = gtfsStop.select(col("date")).distinct()
       .collect().map(_.getDate(0)).sorted.toSeq
+    // ONE ledger read per run, collected to a prefix → metadata map
+    // (the per-combination probe would rescan the growing append-only
+    // ledger A×W×D times); latest successful row per prefix wins
+    val ledgerState: Map[String, String] =
+      ArtifactUploader.load(spark, ledgerPath)
+        .filter(col("status") === "success")
+        .groupBy("file_prefix")
+        .agg(max(struct(col("seq"), col("metadata_json"))).as("m"))
+        .select(col("file_prefix"), col("m.metadata_json"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     var created = Seq.empty[String]
     var skipped = Seq.empty[String]
     for {
@@ -63,29 +73,36 @@ object UpdateAreasFakeGtfs {
       val bboxCsv = s"${area.minLon},${area.minLat},${area.maxLon},${area.maxLat}"
       val prefix = s"stride-etl/urbanaccess/areas_fake_gtfs/" +
         f"${area.id}-$date-$fromH%02d-$untilH%02d"
-      val existing = ArtifactUploader
-        .iterateArtifacts(spark, ledgerPath, prefix, Some(1))
-        .select(col("metadata_json")).collect().headOption
-        .exists(_.getString(0).contains(s""""bbox":"$bboxCsv""""))
+      val existing = ledgerState.get(prefix)
+        .exists(_.contains(s""""bbox":"$bboxCsv""""))
       if (existing) skipped :+= prefix
       else {
-        val out = Files.createTempDirectory("graft-fake-gtfs").toString
-        // the window is Israel-local INCLUSIVE [from, until]
-        // (`areas.yaml:5`): pre-filter stop-times on the Israel-local
-        // hour and give the extractor a pass-through hour window
-        val localTimes = gtfsRideStop.filter(
-          hour(from_utc_timestamp(col("departure_time"), "Asia/Jerusalem"))
-            .between(fromH, untilH))
-        FakeGtfsExtract.run(spark,
-          gtfsStop.filter(col("date") === lit(date)), localTimes,
-          FakeGtfsExtract.Area(area.id, area.minLat, area.minLon,
-            area.maxLat, area.maxLon, fromHour = 0, untilHour = 24), out)
-        ArtifactUploader.upload(spark, ledgerPath, store,
-          java.nio.file.Paths.get(out), prefix, "",
-          metadataJson =
-            s"""{"area_id":"${area.id}","date":"$date","bbox":"$bboxCsv"}""",
-          isDirectory = true)
-        created :+= prefix
+        val out = Files.createTempDirectory("graft-fake-gtfs")
+        try {
+          // the window is Israel-local INCLUSIVE [from, until]
+          // (the areas config contract): pre-filter stop-times on the
+          // Israel-local hour and give the extractor a pass-through
+          // hour window
+          val localTimes = gtfsRideStop.filter(
+            hour(from_utc_timestamp(col("departure_time"), "Asia/Jerusalem"))
+              .between(fromH, untilH))
+          FakeGtfsExtract.run(spark,
+            gtfsStop.filter(col("date") === lit(date)), localTimes,
+            FakeGtfsExtract.Area(area.id, area.minLat, area.minLon,
+              area.maxLat, area.maxLon, fromHour = 0, untilHour = 24),
+            out.toString)
+          ArtifactUploader.upload(spark, ledgerPath, store, out, prefix, "",
+            metadataJson =
+              s"""{"area_id":"${area.id}","date":"$date","bbox":"$bboxCsv"}""",
+            isDirectory = true)
+          created :+= prefix
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(out.toFile)
+        }
       }
     }
     Report(created, skipped)

@@ -82,11 +82,13 @@ object ConnectedComponents {
           Row(r.get(0), r.get(1))
         }(outEnc)
         .localCheckpoint() // eager: runs the round's one job, fills `changed`
-      labels.unpersist() // previous round's blocks — never read again
+      // previous round's checkpoint blocks are never read again; they
+      // are reclaimed by the ContextCleaner once the old Dataset is
+      // GC'd (Dataset.unpersist would be a no-op here — checkpoint
+      // blocks are RDD-level storage, not CacheManager entries)
       labels = next
       converged = changed.value == 0L
     }
-    sym.unpersist()
     labels
   }
 
@@ -146,16 +148,19 @@ object ConnectedComponents {
           .union(minP.select(col("c").as("u"), col("m").as("v"))))
         .localCheckpoint()
       // fixpoint: the rewritten edge set is unchanged (cheap: both
-      // sides are checkpointed in-memory blocks)
+      // sides are checkpointed in-memory blocks). Old rounds' blocks
+      // are reclaimed by the ContextCleaner on GC.
       converged = small.exceptAll(e).isEmpty && e.exceptAll(small).isEmpty
-      e.unpersist()
-      large.unpersist()
       e = small
     }
-    // stars: children point at their component min; roots label themselves
-    val roots = e.select(col("p").as("v")).distinct()
-      .join(e.select(col("c").as("v")).distinct(), Seq("v"), "left_anti")
-    e.select(col("c").as("v"), col("p").as("comp"))
-      .union(roots.select(col("v"), col("v").as("comp")))
+    // stars: children point at their component min; every other vertex
+    // of the INPUT (roots, and vertices whose only edges were
+    // self-loops, which canon dropped) labels itself — same vertex set
+    // as [[run]]'s symmetrized edge list
+    val vertices = edges.select(col(src).as("v"))
+      .union(edges.select(col(dst).as("v"))).distinct()
+    val children = e.select(col("c").as("v"), col("p").as("comp"))
+    vertices.join(children, Seq("v"), "left")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
   }
 }

@@ -122,11 +122,14 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "q40_media_metadata" ->
+      // first BYTE via hex (not ascii(substr(...)), which reads a
+      // character and diverges from `payload(0) & 0xff` on non-ASCII)
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 64 + CAST(octet_length(encode(text)) AS BIGINT) % 577 AS width,
         | 64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 353 AS height,
-        | CASE ascii(substr(text, 1, 1)) % 3
+        | CASE (CASE WHEN octet_length(encode(text)) > 0
+        |   THEN CAST(concat('0x', substr(hex(encode(text)), 1, 2)) AS INT) ELSE 0 END) % 3
         |  WHEN 0 THEN 'jpg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
     "q41_frame_sample" ->
@@ -136,8 +139,13 @@ object MultimodalQueries {
          |CROSS JOIN unnest(range(0, octet_length(encode(text)), $FrameStep)) AS t(f)
          |WHERE octet_length(encode(text)) > 0""".stripMargin,
     "q55_media_features" ->
+      // byte-exact feature reads: hex(encode(text)) indexes BYTES (two
+      // hex chars each), matching the engine's payload(off) & 0xff even
+      // for multi-byte UTF-8 — ascii(substr(text, ...)) would index
+      // CHARACTERS and diverge on any non-ASCII document
       s"""WITH m AS (
-         | SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         | SELECT doc_id, hex(encode(text)) AS hx,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n,
          |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 577 AS width,
          |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 353 AS height
          | FROM documents
@@ -146,7 +154,7 @@ object MultimodalQueries {
          | CAST($ResizeW AS BIGINT) AS resize_w,
          | CAST(round(height * $ResizeW.0 / width) AS BIGINT) AS resize_h,
          | list_transform(range(0, $FeatDims),
-         |   d -> round(ascii(substr(text, CAST((d * n) // $FeatDims + 1 AS INT), 1)) / 255.0, 4))
+         |   d -> round(CAST(concat('0x', substr(hx, CAST(2 * ((d * n) // $FeatDims) + 1 AS INT), 2)) AS INT) / 255.0, 4))
          |  AS feature
          |FROM m""".stripMargin)
 }

@@ -74,16 +74,23 @@ object JobGraph {
   def run(spark: SparkSession, dags: Seq[DagDef],
           registry: Map[String, TaskFn],
           overrides: Map[String, String] = Map.empty,
-          scheduleFilter: Option[String] = None): Seq[TaskRun] =
+          scheduleFilter: Option[String] = None): Seq[TaskRun] = {
+    // sanitize BEFORE merging: an override that is absent/""/"None"
+    // (Main passes "" for unset CLI flags) must leave the task's YAML
+    // default in force, not erase it
+    val cleanOverrides = overrides.flatMap { case (k, v) =>
+      Main.sanitize(Some(v)).map(k -> _)
+    }
     dags.filter(d => scheduleFilter.forall(_ == d.scheduleInterval)).flatMap { dag =>
       var failed = false
       dag.tasks.map { t =>
         if (failed) TaskRun(dag.name, t.id, "skipped", "")
         else {
-          val kwargs = (t.kwargs.map { case (k, d) => k -> d.getOrElse("") } ++
-            overrides.view.filterKeys(t.kwargs.contains))
-            .flatMap { case (k, v) => Main.sanitize(Some(v)).map(k -> _) }
-            .toMap
+          val kwargs = t.kwargs.flatMap { case (k, default) =>
+            cleanOverrides.get(k)
+              .orElse(default.flatMap(d => Main.sanitize(Some(d))))
+              .map(k -> _)
+          }
           registry.get(t.function) match {
             case None =>
               failed = true
@@ -99,4 +106,5 @@ object JobGraph {
         }
       }
     }
+  }
 }

@@ -31,7 +31,14 @@ object ArtifactUploader {
   val Statuses = Seq("uploading", "success", "error")
   val MaxKeyAttempts = 30
 
-  private val idGen = new AtomicLong(System.currentTimeMillis())
+  /** Artifact ids must be unique ACROSS JVMs writing the same ledger
+    * (two drivers sharing a work dir, or a restart): random 63-bit ids,
+    * not a time-seeded counter whose ranges can overlap. `seq` only
+    * orders the status rows OF ONE artifact, which are always written
+    * by the JVM that minted its id, so a per-JVM counter is safe.
+    */
+  private def newId(): Long =
+    java.util.concurrent.ThreadLocalRandom.current().nextLong() & Long.MaxValue
   private val seqGen = new AtomicLong(0L)
 
   case class UploadResult(artifactId: Long, key: String, url: String)
@@ -64,7 +71,8 @@ object ArtifactUploader {
         col("last.metadata_json").as("metadata_json"),
         col("last.error").as("error"), col("last.url").as("url"),
         col("last.created_at").as("created_at"),
-        col("last.file_size").as("file_size"))
+        col("last.file_size").as("file_size"),
+        col("last.seq").as("seq"))
   }
 
   /** The reference's `upload_artifact` (`artifacts/common.py:33-87`). */
@@ -78,7 +86,7 @@ object ArtifactUploader {
         ObjectStore.zipDirectory(sourcePath, tmp)
         (tmp, s"$targetSuffix.zip")
       } else (sourcePath, targetSuffix)
-    val id = idGen.incrementAndGet()
+    val id = newId()
     record(spark, ledgerPath, id, targetPrefix, "uploading", metadataJson,
       "", "", Files.size(file))
     try {
@@ -93,6 +101,8 @@ object ArtifactUploader {
         record(spark, ledgerPath, id, targetPrefix, "error", metadataJson,
           String.valueOf(e), "", Files.size(file))
         throw e
+    } finally {
+      if (isDirectory) Files.deleteIfExists(file): Unit // the temp zip
     }
   }
 
@@ -105,7 +115,10 @@ object ArtifactUploader {
     val base = load(spark, ledgerPath)
       .filter(col("status") === "success" &&
         col("file_prefix").startsWith(filePrefix))
-      .orderBy(col("created_at").desc, col("artifact_id").desc)
+      // seq breaks created_at (millis) ties for same-JVM uploads;
+      // random artifact ids carry no ordering
+      .orderBy(col("created_at").desc, col("seq").desc)
+      .drop("seq")
     limit.fold(base)(base.limit)
   }
 }

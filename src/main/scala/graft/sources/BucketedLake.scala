@@ -20,14 +20,27 @@ object BucketedLake {
 
   /** Publish `df` as a bucketed+sorted parquet table in the session
     * catalog. Same `nBuckets` and key on both sides of a planned join,
-    * or the exchange comes back.
+    * or the exchange comes back. Re-publishing replaces the table; an
+    * orphaned managed-table directory (metadata lost with a previous
+    * session, files still on disk) is cleared first, since saveAsTable
+    * refuses to create over an existing location.
     */
   def publish(df: DataFrame, table: String, bucketCol: String,
-              nBuckets: Int): Unit =
+              nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(warehouse, table))
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

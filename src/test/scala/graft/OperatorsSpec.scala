@@ -112,9 +112,10 @@ class OperatorsSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 3) {
       val n = 30
+      // self-loops INCLUDED: both variants must emit a (v, v) label for
+      // a vertex whose only edge is (v, v)
       val edges = (1 to 40)
         .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }
         .toDF("a", "b")
       val byProp = graft.operators.ConnectedComponents.run(edges, "a", "b")
         .as[(Long, Long)].collect().toSet
