@@ -425,6 +425,46 @@ object DedupQueries {
         col("n_overlap").cast("double") / col("n_shingles") >= ContamThreshold)
   }
 
+  /** The "new batch" sources for incremental dedup (q58). */
+  val IncomingSources: Seq[String] = Seq("src18", "src19")
+
+  /** q58 — INCREMENTAL dedup: the decision for a new batch against an
+    * already-deduped corpus WITHOUT re-clustering the corpus. Candidate
+    * edges involving only existing docs are never generated or
+    * clustered — the 100 TB side contributes exactly its band keys —
+    * and connected components run over the (tiny) incoming-incoming
+    * edge set only. Policy: an incoming doc linked to ANY existing doc
+    * is a duplicate (`linked_existing`); the survivors keep one
+    * canonical per incoming-only cluster (min doc id). A cluster whose
+    * canonical matched the corpus drops entirely — its members are
+    * transitive duplicates of existing content.
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val inc = docs.filter(col("source").isin(IncomingSources: _*))
+      .select(col("doc_id"))
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+      .join(docs.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .withColumn("a_inc", col("src_a").isin(IncomingSources: _*))
+      .withColumn("b_inc", col("src_b").isin(IncomingSources: _*))
+      .filter(col("a_inc") || col("b_inc")) // existing×existing never clusters
+      .localCheckpoint()
+    val linked = cand.filter(col("a_inc") =!= col("b_inc"))
+      .select(when(col("a_inc"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val comp = graft.operators.ConnectedComponents.run(
+      cand.filter(col("a_inc") && col("b_inc")), "doc_a", "doc_b")
+    inc
+      .join(linked.withColumn("linked_existing", lit(true)), Seq("doc_id"), "left")
+      .join(comp.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("linked_existing"), lit(false)).as("linked_existing"),
+        coalesce(col("comp"), col("doc_id")).as("canonical_doc_id"))
+      .withColumn("kept",
+        !col("linked_existing") && col("doc_id") === col("canonical_doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -433,7 +473,8 @@ object DedupQueries {
     "q32_embedding_neardup" -> (q32 _),
     "q48_dedup_clusters" -> (q48 _),
     "q49_corpus_filter" -> (q49 _),
-    "q50_contamination" -> (q50 _))
+    "q50_contamination" -> (q50 _),
+    "q58_incremental_dedup" -> (q58 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -573,6 +614,38 @@ object DedupQueries {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupCos""".stripMargin,
+    "q58_incremental_dedup" -> {
+      val incList = IncomingSources.map(x => s"'$x'").mkString(", ")
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |inc AS (SELECT doc_id FROM documents WHERE source IN ($incList)),
+         |tagged AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    (da.source IN ($incList)) AS a_inc,
+         |    (db.source IN ($incList)) AS b_inc
+         |  FROM cand c
+         |  JOIN documents da ON c.doc_a = da.doc_id
+         |  JOIN documents db ON c.doc_b = db.doc_id
+         |  WHERE (da.source IN ($incList)) OR (db.source IN ($incList))),
+         |linked AS (
+         |  SELECT DISTINCT CASE WHEN a_inc THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM tagged WHERE a_inc != b_inc),
+         |ie AS (SELECT doc_a, doc_b FROM tagged WHERE a_inc AND b_inc),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ie
+         |  UNION SELECT doc_b, doc_a FROM ie),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+         |SELECT i.doc_id,
+         |  (l.doc_id IS NOT NULL) AS linked_existing,
+         |  coalesce(c.comp, i.doc_id) AS canonical_doc_id,
+         |  (l.doc_id IS NULL AND i.doc_id = coalesce(c.comp, i.doc_id)) AS kept
+         |FROM inc i
+         |LEFT JOIN linked l ON i.doc_id = l.doc_id
+         |LEFT JOIN comp c ON i.doc_id = c.v""".stripMargin
+    },
     "q50_contamination" ->
       s"""WITH $tokShingleCte,
          |sets AS (
