@@ -220,6 +220,31 @@ class JobsSpec extends SparkSpec {
       .select($"id", $"v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("DAG executor: empty-string overrides leave YAML defaults in force") {
+    val dags = JobGraph.parseYaml(
+      """dags:
+        |  - name: d
+        |    tasks:
+        |      - id: t
+        |        function: probe
+        |        kwargs:
+        |          num_days: {default: "4"}
+        |          min_date: {}
+        |""".stripMargin)
+    var seen: Map[String, String] = Map.empty
+    val registry: Map[String, JobGraph.TaskFn] =
+      Map("probe" -> ((_, kw) => { seen = kw }))
+    // unset CLI flags arrive as "" (and Airflow's literal "None"):
+    // neither may erase the default
+    JobGraph.run(spark, dags, registry,
+      overrides = Map("num_days" -> "", "min_date" -> "None"))
+    assert(seen == Map("num_days" -> "4"))
+    // a real override wins over the default
+    JobGraph.run(spark, dags, registry,
+      overrides = Map("num_days" -> "7", "min_date" -> "2024-01-01"))
+    assert(seen == Map("num_days" -> "7", "min_date" -> "2024-01-01"))
+  }
+
   test("DAG executor: failed task skips the rest of its DAG only") {
     val dags = JobGraph.parseYaml(
       """dags:
