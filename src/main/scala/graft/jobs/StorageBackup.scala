@@ -105,11 +105,8 @@ object StorageBackup {
     Report(backedUp, removed)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    val f = p.toFile
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(c => deleteRecursively(c.toPath)))
-    Files.delete(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    ObjectStore.deleteRecursively(p.toFile)
 }
 
 /** S11 — copy the latest DB backup to a timestamp-dated object path

@@ -55,14 +55,18 @@ object UpdateAreasFakeGtfs {
       .collect().map(_.getDate(0)).sorted.toSeq
     // ONE ledger read per run, collected to a prefix → metadata map
     // (the per-combination probe would rescan the growing append-only
-    // ledger A×W×D times); latest successful row per prefix wins
-    val ledgerState: Map[String, String] =
-      ArtifactUploader.load(spark, ledgerPath)
-        .filter(col("status") === "success")
-        .groupBy("file_prefix")
-        .agg(max(struct(col("seq"), col("metadata_json"))).as("m"))
-        .select(col("file_prefix"), col("m.metadata_json"))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // ledger A×W×D times). Latest successful row per prefix wins by
+    // CREATED_AT (seq only tiebreaks — it is a per-JVM counter and
+    // carries no ordering across runs); uploads made during THIS run
+    // update the map so a duplicate (area, window, date) combination
+    // in the config still skips.
+    val ledgerState = scala.collection.mutable.Map.empty[String, String]
+    ArtifactUploader.load(spark, ledgerPath)
+      .filter(col("status") === "success")
+      .groupBy("file_prefix")
+      .agg(max(struct(col("created_at"), col("seq"), col("metadata_json"))).as("m"))
+      .select(col("file_prefix"), col("m.metadata_json"))
+      .collect().foreach(r => ledgerState(r.getString(0)) = r.getString(1))
     var created = Seq.empty[String]
     var skipped = Seq.empty[String]
     for {
@@ -91,18 +95,12 @@ object UpdateAreasFakeGtfs {
             FakeGtfsExtract.Area(area.id, area.minLat, area.minLon,
               area.maxLat, area.maxLon, fromHour = 0, untilHour = 24),
             out.toString)
+          val meta = s"""{"area_id":"${area.id}","date":"$date","bbox":"$bboxCsv"}"""
           ArtifactUploader.upload(spark, ledgerPath, store, out, prefix, "",
-            metadataJson =
-              s"""{"area_id":"${area.id}","date":"$date","bbox":"$bboxCsv"}""",
-            isDirectory = true)
+            metadataJson = meta, isDirectory = true)
+          ledgerState(prefix) = meta
           created :+= prefix
-        } finally {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(out.toFile)
-        }
+        } finally ObjectStore.deleteRecursively(out.toFile)
       }
     }
     Report(created, skipped)

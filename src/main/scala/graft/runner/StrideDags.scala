@@ -28,11 +28,7 @@ object SiriLake {
     val target = Paths.get(path(workDir, table))
     val next = Paths.get(path(workDir, s"${table}__next"))
     df.write.mode("overwrite").parquet(next.toString)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(target.toFile)
+    graft.sources.ObjectStore.deleteRecursively(target.toFile)
     Files.move(next, target)
   }
 }

@@ -29,13 +29,15 @@ object BucketedLake {
               nBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(new java.io.File(warehouse, table))
+    // the catalog lowercases identifiers and the warehouse conf is a
+    // (possibly URI-encoded) file URI — resolve both or the orphan
+    // survives the cleanup
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      try java.nio.file.Paths.get(new java.net.URI(wh))
+      catch { case _: Exception => java.nio.file.Paths.get(wh.stripPrefix("file:")) }
+    ObjectStore.deleteRecursively(
+      whPath.resolve(table.toLowerCase(java.util.Locale.ROOT)).toFile)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

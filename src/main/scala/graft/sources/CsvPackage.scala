@@ -91,8 +91,6 @@ object CsvPackage {
     MessageDigest.getInstance("SHA-256").digest(bytes)
       .map(b => f"$b%02x").mkString
 
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: File): Unit =
+    ObjectStore.deleteRecursively(f)
 }

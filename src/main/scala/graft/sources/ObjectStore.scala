@@ -87,6 +87,15 @@ class LocalFsObjectStore(root: String) extends ObjectStore {
 
 object ObjectStore {
 
+  /** Recursive local-filesystem delete — THE one copy (staging dirs,
+    * lake table swaps, retention sweeps, orphaned warehouse dirs all
+    * use it). Missing paths are a no-op.
+    */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** The reference's collision-avoiding key probe
     * (`artifacts/common.py:50-64`, `siri/storage_backup_cleanup.py:
     * 20-36`): try the plain key, then `__2`, `__3`, … up to `attempts`,
