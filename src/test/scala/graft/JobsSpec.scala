@@ -220,6 +220,32 @@ class JobsSpec extends SparkSpec {
       .select($"id", $"v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
   }
 
+  test("shipped DAG config is well-formed and fully resolvable") {
+    val dags = StrideDags.config
+    assert(dags.nonEmpty)
+    assert(dags.map(_.name).distinct.size == dags.size) // unique dag names
+    val fns = dags.flatMap(_.tasks).map(_.function).toSet
+    val unresolved = fns -- StrideDags.registry.keySet
+    assert(unresolved.isEmpty, s"config names unregistered functions: $unresolved")
+    // every schedule is one of the two tiers the reference uses
+    assert(dags.map(_.scheduleInterval).toSet.subsetOf(Set("@hourly", "@daily")))
+  }
+
+  test("object store key probe gives up after the attempt budget") {
+    val store = new graft.sources.LocalFsObjectStore(
+      Files.createTempDirectory("graft_probe").toString)
+    val f = Files.createTempFile("graft_probe_src", ".txt")
+    Files.writeString(f, "x")
+    store.put(f, "k.txt")
+    (2 to 3).foreach(n => store.put(f, s"k__$n.txt"))
+    // plain + __2 + __3 taken, budget 3 → error; budget 4 → __4
+    intercept[RuntimeException] {
+      graft.sources.ObjectStore.freeKey(store, "k.txt", n => s"k__$n.txt", 3)
+    }
+    assert(graft.sources.ObjectStore.freeKey(store, "k.txt",
+      n => s"k__$n.txt", 4) == "k__4.txt")
+  }
+
   test("DAG executor: empty-string overrides leave YAML defaults in force") {
     val dags = JobGraph.parseYaml(
       """dags:
