@@ -19,7 +19,7 @@ object Main {
   case class Args(job: String, minDate: Option[String], maxDate: Option[String],
                   numDays: Int, sfDir: String, workDir: Option[String] = None,
                   source: Option[String] = None, prefix: Option[String] = None,
-                  suffix: Option[String] = None)
+                  suffix: Option[String] = None, schedule: Option[String] = None)
 
   /** F14: Airflow passes the *string* "None" for unset kwargs. */
   def sanitize(v: Option[String]): Option[String] =
@@ -37,7 +37,8 @@ object Main {
       workDir = sanitize(opt("--work-dir")),
       source = sanitize(opt("--source")),
       prefix = sanitize(opt("--prefix")),
-      suffix = sanitize(opt("--suffix")))
+      suffix = sanitize(opt("--suffix")),
+      schedule = sanitize(opt("--schedule")))
   }
 
   /** Job registry — the dags.yaml equivalent. Each entry is pure
@@ -79,12 +80,15 @@ object Main {
     // the whole pipeline surface from the declarative DAG config —
     // the reference's `airflow.yaml` entry point
     "run-dags" -> { (spark, a) =>
+      // --schedule "@hourly"/"@daily" runs one tier, like the
+      // reference's Airflow schedule triggers; absent = all DAGs
       val results = JobGraph.run(spark, StrideDags.config, StrideDags.registry,
         overrides = Map(
           "work_dir" -> a.workDir.getOrElse(""),
           "sf_dir" -> a.sfDir,
           "min_date" -> a.minDate.getOrElse(""),
-          "max_date" -> a.maxDate.getOrElse("")))
+          "max_date" -> a.maxDate.getOrElse("")),
+        scheduleFilter = a.schedule)
       results.foreach(r =>
         println(s"${r.dag}/${r.taskId}: ${r.status}${if (r.error.nonEmpty) s" (${r.error})" else ""}"))
       if (results.exists(_.status != "success")) sys.exit(1)

@@ -81,6 +81,9 @@ class PackagerSpec extends SparkSpec {
       "--max-date", "2024-01-05", "--num-days", "4"))
     assert(a.minDate.isEmpty && a.maxDate.contains("2024-01-05") && a.numDays == 4)
     assert(Main.parse(Array("stats-validate")).numDays == 1)
+    assert(Main.parse(Array("run-dags", "--schedule", "@hourly"))
+      .schedule.contains("@hourly"))
+    assert(Main.parse(Array("run-dags", "--schedule", "None")).schedule.isEmpty)
     assert(Main.jobs.keySet == Set("stats-collect", "stats-validate", "run-dags",
       "artifact-upload", "artifact-list"))
   }
