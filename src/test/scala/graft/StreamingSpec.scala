@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{Ev, EventStreams}
+import graft.streaming.{DocEv, Ev, EventStreams, StreamingDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -10,6 +10,37 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming near-dup: banded state pairs a late near-duplicate with its original") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocEv]
+    val q = StreamingDedup.candidates(in.toDS(),
+        nBands = 8, rowsPerBand = 2, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("sdup")
+      .outputMode("append").start()
+    try {
+      val base = (0 until 30).map(i => s"w$i").mkString(" ")
+      val other = (0 until 30).map(i => s"zz$i").mkString(" ")
+      in.addData(DocEv(1L, base, ts("2024-01-01 10:00:00")),
+        DocEv(2L, other, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // a near-identical doc arrives in a LATER micro-batch: the
+      // per-band state pairs it with doc 1 (identical signature → every
+      // band collides), never with the unrelated doc 2
+      in.addData(DocEv(3L, base, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val pairSet = StreamingDedup.pairs(
+        spark.table("sdup").as[graft.streaming.DupCandidate])
+        .collect().toSet
+      assert(pairSet == Set((1L, 3L)))
+      // every one of the 8 bands reported the collision
+      assert(spark.table("sdup").count() == 8)
+      // replaying doc 3 adds no self-pairs
+      in.addData(DocEv(3L, base, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("sdup").count() == 8)
+    } finally q.stop()
+  }
 
   test("hourlyStats aggregates per (hour, type) over micro-batches") {
     implicit val sc = spark.sqlContext
