@@ -93,9 +93,14 @@ object MultimodalQueries {
     * height) and a fixed-[[FeatDims]]-dim "embedding" read at strided
     * byte offsets, normalized to [0,1]. Same stub discipline as q40:
     * a real pipeline swaps the arithmetic for an image library +
-    * encoder batch call; the typed batch pass, the fixed-length
-    * `array<double>` output column, and the downstream joinability to
-    * the ANN operators are the real plumbing being exercised.
+    * encoder batch call; the typed batch pass and the fixed-length
+    * feature output are the real plumbing being exercised.
+    *
+    * The feature vector is presented as a comma-joined list of
+    * 1e4-scaled integers (round(v·1e4) of the 4-dp value): the
+    * correctness gate canonicalizes rows in pandas, which cannot sort
+    * or hash array cells, so the public row is all-scalar; integer
+    * units make the rendering engine-portable.
     */
   def q55(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -107,10 +112,12 @@ object MultimodalQueries {
         val resizeH = math.round(meta.height * ResizeW.toDouble / meta.width)
         val feat = Array.tabulate(FeatDims) { d =>
           val off = (d * n / FeatDims).toInt
-          BigDecimal((m.payload(off) & 0xff) / 255.0)
+          val v4 = BigDecimal((m.payload(off) & 0xff) / 255.0)
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          math.round(v4 * 1e4)
         }
-        (m.doc_id, meta.width, meta.height, ResizeW, resizeH, feat)
+        (m.doc_id, meta.width, meta.height, ResizeW, resizeH,
+          feat.mkString(","))
       })
       .toDF("doc_id", "width", "height", "resize_w", "resize_h", "feature")
   }
@@ -153,8 +160,8 @@ object MultimodalQueries {
          |SELECT doc_id, width, height,
          | CAST($ResizeW AS BIGINT) AS resize_w,
          | CAST(round(height * $ResizeW.0 / width) AS BIGINT) AS resize_h,
-         | list_transform(range(0, $FeatDims),
-         |   d -> round(CAST(concat('0x', substr(hx, CAST(2 * ((d * n) // $FeatDims) + 1 AS INT), 2)) AS INT) / 255.0, 4))
+         | array_to_string(list_transform(range(0, $FeatDims),
+         |   d -> CAST(CAST(round(round(CAST(concat('0x', substr(hx, CAST(2 * ((d * n) // $FeatDims) + 1 AS INT), 2)) AS INT) / 255.0, 4) * 10000) AS BIGINT) AS VARCHAR)), ',')
          |  AS feature
          |FROM m""".stripMargin)
 }

@@ -61,16 +61,17 @@ object VectorQueries extends Serializable {
       .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** q54 — per-label centroids: element-wise mean embedding + member
-    * count per coarse label. The vector-analytics reduction behind an
-    * IVF index build (centroid per inverted list), cluster drift
-    * monitoring, and class prototypes. posexplode → (label, dim)
-    * partial-agg shuffle (nothing quadratic, no vectors collected to
-    * the driver); the re-assembly groupBy touches labels × dims tiny
-    * rows. Rounded to 6 decimals so the float-sum order difference
-    * between engines cannot surface.
+  /** Per-label centroid frame (label, n_vecs, centroid: array<double>):
+    * element-wise mean embedding + member count per coarse label. The
+    * vector-analytics reduction behind an IVF index build (centroid per
+    * inverted list), cluster drift monitoring, and class prototypes.
+    * posexplode → (label, dim) partial-agg shuffle (nothing quadratic,
+    * no vectors collected to the driver); the re-assembly groupBy
+    * touches labels × dims tiny rows. Rounded to 6 decimals so the
+    * float-sum order difference between engines cannot surface.
+    * Consumed by q56 (the coarse quantizer) and presented by q54.
     */
-  def q54(s: SparkSession, dir: String): DataFrame = {
+  def centroidFrame(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val counts = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
     val centroid = e
@@ -84,6 +85,20 @@ object VectorQueries extends Serializable {
     counts.join(centroid, "label")
       .select(col("label"), col("n_vecs"), col("centroid"))
   }
+
+  /** q54 — the [[centroidFrame]] with the vector presented as a
+    * comma-joined list of micro-units (round(m·1e6) as BIGINT). The
+    * correctness gate canonicalizes rows in pandas, which cannot sort
+    * or hash array cells — so the public query row is all-scalar, and
+    * integer micro-units make the string rendering engine-portable
+    * (no float-formatting divergence between Spark and DuckDB).
+    */
+  def q54(s: SparkSession, dir: String): DataFrame =
+    centroidFrame(s, dir)
+      .select(col("label"), col("n_vecs"),
+        array_join(transform(col("centroid"),
+          x => round(x * 1e6, 0).cast("long").cast("string")), ",")
+          .as("centroid"))
 
   /** Probe count for the IVF search (q56). */
   val NProbe = 2
@@ -114,7 +129,7 @@ object VectorQueries extends Serializable {
     */
   def q56(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cents: Array[(Int, Array[Double])] = q54(s, dir)
+    val cents: Array[(Int, Array[Double])] = centroidFrame(s, dir)
       .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
       .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
@@ -204,11 +219,13 @@ object VectorQueries extends Serializable {
          | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
          | FROM embeddings, (SELECT unnest(range(1, ${Dims + 1})) AS i)),
          |m AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos),
-         |c AS (SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+         |c AS (SELECT label,
+         |       list(CAST(CAST(round(round(m, 6) * 1000000) AS BIGINT) AS VARCHAR)
+         |            ORDER BY pos) AS cl
          |      FROM m GROUP BY label),
          |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
          |      FROM embeddings GROUP BY label)
-         |SELECT n.label, n.n_vecs, c.centroid
+         |SELECT n.label, n.n_vecs, array_to_string(c.cl, ',') AS centroid
          |FROM n JOIN c ON n.label = c.label""".stripMargin,
     "q56_ann_ivf" ->
       s"""WITH ex AS (
