@@ -42,6 +42,15 @@ object UpdateAreasFakeGtfs {
     }.toSeq
   }
 
+  /** Inclusive hour-of-day window predicate. A window crossing midnight
+    * (fromH > untilH, e.g. 22-02) wraps: hour >= from OR hour <= until —
+    * a plain between would silently match nothing for such a config.
+    */
+  def hourWindow(hourCol: org.apache.spark.sql.Column,
+                 fromH: Int, untilH: Int): org.apache.spark.sql.Column =
+    if (fromH <= untilH) hourCol.between(fromH, untilH)
+    else hourCol >= fromH || hourCol <= untilH
+
   def areasFromResource(path: String = "/graft/areas.yaml"): Seq[AreaCfg] = {
     val in = getClass.getResourceAsStream(path)
     require(in != null, s"missing resource $path")
@@ -86,10 +95,10 @@ object UpdateAreasFakeGtfs {
           // the window is Israel-local INCLUSIVE [from, until]
           // (the areas config contract): pre-filter stop-times on the
           // Israel-local hour and give the extractor a pass-through
-          // hour window
-          val localTimes = gtfsRideStop.filter(
-            hour(from_utc_timestamp(col("departure_time"), "Asia/Jerusalem"))
-              .between(fromH, untilH))
+          // hour window; [[hourWindow]] wraps past-midnight configs
+          val localTimes = gtfsRideStop.filter(hourWindow(
+            hour(from_utc_timestamp(col("departure_time"), "Asia/Jerusalem")),
+            fromH, untilH))
           FakeGtfsExtract.run(spark,
             gtfsStop.filter(col("date") === lit(date)), localTimes,
             FakeGtfsExtract.Area(area.id, area.minLat, area.minLon,

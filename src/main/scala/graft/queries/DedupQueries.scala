@@ -147,12 +147,16 @@ object DedupQueries {
       signatures(s, dir).localCheckpoint()
     }
 
-  /** Same materialize-once treatment for the shingle sets: q31 reads
-    * them on both sides of the candidate join and q50 on three plan
-    * branches — without it each branch re-tokenizes the corpus.
+  /** Same materialize-once-and-memoize treatment as
+    * [[checkpointedSignatures]] for the shingle sets: q50 reads them on
+    * three plan branches, and the memo shares the tokenization pass
+    * across repeated q50 invocations (a bench loop, a DAG rerun) —
+    * without it every call re-tokenizes the corpus.
     */
   private def checkpointedShingleSets(s: SparkSession, dir: String): DataFrame =
-    shingleSets(s, dir).localCheckpoint()
+    QueryMemo.get(s, s"dedup-shingle-sets:$dir") {
+      shingleSets(s, dir).localCheckpoint()
+    }
 
   /** q29 — MinHash+LSH near-dup candidates with estimated similarity
     * (fraction of equal signature slots). shingle→minhash→band→bucket-join.

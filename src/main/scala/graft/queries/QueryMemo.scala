@@ -12,23 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * JVM cycling through sessions or datasets retains a fixed number of
   * checkpointed frames at worst (their blocks are reclaimed by the
   * ContextCleaner once evicted and unreferenced). Sessions are keyed by
-  * identity, values by a caller-chosen string; datasets under a key are
-  * assumed immutable for the session — callers that rewrite a path in
-  * place must [[invalidate]].
+  * REFERENCE (SparkSession does not override equals, and the value
+  * strongly references its session anyway — an identity-hash key could
+  * collide across two live sessions and serve a frame whose blocks
+  * belong to a different SparkContext); values by a caller-chosen
+  * string. Datasets under a key are assumed immutable for the
+  * session — callers that rewrite a path in place must [[invalidate]].
   */
 object QueryMemo {
 
   val MaxEntries = 16
 
   private val cache =
-    new java.util.LinkedHashMap[(Int, String), DataFrame](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
         size() > MaxEntries
     }
 
-  private def k(s: SparkSession, key: String): (Int, String) =
-    (System.identityHashCode(s), key)
+  private def k(s: SparkSession, key: String): (SparkSession, String) =
+    (s, key)
 
   def get(s: SparkSession, key: String)(compute: => DataFrame): DataFrame =
     cache.synchronized {

@@ -90,18 +90,39 @@ object StreamingDedup {
       }
   }
 
-  /** Convenience: distinct unordered duplicate PAIRS from the candidate
-    * stream (a pair colliding in several bands reports once per
-    * micro-batch output — downstream dedup-decisioning joins on the
-    * pair anyway, mirroring the batch verify phase).
+  /** Distinct unordered duplicate PAIRS from a BATCH view of the
+    * candidate output (e.g. a sink table): canonical (min, max) order
+    * plus an exact dropDuplicates, so a pair that collided in k bands
+    * reports once. For the streaming-native form — where an unbounded
+    * exact distinct would hold state forever — use
+    * [[pairsWithinWatermark]].
     */
   def pairs(cands: Dataset[DupCandidate]): Dataset[(Long, Long)] = {
     import cands.sparkSession.implicits._
     cands.select(
       least(col("doc_id"), col("matched_doc_id")).as("a"),
       greatest(col("doc_id"), col("matched_doc_id")).as("b"))
+      .dropDuplicates("a", "b")
       .as[(Long, Long)]
   }
+
+  /** Streaming-native distinct pairs: a `foreachBatch` writer that
+    * hands each micro-batch's DISTINCT canonical pairs to `sink`. All
+    * k band collisions of one incoming document are emitted by the
+    * same micro-batch (its bands are processed together), so per-batch
+    * distinct yields exactly one row per (pair, collision event) —
+    * with zero dedup state. Chaining a stateful global distinct after
+    * `flatMapGroupsWithState` is instead rejected by Spark's
+    * global-watermark correctness check; a pair re-colliding in a much
+    * later batch re-reports, which downstream decisioning (idempotent
+    * on the pair, like the batch verify phase) absorbs.
+    */
+  def pairsForEachBatch(cands: Dataset[DupCandidate])(
+      sink: Dataset[(Long, Long)] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[DupCandidate] =
+    cands.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[DupCandidate], _: Long) => sink(pairs(batch))
+    }
 
   /** SparkSession helper for symmetry with [[EventStreams.readEvents]]:
     * a parquet-directory document stream.

@@ -12,6 +12,18 @@ class JobsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("hourWindow matches plain ranges and wraps past-midnight windows") {
+    import graft.jobs.UpdateAreasFakeGtfs.hourWindow
+    import org.apache.spark.sql.functions.col
+    val hours = (0 until 24).toDF("h")
+    def sel(fromH: Int, untilH: Int): Seq[Int] =
+      hours.filter(hourWindow(col("h"), fromH, untilH))
+        .as[Int].collect().toSeq.sorted
+    assert(sel(7, 9) == Seq(7, 8, 9))           // plain inclusive range
+    assert(sel(5, 5) == Seq(5))                 // single-hour window
+    assert(sel(22, 2) == Seq(0, 1, 2, 22, 23))  // wraps midnight
+  }
+
   test("EnrichAndPackage runs end-to-end and is idempotent") {
     val base = Files.createTempDirectory("graft_job").toString
     val r1 = EnrichAndPackage.run(spark, sf, s"$base/t", s"$base/p")

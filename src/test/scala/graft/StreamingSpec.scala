@@ -29,16 +29,38 @@ class StreamingSpec extends SparkSpec {
       // band collides), never with the unrelated doc 2
       in.addData(DocEv(3L, base, ts("2024-01-01 10:05:00")))
       q.processAllAvailable()
-      val pairSet = StreamingDedup.pairs(
+      val pairRows = StreamingDedup.pairs(
         spark.table("sdup").as[graft.streaming.DupCandidate])
-        .collect().toSet
-      assert(pairSet == Set((1L, 3L)))
+        .collect()
+      // the 8 band collisions collapse to ONE distinct pair
+      assert(pairRows.toSeq == Seq((1L, 3L)))
       // every one of the 8 bands reported the collision
       assert(spark.table("sdup").count() == 8)
       // replaying doc 3 adds no self-pairs
       in.addData(DocEv(3L, base, ts("2024-01-01 10:06:00")))
       q.processAllAvailable()
       assert(spark.table("sdup").count() == 8)
+    } finally q.stop()
+  }
+
+  test("pairsForEachBatch emits one distinct pair per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocEv]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingDedup.pairsForEachBatch(
+        StreamingDedup.candidates(in.toDS(),
+          nBands = 8, rowsPerBand = 2, horizonMinutes = 60)) { batch =>
+        got.synchronized { got ++= batch.collect() }: Unit
+      }.start()
+    try {
+      val base = (0 until 30).map(i => s"w$i").mkString(" ")
+      in.addData(DocEv(1L, base, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // identical doc in a later batch: 8 band collisions arrive in ONE
+      // micro-batch and collapse to a single distinct pair
+      in.addData(DocEv(3L, base, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSeq) == Seq((1L, 3L)))
     } finally q.stop()
   }
 
