@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
-      graft.queries.SamplingQueries.queries
+      graft.queries.SamplingQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
-      graft.queries.SamplingQueries.oracles
+      graft.queries.SamplingQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

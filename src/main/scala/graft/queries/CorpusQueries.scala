@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{DedupFunctions, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the steps between a scored/deduped
+  * document lake and a training run: domain-mixture resampling,
+  * deterministic train/val/test splitting, character-entropy quality
+  * scoring, and curriculum bucketing by quality quantile.
+  *
+  * All four follow the repo's portability discipline: every sampling
+  * decision is md5-derived from stable keys (reproducible across
+  * engines, runs, and cluster sizes), every threshold is computed with
+  * integer or exact-double arithmetic shared verbatim with the DuckDB
+  * oracle, and nothing does a global sort over the corpus.
+  */
+object CorpusQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-myriad (basis-point × 100) resolution of mixture keep-rates. */
+  val MixBps = 10000
+
+  /** q59 — domain-mixture resampling: rebalance the corpus toward a
+    * UNIFORM language mixture by down-sampling over-represented
+    * languages. keep_rate(lang) = min(1, target/n_lang) with
+    * target = total/n_langs, quantized to [[MixBps]]ths; a document
+    * survives iff md5("mix-"+doc_id) mod [[MixBps]] < quantized rate —
+    * the deterministic coin every engine flips identically.
+    *
+    * Scale shape: the rate table is a ≤ n_langs-row aggregate
+    * (partial-agg shuffle) broadcast back onto the corpus; the corpus
+    * itself is touched in ONE narrow filter pass — no global sort, no
+    * per-language repartition. The same plan at 100 TB broadcasts a
+    * few-hundred-row rate table against every scan partition.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    val rates = counts
+      .withColumn("target",
+        sum(col("n_docs")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .withColumn("keep_bps",
+        round(least(lit(1.0), col("target") / col("n_docs").cast("double"))
+          * MixBps, 0).cast("long"))
+      .select(col("lang"), col("n_docs"), col("keep_bps"))
+    val kept = docs
+      .join(broadcast(rates.select(col("lang"), col("keep_bps"))), "lang")
+      .filter(DedupFunctions.md5Hash32(
+        concat(lit("mix-"), col("doc_id").cast("string"))) % MixBps
+        < col("keep_bps"))
+      .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("keep_bps"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"))
+  }
+
+  /** Train/val/test per-cent cut points (q60): <98 train, <99 val. */
+  val TrainPct = 98
+  val ValPct = 99
+
+  /** q60 — deterministic train/val/test split: every document lands in
+    * exactly one split by md5("split-"+doc_id) mod 100 — stable under
+    * re-runs, engine changes, and corpus growth (existing docs never
+    * migrate when new ones arrive, unlike any rank- or shuffle-based
+    * split). One narrow projection, no shuffle at all.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val h = DedupFunctions.md5Hash32(
+      concat(lit("split-"), col("doc_id").cast("string"))) % 100
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(h < TrainPct, "train").when(h < ValPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** q61 — character-unigram entropy (bits/char), the classic
+    * gibberish/boilerplate quality signal beside q34's ratio scores and
+    * q52's repetition metrics. One narrow typed pass per document: a
+    * single JVM loop counts characters, then folds −Σ p·log2 p over
+    * characters in codepoint order — the same left-to-right double fold
+    * the oracle's `list_reduce` runs, so the rounded value is
+    * engine-portable (the repo-wide fold-order discipline).
+    */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ln2 = math.log(2.0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (text.isEmpty) (id, 0L, None: Option[Double])
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[Char, Int]
+          var i = 0
+          while (i < text.length) {
+            counts.update(text(i), counts.getOrElse(text(i), 0) + 1)
+            i += 1
+          }
+          val n = text.length.toDouble
+          var acc = 0.0
+          counts.toSeq.sortBy(_._1).foreach { case (_, k) =>
+            val p = k.toDouble / n
+            acc += p * (math.log(p) / ln2)
+          }
+          (id, text.length.toLong, Some(-acc))
+        }
+      }
+      .toDF("doc_id", "len_chars", "entropy_raw")
+      .select(col("doc_id"), col("len_chars"),
+        round(col("entropy_raw"), 4).as("entropy"))
+  }
+
+  /** Number of curriculum buckets (q62). */
+  val NBuckets = 4
+
+  /** q62 — curriculum buckets: quartile the corpus by quality score
+    * WITHOUT a global sort. The heavy pass is a partial-agg groupBy on
+    * the (4-dp, ≤10k distinct) quality value; the quantile thresholds
+    * are extracted from that tiny histogram with pure INTEGER
+    * arithmetic (cum ≥ ceil(k·N/4) as `(k·N+3) div 4` — no interpolated
+    * doubles whose last-ulp could differ between engines), then
+    * broadcast back for a narrow bucket-assignment pass. The same plan
+    * at 100 TB is two corpus scans + a driver-sized histogram, where a
+    * global `ntile` would be one giant sort.
+    */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val hist = scored.groupBy("quality").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val tCols = (1 until NBuckets).map { k =>
+      min(when(col("cum") >= expr(s"($k * n + ${NBuckets - 1}) div $NBuckets"),
+        col("quality"))).as(s"t$k")
+    }
+    val thresholds = cum.agg(tCols.head, tCols.tail: _*)
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("quality"),
+        (lit(1L) + (1 until NBuckets)
+          .map(k => (col("quality") > col(s"t$k")).cast("long"))
+          .reduce(_ + _)).as("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_mixture_resample" -> (q59 _),
+    "q60_train_split" -> (q60 _),
+    "q61_char_entropy" -> (q61 _),
+    "q62_curriculum_buckets" -> (q62 _))
+
+  // ---- oracle SQL ----
+
+  private def md5ModSql(prefix: String, m: Int): String =
+    s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
+
+  val oracles: Map[String, String] = Map(
+    "q59_mixture_resample" ->
+      s"""WITH c AS (
+         | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         | FROM documents GROUP BY lang),
+         |s AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+         |             CAST(count(*) AS DOUBLE) AS nl FROM c),
+         |r AS (SELECT lang, n_docs,
+         |  CAST(round(least(1.0, (s.total / s.nl) / CAST(n_docs AS DOUBLE))
+         |    * $MixBps) AS BIGINT) AS keep_bps
+         | FROM c, s),
+         |k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS kept_docs
+         | FROM documents d JOIN r ON d.lang = r.lang
+         | WHERE ${md5ModSql("mix-", MixBps)} < r.keep_bps
+         | GROUP BY d.lang)
+         |SELECT r.lang, r.n_docs, r.keep_bps,
+         | coalesce(k.kept_docs, CAST(0 AS BIGINT)) AS kept_docs
+         |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin,
+    "q60_train_split" ->
+      s"""SELECT doc_id, source,
+         | CASE WHEN ${md5ModSql("split-", 100)} < $TrainPct THEN 'train'
+         |      WHEN ${md5ModSql("split-", 100)} < $ValPct THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "q61_char_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id, substr(text, CAST(i + 1 AS INT), 1) AS c
+        | FROM documents CROSS JOIN unnest(range(0, length(text))) AS t(i)
+        | WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        |        FROM ch GROUP BY doc_id, c),
+        |l AS (SELECT doc_id, list(k ORDER BY c) AS ks FROM cnt GROUP BY doc_id),
+        |n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars
+        |      FROM documents)
+        |SELECT n.doc_id, n.len_chars,
+        | CASE WHEN n.len_chars = 0 THEN NULL
+        |  ELSE round(-list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |    list_transform(l.ks,
+        |      k -> (k / n.len_chars) * (ln(k / n.len_chars) / ln(2.0)))),
+        |    (a, x) -> a + x), 4)
+        | END AS entropy
+        |FROM n LEFT JOIN l ON n.doc_id = l.doc_id""".stripMargin,
+    "q62_curriculum_buckets" -> {
+      val wsSql = TextQueries.wsSql
+      val praw = TextQueries.punctRatioSql
+      s"""WITH s AS (
+         | SELECT doc_id,
+         |  round(least(CAST(len($wsSql) AS DOUBLE) / 100.0, 1.0)
+         |    * greatest(0.0, 1.0 - ($praw) * 5.0), 4) AS quality
+         | FROM documents),
+         |h AS (SELECT quality, CAST(count(*) AS BIGINT) AS c
+         |      FROM s GROUP BY quality),
+         |cum AS (SELECT quality,
+         |  sum(c) OVER (ORDER BY quality
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(c) OVER () AS n
+         | FROM h),
+         |t AS (SELECT
+         |  min(CASE WHEN cum >= (1 * n + 3) // 4 THEN quality END) AS t1,
+         |  min(CASE WHEN cum >= (2 * n + 3) // 4 THEN quality END) AS t2,
+         |  min(CASE WHEN cum >= (3 * n + 3) // 4 THEN quality END) AS t3
+         | FROM cum)
+         |SELECT s.doc_id, s.quality,
+         | 1 + CAST(s.quality > t.t1 AS BIGINT)
+         |   + CAST(s.quality > t.t2 AS BIGINT)
+         |   + CAST(s.quality > t.t3 AS BIGINT) AS bucket
+         |FROM s CROSS JOIN t""".stripMargin
+    })
+}

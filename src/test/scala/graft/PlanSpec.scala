@@ -65,4 +65,24 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalQueries.q02(spark, sf))
     assert(p.contains("*(1)"))
   }
+
+  test("q59: rate table broadcasts onto the corpus, no shuffle join") {
+    val p = plan(graft.queries.CorpusQueries.q59(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q60: split assignment is a pure projection, zero exchanges") {
+    val p = plan(graft.queries.CorpusQueries.q60(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q62: bucket thresholds broadcast, corpus is never globally sorted") {
+    // the only Sort allowed is inside the tiny histogram window; the
+    // document-side bucket assignment must be a broadcast of the 1-row
+    // threshold frame, not a sort/ntile over the corpus
+    val p = plan(graft.queries.CorpusQueries.q62(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ntile"))
+  }
 }
