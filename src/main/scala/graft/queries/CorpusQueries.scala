@@ -149,11 +149,43 @@ object CorpusQueries {
           .reduce(_ + _)).as("bucket"))
   }
 
+  /** Per-group selection size (q63). */
+  val TopKDocs = 3
+
+  /** q63 — top-[[TopKDocs]] documents by quality per source, via
+    * [[graft.operators.TopKPerGroup]]'s bounded typed aggregator
+    * instead of the window-sort recipe. The shuffle carries at most
+    * k rows per (map partition, source) — partial aggregation bounds
+    * the buffer BEFORE the exchange — and nothing sorts the corpus;
+    * `row_number()` over a window would shuffle and sort every row of
+    * every group for a k-row answer. Order: quality desc, doc_id asc
+    * (total, deterministic).
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = graft.operators.TopKPerGroup.topK[(Double, Long)](
+      TopKDocs, Ordering.by { case (q, id) => (-q, id) })
+    t(s, dir, "documents")
+      .select(col("source"), TextFunctions.qualityScore(col("text")),
+        col("doc_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((q, id), i) =>
+          (src, id, q, (i + 1).toLong)
+        }
+      }
+      .toDF("source", "doc_id", "quality", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
     "q61_char_entropy" -> (q61 _),
-    "q62_curriculum_buckets" -> (q62 _))
+    "q62_curriculum_buckets" -> (q62 _),
+    "q63_topk_per_group" -> (q63 _))
 
   // ---- oracle SQL ----
 
@@ -202,6 +234,22 @@ object CorpusQueries {
         |    (a, x) -> a + x), 4)
         | END AS entropy
         |FROM n LEFT JOIN l ON n.doc_id = l.doc_id""".stripMargin,
+    "q63_topk_per_group" -> {
+      val wsSql = TextQueries.wsSql
+      val praw = TextQueries.punctRatioSql
+      s"""WITH s AS (
+         | SELECT doc_id, source,
+         |  round(least(CAST(len($wsSql) AS DOUBLE) / 100.0, 1.0)
+         |    * greatest(0.0, 1.0 - ($praw) * 5.0), 4) AS quality
+         | FROM documents),
+         |r AS (
+         | SELECT source, doc_id, quality,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+         | FROM s)
+         |SELECT source, doc_id, quality, rank
+         |FROM r WHERE rank <= $TopKDocs""".stripMargin
+    },
     "q62_curriculum_buckets" -> {
       val wsSql = TextQueries.wsSql
       val praw = TextQueries.punctRatioSql

@@ -75,6 +75,37 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream interval join: pair each left event with the right
+    * events of the same user whose timestamp falls within
+    * [left.ts, left.ts + withinMinutes] — the streaming form of the
+    * batch band join (J7/q12): correlate a click stream with the
+    * conversions that follow it, a vehicle ping with the stop events
+    * around it.
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * event-time distance, so Spark derives exactly how long each side's
+    * rows must be buffered and drops join state behind the watermark —
+    * the textbook bounded-state stream-stream join. Without the time
+    * bound the state would grow with the stream forever (and Spark
+    * would reject the append-mode query).
+    */
+  def intervalJoin(left: Dataset[Ev], right: Dataset[Ev],
+                   withinMinutes: Int): DataFrame = {
+    val l = left.withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("event_id").as("l_event_id"), col("user_id").as("l_user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("l_user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("l_user_id").as("user_id"), col("l_event_id"),
+        col("r_event_id"), col("l_ts"), col("r_ts"),
+        round(col("r_value") - col("l_value"), 2).as("value_delta"))
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when `gapMinutes` pass with no event (event-time timeout —
     * the watermark drives emission, not wall clock). Batch q42 computes

@@ -155,6 +155,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.columns.toSet == Set("id", "v", "tag"))
   }
 
+  test("TopKPerGroup matches the window-sort recipe and bounds its buffer") {
+    import graft.operators.TopKPerGroup
+    // skewed groups: group "a" has 1000 rows, "b" has 2, "c" has k ties
+    val rows = (1 to 1000).map(i => ("a", i.toDouble % 97, i.toLong)) ++
+      Seq(("b", 5.0, 1L), ("b", 7.0, 2L)) ++
+      (1 to 5).map(i => ("c", 42.0, i.toLong))
+    val ds = rows.toDF("g", "score", "id").as[(String, Double, Long)]
+    val agg = TopKPerGroup.topK[(Double, Long)](
+      3, Ordering.by { case (s, id) => (-s, id) })
+    val got = ds.groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (g, top) => top.map { case (s, id) => (g, s, id) } }
+      .collect().toSet
+    // oracle: full sort per group, take 3, same total order
+    val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }
+        .take(3).map { case (s, id) => (g, s, id) }
+    }.toSet
+    assert(got == exp)
+    // the aggregator's reduce path never holds more than k elements
+    val a = TopKPerGroup.topK[(Double, Long)](2, Ordering.by(identity))
+    val buf = (1 to 100).foldLeft(List.empty[(Double, Long)])(
+      (b, i) => a.reduce(b, (i.toDouble, i.toLong)))
+    assert(buf == List((1.0, 1L), (2.0, 2L)))
+    assert(a.merge(List((1.0, 1L), (3.0, 3L)), List((2.0, 2L), (4.0, 4L)))
+      == List((1.0, 1L), (2.0, 2L)))
+  }
+
   test("overwritePartitions only rewrites touched partitions") {
     val dir = Files.createTempDirectory("graft_dyn_overwrite").toString
     val v1 = Seq((1L, "2024-01-01", 100L), (2L, "2024-01-02", 200L))

@@ -77,6 +77,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("q63: top-k per group is a bounded typed agg, not a window sort") {
+    // partial + final ObjectHashAggregate: the shuffle carries ≤k rows
+    // per (map partition, group); a Window plan would sort every group
+    val p = plan(graft.queries.CorpusQueries.q63(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Window"))
+  }
+
   test("q62: bucket thresholds broadcast, corpus is never globally sorted") {
     // the only Sort allowed is inside the tiny histogram window; the
     // document-side bucket assignment must be a broadcast of the 1-row

@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sc = spark.sqlContext
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(l.toDS(), r.toDS(), withinMinutes = 30)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      l.addData(Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0))
+      r.addData(
+        Ev(101, 10, "buy", ts("2024-01-01 10:10:00"), 5.0),  // +10m: joins
+        Ev(102, 10, "buy", ts("2024-01-01 11:00:00"), 9.0),  // +60m: outside
+        Ev(103, 10, "buy", ts("2024-01-01 09:50:00"), 7.0),  // before: outside
+        Ev(104, 99, "buy", ts("2024-01-01 10:10:00"), 3.0))  // other user
+      q.processAllAvailable()
+      // a right row arriving in a LATER batch still joins (within state)
+      r.addData(Ev(105, 10, "buy", ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("ivj")
+        .select($"l_event_id", $"r_event_id", $"value_delta")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 101L, 4.0), (1L, 105L, 1.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on event-time timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
