@@ -61,7 +61,9 @@ object TopKPerGroup {
   }
 
   /** Convenience constructor for Product element types (tuples, case
-    * classes): reflection-derives the buffer/output encoders.
+    * classes): reflection-derives the buffer/output encoders. Runtime
+    * reflection can fail under REPL-style classloaders (e.g. the sbt
+    * console) — use [[topKWith]] with explicit encoders there.
     */
   def topK[I <: Product: scala.reflect.runtime.universe.TypeTag](
       k: Int, ord: Ordering[I]): TopKAggregator[I] =
