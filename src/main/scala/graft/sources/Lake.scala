@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Date-partitioned lake layout — the 100 TB shape of the engine's
@@ -42,4 +42,89 @@ object Lake {
                fromDay: String, untilDay: String): DataFrame =
     readFact(spark, path)
       .filter(col("p_date") >= lit(fromDay) && col("p_date") < lit(untilDay))
+
+  // ---- Z-order layout ----
+
+  /** Bit-interleaved Morton (Z-order) value of two non-negative integer
+    * columns already scaled to `bits` bits each: bit i of `a` lands at
+    * position 2i+1, bit i of `b` at 2i. Pure column math (shifts, AND,
+    * OR) — codegen'd, no UDF.
+    */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Scale a numeric column linearly into [0, 2^bits) given its global
+    * min/max (degenerate ranges collapse to 0).
+    */
+  private def scaleToBits(c: Column, mn: Double, mx: Double,
+                          bits: Int): Column = {
+    val span = mx - mn
+    if (span <= 0) lit(0L)
+    else least(lit((1L << bits) - 1),
+      floor((c.cast("double") - mn) / span * ((1L << bits) - 1)).cast("long"))
+  }
+
+  /** Z-order-clustered write: interleave the two columns' scaled bits
+    * into a Morton key, range-partition into `numFiles` output files on
+    * that key, and sort within each file. Every file then covers a
+    * COMPACT RECTANGLE of the (a, b) space instead of a full-range
+    * stripe, so parquet min/max stats prune files for predicates on
+    * EITHER column — the multi-dimensional generalization of
+    * [[writeFactByDay]]'s single-key sort. At 100 TB this is the
+    * standard layout for fact tables queried by two independent
+    * selective dimensions (ride × time, doc × quality): a plain sort
+    * helps one dimension and leaves the other unprunable.
+    *
+    * The min/max pre-pass is one tiny aggregate; the write is one
+    * range exchange — the same cost as any clustered write.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    path: String, numFiles: Int, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val z = interleaveBits(
+      scaleToBits(col(colA), r.getDouble(0), r.getDouble(1), bits),
+      scaleToBits(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  // ---- small-file compaction ----
+
+  /** Compact a parquet directory's small files to ~`targetBytes` per
+    * file: list current bytes, coalesce to ceil(bytes/target) (never
+    * 0), rewrite to a side directory, then swap atomically (rename) so
+    * a failed compaction never destroys the current data — the same
+    * publish discipline as the named-table lake. Small files are the
+    * classic silent killer of 100 TB scans (one task + one footer read
+    * per file); periodic compaction keeps file count proportional to
+    * data size, not to ingest batch count.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val bytes = fs.getContentSummary(p).getLength
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: cannot stage $path")
+    if (!fs.rename(tmp, p)) { // restore on failure
+      fs.rename(old, p)
+      throw new IllegalStateException(s"compact: swap failed for $path")
+    }
+    fs.delete(old, true)
+    nOut
+  }
 }

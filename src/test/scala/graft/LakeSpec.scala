@@ -32,6 +32,70 @@ class LakeSpec extends SparkSpec {
     assert(scan.count() == expected)
   }
 
+  test("interleaveBits produces the Morton order") {
+    val rows = Seq((0L, 0L), (3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L))
+      .toDF("a", "b")
+      .select(Lake.interleaveBits($"a", $"b", 2).as("z"))
+      .as[Long].collect().toSeq
+    // a-bits land at odd positions, b-bits at even:
+    // (0,0)→0, (3,0)→0b1010=10, (0,3)→0b0101=5, (3,3)→15, (2,1)→0b1001=9
+    assert(rows == Seq(0L, 10L, 5L, 15L, 9L))
+  }
+
+  test("z-ordered layout keeps per-file ranges tight on BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_partkey", $"l_suppkey")
+    Lake.writeZOrdered(li, "l_partkey", "l_suppkey", dir + "/z", numFiles = 16)
+
+    def avgExtent(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toString)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min($"l_partkey"), max($"l_partkey"),
+            min($"l_suppkey"), max($"l_suppkey")).head()
+        ((r.getLong(1) - r.getLong(0)).toDouble,
+          (r.getLong(3) - r.getLong(2)).toDouble)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val whole = li.agg(
+      max($"l_partkey") - min($"l_partkey"),
+      max($"l_suppkey") - min($"l_suppkey")).head()
+    val (fullA, fullB) = (whole.getLong(0).toDouble, whole.getLong(1).toDouble)
+
+    // z-order: every file covers a compact rectangle — both dims tight
+    val (za, zb) = avgExtent(dir + "/z")
+    assert(za / fullA < 0.6, s"partkey extent ${za / fullA}")
+    assert(zb / fullB < 0.6, s"suppkey extent ${zb / fullB}")
+
+    // baseline: sorting by ONE key leaves the other dimension unpruned
+    li.repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.parquet(dir + "/sorted")
+    val (_, sb) = avgExtent(dir + "/sorted")
+    assert(sb / fullB > 0.8, s"single-sort suppkey extent ${sb / fullB}")
+
+    // and nothing was lost
+    assert(spark.read.parquet(dir + "/z").count() == li.count())
+  }
+
+  test("compact folds small files into the target size and keeps the data") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(20).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(nFiles == 20)
+    val nOut = Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nOut == 1 && nFiles == 1)
+    assert(spark.read.parquet(dir).select($"id").as[Long].collect().sorted.toSeq
+      == (1L to 10000L))
+    // the staging/backup directories are gone
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(!new java.io.File(dir + "__compacting").exists())
+  }
+
   test("bucketed tables join without any exchange") {
     import graft.sources.BucketedLake
     val facts = (0 until 5000).map(i => (i.toLong % 500, i.toDouble))
