@@ -174,4 +174,40 @@ class SourcesSpec extends SparkSpec {
       limit = Some(1)).select($"artifact_id").as[Long].collect().toSeq
     assert(limited == Seq(b.artifactId))
   }
+
+  test("JsonLines round-trips, quarantines corrupt lines, honors gzip") {
+    import graft.sources.JsonLines
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_jsonl").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // write a clean frame, read it back schema-enforced
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    JsonLines.write(df, s"$base/clean", numFiles = 1)
+    val back = JsonLines.readClean(spark, s"$base/clean", schema)
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "alpha"), (2L, "beta")))
+
+    // hand-write a file with one broken line: clean rows survive, the
+    // broken line is quarantined verbatim, nothing is silently dropped
+    val dirty = s"$base/dirty"
+    new java.io.File(dirty).mkdirs()
+    Files.writeString(java.nio.file.Path.of(dirty, "part-0.jsonl"),
+      """{"doc_id": 1, "text": "ok"}
+        |{not json at all
+        |{"doc_id": 2, "text": "also ok"}
+        |""".stripMargin)
+    assert(JsonLines.readClean(spark, dirty, schema)
+      .as[(Long, String)].collect().toSet == Set((1L, "ok"), (2L, "also ok")))
+    val corrupt = JsonLines.corruptLines(spark, dirty, schema)
+      .as[String].collect().toSeq
+    assert(corrupt == Seq("{not json at all"))
+
+    // gzip write round-trips (one .gz part per output file)
+    JsonLines.write(df, s"$base/gz", numFiles = 1, gzipped = true)
+    assert(new java.io.File(s"$base/gz").listFiles()
+      .exists(_.getName.endsWith(".json.gz")))
+    assert(JsonLines.readClean(spark, s"$base/gz", schema).count() == 2)
+  }
 }
