@@ -95,19 +95,25 @@ object CorpusQueries {
       .map { case (id, text) =>
         if (text.isEmpty) (id, 0L, None: Option[Double])
         else {
-          val counts = scala.collection.mutable.HashMap.empty[Char, Int]
+          // iterate CODEPOINTS, not UTF-16 code units: DuckDB's
+          // length()/substr() are codepoint-based, and a surrogate pair
+          // must count as one character (UTF-8 byte order == codepoint
+          // order, so the sorted fold matches the oracle's ORDER BY)
+          val counts = scala.collection.mutable.HashMap.empty[Int, Int]
           var i = 0
+          var n = 0L
           while (i < text.length) {
-            counts.update(text(i), counts.getOrElse(text(i), 0) + 1)
-            i += 1
+            val cp = text.codePointAt(i)
+            counts.update(cp, counts.getOrElse(cp, 0) + 1)
+            i += Character.charCount(cp)
+            n += 1
           }
-          val n = text.length.toDouble
           var acc = 0.0
           counts.toSeq.sortBy(_._1).foreach { case (_, k) =>
             val p = k.toDouble / n
             acc += p * (math.log(p) / ln2)
           }
-          (id, text.length.toLong, Some(-acc))
+          (id, n, Some(-acc))
         }
       }
       .toDF("doc_id", "len_chars", "entropy_raw")

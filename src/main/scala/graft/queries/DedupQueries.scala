@@ -347,10 +347,15 @@ object DedupQueries {
         .localCheckpoint()
     }
 
-  /** Drop the memoized clustering for a dataset that was rewritten. */
+  /** Drop every memoized derivation for a dataset that was rewritten
+    * in place: the clustering, the signatures it derives from, and the
+    * shingle sets (q50) — missing any one would serve results for the
+    * old corpus beside fresh ones.
+    */
   def invalidateClusterLabels(s: SparkSession, dir: String): Unit = {
     QueryMemo.invalidate(s, s"dedup-cluster-labels:$dir")
     QueryMemo.invalidate(s, s"dedup-signatures:$dir")
+    QueryMemo.invalidate(s, s"dedup-shingle-sets:$dir")
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components

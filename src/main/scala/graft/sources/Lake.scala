@@ -86,9 +86,12 @@ object Lake {
     val r = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    // empty input / all-null column → degenerate range → z = 0 for every
+    // row (single cluster), instead of an NPE out of Row.getDouble
+    def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     val z = interleaveBits(
-      scaleToBits(col(colA), r.getDouble(0), r.getDouble(1), bits),
-      scaleToBits(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)
+      scaleToBits(col(colA), d(0), d(1), bits),
+      scaleToBits(col(colB), d(2), d(3), bits), bits)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
@@ -100,28 +103,40 @@ object Lake {
 
   /** Compact a parquet directory's small files to ~`targetBytes` per
     * file: list current bytes, coalesce to ceil(bytes/target) (never
-    * 0), rewrite to a side directory, then swap atomically (rename) so
-    * a failed compaction never destroys the current data — the same
-    * publish discipline as the named-table lake. Small files are the
-    * classic silent killer of 100 TB scans (one task + one footer read
-    * per file); periodic compaction keeps file count proportional to
-    * data size, not to ingest batch count.
+    * 0), rewrite to a side directory, then swap via two renames. The
+    * data is never destroyed — at every instant it exists in full at
+    * `path`, `path__old`, or `path__compacting` — but the swap is NOT
+    * one atomic operation: a crash between the renames (or a
+    * concurrent reader racing them) can observe `path` briefly
+    * missing. A re-run SELF-HEALS that state (the `__old` backup is
+    * renamed back before compacting). Deployments that need
+    * fully-atomic publish use the named-table lake's pointer swap
+    * (`SiriLake.replace`); this direct-path form is for tables
+    * addressed by physical path. Small files are the classic silent
+    * killer of 100 TB scans (one task + one footer read per file);
+    * periodic compaction keeps file count proportional to data size,
+    * not to ingest batch count.
     */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val bytes = fs.getContentSummary(p).getLength
-    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
+    // self-heal a previous run that crashed between its two renames
+    if (!fs.exists(p) && fs.exists(old)) {
+      require(fs.rename(old, p), s"compact: cannot restore $path from $old")
+    }
+    val bytes = fs.getContentSummary(p).getLength
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path).coalesce(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(old, true)
     require(fs.rename(p, old), s"compact: cannot stage $path")
-    if (!fs.rename(tmp, p)) { // restore on failure
-      fs.rename(old, p)
+    if (!fs.rename(tmp, p)) {
+      require(fs.rename(old, p),
+        s"compact: swap failed AND restore failed — data is at $old")
       throw new IllegalStateException(s"compact: swap failed for $path")
     }
     fs.delete(old, true)

@@ -96,6 +96,24 @@ class LakeSpec extends SparkSpec {
     assert(!new java.io.File(dir + "__compacting").exists())
   }
 
+  test("compact self-heals a crash between its two renames") {
+    val base = Files.createTempDirectory("graft_heal").toString
+    val dir = base + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(dir)
+    // simulate a crash window: live path staged away, swap never ran
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!new java.io.File(dir + "__old").exists())
+  }
+
+  test("writeZOrdered handles empty input without throwing") {
+    val dir = Files.createTempDirectory("graft_zempty").toString + "/z"
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Lake.writeZOrdered(empty, "a", "b", dir, numFiles = 4)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
+
   test("bucketed tables join without any exchange") {
     import graft.sources.BucketedLake
     val facts = (0 until 5000).map(i => (i.toLong % 500, i.toDouble))
