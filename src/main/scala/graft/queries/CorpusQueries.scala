@@ -186,12 +186,31 @@ object CorpusQueries {
       .toDF("source", "doc_id", "quality", "rank")
   }
 
+  /** Result size for the n-gram vocabulary query (q64). */
+  val TopNgrams = 20
+
+  /** q64 — corpus-level top-[[TopNgrams]] word bigrams: the vocabulary
+    * mining pass behind tokenizer training and boilerplate discovery
+    * (a bigram appearing in thousands of documents is template text).
+    * One explode → partial-agg count (map-side combined) → global
+    * top-k as TakeOrderedAndProject — no global sort; ties break on
+    * the bigram text so the cut is deterministic.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(TopNgrams)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
     "q61_char_entropy" -> (q61 _),
     "q62_curriculum_buckets" -> (q62 _),
-    "q63_topk_per_group" -> (q63 _))
+    "q63_topk_per_group" -> (q63 _),
+    "q64_top_ngrams" -> (q64 _))
 
   // ---- oracle SQL ----
 
@@ -222,6 +241,18 @@ object CorpusQueries {
          |      WHEN ${md5ModSql("split-", 100)} < $ValPct THEN 'val'
          |      ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "q64_top_ngrams" -> {
+      val wsSql = TextQueries.wsSql
+      s"""WITH base AS (SELECT $wsSql AS ws FROM documents),
+         |grams AS (
+         | SELECT unnest(list_transform(range(1, len(ws)),
+         |   i -> concat(ws[i], ' ', ws[i+1]))) AS ngram
+         | FROM base WHERE len(ws) >= 2)
+         |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM grams GROUP BY ngram
+         |ORDER BY n_occurrences DESC, ngram ASC
+         |LIMIT $TopNgrams""".stripMargin
+    },
     "q61_char_entropy" ->
       """WITH ch AS (
         | SELECT doc_id, substr(text, CAST(i + 1 AS INT), 1) AS c

@@ -183,6 +183,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LakeSink appends batches idempotently (replay-safe)") {
+    import graft.streaming.LakeSink
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val in = MemoryStream[Ev]
+    val q = LakeSink.writeTo(in.toDF(), dir).start()
+    try {
+      in.addData(Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, 11, "view", ts("2024-01-01 11:00:00"), 2.0))
+      q.processAllAvailable()
+      val read = spark.read.parquet(dir)
+      assert(read.count() == 2)
+      // batch id is a partition column readers can audit/prune on
+      assert(read.columns.contains("batch_id"))
+      assert(read.select($"batch_id").distinct().count() == 2)
+      // a REPLAYED batch (same id) rewrites its directory, no dup rows
+      LakeSink.appendIdempotent(
+        Seq(Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0)).toDF(),
+        batchId = 0L, dir)
+      assert(spark.read.parquet(dir).count() == 2)
+    } finally q.stop()
+  }
+
   test("batch q42 and streaming sessionize agree on the same events") {
     // the lake's events at sf0.001 through the BATCH sessionizer vs the
     // same rows folded through the streaming session logic (state-machine
