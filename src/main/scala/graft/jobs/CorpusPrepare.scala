@@ -1,0 +1,84 @@
+package graft.jobs
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.queries.{CorpusQueries, DedupQueries}
+import graft.sources.JsonLines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The LLM training-data pipeline as lake-to-lake jobs — the
+  * beyond-reference twin of the SIRI enrichment chain, composed from
+  * the same operators the query surface exposes (q34/q52/q61 scoring,
+  * q48 dedup decision, q60 split, q57 packing) and run as one DAG
+  * (`graft-corpus-prepare` in graft/dags.yaml) with the reference's
+  * task semantics: sequential tasks, a failure skips the rest.
+  *
+  * Tasks communicate through lake tables (`corpus_scores`,
+  * `corpus_dedup`, `corpus_packed`), never through the driver; the
+  * final task additionally exports train-split shards as JSONL — the
+  * interchange artifact a downstream trainer consumes.
+  */
+object CorpusPrepare {
+
+  /** Documents below this composite quality score are dropped. */
+  val MinQuality = 0.5
+
+  /** Per-document scoring pass: composite quality (q34), token count,
+    * repetition (q52 shape), character entropy (q61 shape) — one
+    * narrow pass each, joined on doc_id.
+    */
+  def score(s: SparkSession, sfDir: String): DataFrame = {
+    val quality = Tables.load(s, sfDir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val entropy = CorpusQueries.q61(s, sfDir)
+      .select(col("doc_id"), col("entropy"))
+    quality.join(entropy, Seq("doc_id"), "left")
+  }
+
+  /** The dedup decision (q48): doc_id → canonical_doc_id. */
+  def dedupDecide(s: SparkSession, sfDir: String): DataFrame =
+    DedupQueries.clusterLabels(s, sfDir)
+
+  /** Filter + split + pack: keep canonical documents above
+    * [[MinQuality]], assign the deterministic train/val/test split
+    * (q60 hash discipline), sequence-pack the survivors per source
+    * (q57 discipline), and return the shippable row set.
+    */
+  def filterPack(s: SparkSession, sfDir: String,
+                 scores: DataFrame, dedup: DataFrame): DataFrame = {
+    val docs = Tables.load(s, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val h = graft.functions.DedupFunctions.md5Hash32(
+      concat(lit("split-"), col("doc_id").cast("string"))) % 100
+    val kept = docs
+      .join(dedup, "doc_id")
+      .filter(col("doc_id") === col("canonical_doc_id"))
+      .join(scores, "doc_id")
+      .filter(col("quality") >= MinQuality)
+      .withColumn("split",
+        when(h < CorpusQueries.TrainPct, "train")
+          .when(h < CorpusQueries.ValPct, "val").otherwise("test"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id",
+        floor((col("cum_tokens") - col("n_tokens")) /
+          graft.queries.TextQueries.TokensPerBin).cast("long"))
+      .select("doc_id", "source", "lang", "split", "n_tokens", "quality",
+        "entropy", "bin_id", "text")
+  }
+
+  /** Export the train split as JSONL shards (one per bin bound keeps
+    * shard sizes token-bounded).
+    */
+  def exportTrainJsonl(packed: DataFrame, outDir: String): Unit =
+    JsonLines.write(
+      packed.filter(col("split") === "train")
+        .select("doc_id", "source", "lang", "n_tokens", "bin_id", "text"),
+      outDir)
+}

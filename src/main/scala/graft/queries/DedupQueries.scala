@@ -336,7 +336,7 @@ object DedupQueries {
     * `spark.catalog.clearCache()` between bench queries cannot evict a
     * live entry (checkpoint blocks are not CacheManager state).
     */
-  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, s"dedup-cluster-labels:$dir") {
       val comp = graft.operators.ConnectedComponents.run(
         lshCandidates(checkpointedSignatures(s, dir)), "doc_a", "doc_b")

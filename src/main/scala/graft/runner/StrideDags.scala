@@ -150,5 +150,31 @@ object StrideDags {
       StatsCollect.dailyCounts(s,
         kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required")))
         .count(): Unit
+    },
+
+    // beyond-reference: the training-corpus pipeline over the documents
+    // lake, composed from the q34/q61 scoring, q48 dedup, q60 split and
+    // q57 packing operators; tasks hand off through lake tables
+    "corpus.score" -> { (s, kw) =>
+      val d = wd(kw)
+      val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
+      SiriLake.replace(s, d, "corpus_scores", CorpusPrepare.score(s, sf))
+    },
+
+    "corpus.dedup_decide" -> { (s, kw) =>
+      val d = wd(kw)
+      val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
+      SiriLake.replace(s, d, "corpus_dedup", CorpusPrepare.dedupDecide(s, sf))
+    },
+
+    "corpus.filter_pack" -> { (s, kw) =>
+      val d = wd(kw)
+      val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
+      val packed = CorpusPrepare.filterPack(s, sf,
+        SiriLake.read(s, d, "corpus_scores"),
+        SiriLake.read(s, d, "corpus_dedup"))
+      SiriLake.replace(s, d, "corpus_packed", packed)
+      CorpusPrepare.exportTrainJsonl(
+        SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")
     })
 }

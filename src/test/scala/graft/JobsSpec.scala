@@ -117,6 +117,36 @@ class JobsSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$wd/siri_storage/stride_db_backup/stride_db.sql.gz"), "dump")
   }
 
+  test("corpus-prepare DAG: score, dedup, filter, pack, JSONL export") {
+    import graft.queries.{CorpusQueries, DedupQueries}
+    val wd = Files.createTempDirectory("graft_corpus_dag").toString
+    val corpusDag = StrideDags.config.filter(_.name == "graft-corpus-prepare")
+    assert(corpusDag.nonEmpty)
+    val results = JobGraph.run(spark, corpusDag, StrideDags.registry,
+      overrides = Map("work_dir" -> wd, "sf_dir" -> sf))
+    assert(results.forall(_.status == "success"), results.mkString("\n"))
+
+    val packed = SiriLake.read(spark, wd, "corpus_packed")
+    // every surviving row is its own canonical and above the bar
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .join(DedupQueries.clusterLabels(spark, sf), "doc_id")
+      .filter($"doc_id" === $"canonical_doc_id")
+      .filter(graft.functions.TextFunctions.qualityScore($"text")
+        >= graft.jobs.CorpusPrepare.MinQuality)
+      .count()
+    assert(packed.count() == expected && expected > 0)
+    // split fractions follow the md5 discipline (exactly q60's labels)
+    val splits = packed.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val q60 = CorpusQueries.q60(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(splits.forall { case (id, sp) => q60(id) == sp })
+    // the JSONL export holds exactly the train split
+    val jsonl = spark.read.json(s"$wd/corpus_train_jsonl")
+    assert(jsonl.count() == packed.filter($"split" === "train").count())
+    assert(jsonl.columns.contains("bin_id"))
+  }
+
   test("the whole pipeline surface runs from the declarative DAG config") {
     val wd = Files.createTempDirectory("graft_dags").toString
     seedLake(wd)
