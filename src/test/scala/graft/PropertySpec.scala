@@ -68,4 +68,27 @@ class PropertySpec extends Properties("graft") {
       }
       perLeft && inBand && nearest
     }
+
+  private val groupedGen: Gen[List[(String, Double, Long)]] =
+    Gen.listOfN(25, Gen.zip(
+      Gen.oneOf("a", "b", "c"),
+      Gen.choose(0, 9).map(_.toDouble),  // few distinct scores → many ties
+      Gen.choose(0L, 1000L)))
+      .map(_.distinctBy(_._3))
+
+  property("TopKPerGroup equals sort-take per group for any k") =
+    Prop.forAll(groupedGen, Gen.choose(1, 5)) { (rows, k) =>
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (s, id) => (-s, id)
+      }
+      val agg = graft.operators.TopKPerGroup.topK[(Double, Long)](k, ord)
+      val got = rows.toDF("g", "s", "id").as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("top"))
+        .collect().map { case (g, top) => g -> top.toList }.toMap
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).sorted(ord).take(k)
+      }
+      got == expected
+    }
 }
