@@ -1,7 +1,6 @@
 package graft.jobs
 
 import graft.Tables
-import graft.functions.TextFunctions
 import graft.queries.{CorpusQueries, DedupQueries}
 import graft.sources.JsonLines
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -25,18 +24,53 @@ object CorpusPrepare {
   /** Documents below this composite quality score are dropped. */
   val MinQuality = 0.5
 
-  /** Per-document scoring pass: composite quality (q34), token count,
-    * repetition (q52 shape), character entropy (q61 shape) — one
-    * narrow pass each, joined on doc_id.
+  /** Per-document scoring pass: token count, composite quality (q34's
+    * formula) and character entropy (q61's fold) in ONE narrow typed
+    * pass — the wide `text` column is the dominant scan cost at scale
+    * and is read exactly once, with no join. The JVM arithmetic
+    * mirrors the column functions operation-for-operation (same Java
+    * regex engine Spark's regexp_replace uses, codepoint counting like
+    * UTF8String, raw products rounded through the same column `round`)
+    * so the scores are bit-identical to q34/q61.
     */
   def score(s: SparkSession, sfDir: String): DataFrame = {
-    val quality = Tables.load(s, sfDir, "documents")
-      .select(col("doc_id"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-    val entropy = CorpusQueries.q61(s, sfDir)
-      .select(col("doc_id"), col("entropy"))
-    quality.join(entropy, Seq("doc_id"), "left")
+    import s.implicits._
+    val ln2 = math.log(2.0)
+    Tables.load(s, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val nTok = text.split("\\s+").count(_.nonEmpty).toLong
+        val len = text.codePointCount(0, text.length)
+        val stripped = text.replaceAll("[\\p{L}\\p{N}\\s]", "")
+        val punct = stripped.codePointCount(0, stripped.length)
+        val praw = if (len == 0) 0.0 else punct.toDouble / len.toDouble
+        val qRaw = math.min(nTok.toDouble / 100.0, 1.0) *
+          math.max(0.0, 1.0 - praw * 5.0)
+        val entRaw =
+          if (text.isEmpty) None
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+            var i = 0
+            var n = 0L
+            while (i < text.length) {
+              val cp = text.codePointAt(i)
+              counts.update(cp, counts.getOrElse(cp, 0) + 1)
+              i += Character.charCount(cp)
+              n += 1
+            }
+            var acc = 0.0
+            counts.toSeq.sortBy(_._1).foreach { case (_, k) =>
+              val p = k.toDouble / n
+              acc += p * (math.log(p) / ln2)
+            }
+            Some(-acc)
+          }
+        (id, nTok, qRaw, entRaw)
+      }
+      .toDF("doc_id", "n_tokens", "quality_raw", "entropy_raw")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality_raw"), 4).as("quality"),
+        round(col("entropy_raw"), 4).as("entropy"))
   }
 
   /** The dedup decision (q48): doc_id → canonical_doc_id. */
@@ -45,8 +79,10 @@ object CorpusPrepare {
 
   /** Filter + split + pack: keep canonical documents above
     * [[MinQuality]], assign the deterministic train/val/test split
-    * (q60 hash discipline), sequence-pack the survivors per source
-    * (q57 discipline), and return the shippable row set.
+    * (q60 hash discipline), sequence-pack the survivors (q57
+    * discipline) PER (source, split) — a val/test document must not
+    * consume a train bin's token budget, and every split's packing
+    * starts at bin 0 — and return the shippable row set.
     */
   def filterPack(s: SparkSession, sfDir: String,
                  scores: DataFrame, dedup: DataFrame): DataFrame = {
@@ -62,7 +98,7 @@ object CorpusPrepare {
       .withColumn("split",
         when(h < CorpusQueries.TrainPct, "train")
           .when(h < CorpusQueries.ValPct, "val").otherwise("test"))
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    val w = Window.partitionBy("source", "split").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     kept
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -73,12 +109,14 @@ object CorpusPrepare {
         "entropy", "bin_id", "text")
   }
 
-  /** Export the train split as JSONL shards (one per bin bound keeps
-    * shard sizes token-bounded).
+  /** Export the train split as JSONL shards laid out one directory per
+    * (source, bin) — the bin boundary is PHYSICAL, so a trainer
+    * streaming a shard directory reads one token-bounded bin, not an
+    * arbitrary Spark task partition.
     */
   def exportTrainJsonl(packed: DataFrame, outDir: String): Unit =
     JsonLines.write(
       packed.filter(col("split") === "train")
-        .select("doc_id", "source", "lang", "n_tokens", "bin_id", "text"),
-      outDir)
+        .select("doc_id", "lang", "n_tokens", "text", "source", "bin_id"),
+      outDir, partitionCols = Seq("source", "bin_id"))
 }

@@ -80,12 +80,17 @@ object JsonLines {
 
   /** JSONL write; `gzipped` trades splittability for interchange size
     * (see class doc). `numFiles` bounds the file count the same way
-    * [[Lake.compact]] does after the fact.
+    * [[Lake.compact]] does after the fact. `partitionCols` lays the
+    * export out as one directory per key (shard-per-bin exports) —
+    * partition values live in the path, not the row body, and come
+    * back as columns on read.
     */
   def write(df: DataFrame, path: String, numFiles: Int = 0,
-            gzipped: Boolean = false): Unit = {
+            gzipped: Boolean = false,
+            partitionCols: Seq[String] = Nil): Unit = {
     val out = if (numFiles > 0) df.coalesce(numFiles) else df
-    val w = out.write.mode("overwrite")
-    (if (gzipped) w.option("compression", "gzip") else w).json(path)
+    val w0 = out.write.mode("overwrite")
+    val w1 = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    (if (gzipped) w1.option("compression", "gzip") else w1).json(path)
   }
 }

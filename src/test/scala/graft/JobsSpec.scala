@@ -141,10 +141,21 @@ class JobsSpec extends SparkSpec {
     val q60 = CorpusQueries.q60(spark, sf)
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(splits.forall { case (id, sp) => q60(id) == sp })
-    // the JSONL export holds exactly the train split
+    // packing restarts per (source, split): no split inherits bin ids
+    // consumed by another split's token budget
+    val minBins = packed.groupBy($"source", $"split")
+      .agg(org.apache.spark.sql.functions.min($"bin_id").as("mn"))
+      .select($"mn").as[Long].collect()
+    assert(minBins.nonEmpty && minBins.forall(_ == 0L))
+    // the JSONL export holds exactly the train split, laid out as one
+    // directory per (source, bin) — the bin boundary is physical
     val jsonl = spark.read.json(s"$wd/corpus_train_jsonl")
     assert(jsonl.count() == packed.filter($"split" === "train").count())
     assert(jsonl.columns.contains("bin_id"))
+    val srcDirs = new java.io.File(s"$wd/corpus_train_jsonl").listFiles()
+      .filter(_.getName.startsWith("source="))
+    assert(srcDirs.nonEmpty &&
+      srcDirs.forall(_.listFiles().exists(_.getName.startsWith("bin_id="))))
   }
 
   test("the whole pipeline surface runs from the declarative DAG config") {
