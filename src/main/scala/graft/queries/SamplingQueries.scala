@@ -93,11 +93,44 @@ object SamplingQueries {
       .select(col("l_returnflag"), col("exact_parts"),
         (col("rel_err") <= 0.05).as("approx_ok"))
 
+  /** Accuracy parameter for the approximate percentile sketch (q65):
+    * rank error ≤ n / PercAccuracy.
+    */
+  val PercAccuracy = 10000
+
+  /** Relative tolerance the q65 gate asserts between the sketch and
+    * the exact percentile.
+    */
+  val PercTolerance = 0.01
+
+  /** q65 — the 100 TB percentile path beside q45's exact baseline:
+    * `percentile_approx` (Greenwald-Khanna style mergeable sketch, one
+    * partial-agg pass, bounded memory per group) with the same gate
+    * discipline as q46: the sketch VALUE is engine-specific, so the
+    * oracle row carries the exact interpolated percentiles (fully
+    * oracle-able) plus `approx_ok` — true iff every sketch value
+    * landed within [[PercTolerance]] of exact. The error bound is part
+    * of the hash compare without comparing sketch internals.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $PercAccuracy)")
+        .as("ap"))
+    q45(s, dir).join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+        (abs(element_at(col("ap"), 1) - col("p50")) / col("p50") <= PercTolerance &&
+          abs(element_at(col("ap"), 2) - col("p90")) / col("p90") <= PercTolerance &&
+          abs(element_at(col("ap"), 3) - col("p99")) / col("p99") <= PercTolerance)
+          .as("approx_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
     "q45_percentiles" -> (q45 _),
-    "q46_approx_distinct" -> (q46 _))
+    "q46_approx_distinct" -> (q46 _),
+    "q65_percentiles_approx" -> (q65 _))
 
   val oracles: Map[String, String] = Map(
     "q46_approx_distinct" ->
@@ -118,6 +151,15 @@ object SamplingQueries {
         |   ORDER BY n_docs DESC, source ASC) AS rank FROM c)
         |SELECT lang, source, n_docs, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3""".stripMargin,
+    "q65_percentiles_approx" ->
+      """WITH q AS (
+        | SELECT l_returnflag,
+        |  CAST(quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS DOUBLE[]) AS p
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round(p[1], 4) AS p50, round(p[2], 4) AS p90, round(p[3], 4) AS p99,
+        | TRUE AS approx_ok
+        |FROM q""".stripMargin,
     "q45_percentiles" ->
       """WITH q AS (
         | SELECT l_returnflag,
