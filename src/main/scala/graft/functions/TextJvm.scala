@@ -1,0 +1,74 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+/** JVM-side twins of the [[TextFunctions]] column expressions, for the
+  * narrow typed passes where interpreted higher-order lambdas lose
+  * (q61's entropy fold, the corpus scoring job). One definition per
+  * formula: the query and the job both call these, so they cannot
+  * drift apart — and the regex Patterns are compiled ONCE per JVM, not
+  * per document (String.split/replaceAll recompile per call; Spark's
+  * regexp_replace caches, and the typed path must not be slower).
+  *
+  * Portability notes baked in: counting is by CODEPOINT (DuckDB's
+  * length()/substr() semantics, UTF8String.numChars), the entropy fold
+  * runs left-to-right over codepoints in ascending order (UTF-8 byte
+  * order == codepoint order, so it matches the oracle's ORDER BY), and
+  * the same java.util.regex engine evaluates the same patterns Spark's
+  * codegen'd expressions use.
+  */
+object TextJvm extends Serializable {
+
+  private val Ws: Pattern = Pattern.compile("\\s+")
+  private val Punct: Pattern = Pattern.compile("[\\p{L}\\p{N}\\s]")
+
+  /** Whitespace token count — twin of [[TextFunctions.tokenCountWs]]. */
+  def tokenCountWs(text: String): Long =
+    Ws.split(text).count(_.nonEmpty).toLong
+
+  /** Codepoint length — twin of Spark `length()` on strings. */
+  def lenCodepoints(text: String): Long =
+    text.codePointCount(0, text.length).toLong
+
+  /** Composite quality score, UNROUNDED — twin of
+    * [[TextFunctions.qualityScore]] before its 4-dp `round` (callers
+    * round through the same column `round`, guaranteeing identical
+    * rounding to the declarative form).
+    */
+  def qualityRaw(text: String): Double = {
+    val n = tokenCountWs(text).toDouble
+    val len = lenCodepoints(text)
+    val stripped = Punct.matcher(text).replaceAll("")
+    val praw =
+      if (len == 0) 0.0
+      else stripped.codePointCount(0, stripped.length).toDouble / len.toDouble
+    math.min(n / 100.0, 1.0) * math.max(0.0, 1.0 - praw * 5.0)
+  }
+
+  private val Ln2 = math.log(2.0)
+
+  /** Character-unigram entropy in bits, UNROUNDED: −Σ p·log2 p folded
+    * left-to-right over codepoints in ascending order. None for the
+    * empty string. The single definition behind q61 and the corpus
+    * scoring job.
+    */
+  def charEntropyRaw(text: String): Option[Double] =
+    if (text.isEmpty) None
+    else {
+      val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+      var i = 0
+      var n = 0L
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        counts.update(cp, counts.getOrElse(cp, 0) + 1)
+        i += Character.charCount(cp)
+        n += 1
+      }
+      var acc = 0.0
+      counts.toSeq.sortBy(_._1).foreach { case (_, k) =>
+        val p = k.toDouble / n
+        acc += p * (math.log(p) / Ln2)
+      }
+      Some(-acc)
+    }
+}

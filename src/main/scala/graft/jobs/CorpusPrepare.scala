@@ -27,45 +27,20 @@ object CorpusPrepare {
   /** Per-document scoring pass: token count, composite quality (q34's
     * formula) and character entropy (q61's fold) in ONE narrow typed
     * pass — the wide `text` column is the dominant scan cost at scale
-    * and is read exactly once, with no join. The JVM arithmetic
-    * mirrors the column functions operation-for-operation (same Java
-    * regex engine Spark's regexp_replace uses, codepoint counting like
-    * UTF8String, raw products rounded through the same column `round`)
-    * so the scores are bit-identical to q34/q61.
+    * and is read exactly once, with no join. All formulas come from
+    * [[graft.functions.TextJvm]] — the same single definitions q61
+    * uses, with raw values rounded through the same column `round` —
+    * so the scores are bit-identical to q34/q61 by construction
+    * (JobsSpec additionally cross-checks entropy against q61).
     */
   def score(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
-    val ln2 = math.log(2.0)
+    import graft.functions.TextJvm
     Tables.load(s, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val nTok = text.split("\\s+").count(_.nonEmpty).toLong
-        val len = text.codePointCount(0, text.length)
-        val stripped = text.replaceAll("[\\p{L}\\p{N}\\s]", "")
-        val punct = stripped.codePointCount(0, stripped.length)
-        val praw = if (len == 0) 0.0 else punct.toDouble / len.toDouble
-        val qRaw = math.min(nTok.toDouble / 100.0, 1.0) *
-          math.max(0.0, 1.0 - praw * 5.0)
-        val entRaw =
-          if (text.isEmpty) None
-          else {
-            val counts = scala.collection.mutable.HashMap.empty[Int, Int]
-            var i = 0
-            var n = 0L
-            while (i < text.length) {
-              val cp = text.codePointAt(i)
-              counts.update(cp, counts.getOrElse(cp, 0) + 1)
-              i += Character.charCount(cp)
-              n += 1
-            }
-            var acc = 0.0
-            counts.toSeq.sortBy(_._1).foreach { case (_, k) =>
-              val p = k.toDouble / n
-              acc += p * (math.log(p) / ln2)
-            }
-            Some(-acc)
-          }
-        (id, nTok, qRaw, entRaw)
+        (id, TextJvm.tokenCountWs(text), TextJvm.qualityRaw(text),
+          TextJvm.charEntropyRaw(text))
       }
       .toDF("doc_id", "n_tokens", "quality_raw", "entropy_raw")
       .select(col("doc_id"), col("n_tokens"),

@@ -89,32 +89,14 @@ object CorpusQueries {
     */
   def q61(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ln2 = math.log(2.0)
+    // one narrow typed pass; the fold lives in TextJvm.charEntropyRaw
+    // (codepoint iteration, ascending-codepoint left-to-right sum) so
+    // the corpus scoring job shares the exact same definition
     t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        if (text.isEmpty) (id, 0L, None: Option[Double])
-        else {
-          // iterate CODEPOINTS, not UTF-16 code units: DuckDB's
-          // length()/substr() are codepoint-based, and a surrogate pair
-          // must count as one character (UTF-8 byte order == codepoint
-          // order, so the sorted fold matches the oracle's ORDER BY)
-          val counts = scala.collection.mutable.HashMap.empty[Int, Int]
-          var i = 0
-          var n = 0L
-          while (i < text.length) {
-            val cp = text.codePointAt(i)
-            counts.update(cp, counts.getOrElse(cp, 0) + 1)
-            i += Character.charCount(cp)
-            n += 1
-          }
-          var acc = 0.0
-          counts.toSeq.sortBy(_._1).foreach { case (_, k) =>
-            val p = k.toDouble / n
-            acc += p * (math.log(p) / ln2)
-          }
-          (id, n, Some(-acc))
-        }
+        (id, graft.functions.TextJvm.lenCodepoints(text),
+          graft.functions.TextJvm.charEntropyRaw(text))
       }
       .toDF("doc_id", "len_chars", "entropy_raw")
       .select(col("doc_id"), col("len_chars"),

@@ -117,12 +117,15 @@ object SamplingQueries {
     val approx = li.groupBy("l_returnflag")
       .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $PercAccuracy)")
         .as("ap"))
+    // multiplied form, |ap - p| <= tol * |p|: no division (a zero
+    // exact percentile cannot null the gate) and sign-safe for
+    // negative-valued columns — unlike /p, which goes vacuously true
+    // for p < 0
+    def ok(i: Int, p: String) =
+      abs(element_at(col("ap"), i) - col(p)) <= abs(col(p)) * PercTolerance
     q45(s, dir).join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
-        (abs(element_at(col("ap"), 1) - col("p50")) / col("p50") <= PercTolerance &&
-          abs(element_at(col("ap"), 2) - col("p90")) / col("p90") <= PercTolerance &&
-          abs(element_at(col("ap"), 3) - col("p99")) / col("p99") <= PercTolerance)
-          .as("approx_ok"))
+        (ok(1, "p50") && ok(2, "p90") && ok(3, "p99")).as("approx_ok"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

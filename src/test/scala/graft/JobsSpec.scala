@@ -135,6 +135,13 @@ class JobsSpec extends SparkSpec {
         >= graft.jobs.CorpusPrepare.MinQuality)
       .count()
     assert(packed.count() == expected && expected > 0)
+    // the fused scorer's entropy is bit-identical to q61 (same TextJvm
+    // definition, same column round) for every document
+    val mismatch = SiriLake.read(spark, wd, "corpus_scores")
+      .select($"doc_id", $"entropy".as("e_job"))
+      .join(CorpusQueries.q61(spark, sf).select($"doc_id", $"entropy"), "doc_id")
+      .filter(!($"e_job" <=> $"entropy")).count()
+    assert(mismatch == 0)
     // split fractions follow the md5 discipline (exactly q60's labels)
     val splits = packed.select($"doc_id", $"split")
       .as[(Long, String)].collect().toMap
