@@ -4,7 +4,6 @@ import graft.Tables
 import graft.queries.{CorpusQueries, DedupQueries}
 import graft.sources.JsonLines
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The LLM training-data pipeline as lake-to-lake jobs — the
@@ -57,7 +56,11 @@ object CorpusPrepare {
     * (q60 hash discipline), sequence-pack the survivors (q57
     * discipline) PER (source, split) — a val/test document must not
     * consume a train bin's token budget, and every split's packing
-    * starts at bin 0 — and return the shippable row set.
+    * starts at bin 0 — and return the shippable row set. Packing runs
+    * through [[graft.operators.SequencePacking]]'s two-pass prefix sum,
+    * so a dominant (source, split) group spans range partitions instead
+    * of serializing through one window task (JobsSpec asserts the plan
+    * carries no Window node).
     */
   def filterPack(s: SparkSession, sfDir: String,
                  scores: DataFrame, dedup: DataFrame): DataFrame = {
@@ -73,13 +76,11 @@ object CorpusPrepare {
       .withColumn("split",
         when(h < CorpusQueries.TrainPct, "train")
           .when(h < CorpusQueries.ValPct, "val").otherwise("test"))
-    val w = Window.partitionBy("source", "split").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    kept
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("bin_id",
-        floor((col("cum_tokens") - col("n_tokens")) /
-          graft.queries.TextQueries.TokensPerBin).cast("long"))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+    graft.operators.SequencePacking.withBins(
+      kept, keyCols = Seq("source", "split"), orderCol = "doc_id",
+      tokensCol = "n_tokens",
+      tokensPerBin = graft.queries.TextQueries.TokensPerBin)
       .select("doc_id", "source", "lang", "split", "n_tokens", "quality",
         "entropy", "bin_id", "text")
   }

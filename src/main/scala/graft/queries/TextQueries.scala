@@ -154,26 +154,27 @@ object TextQueries {
   val TokensPerBin = 2048L
 
   /** q57 — sequence-packing plan: assign documents to fixed-token-budget
-    * bins (cumulative greedy fill in doc_id order) — the packing step
-    * that turns a filtered corpus into pretraining shards. Packing is
-    * PER SOURCE: each source partition packs independently (a running
-    * sum inside its window partition), so the window parallelizes
-    * across sources instead of serializing the corpus through one
-    * global cumsum — the same per-shard packing a real pipeline does.
-    * Documents longer than the budget occupy their own bin(s)' worth of
-    * ids (greedy by count, no splitting).
+    * bins (cumulative greedy fill in doc_id order, restarting per
+    * source) — the packing step that turns a filtered corpus into
+    * pretraining shards. Runs through
+    * [[graft.operators.SequencePacking]]'s two-pass distributed prefix
+    * sum, NOT a `Window.partitionBy("source")` cumsum: a window
+    * partition is one task, so with a handful of sources (the realistic
+    * corpus shape) the window form serializes the whole corpus through
+    * a few executors. Here a hot source spans range partitions and the
+    * cumsum parallelizes across all of them; the bin assignment is
+    * bit-identical (OperatorsSpec pins the equivalence, PlanSpec pins
+    * the absence of a Window node). Documents longer than the budget
+    * occupy their own bin(s)' worth of ids (greedy by count, no
+    * splitting).
     */
-  def q57(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("bin_id",
-        floor((col("cum_tokens") - col("n_tokens")) / TokensPerBin).cast("long"))
-  }
+  def q57(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePacking.withBins(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+      keyCols = Seq("source"), orderCol = "doc_id",
+      tokensCol = "n_tokens", tokensPerBin = TokensPerBin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),

@@ -183,6 +183,65 @@ class OperatorsSpec extends SparkSpec {
       == List((1.0, 1L), (2.0, 2L)))
   }
 
+  // ---- SequencePacking (q57 / CorpusPrepare scale shape) ----
+
+  test("sequence packing matches the per-key window cumsum bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map { i =>
+      (i.toLong, s"src${rnd.nextInt(4)}", (rnd.nextInt(900) + 1).toLong)
+    }.toDF("doc_id", "source", "n_tokens")
+    val got = graft.operators.SequencePacking
+      .withBins(df, Seq("source"), "doc_id", "n_tokens", 1000L, numPartitions = 8)
+      .select($"doc_id", $"cum_tokens", $"bin_id")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val exp = df
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("bin_id",
+        floor(($"cum_tokens" - $"n_tokens") / 1000L).cast("long"))
+      .select($"doc_id", $"cum_tokens", $"bin_id")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == exp)
+  }
+
+  test("sequence packing: one hot key spans every partition, no single-task key") {
+    // 2000 rows, ONE source — the shape where the window form collapses
+    // to one task; the two-pass form must keep all 8 partitions live
+    val df = (1 to 2000).map(i => (i.toLong, "web", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = graft.operators.SequencePacking
+      .withBins(df, Seq("source"), "doc_id", "n_tokens", 100L, numPartitions = 8)
+    assert(out.rdd.getNumPartitions == 8)
+    val sizes = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.max < 2000 && sizes.count(_ > 0) >= 4)
+    val cums = out.select($"doc_id", $"cum_tokens", $"bin_id")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(cums(1L) == ((10L, 0L)))
+    assert(cums(2000L) == ((20000L, 199L)))
+    assert(cums(11L) == ((110L, 1L))) // crosses the 100-token budget
+  }
+
+  test("sequence packing: composite keys restart bins per (source, split)") {
+    val df = Seq(
+      (1L, "a", "train", 60L), (2L, "a", "train", 60L),
+      (3L, "a", "val", 60L), (4L, "b", "train", 60L)
+    ).toDF("doc_id", "source", "split", "n_tokens")
+    val got = graft.operators.SequencePacking
+      .withBins(df, Seq("source", "split"), "doc_id", "n_tokens", 100L,
+        numPartitions = 3)
+      .select($"doc_id", $"cum_tokens", $"bin_id")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map(
+      1L -> ((60L, 0L)), 2L -> ((120L, 0L)),
+      3L -> ((60L, 0L)), 4L -> ((60L, 0L))))
+  }
+
   test("overwritePartitions only rewrites touched partitions") {
     val dir = Files.createTempDirectory("graft_dyn_overwrite").toString
     val v1 = Seq((1L, "2024-01-01", 100L), (2L, "2024-01-02", 200L))

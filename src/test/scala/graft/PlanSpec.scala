@@ -85,6 +85,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q57: packing is a two-pass prefix sum, not a per-source window sort") {
+    // the window form serializes each source through ONE task; the
+    // SequencePacking plan is a narrow map over the pinned range
+    // partitioning — no Window node anywhere in the physical plan
+    val p = plan(graft.queries.TextQueries.q57(spark, sf))
+    assert(!p.contains("Window"))
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
   test("q62: bucket thresholds broadcast, corpus is never globally sorted") {
     // the only Sort allowed is inside the tiny histogram window; the
     // document-side bucket assignment must be a broadcast of the 1-row
