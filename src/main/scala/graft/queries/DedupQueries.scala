@@ -105,9 +105,9 @@ object DedupQueries {
     * interpreted (measured 16× slower), and as the explode→groupBy form,
     * which shuffles tokens×docs rows. Shared by q29/q48.
     */
-  private[queries] def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
+  private def signaturesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val shingles = shingleSet(text)
@@ -116,16 +116,50 @@ object DedupQueries {
       .toDF("doc_id", "sig")
   }
 
-  /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band), from an
-    * already-built signature relation.
+  private[queries] def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(t(s, dir, "documents"))
+
+  /** Band buckets holding more documents than this are dropped from
+    * candidate generation. A bucket of m members yields ~m²/2 pairs, so
+    * one pathological key (boilerplate near-identical at corpus scale)
+    * otherwise owns the join. The cap trades recall ONLY on content so
+    * common that a 10k-member near-dup bucket exists — content the
+    * exact-dup collapse in [[clusterLabels]] has already contracted
+    * unless the copies differ slightly; the cutoff is far above any
+    * test-SF bucket, so gated outputs are unaffected, and
+    * [[oversizedBandBuckets]] makes the drop observable (no silent
+    * caps — DedupSpec exercises the cap with a tiny threshold).
     */
-  private[queries] def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig
-      .select(col("doc_id"),
+  val MaxBandBucket = 10000
+
+  /** The dropped (band_idx, band_key) keys at a given cap — tiny frame
+    * for logging/monitoring; empty at every gated SF.
+    */
+  private[graft] def oversizedBandBuckets(sig: DataFrame,
+                                          maxBucket: Int): DataFrame =
+    bandsOf(sig).groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         explode(DedupFunctions.lshBands(col("sig"), NBands, RowsPerBand)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
-    bands.alias("a")
-      .join(bands.alias("b"),
+
+  /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band), from an
+    * already-built signature relation. Buckets over `maxBucket` are
+    * excluded via a broadcast anti-join against the (tiny) oversized-key
+    * set — one partial-agg pass over the band relation, versus the m²
+    * blowup an uncapped hot bucket feeds into the self-join.
+    */
+  private[graft] def lshCandidates(sig: DataFrame,
+                                   maxBucket: Int = MaxBandBucket): DataFrame = {
+    val bands = bandsOf(sig)
+    val oversized = oversizedBandBuckets(sig, maxBucket)
+      .select("band_idx", "band_key")
+    val kept = bands.join(broadcast(oversized),
+      Seq("band_idx", "band_key"), "left_anti")
+    kept.alias("a")
+      .join(kept.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -136,8 +170,10 @@ object DedupQueries {
   /** Signatures materialized once via localCheckpoint AND memoized per
     * (session, dataset): the relation feeds four plan branches inside
     * q29 (both sides of the band self-join + both est_sim lookups) and
-    * is shared ACROSS q29/q48/q58 — without the memo each of those
-    * queries re-runs the corpus shingle/md5/fold pass. localCheckpoint
+    * is shared ACROSS q29/q58 — without the memo each of those
+    * queries re-runs the corpus shingle/md5/fold pass. (q48's
+    * clustering runs its own smaller pass over one representative per
+    * distinct content — see [[collapsedLshInputs]].) localCheckpoint
     * (not persist) so evicted/unreferenced blocks self-release via the
     * ContextCleaner — a `persist()` here would sit in the CacheManager
     * until someone remembered to unpersist (the round-1 leak).
@@ -336,14 +372,59 @@ object DedupQueries {
     * `spark.catalog.clearCache()` between bench queries cannot evict a
     * live entry (checkpoint blocks are not CacheManager state).
     */
+  /** The collapsed clustering inputs: (doc_id → rep_id mapping for
+    * groups that shingle, representative candidate pairs). Exact
+    * duplicates are contracted BEFORE LSH: identical text means an
+    * identical signature and identical band keys, so m copies of one
+    * template (boilerplate, scraped mirrors — the common corpus-scale
+    * skew) otherwise contribute m²·bands/2 candidate rows and m
+    * tokenization passes for zero information. One md5 pass groups
+    * them (q28's shuffle of (hash, id)); tokenization, banding and the
+    * bucket self-join see ONE representative (the group-min doc id) per
+    * distinct content. Contracting a clique preserves connectivity
+    * exactly, and because each representative is its group's min, the
+    * component-min labels are unchanged — DedupSpec pins both the
+    * equivalence and the O(groups) candidate count on a 1k-copy
+    * template.
+    *
+    * Groups whose text is too short to shingle are EXCLUDED from the
+    * mapping: such docs produce no bands, so the uncollapsed graph
+    * never links them — they stay their own canonical (redirecting them
+    * to the group min would invent duplicates the LSH semantics don't
+    * define).
+    */
+  private[graft] def collapsedLshInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val hashed = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
+    val mapping = hashed.join(reps, "h").select("doc_id", "rep_id")
+      .localCheckpoint()
+    val repSigs = signaturesOf(
+        docs.join(mapping.filter(col("doc_id") === col("rep_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val shingledMapping = mapping.join(
+        repSigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
+      .select(col("doc_id"), col("rep_id"))
+    (shingledMapping, lshCandidates(repSigs))
+  }
+
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, s"dedup-cluster-labels:$dir") {
-      val comp = graft.operators.ConnectedComponents.run(
-        lshCandidates(checkpointedSignatures(s, dir)), "doc_a", "doc_b")
-      t(s, dir, "documents").select(col("doc_id"))
-        .join(comp.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      val (mapping, cand) = collapsedLshInputs(s, dir)
+      val comp = graft.operators.ConnectedComponents.run(cand, "doc_a", "doc_b")
+      // member → representative → component (groups with no near-dup
+      // neighbours have no component row: the group min IS the label)
+      val redirect = mapping
+        .join(comp.withColumnRenamed("v", "rep_id"), Seq("rep_id"), "left")
         .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("canonical_doc_id"))
+          coalesce(col("comp"), col("rep_id")).as("canon"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(redirect, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
         .localCheckpoint()
     }
 

@@ -92,6 +92,46 @@ class DedupSpec extends SparkSpec {
     assert(capped.toSet == expected)
   }
 
+  test("exact-dup collapse: 1k copies cluster through O(groups) candidates") {
+    import graft.queries.DedupQueries
+    val template = "the quick brown fox jumps over the lazy dog again and again"
+    val docs =
+      (1 to 1000).map(i => (i.toLong, template)) ++
+        (3000 to 3019).map(i =>
+          (i.toLong, s"unique doc number$i carries words w${i * 7} w${i * 13} w${i * 31} only")) ++
+        Seq((4001L, "too short"), (4002L, "too short"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-collapse").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (mapping, cand) = DedupQueries.collapsedLshInputs(spark, dir)
+    // candidate pairs are representative-level: the 1000-copy template is
+    // ONE vertex, not C(1000, 2) ≈ 500k pairs × 8 bands
+    val nCand = cand.count()
+    assert(nCand < 50, s"collapsed candidates should be O(groups), got $nCand")
+    // the shingle-less group ("too short" twice) is excluded from the
+    // mapping: identical text without shingles is NOT an LSH duplicate
+    val m = mapping.as[(Long, Long)].collect().toMap // (doc_id → rep_id)
+    assert(!m.contains(4001L) && !m.contains(4002L))
+    val labels = DedupQueries.clusterLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == docs.size)
+    (1 to 1000).foreach(i => assert(labels(i.toLong) == 1L))
+    (3000 to 3019).foreach(i => assert(labels(i.toLong) == i.toLong))
+    assert(labels(4001L) == 4001L && labels(4002L) == 4002L)
+  }
+
+  test("band-bucket cap drops oversized buckets; default cap is inert") {
+    import graft.queries.DedupQueries
+    // 50 docs with IDENTICAL signatures — one 50-member bucket per band
+    val sig = (1 to 50).map(i => (i.toLong, Seq.fill(16)(7L)))
+      .toDF("doc_id", "sig")
+    assert(DedupQueries.lshCandidates(sig).count() == 50L * 49 / 2)
+    assert(DedupQueries.lshCandidates(sig, maxBucket = 10).count() == 0)
+    // the drop is observable, never silent
+    assert(DedupQueries.oversizedBandBuckets(sig, 10).count() == DedupQueries.NBands)
+    assert(DedupQueries.oversizedBandBuckets(sig, DedupQueries.MaxBandBucket).count() == 0)
+  }
+
   test("dedup queries leave the cache manager empty (persist hygiene)") {
     import graft.queries.DedupQueries
     val sf = "/root/testdata/sf0.001"
