@@ -24,9 +24,9 @@ object QueryMemo {
   val MaxEntries = 16
 
   private val cache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](32, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean =
         size() > MaxEntries
     }
 
@@ -34,10 +34,17 @@ object QueryMemo {
     (s, key)
 
   def get(s: SparkSession, key: String)(compute: => DataFrame): DataFrame =
+    getAny[DataFrame](s, key)(compute)
+
+  /** Same bounded memo for non-frame artifacts (a materialized index
+    * path + its driver-side metadata). The caller owns key uniqueness
+    * per value type — a key always maps to one type.
+    */
+  def getAny[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T =
     cache.synchronized {
       val kk = k(s, key)
       val hit = cache.get(kk)
-      if (hit != null) hit
+      if (hit != null) hit.asInstanceOf[T]
       else {
         val v = compute
         cache.put(kk, v)

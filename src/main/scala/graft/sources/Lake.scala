@@ -43,6 +43,19 @@ object Lake {
     readFact(spark, path)
       .filter(col("p_date") >= lit(fromDay) && col("p_date") < lit(untilDay))
 
+  /** Index-layout write: one directory per `keyCol` value — the layout
+    * of an IVF inverted-list index (or any list-sharded artifact). A
+    * probe that filters on `keyCol` becomes a partition-pruned scan of
+    * ONLY the probed directories (PartitionFilters, zero data files
+    * opened elsewhere); files are sorted by `sortCol` within each list
+    * so row-group min/max stats stay tight for id lookups.
+    */
+  def writeListPartitioned(df: DataFrame, keyCol: String, sortCol: String,
+                           path: String): Unit =
+    df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(sortCol))
+      .write.mode("overwrite").partitionBy(keyCol).parquet(path)
+
   // ---- Z-order layout ----
 
   /** Bit-interleaved Morton (Z-order) value of two non-negative integer

@@ -85,6 +85,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q56: IVF probe is a partition-pruned scan of the probed lists only") {
+    // the index build (full-corpus assignment) happens once at ivfIndex
+    // build time; the probe's parquet scan must prune on list_id at the
+    // DIRECTORY level — no non-probed list's files are opened
+    val p = plan(graft.queries.VectorQueries.q56(spark, sf))
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q57: packing is a two-pass prefix sum, not a per-source window sort") {
     // the window form serializes each source through ONE task; the
     // SequencePacking plan is a narrow map over the pinned range
