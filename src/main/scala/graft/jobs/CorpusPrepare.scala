@@ -51,24 +51,16 @@ object CorpusPrepare {
   def dedupDecide(s: SparkSession, sfDir: String): DataFrame =
     DedupQueries.clusterLabels(s, sfDir)
 
-  /** Filter + split + pack: keep canonical documents above
-    * [[MinQuality]], assign the deterministic train/val/test split
-    * (q60 hash discipline), sequence-pack the survivors (q57
-    * discipline) PER (source, split) — a val/test document must not
-    * consume a train bin's token budget, and every split's packing
-    * starts at bin 0 — and return the shippable row set. Packing runs
-    * through [[graft.operators.SequencePacking]]'s two-pass prefix sum,
-    * so a dominant (source, split) group spans range partitions instead
-    * of serializing through one window task (JobsSpec asserts the plan
-    * carries no Window node).
+  /** The filter + split join from explicit inputs — one definition
+    * shared by the flat (oracle-gate) and bucketed (deployment) paths:
+    * keep canonical documents above [[MinQuality]] and assign the
+    * deterministic train/val/test split (q60 hash discipline).
     */
-  def filterPack(s: SparkSession, sfDir: String,
-                 scores: DataFrame, dedup: DataFrame): DataFrame = {
-    val docs = Tables.load(s, sfDir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+  private def keptOf(docs: DataFrame, scores: DataFrame,
+                     dedup: DataFrame): DataFrame = {
     val h = graft.functions.DedupFunctions.md5Hash32(
       concat(lit("split-"), col("doc_id").cast("string"))) % 100
-    val kept = docs
+    docs
       .join(dedup, "doc_id")
       .filter(col("doc_id") === col("canonical_doc_id"))
       .join(scores, "doc_id")
@@ -77,13 +69,78 @@ object CorpusPrepare {
         when(h < CorpusQueries.TrainPct, "train")
           .when(h < CorpusQueries.ValPct, "val").otherwise("test"))
       .withColumn("n_tokens", col("n_tokens").cast("long"))
+  }
+
+  /** Sequence-pack the kept rows PER (source, split) — a val/test
+    * document must not consume a train bin's token budget, and every
+    * split's packing starts at bin 0. Runs through
+    * [[graft.operators.SequencePacking]]'s two-pass prefix sum, so a
+    * dominant (source, split) group spans range partitions instead of
+    * serializing through one window task (JobsSpec asserts the plan
+    * carries no Window node).
+    */
+  private def packKept(kept: DataFrame): DataFrame =
     graft.operators.SequencePacking.withBins(
       kept, keyCols = Seq("source", "split"), orderCol = "doc_id",
       tokensCol = "n_tokens",
       tokensPerBin = graft.queries.TextQueries.TokensPerBin)
       .select("doc_id", "source", "lang", "split", "n_tokens", "quality",
         "entropy", "bin_id", "text")
+
+  /** Filter + split + pack over the flat lake tables — the oracle-gate
+    * path the DAG runs in the sandbox.
+    */
+  def filterPack(s: SparkSession, sfDir: String,
+                 scores: DataFrame, dedup: DataFrame): DataFrame =
+    packKept(keptOf(
+      Tables.load(s, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text")),
+      scores, dedup))
+
+  /** Bucket count for the corpus exchange tables — the SAME count on
+    * every side of the doc_id joins, or the exchange comes back.
+    */
+  val NBuckets = 16
+
+  /** Publish the corpus intermediates BUCKETED+sorted by `doc_id` —
+    * the deployment layout for the tables the pipeline joins on every
+    * rerun (scores ⋈ dedup ⋈ documents). One clustered write per
+    * publish buys exchange-free sort-merge joins on every subsequent
+    * run: at 100 TB the documents side never shuffles again. The flat
+    * SiriLake tables stay the sandbox/oracle medium (same pattern as
+    * Lake vs the flat testdata); JobsSpec pins the exchange-free plan
+    * and result equality.
+    */
+  def publishBucketed(s: SparkSession, sfDir: String, scores: DataFrame,
+                      dedup: DataFrame, prefix: String = "corpus"): Unit = {
+    graft.sources.BucketedLake.publish(
+      Tables.load(s, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text")),
+      s"${prefix}_documents_b", "doc_id", NBuckets)
+    graft.sources.BucketedLake.publish(
+      scores, s"${prefix}_scores_b", "doc_id", NBuckets)
+    graft.sources.BucketedLake.publish(
+      dedup, s"${prefix}_dedup_b", "doc_id", NBuckets)
   }
+
+  /** The kept/split join over the bucketed tables. The merge hints
+    * force the sort-merge path: the intermediates are corpus-sized, so
+    * broadcasting them is not the 100 TB plan — the bucketed layout
+    * carrying the join with zero exchanges is.
+    */
+  private[graft] def keptBucketed(s: SparkSession,
+                                  prefix: String = "corpus"): DataFrame =
+    keptOf(
+      graft.sources.BucketedLake.read(s, s"${prefix}_documents_b"),
+      graft.sources.BucketedLake.read(s, s"${prefix}_scores_b").hint("merge"),
+      graft.sources.BucketedLake.read(s, s"${prefix}_dedup_b").hint("merge"))
+
+  /** Filter + split + pack over the bucketed intermediates — identical
+    * rows to [[filterPack]], exchange-free join plan.
+    */
+  def filterPackBucketed(s: SparkSession,
+                         prefix: String = "corpus"): DataFrame =
+    packKept(keptBucketed(s, prefix))
 
   /** Export the train split as JSONL shards laid out one directory per
     * (source, bin) — the bin boundary is PHYSICAL, so a trainer

@@ -165,6 +165,28 @@ class JobsSpec extends SparkSpec {
       srcDirs.forall(_.listFiles().exists(_.getName.startsWith("bin_id="))))
   }
 
+  test("bucketed corpus intermediates: doc_id joins run exchange-free") {
+    import graft.jobs.CorpusPrepare
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    CorpusPrepare.publishBucketed(spark, sf, scores, dedup, prefix = "jtest")
+    // the 3-way doc_id join carries zero exchanges: both joins read
+    // co-located buckets (the 100 TB documents side never shuffles)
+    val plan = CorpusPrepare.keptBucketed(spark, "jtest")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // identical rows to the flat path, packing included
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select($"doc_id", $"split", $"bin_id", $"cum_tokens" * 0 + $"bin_id")
+    val flat = CorpusPrepare.filterPack(spark, sf, scores, dedup)
+      .select($"doc_id", $"split", $"bin_id")
+      .as[(Long, String, Long)].collect().toSet
+    val bucketed = CorpusPrepare.filterPackBucketed(spark, "jtest")
+      .select($"doc_id", $"split", $"bin_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(flat.nonEmpty && bucketed == flat)
+  }
+
   test("the whole pipeline surface runs from the declarative DAG config") {
     val wd = Files.createTempDirectory("graft_dags").toString
     seedLake(wd)
