@@ -28,10 +28,23 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness keeps only a bounded tail of stdout and JSON-parses
+    // the result line from it: the line must stay well under 2 KB or
+    // it is truncated into unparseability. Keys are the unique qNN
+    // prefixes and seconds are milli-rounded (per-query noise is ±20%
+    // anyway); the full-name, full-resolution map goes to a sidecar
+    // file for round-over-round diffing.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"total":$total,"sf":"$sfDir","queries":$detail}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,14 +55,25 @@ object CorpusPrepare {
     * shared by the flat (oracle-gate) and bucketed (deployment) paths:
     * keep canonical documents above [[MinQuality]] and assign the
     * deterministic train/val/test split (q60 hash discipline).
+    *
+    * The dedup side is reduced to the canonical survivors FIRST, so
+    * every join in the plan is on the single bucket key `doc_id`.
+    * Joining dedup raw and filtering `doc_id === canonical_doc_id`
+    * afterwards reads the same rows, but Catalyst then plans the join
+    * on the two-column key `(doc_id, doc_id) = (canonical_doc_id,
+    * doc_id)`, which no single-column bucket spec matches — the
+    * bucketed path would silently re-shuffle (JobsSpec pins the
+    * exchange-free plan).
     */
   private def keptOf(docs: DataFrame, scores: DataFrame,
                      dedup: DataFrame): DataFrame = {
     val h = graft.functions.DedupFunctions.md5Hash32(
       concat(lit("split-"), col("doc_id").cast("string"))) % 100
-    docs
-      .join(dedup, "doc_id")
+    val canonical = dedup
       .filter(col("doc_id") === col("canonical_doc_id"))
+      .select("doc_id")
+    docs
+      .join(canonical, Seq("doc_id"), "left_semi")
       .join(scores, "doc_id")
       .filter(col("quality") >= MinQuality)
       .withColumn("split",
@@ -106,10 +117,14 @@ object CorpusPrepare {
     * the deployment layout for the tables the pipeline joins on every
     * rerun (scores ⋈ dedup ⋈ documents). One clustered write per
     * publish buys exchange-free sort-merge joins on every subsequent
-    * run: at 100 TB the documents side never shuffles again. The flat
-    * SiriLake tables stay the sandbox/oracle medium (same pattern as
-    * Lake vs the flat testdata); JobsSpec pins the exchange-free plan
-    * and result equality.
+    * run — PROVIDED every join stays on the single bucket key with
+    * [[NBuckets]] on all sides (a composite or expression join key
+    * silently disables bucketing and brings the exchange back; see
+    * [[keptOf]]). Under that discipline the 100 TB documents side
+    * never shuffles again. The flat SiriLake tables stay the
+    * sandbox/oracle medium (same pattern as Lake vs the flat
+    * testdata); JobsSpec pins the exchange-free plan and result
+    * equality.
     */
   def publishBucketed(s: SparkSession, sfDir: String, scores: DataFrame,
                       dedup: DataFrame, prefix: String = "corpus"): Unit = {

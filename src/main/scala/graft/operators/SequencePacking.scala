@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -27,15 +26,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Wall-clock parallelism is therefore `numPartitions` regardless of key
   * cardinality or skew. Output is bit-identical to the window form
-  * (OperatorsSpec pins it), because range partitioning totally orders
-  * (keys…, order) across partitions.
+  * because range partitioning totally orders (keys…, order) across
+  * partitions; OperatorsSpec pins the equivalence both on a direct
+  * collect AND through a downstream `.coalesce(1)`.
   *
   * The range-partitioned relation is localCheckpointed so both passes
   * read the SAME materialization: partition boundaries come from
   * sampling, and re-planning between passes could legally re-draw them,
-  * desynchronizing pass-2 pids from pass-1 offsets. The checkpoint also
-  * means the corpus is tokenized/scanned once, not twice; its blocks are
-  * reclaimed by the ContextCleaner when the result frame is dropped.
+  * desynchronizing pass-2 split ids from pass-1 offsets. The checkpoint
+  * also means the corpus is tokenized/scanned once, not twice; its
+  * blocks are reclaimed by the ContextCleaner when the result frame is
+  * dropped.
+  *
+  * Both passes key the offset map by the checkpointed RDD's OWN split
+  * index (`mapPartitionsWithIndex`), never `TaskContext.getPartitionId`:
+  * the task partition id belongs to whatever task evaluates the plan,
+  * so a downstream `coalesce` (one task evaluating many parent splits)
+  * would alias every split to pid 0 and silently restart the running
+  * sum at each range boundary. The split index is a property of the
+  * materialized RDD itself and is immune to the consumer's physical
+  * plan.
   */
 object SequencePacking {
 
@@ -77,17 +87,20 @@ object SequencePacking {
     def keyOf(r: Row): String =
       keyIdx.map(i => String.valueOf(r.get(i))).mkString(0.toChar.toString)
 
-    // pass 1: per-(partition, key) subtotals — tiny relative to the data
-    val subtotals: Array[(Int, String, Long)] = parted
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
+    // Both passes run over the SAME deserialized view of the
+    // checkpointed partitions, keyed by the RDD's own split index.
+    val rdd = parted.rdd
+
+    // pass 1: per-(split, key) subtotals — tiny relative to the data
+    val subtotals: Array[(Int, String, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
         it.foreach { r =>
           val k = keyOf(r)
           sums.update(k, sums.getOrElse(k, 0L) + tokOf(r))
         }
         sums.iterator.map { case (k, n) => (pid, k, n) }
-      }(Encoders.product[(Int, String, Long)])
+      }
       .collect()
 
     // exclusive prefix offsets per key in partition (= range) order
@@ -102,8 +115,7 @@ object SequencePacking {
 
     // pass 2: narrow local cumsum seeded from the broadcast offsets
     val outSchema = schema.add("cum_tokens", LongType).add("bin_id", LongType)
-    parted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val acc = scala.collection.mutable.HashMap.empty[String, Long]
       it.map { r =>
         val k = keyOf(r)
@@ -112,6 +124,7 @@ object SequencePacking {
         acc.update(k, cum)
         Row.fromSeq(r.toSeq :+ cum :+ (cum - n) / tokensPerBin)
       }
-    }(Encoders.row(outSchema))
+    }
+    s.createDataFrame(outRows, outSchema)
   }
 }

@@ -147,17 +147,23 @@ object DedupQueries {
 
   /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band), from an
     * already-built signature relation. Buckets over `maxBucket` are
-    * excluded via a broadcast anti-join against the (tiny) oversized-key
-    * set — one partial-agg pass over the band relation, versus the m²
-    * blowup an uncapped hot bucket feeds into the self-join.
+    * excluded via a window count over (band_idx, band_key) — the SAME
+    * key the self-join shuffles on, so the cap costs no extra pass: the
+    * window's exchange carries the join, the b-side reuses the a-side's
+    * exchange (ReusedExchange — identical subplans), and the band
+    * relation is computed ONCE per query, versus the m² blowup an
+    * uncapped hot bucket feeds into the self-join. The dropped keys
+    * stay observable through [[oversizedBandBuckets]] (a separate
+    * monitoring pass, off the candidate hot path).
     */
   private[graft] def lshCandidates(sig: DataFrame,
                                    maxBucket: Int = MaxBandBucket): DataFrame = {
-    val bands = bandsOf(sig)
-    val oversized = oversizedBandBuckets(sig, maxBucket)
-      .select("band_idx", "band_key")
-    val kept = bands.join(broadcast(oversized),
-      Seq("band_idx", "band_key"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key")
+    val kept = bandsOf(sig)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     kept.alias("a")
       .join(kept.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -537,16 +543,19 @@ object DedupQueries {
       .distinct()
   }
 
-  def q58(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val inc = docs.filter(col("source").isin(IncomingSources: _*))
-      .select(col("doc_id"))
-    val cand = lshCandidatesSeeded(checkpointedSignatures(s, dir), inc)
-      .join(docs.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
-      .withColumn("a_inc", col("src_a").isin(IncomingSources: _*))
-      .withColumn("b_inc", col("src_b").isin(IncomingSources: _*))
-      .localCheckpoint()
+  /** The incremental keep/drop decision from a flagged candidate-pair
+    * relation — the ONE definition of the q58 policy, shared by the
+    * batch path (q58, candidates from [[lshCandidatesSeeded]]) and the
+    * streaming path ([[graft.streaming.StreamingCorpus]], candidates
+    * materialized from [[graft.streaming.StreamingDedup]] through the
+    * lake): both surfaces ship the same artifact because they run the
+    * same code. `cand` columns: doc_a, doc_b, a_inc, b_inc;
+    * existing-existing pairs (both flags false) are ignored by
+    * construction, so a candidate source that also observes them (the
+    * streaming band state does) needs no pre-filter.
+    */
+  private[graft] def decisionFromCandidates(inc: DataFrame,
+                                            cand: DataFrame): DataFrame = {
     val linked = cand.filter(col("a_inc") =!= col("b_inc"))
       .select(when(col("a_inc"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
       .distinct()
@@ -560,6 +569,19 @@ object DedupQueries {
         coalesce(col("comp"), col("doc_id")).as("canonical_doc_id"))
       .withColumn("kept",
         !col("linked_existing") && col("doc_id") === col("canonical_doc_id"))
+  }
+
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val inc = docs.filter(col("source").isin(IncomingSources: _*))
+      .select(col("doc_id"))
+    val cand = lshCandidatesSeeded(checkpointedSignatures(s, dir), inc)
+      .join(docs.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .withColumn("a_inc", col("src_a").isin(IncomingSources: _*))
+      .withColumn("b_inc", col("src_b").isin(IncomingSources: _*))
+      .localCheckpoint()
+    decisionFromCandidates(inc, cand)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -139,34 +139,71 @@ object VectorQueries extends Serializable {
     best
   }
 
-  /** IVF index build, ONCE per (session, dataset): every vector is
+  /** Deterministic on-disk home for a dataset's IVF index (and its
+    * `_centroids` sibling): tmpdir/graft-ivf/md5(dataset path). One
+    * fixed location per dataset means QueryMemo eviction and session
+    * teardown leave at most ONE reusable directory per dataset — never
+    * an accumulating orphan per build — and a fresh session adopts the
+    * existing index instead of re-running the full-corpus assignment.
+    * Same immutability contract as [[QueryMemo]]: a dataset rewritten
+    * in place needs `QueryMemo.invalidate` plus deletion of this dir.
+    */
+  private[graft] def ivfIndexPath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft-ivf", h).toString
+  }
+
+  /** IVF index build, ONCE per dataset ACROSS sessions: every vector is
     * assigned to its nearest q54 centroid (one broadcast of
     * labels × dims doubles, one narrow pass — no shuffle) and the
     * corpus is written as a [[graft.sources.Lake.writeListPartitioned]]
-    * inverted-list layout, `partitionBy(list_id)`. The assignment —
-    * the full-corpus pass — happens at BUILD time; every probe after
-    * it is a partition-pruned scan of the probed lists only. Memoized
-    * like the dedup clustering ([[QueryMemo]]): repeated q56 calls (a
-    * bench loop, a query service) reuse the on-disk index, which is
-    * exactly the index lifecycle a 1B-vector deployment needs — build
-    * is a job, probes are lookups. (The sandbox writes under a temp
-    * dir; a deployment passes a lake path — the layout is the point.)
+    * inverted-list layout, `partitionBy(list_id)`, at the
+    * [[ivfIndexPath]] deterministic location; the (tiny) quantizer
+    * centroids are persisted beside it so adoption needs no corpus
+    * scan. The assignment — the full-corpus pass — happens at BUILD
+    * time; every probe after it is a partition-pruned scan of the
+    * probed lists only. Memoized per session ([[QueryMemo]]) AND
+    * adopted from disk by a completeness marker written after both
+    * writes commit, which is exactly the index lifecycle a 1B-vector
+    * deployment needs — build is a job, probes are lookups.
+    * (The sandbox roots under tmpdir; a deployment passes a lake
+    * path — the layout is the point.)
     */
   private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex =
     QueryMemo.getAny(s, s"ann-ivf-index:$dir") {
       import s.implicits._
-      val cents: Array[(Int, Array[Double])] = centroidFrame(s, dir)
-        .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
-        .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
-      val bc = s.sparkContext.broadcast(cents)
-      val assigned = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .map { case (id, emb) => (id, assignTo(bc.value, emb), emb) }
-        .toDF("vec_id", "list_id", "embedding")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString
-      graft.sources.Lake.writeListPartitioned(assigned, "list_id", "vec_id", path)
-      IvfIndex(path, cents)
+      val path = ivfIndexPath(dir)
+      val centsPath = path + "_centroids"
+      // our own end-of-build marker: the session's dynamic
+      // partitionOverwriteMode commits partitioned writes WITHOUT a
+      // root _SUCCESS, so the lists dir has no committer marker to
+      // trust; written last, after both the lists and the centroids
+      // (underscore-prefixed files are invisible to Spark's scan)
+      val marker = java.nio.file.Paths.get(path, "_GRAFT_INDEX_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        val cents: Array[(Int, Array[Double])] = centroidFrame(s, dir)
+          .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
+          .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
+        val bc = s.sparkContext.broadcast(cents)
+        val assigned = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .map { case (id, emb) => (id, assignTo(bc.value, emb), emb) }
+          .toDF("vec_id", "list_id", "embedding")
+        graft.sources.Lake
+          .writeListPartitioned(assigned, "list_id", "vec_id", path)
+        cents.toSeq.map { case (l, c) => (l, c.toSeq) }
+          .toDF("label", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(centsPath)
+        java.nio.file.Files.createFile(marker)
+        IvfIndex(path, cents)
+      } else {
+        val cents = s.read.parquet(centsPath)
+          .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
+          .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
+        IvfIndex(path, cents)
+      }
     }
 
   /** q56 — IVF-style ANN over the MATERIALIZED [[ivfIndex]]: the q54

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The streaming → corpus bridge: [[StreamingDedup]] candidates are
+  * materialized into the lake ([[LakeSink]]'s replay-safe layout) and
+  * decided with the SAME q58 policy code the batch DAG ships
+  * ([[DedupQueries.decisionFromCandidates]]) — so a corpus ingested as
+  * a stream and a corpus re-derived by the batch incremental-dedup
+  * query produce one artifact, not two near-agreeing ones
+  * (StreamingSpec pins the equality end to end).
+  *
+  * Scale shape: the stream carries only (doc_id, matched_doc_id,
+  * band_idx, ts) candidate rows — no text, no signatures — and the
+  * decision is a batch job over that bounded relation plus the (tiny)
+  * incoming-id set: the 100 TB corpus side never re-enters the
+  * decision, exactly q58's asymmetric-cost contract.
+  */
+object StreamingCorpus {
+
+  /** Materialize the candidate stream into `path` as replay-safe
+    * `batch_id=<id>` parquet partitions. Attach a checkpointLocation
+    * and start at the call site.
+    */
+  def writeCandidates(cands: Dataset[DupCandidate],
+                      path: String): DataStreamWriter[Row] =
+    LakeSink.writeTo(cands.toDF(), path)
+
+  /** The q58-policy decision over the materialized candidates: which
+    * of `incomingIds` (one `doc_id` column) survive. Pairs internal to
+    * the pre-existing corpus — which the band state observes while the
+    * backfill streams through — are flagged (false, false) and ignored
+    * by the shared policy; candidate multiplicity from k-band
+    * collisions and batch replays collapses through the distinct.
+    */
+  def decide(s: SparkSession, candPath: String,
+             incomingIds: DataFrame): DataFrame = {
+    val inc = incomingIds.select(col("doc_id")).localCheckpoint()
+    val incA = inc.select(col("doc_id").as("doc_a"),
+      lit(true).as("a_inc"))
+    val incB = inc.select(col("doc_id").as("doc_b"),
+      lit(true).as("b_inc"))
+    val cand = s.read.parquet(candPath)
+      .select(least(col("doc_id"), col("matched_doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("matched_doc_id")).as("doc_b"))
+      .distinct()
+      .join(incA, Seq("doc_a"), "left")
+      .join(incB, Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("a_inc"), lit(false)).as("a_inc"),
+        coalesce(col("b_inc"), lit(false)).as("b_inc"))
+    DedupQueries.decisionFromCandidates(inc, cand)
+  }
+}

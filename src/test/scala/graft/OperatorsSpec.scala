@@ -226,6 +226,40 @@ class OperatorsSpec extends SparkSpec {
     assert(cums(11L) == ((110L, 1L))) // crosses the 100-token budget
   }
 
+  test("sequence packing survives a downstream coalesce(1) — hot key " +
+    "spanning every partition, consumer task ids aliased") {
+    // Regression for the r04 q57 failure: pass-2 offsets were keyed by
+    // TaskContext.getPartitionId(), so a consumer coalesce (Verify's
+    // exact shape) evaluated every parent split in one task (pid 0),
+    // missed every broadcast offset, and restarted cum_tokens at each
+    // range boundary. The offsets must be keyed by the materialized
+    // RDD's own split index, immune to the consumer's physical plan.
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 600).map { i =>
+      (i.toLong, s"src${rnd.nextInt(3)}", (rnd.nextInt(90) + 1).toLong)
+    }.toDF("doc_id", "source", "n_tokens")
+    val packed = graft.operators.SequencePacking
+      .withBins(df, Seq("source"), "doc_id", "n_tokens", 500L,
+        numPartitions = 8)
+    val got = packed
+      .coalesce(1) // one task evaluates all 8 parent splits
+      .select($"doc_id", $"cum_tokens", $"bin_id")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val exp = df
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("bin_id",
+        floor(($"cum_tokens" - $"n_tokens") / 500L).cast("long"))
+      .select($"doc_id", $"cum_tokens", $"bin_id")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == exp)
+  }
+
   test("sequence packing: composite keys restart bins per (source, split)") {
     val df = Seq(
       (1L, "a", "train", 60L), (2L, "a", "train", 60L),

@@ -93,6 +93,27 @@ class PlanSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined, p)
   }
 
+  test("IVF index lifecycle: deterministic path, adopted across memo " +
+    "evictions without a rebuild") {
+    import graft.queries.{QueryMemo, VectorQueries}
+    val path = VectorQueries.ivfIndexPath(sf)
+    val first = VectorQueries.ivfIndex(spark, sf)
+    assert(first.listsPath == path)
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_INDEX_DONE")
+    val built = java.nio.file.Files.getLastModifiedTime(marker)
+    // simulate eviction / a fresh session: the memo entry is gone, but
+    // the deterministic on-disk index is adopted, not rebuilt (the
+    // _SUCCESS marker's mtime is untouched) and carries the same
+    // quantizer centroids
+    QueryMemo.invalidate(spark, s"ann-ivf-index:$sf")
+    val second = VectorQueries.ivfIndex(spark, sf)
+    assert(second.listsPath == path)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == built)
+    assert(second.cents.map(_._1).toSeq == first.cents.map(_._1).toSeq)
+    assert(second.cents.map(_._2.toSeq).toSeq ==
+      first.cents.map(_._2.toSeq).toSeq)
+  }
+
   test("q57: packing is a two-pass prefix sum, not a per-source window sort") {
     // the window form serializes each source through ONE task; the
     // SequencePacking plan is a narrow map over the pinned range

@@ -240,4 +240,65 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(batch == replay)
   }
+
+  test("streaming candidates through the lake decide exactly like batch q58") {
+    // e2e: existing corpus streams through in micro-batch 1, the
+    // incoming batch in micro-batch 2; candidates materialize via
+    // LakeSink and the SAME decisionFromCandidates policy code as q58.
+    // The batch side runs real q58 over a documents table holding the
+    // same rows — keep/drop decisions must be identical.
+    import graft.queries.DedupQueries
+    import graft.streaming.StreamingCorpus
+    implicit val sqlCtx = spark.sqlContext
+
+    val words = (n: Int, p: String) => (0 until n).map(i => s"$p$i").mkString(" ")
+    val dupOfExisting = words(30, "alpha")
+    val incPair = words(30, "beta")
+    val existing = Seq( // sources OUTSIDE IncomingSources = the corpus
+      (1L, "src00", dupOfExisting),
+      (2L, "src00", words(30, "gamma")),
+      (3L, "src01", words(30, "delta")))
+    val incoming = Seq( // q58's IncomingSources
+      (101L, "src18", dupOfExisting), // linked to existing → dropped
+      (102L, "src18", incPair), // incoming-only near-dup pair:
+      (103L, "src19", incPair), //   canonical 102 kept, 103 dropped
+      (104L, "src19", words(30, "epsilon"))) // unique → kept
+    assert(incoming.forall(r => DedupQueries.IncomingSources.contains(r._2)))
+
+    // batch path: q58 over a documents table with these exact rows
+    val sfDir = java.nio.file.Files.createTempDirectory("graft_sc_sf").toString
+    (existing ++ incoming).toDF("doc_id", "source", "text")
+      .write.parquet(s"$sfDir/documents.parquet")
+    val batch = DedupQueries.q58(spark, sfDir)
+      .select($"doc_id", $"linked_existing", $"canonical_doc_id", $"kept")
+      .as[(Long, Boolean, Long, Boolean)].collect().toSet
+
+    // streaming path: corpus backfill then the incoming micro-batch
+    val candDir = java.nio.file.Files.createTempDirectory("graft_sc").toString
+    val in = MemoryStream[DocEv]
+    val q = StreamingCorpus.writeCandidates(
+        StreamingDedup.candidates(in.toDS(),
+          DedupQueries.NBands, DedupQueries.RowsPerBand,
+          horizonMinutes = 60), s"$candDir/cand")
+      .option("checkpointLocation", s"$candDir/ckpt").start()
+    try {
+      in.addData(existing.map(r =>
+        DocEv(r._1, r._3, ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      in.addData(incoming.map(r =>
+        DocEv(r._1, r._3, ts("2024-01-01 10:05:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingCorpus.decide(spark, s"$candDir/cand",
+        incoming.map(_._1).toDF("doc_id"))
+      .select($"doc_id", $"linked_existing", $"canonical_doc_id", $"kept")
+      .as[(Long, Boolean, Long, Boolean)].collect().toSet
+
+    assert(batch == Set(
+      (101L, true, 101L, false),
+      (102L, false, 102L, true),
+      (103L, false, 102L, false),
+      (104L, false, 104L, true)))
+    assert(streamed == batch)
+  }
 }
