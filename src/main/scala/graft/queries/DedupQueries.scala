@@ -133,17 +133,35 @@ object DedupQueries {
   val MaxBandBucket = 10000
 
   /** The dropped (band_idx, band_key) keys at a given cap — tiny frame
-    * for logging/monitoring; empty at every gated SF.
+    * for logging/monitoring; empty at every gated SF. Derived from the
+    * SAME windowed band frame as [[lshCandidates]] (`bucket_n >` is the
+    * complement of the cap filter), so a DAG that runs both per-run
+    * shares the single (band_idx, band_key) exchange instead of paying
+    * a second full band pass.
     */
   private[graft] def oversizedBandBuckets(sig: DataFrame,
                                           maxBucket: Int): DataFrame =
-    bandsOf(sig).groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+    windowedBands(sig)
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band_idx"), col("band_key"), col("bucket_n").as("n"))
+      .distinct()
 
   private def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
         explode(DedupFunctions.lshBands(col("sig"), NBands, RowsPerBand)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+
+  /** One band row per (doc, band) with its bucket's member count — the
+    * shared frame behind both the candidate cap (`<= maxBucket`, hot
+    * path) and the oversize monitor (`> maxBucket`). The window keys on
+    * (band_idx, band_key) — the self-join key — so the exchange it
+    * introduces is the one the join needs anyway.
+    */
+  private def windowedBands(sig: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key")
+    bandsOf(sig).withColumn("bucket_n", count(lit(1)).over(w))
+  }
 
   /** LSH candidate pairs (doc_a < doc_b sharing ≥1 band), from an
     * already-built signature relation. Buckets over `maxBucket` are
@@ -158,10 +176,7 @@ object DedupQueries {
     */
   private[graft] def lshCandidates(sig: DataFrame,
                                    maxBucket: Int = MaxBandBucket): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_idx", "band_key")
-    val kept = bandsOf(sig)
-      .withColumn("bucket_n", count(lit(1)).over(w))
+    val kept = windowedBands(sig)
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
     kept.alias("a")

@@ -38,7 +38,9 @@ object StreamingCorpus {
     */
   def decide(s: SparkSession, candPath: String,
              incomingIds: DataFrame): DataFrame = {
-    val inc = incomingIds.select(col("doc_id")).localCheckpoint()
+    // distinct: batch q58's incoming side is unique by construction; a
+    // caller passing duplicate ids must not get duplicated decisions
+    val inc = incomingIds.select(col("doc_id")).distinct().localCheckpoint()
     val incA = inc.select(col("doc_id").as("doc_a"),
       lit(true).as("a_inc"))
     val incB = inc.select(col("doc_id").as("doc_b"),
