@@ -199,8 +199,18 @@ object DedupQueries {
     * ContextCleaner — a `persist()` here would sit in the CacheManager
     * until someone remembered to unpersist (the round-1 leak).
     */
+  /** Memo key for a `documents`-derived frame, carrying the table's
+    * content fingerprint (file names + sizes + mtimes): a dataset
+    * rewritten in place changes the key, so a memo hit can never serve
+    * signatures/labels computed over the old corpus. One driver-side FS
+    * listing per lookup — metadata only, no data read.
+    */
+  private def docsKey(name: String, s: SparkSession, dir: String): String =
+    s"$name:$dir:" +
+      graft.sources.DatasetFingerprint.ofTable(s, dir, "documents")
+
   private def checkpointedSignatures(s: SparkSession, dir: String): DataFrame =
-    QueryMemo.get(s, s"dedup-signatures:$dir") {
+    QueryMemo.get(s, docsKey("dedup-signatures", s, dir)) {
       signatures(s, dir).localCheckpoint()
     }
 
@@ -211,7 +221,7 @@ object DedupQueries {
     * without it every call re-tokenizes the corpus.
     */
   private def checkpointedShingleSets(s: SparkSession, dir: String): DataFrame =
-    QueryMemo.get(s, s"dedup-shingle-sets:$dir") {
+    QueryMemo.get(s, docsKey("dedup-shingle-sets", s, dir)) {
       shingleSets(s, dir).localCheckpoint()
     }
 
@@ -386,9 +396,10 @@ object DedupQueries {
     * read the same materialized result; round 1 recomputed the whole
     * clustering inside q49 (41.8 s of pure duplicate work at sf0.1).
     *
-    * Contract: the dataset under `dir` is treated as IMMUTABLE for the
-    * session (true for the lake — publishes write new paths); callers
-    * that rewrite a dir in place must call [[invalidateClusterLabels]].
+    * Freshness: the memo key carries the documents table's content
+    * fingerprint ([[graft.sources.DatasetFingerprint]]), so a dataset
+    * rewritten in place misses the memo and recomputes automatically —
+    * no manual invalidate to forget.
     * Lifetime is bounded by [[QueryMemo]] (fixed-size LRU);
     * `spark.catalog.clearCache()` between bench queries cannot evict a
     * live entry (checkpoint blocks are not CacheManager state).
@@ -433,7 +444,7 @@ object DedupQueries {
   }
 
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    QueryMemo.get(s, s"dedup-cluster-labels:$dir") {
+    QueryMemo.get(s, docsKey("dedup-cluster-labels", s, dir)) {
       val (mapping, cand) = collapsedLshInputs(s, dir)
       val comp = graft.operators.ConnectedComponents.run(cand, "doc_a", "doc_b")
       // member → representative → component (groups with no near-dup
@@ -449,15 +460,17 @@ object DedupQueries {
         .localCheckpoint()
     }
 
-  /** Drop every memoized derivation for a dataset that was rewritten
-    * in place: the clustering, the signatures it derives from, and the
-    * shingle sets (q50) — missing any one would serve results for the
-    * old corpus beside fresh ones.
+  /** Force-drop every memoized derivation for a dataset at its CURRENT
+    * fingerprint: the clustering, the signatures it derives from, and
+    * the shingle sets (q50). Rewritten-in-place data no longer needs
+    * this (the fingerprinted keys miss automatically); it remains for
+    * forcing a recompute over unchanged data (e.g. a test that wants a
+    * cold path).
     */
   def invalidateClusterLabels(s: SparkSession, dir: String): Unit = {
-    QueryMemo.invalidate(s, s"dedup-cluster-labels:$dir")
-    QueryMemo.invalidate(s, s"dedup-signatures:$dir")
-    QueryMemo.invalidate(s, s"dedup-shingle-sets:$dir")
+    QueryMemo.invalidate(s, docsKey("dedup-cluster-labels", s, dir))
+    QueryMemo.invalidate(s, docsKey("dedup-signatures", s, dir))
+    QueryMemo.invalidate(s, docsKey("dedup-shingle-sets", s, dir))
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components

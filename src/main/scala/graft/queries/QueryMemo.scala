@@ -16,8 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * strongly references its session anyway — an identity-hash key could
   * collide across two live sessions and serve a frame whose blocks
   * belong to a different SparkContext); values by a caller-chosen
-  * string. Datasets under a key are assumed immutable for the
-  * session — callers that rewrite a path in place must [[invalidate]].
+  * string. Callers that memoize dataset-derived state fold the
+  * dataset's content fingerprint
+  * ([[graft.sources.DatasetFingerprint]]) into their key, so a dataset
+  * rewritten in place misses the memo instead of serving stale frames;
+  * [[invalidate]] remains for forcing a cold path over unchanged data.
   */
 object QueryMemo {
 

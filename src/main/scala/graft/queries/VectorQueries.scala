@@ -139,53 +139,168 @@ object VectorQueries extends Serializable {
     best
   }
 
-  /** Deterministic on-disk home for a dataset's IVF index (and its
-    * `_centroids` sibling): tmpdir/graft-ivf/md5(dataset path). One
-    * fixed location per dataset means QueryMemo eviction and session
-    * teardown leave at most ONE reusable directory per dataset — never
-    * an accumulating orphan per build — and a fresh session adopts the
-    * existing index instead of re-running the full-corpus assignment.
-    * Same immutability contract as [[QueryMemo]]: a dataset rewritten
-    * in place needs `QueryMemo.invalidate` plus deletion of this dir.
+  /** Learned-quantizer build config: K inverted lists, trained by
+    * [[KmIters]] Lloyd iterations over a deterministic md5 hash-sample
+    * (first hex digit in 0-3 → 1/4 of the corpus). No RNG anywhere —
+    * seeds are the K sample vectors with the smallest (md5, vec_id),
+    * so the build is reproducible AND the DuckDB oracle can replay it
+    * in lock-step SQL.
     */
-  private[graft] def ivfIndexPath(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft-ivf", h).toString
+  val KLists = 10
+  val KmIters = 2
+  private val SampleHexDigits = Seq("0", "1", "2", "3")
+
+  /** Driver-side mirror of SQL `round(x, 6)` (HALF_UP — what both
+    * Spark's `round` and DuckDB's `round` do), for the seed centroids
+    * that never pass through a SQL projection.
+    */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The coarse quantizer the IVF build assigns against: k-means
+    * centroids learned from the hash-sample, NOT the per-label means —
+    * list balance must track embedding geometry, not label frequency
+    * (one fat label would otherwise become one fat inverted list and
+    * every probe of it would scan 80% of the corpus). Each Lloyd
+    * iteration is one broadcast of K × dims doubles + one
+    * (cid, pos) partial-agg shuffle of the SAMPLE only — the full
+    * corpus is touched once, at assignment time in [[ivfIndex]]. All
+    * centroid arithmetic is rounded to 6 decimals per iteration so
+    * assignments are engine-portable (the q54 contract); clusters that
+    * lose every member keep their previous centroid on both engines.
+    */
+  private[graft] def quantizerCentroids(
+      s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    import s.implicits._
+    val samp = t(s, dir, "embeddings")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .filter(substring(col("h"), 1, 1).isin(SampleHexDigits: _*))
+    val seeds = samp.orderBy(col("h"), col("vec_id"))
+      .select(col("embedding")).as[Array[Float]].take(KLists)
+    require(seeds.length == KLists,
+      s"sample too small for $KLists seeds: ${seeds.length}")
+    var cents: Array[(Int, Array[Double])] = seeds.zipWithIndex
+      .map { case (emb, i) => (i, emb.map(f => round6(f.toDouble))) }
+    val sampVecs = samp.select(col("embedding")).as[Array[Float]]
+    for (_ <- 1 to KmIters) {
+      val bc = s.sparkContext.broadcast(cents)
+      val means = sampVecs
+        .map(emb => (assignTo(bc.value, emb), emb))
+        .toDF("cid", "embedding")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p("m")).as("c"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, means.get(cid).map(_.toArray).getOrElse(old))
+      }
+    }
+    cents
   }
 
-  /** IVF index build, ONCE per dataset ACROSS sessions: every vector is
-    * assigned to its nearest q54 centroid (one broadcast of
-    * labels × dims doubles, one narrow pass — no shuffle) and the
-    * corpus is written as a [[graft.sources.Lake.writeListPartitioned]]
-    * inverted-list layout, `partitionBy(list_id)`, at the
-    * [[ivfIndexPath]] deterministic location; the (tiny) quantizer
-    * centroids are persisted beside it so adoption needs no corpus
-    * scan. The assignment — the full-corpus pass — happens at BUILD
-    * time; every probe after it is a partition-pruned scan of the
-    * probed lists only. Memoized per session ([[QueryMemo]]) AND
-    * adopted from disk by a completeness marker written after both
-    * writes commit, which is exactly the index lifecycle a 1B-vector
-    * deployment needs — build is a job, probes are lookups.
-    * (The sandbox roots under tmpdir; a deployment passes a lake
-    * path — the layout is the point.)
+  /** Per-dataset root for IVF index versions:
+    * tmpdir/graft-ivf-(user)/md5(dataset path). User-scoped because the
+    * path is otherwise predictable under a world-writable /tmp — another
+    * local user could pre-create it (poisoned index / DoS). A deployment
+    * passes a lake path instead; all index IO below goes through the
+    * Hadoop FS API so the same code runs against one.
+    */
+  private[graft] def ivfRoot(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val user = sys.props.getOrElse("user.name", "anon")
+    java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft-ivf-$user", h).toString
+  }
+
+  /** On-disk index format tag, part of the version dir name: bumped
+    * whenever the layout or the quantizer algorithm changes, so an
+    * index built by older code is treated as superseded (swept at the
+    * next build) instead of adopted with the wrong semantics.
+    */
+  private val IndexFormat = "kq1"
+
+  /** Deterministic on-disk home for ONE VERSION of a dataset's IVF
+    * index: [[ivfRoot]]/[[IndexFormat]]-(content fingerprint of the
+    * embeddings table). Keying the leaf on
+    * [[graft.sources.DatasetFingerprint]] — file names, sizes and
+    * mtimes, not just the path — means a dataset rewritten IN PLACE
+    * gets a fresh home automatically: a surviving completeness marker
+    * from the old version can never be adopted for the new data. The
+    * build deletes superseded sibling versions, so the root still
+    * holds at most one live directory per dataset.
+    */
+  private[graft] def ivfIndexPath(s: SparkSession, dir: String): String =
+    java.nio.file.Paths.get(ivfRoot(dir), IndexFormat + "-" +
+      graft.sources.DatasetFingerprint.ofTable(s, dir, "embeddings")).toString
+
+  /** Session-memo key for the built index — fingerprinted like the
+    * path, so even a memo HIT cannot serve an index for rewritten data.
+    */
+  private[graft] def ivfMemoKey(s: SparkSession, dir: String): String =
+    s"ann-ivf-index:$dir:" +
+      graft.sources.DatasetFingerprint.ofTable(s, dir, "embeddings")
+
+  /** True iff the on-disk index at `path` is complete AND readable: the
+    * end-of-build marker exists, the `_centroids` parquet has data
+    * files, and at least one `list_id=` partition dir survives. The
+    * extra checks guard against tmp reapers that age out individual
+    * files (marker outlives data) — a failed check falls back to a
+    * rebuild instead of a broken probe.
+    */
+  private def indexHealthy(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.exists(new org.apache.hadoop.fs.Path(path, "_GRAFT_INDEX_DONE")) &&
+      fs.globStatus(
+        new org.apache.hadoop.fs.Path(path, "_centroids/*.parquet"))
+        .nonEmpty &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("list_id="))
+  }
+
+  /** IVF index build, ONCE per dataset version ACROSS sessions: every
+    * vector is assigned to its nearest quantizer centroid (one
+    * broadcast of K × dims doubles, one narrow pass — no shuffle) and
+    * the corpus is written as a
+    * [[graft.sources.Lake.writeListPartitioned]] inverted-list layout,
+    * `partitionBy(list_id)`, at the [[ivfIndexPath]] deterministic
+    * location; the (tiny) quantizer centroids are persisted inside it
+    * (`_centroids` — underscore-prefixed, invisible to Spark's scan) so
+    * adoption needs no corpus scan. The assignment — the full-corpus
+    * pass — happens at BUILD time; every probe after it is a
+    * partition-pruned scan of the probed lists only. Memoized per
+    * session ([[QueryMemo]]) AND adopted from disk by a completeness
+    * marker written after both writes commit — exactly the index
+    * lifecycle a 1B-vector deployment needs: build is a job, probes are
+    * lookups. Two sessions racing the build write identical
+    * deterministic content; the marker is claimed with an atomic
+    * `createNewFile`, and the loser adopts the winner's index instead
+    * of failing. (A real deployment serializes builds as a scheduled
+    * job; the race handling is a sandbox courtesy, not the design.)
     */
   private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex =
-    QueryMemo.getAny(s, s"ann-ivf-index:$dir") {
+    QueryMemo.getAny(s, ivfMemoKey(s, dir)) {
       import s.implicits._
-      val path = ivfIndexPath(dir)
-      val centsPath = path + "_centroids"
-      // our own end-of-build marker: the session's dynamic
-      // partitionOverwriteMode commits partitioned writes WITHOUT a
-      // root _SUCCESS, so the lists dir has no committer marker to
-      // trust; written last, after both the lists and the centroids
-      // (underscore-prefixed files are invisible to Spark's scan)
-      val marker = java.nio.file.Paths.get(path, "_GRAFT_INDEX_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
-        val cents: Array[(Int, Array[Double])] = centroidFrame(s, dir)
-          .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
+      val path = ivfIndexPath(s, dir)
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val centsPath = path + "/_centroids"
+      def adopt(): IvfIndex = {
+        val cents = s.read.parquet(centsPath)
+          .select(col("cid"), col("centroid")).as[(Int, Seq[Double])]
           .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
+        IvfIndex(path, cents)
+      }
+      if (indexHealthy(fs, path)) adopt()
+      else {
+        // partial leftovers (crashed build, reaped files) poison a
+        // dynamic-overwrite rewrite — clear the version dir first
+        if (fs.exists(hPath)) fs.delete(hPath, true)
+        val cents: Array[(Int, Array[Double])] = quantizerCentroids(s, dir)
         val bc = s.sparkContext.broadcast(cents)
         val assigned = t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -194,28 +309,32 @@ object VectorQueries extends Serializable {
         graft.sources.Lake
           .writeListPartitioned(assigned, "list_id", "vec_id", path)
         cents.toSeq.map { case (l, c) => (l, c.toSeq) }
-          .toDF("label", "centroid")
+          .toDF("cid", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(centsPath)
-        java.nio.file.Files.createFile(marker)
-        IvfIndex(path, cents)
-      } else {
-        val cents = s.read.parquet(centsPath)
-          .select(col("label"), col("centroid")).as[(Int, Seq[Double])]
-          .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
-        IvfIndex(path, cents)
+        // superseded versions (older fingerprints) are dead by
+        // construction — nothing can adopt them — so reclaim the disk
+        val leaf = hPath.getName
+        val root = hPath.getParent
+        fs.listStatus(root)
+          .filter(st => st.isDirectory && st.getPath.getName != leaf)
+          .foreach(st => fs.delete(st.getPath, true))
+        val claimed = fs.createNewFile(
+          new org.apache.hadoop.fs.Path(path, "_GRAFT_INDEX_DONE"))
+        if (claimed) IvfIndex(path, cents) else adopt()
       }
     }
 
-  /** q56 — IVF-style ANN over the MATERIALIZED [[ivfIndex]]: the q54
-    * centroids are the coarse quantizer; the query ranks them
-    * driver-side, probes its [[NProbe]] nearest lists, and ONLY those
-    * lists' partitions are scanned (PlanSpec asserts the probe scan's
-    * PartitionFilters carry `list_id`). The second ANN scale path
-    * beside q38's LSH buckets: at 1B vectors / 4k lists a probe reads
-    * ~nprobe/4k of the corpus — off disk, not recomputed. The
-    * 6-decimal centroid rounding (q54) makes the quantizer
-    * engine-portable, so assignments — and therefore results —
-    * hash-match the oracle.
+  /** q56 — IVF-style ANN over the MATERIALIZED [[ivfIndex]]: the
+    * [[quantizerCentroids]] learned by seeded k-means are the coarse
+    * quantizer; the query ranks them driver-side, probes its [[NProbe]]
+    * nearest lists, and ONLY those lists' partitions are scanned
+    * (PlanSpec asserts the probe scan's PartitionFilters carry
+    * `list_id`). The second ANN scale path beside q38's LSH buckets: at
+    * 1B vectors / 4k lists a probe reads ~nprobe/4k of the corpus —
+    * off disk, not recomputed. The deterministic seeding + 6-decimal
+    * per-iteration centroid rounding make the whole k-means replayable
+    * in the DuckDB oracle, so assignments — and therefore results —
+    * hash-match it.
     */
   def q56(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -298,28 +417,70 @@ object VectorQueries extends Serializable {
          |      FROM embeddings GROUP BY label)
          |SELECT n.label, n.n_vecs, array_to_string(c.cl, ',') AS centroid
          |FROM n JOIN c ON n.label = c.label""".stripMargin,
-    "q56_ann_ivf" ->
-      s"""WITH ex AS (
-         | SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-         | FROM embeddings, (SELECT unnest(range(1, ${Dims + 1})) AS i)),
-         |m AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos),
-         |cents AS (SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
-         |          FROM m GROUP BY label),
-         |scored AS (
-         | SELECT e.vec_id, e.embedding, c.label,
-         |  ${DedupQueries.cosineSql("e.embedding", "c.centroid")} AS ccos
-         | FROM embeddings e CROSS JOIN cents c),
-         |ranked AS (
-         | SELECT *, row_number() OVER (PARTITION BY vec_id
-         |   ORDER BY ccos DESC, label ASC) AS rn
-         | FROM scored),
-         |asg AS (SELECT vec_id, embedding, label AS list_id FROM ranked WHERE rn = 1),
-         |probes AS (SELECT label FROM ranked WHERE vec_id = $QueryVecId AND rn <= $NProbe)
-         |SELECT a.vec_id, a.list_id,
-         | round(${DedupQueries.cosineSql("a.embedding", "q.qv")}, 6) AS cos_sim
-         |FROM asg a
-         |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId) q
-         |WHERE a.vec_id <> $QueryVecId AND a.list_id IN (SELECT label FROM probes)
-         |ORDER BY ${DedupQueries.cosineSql("a.embedding", "q.qv")} DESC, a.vec_id ASC
-         |LIMIT $TopK""".stripMargin)
+    "q56_ann_ivf" -> q56OracleSql)
+
+  /** One Lloyd iteration as SQL CTEs: assign every sample vector to its
+    * nearest `prev` centroid (ties to the smaller cid — the Spark
+    * side's strict-`>` scan), recompute per-(cid, pos) means rounded to
+    * 6 decimals, and carry the previous centroid for clusters that lost
+    * every member. Mirrors [[quantizerCentroids]] exactly.
+    */
+  private def kmeansIterSql(prev: String, next: String): String =
+    s"""a_$next AS (
+       | SELECT s.vec_id, s.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${DedupQueries.cosineSql("s.embedding", "c.centroid")} DESC,
+       |      c.cid ASC) AS rn
+       | FROM samp s CROSS JOIN $prev c),
+       |m_$next AS (
+       | SELECT a.cid, p.pos,
+       |  round(avg(CAST(a.embedding[p.pos] AS DOUBLE)), 6) AS m
+       | FROM a_$next a, (SELECT unnest(range(1, ${Dims + 1})) AS pos) p
+       | WHERE a.rn = 1 GROUP BY a.cid, p.pos),
+       |$next AS (
+       | SELECT c.cid, coalesce(l.centroid, c.centroid) AS centroid
+       | FROM $prev c LEFT JOIN
+       |  (SELECT cid, list(m ORDER BY pos) AS centroid
+       |   FROM m_$next GROUP BY cid) l
+       |  ON c.cid = l.cid)""".stripMargin
+
+  /** The full q56 oracle: replay the seeded k-means build (sample →
+    * seeds → [[KmIters]] iterations), assign the whole corpus to the
+    * final centroids, then probe exactly like the Spark side.
+    */
+  private def q56OracleSql: String = {
+    val sampleHex = SampleHexDigits.map(d => s"'$d'").mkString(", ")
+    val finalCents = s"c$KmIters"
+    val iters = (1 to KmIters)
+      .map(i => kmeansIterSql(s"c${i - 1}", s"c$i")).mkString(",\n")
+    s"""WITH samp AS (
+       | SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+       | FROM embeddings
+       | WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ($sampleHex)),
+       |seeds AS (
+       | SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, embedding
+       | FROM (SELECT h, vec_id, embedding FROM samp
+       |       ORDER BY h, vec_id LIMIT $KLists) t),
+       |c0 AS (
+       | SELECT cid, list_transform(range(1, ${Dims + 1}),
+       |   i -> round(CAST(embedding[i] AS DOUBLE), 6)) AS centroid
+       | FROM seeds),
+       |$iters,
+       |scored AS (
+       | SELECT e.vec_id, e.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${DedupQueries.cosineSql("e.embedding", "c.centroid")} DESC,
+       |      c.cid ASC) AS rn
+       | FROM embeddings e CROSS JOIN $finalCents c),
+       |asg AS (SELECT vec_id, embedding, cid AS list_id FROM scored WHERE rn = 1),
+       |probes AS (SELECT cid FROM scored
+       |           WHERE vec_id = $QueryVecId AND rn <= $NProbe)
+       |SELECT a.vec_id, a.list_id,
+       | round(${DedupQueries.cosineSql("a.embedding", "q.qv")}, 6) AS cos_sim
+       |FROM asg a
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId) q
+       |WHERE a.vec_id <> $QueryVecId AND a.list_id IN (SELECT cid FROM probes)
+       |ORDER BY ${DedupQueries.cosineSql("a.embedding", "q.qv")} DESC, a.vec_id ASC
+       |LIMIT $TopK""".stripMargin
+  }
 }

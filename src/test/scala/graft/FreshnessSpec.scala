@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.{DedupQueries, QueryMemo, VectorQueries}
+
+/** Freshness of memoized dataset-derived state: a dataset rewritten IN
+  * PLACE must produce fresh results with NO manual invalidate call —
+  * the memo keys and the IVF index home both carry the dataset's
+  * content fingerprint, so stale state simply can't be addressed.
+  */
+class FreshnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit =
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  private def writeEmbeddings(dir: String, n: Int, seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, i % 3, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("cluster labels recompute after an in-place rewrite, " +
+    "no manual invalidate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    def doc(i: Int, body: String) = (i.toLong,
+      s"$body with enough distinct words w${i * 7} w${i * 13} to shingle")
+    // v1: docs 1 and 2 are exact duplicates → same canonical id
+    writeDocs(dir, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      doc(3, "unrelated third document")))
+    val v1 = DedupQueries.clusterLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(v1(1L) == 1L && v1(2L) == 1L && v1(3L) == 3L)
+    // v2: same path, doc 2 rewritten to be unique — a stale memo hit
+    // would still report it as doc 1's duplicate
+    writeDocs(dir, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      doc(2, "now a completely different second document"),
+      doc(3, "unrelated third document")))
+    val v2 = DedupQueries.clusterLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(v2(2L) == 2L, s"stale memo served after in-place rewrite: $v2")
+  }
+
+  test("IVF index rebuilds after an in-place rewrite; the superseded " +
+    "version dir is reclaimed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh-ivf").toString
+    writeEmbeddings(dir, n = 60, seed = 1)
+    val p1 = VectorQueries.ivfIndexPath(spark, dir)
+    val ix1 = VectorQueries.ivfIndex(spark, dir)
+    assert(ix1.listsPath == p1)
+    writeEmbeddings(dir, n = 90, seed = 2) // same path, new content
+    val p2 = VectorQueries.ivfIndexPath(spark, dir)
+    assert(p2 != p1, "fingerprint must change on rewrite")
+    val ix2 = VectorQueries.ivfIndex(spark, dir)
+    assert(ix2.listsPath == p2)
+    // the rebuilt index covers the NEW corpus…
+    assert(spark.read.parquet(p2).count() == 90)
+    // …and the dead version was deleted by the build (one live dir per
+    // dataset, no accumulating orphans)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)))
+  }
+
+  test("IVF adoption survives a tmp reaper: marker without data falls " +
+    "back to a rebuild, not a broken probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh-reap").toString
+    writeEmbeddings(dir, n = 40, seed = 3)
+    val ix = VectorQueries.ivfIndex(spark, dir)
+    // age out the centroids parquet but leave the marker — the classic
+    // per-file tmp-reaper hazard
+    val cents = java.nio.file.Paths.get(ix.listsPath, "_centroids")
+    java.nio.file.Files.list(cents).forEach(f =>
+      java.nio.file.Files.delete(f))
+    java.nio.file.Files.delete(cents)
+    // fresh session simulated via memo invalidate: adoption must detect
+    // the unhealthy index and rebuild instead of failing the read
+    QueryMemo.invalidate(spark, VectorQueries.ivfMemoKey(spark, dir))
+    val again = VectorQueries.ivfIndex(spark, dir)
+    assert(again.cents.map(_._1).toSeq == ix.cents.map(_._1).toSeq)
+    assert(spark.read.parquet(again.listsPath).count() == 40)
+  }
+}

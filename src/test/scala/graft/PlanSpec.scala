@@ -96,7 +96,7 @@ class PlanSpec extends SparkSpec {
   test("IVF index lifecycle: deterministic path, adopted across memo " +
     "evictions without a rebuild") {
     import graft.queries.{QueryMemo, VectorQueries}
-    val path = VectorQueries.ivfIndexPath(sf)
+    val path = VectorQueries.ivfIndexPath(spark, sf)
     val first = VectorQueries.ivfIndex(spark, sf)
     assert(first.listsPath == path)
     val marker = java.nio.file.Paths.get(path, "_GRAFT_INDEX_DONE")
@@ -105,7 +105,7 @@ class PlanSpec extends SparkSpec {
     // the deterministic on-disk index is adopted, not rebuilt (the
     // _SUCCESS marker's mtime is untouched) and carries the same
     // quantizer centroids
-    QueryMemo.invalidate(spark, s"ann-ivf-index:$sf")
+    QueryMemo.invalidate(spark, VectorQueries.ivfMemoKey(spark, sf))
     val second = VectorQueries.ivfIndex(spark, sf)
     assert(second.listsPath == path)
     assert(java.nio.file.Files.getLastModifiedTime(marker) == built)
