@@ -28,14 +28,16 @@ object VectorQueries extends Serializable {
   val TopK = 10
   val QueryVecId = 0L
 
-  /** q37 — brute-force cosine top-k against the query vector (vec_id 0).
-    * The exact-recall baseline every ANN variant is judged against.
+  /** Brute-force cosine top-k for ANY query vector — the exact-recall
+    * baseline every ANN variant is judged against (RecallSpec measures
+    * q38/q56 recall@k against this).
     */
-  def q37(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def exactTopKDf(s: SparkSession, dir: String,
+                                 qid: Long): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") === QueryVecId)
+    val q = e.filter(col("vec_id") === qid)
       .select(col("embedding").as("qv"))
-    e.filter(col("vec_id") =!= QueryVecId)
+    e.filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(q))
       .withColumn("cos", VectorExpressions.vecCosine(col("embedding"), col("qv")))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -43,23 +45,45 @@ object VectorQueries extends Serializable {
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** q38 — LSH-bucketed ANN: bucket the corpus by hyperplane sign bits,
-    * search only the query's bucket. Approximate — recall is traded for
-    * a 2^NBits scan reduction; candidates are still ranked by exact
-    * cosine within the bucket.
+  /** q37 — brute-force cosine top-k against the query vector (vec_id 0). */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    exactTopKDf(s, dir, QueryVecId)
+
+  /** LSH-bucketed ANN for ANY query vector with MULTI-PROBE: scan every
+    * bucket within Hamming distance `radius` of the query's bucket
+    * (radius 0 = the single-bucket q38 semantics). A sign bit flips
+    * exactly when the query sits near that hyperplane, so the nearest
+    * misses land overwhelmingly in Hamming-adjacent buckets — radius 1
+    * probes 1+NBits of the 2^NBits buckets (9/256 here) and, measured
+    * by RecallSpec, multiplies recall severalfold while the scan stays
+    * bucket-pruned. The candidate bucket ids are a driver-side literal
+    * list (2^NBits is small by construction), so the plan is still one
+    * pruned scan + broadcast of the query row, nothing pairwise.
     */
-  def q38(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshTopKDf(s: SparkSession, dir: String, qid: Long,
+                               radius: Int = 0): DataFrame = {
+    import s.implicits._
     val e = t(s, dir, "embeddings")
       .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), NBits, Dims))
-    val q = e.filter(col("vec_id") === QueryVecId)
+    val q = e.filter(col("vec_id") === qid)
       .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
-    e.filter(col("vec_id") =!= QueryVecId)
-      .join(broadcast(q), col("bucket") === col("qbucket"))
+    val qBucket = q.select(col("qbucket")).as[Long].head()
+    val probed = (0L until (1L << NBits))
+      .filter(b => java.lang.Long.bitCount(b ^ qBucket) <= radius)
+    e.filter(col("vec_id") =!= qid && col("bucket").isin(probed: _*))
+      .crossJoin(broadcast(q.select(col("qv"))))
       .withColumn("cos", VectorExpressions.vecCosine(col("embedding"), col("qv")))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(TopK)
       .select(col("vec_id"), col("bucket"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** q38 — the single-bucket (radius 0) LSH search for the vec_id-0
+    * query vector. RecallSpec's measured guidance: use radius ≥ 1 when
+    * recall matters more than the last 10× of scan reduction.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame =
+    lshTopKDf(s, dir, QueryVecId)
 
   /** Per-label centroid frame (label, n_vecs, centroid: array<double>):
     * element-wise mean embedding + member count per coarse label. The
@@ -336,19 +360,27 @@ object VectorQueries extends Serializable {
     * in the DuckDB oracle, so assignments — and therefore results —
     * hash-match it.
     */
-  def q56(s: SparkSession, dir: String): DataFrame = {
+  def q56(s: SparkSession, dir: String): DataFrame =
+    ivfTopKDf(s, dir, QueryVecId)
+
+  /** The IVF probe for ANY query vector and probe width (q56 is the
+    * vec_id-0, nprobe=[[NProbe]] instantiation; RecallSpec sweeps both
+    * to produce the recall-vs-nprobe curve an IVF user tunes against).
+    */
+  private[graft] def ivfTopKDf(s: SparkSession, dir: String, qid: Long,
+                               nprobe: Int = NProbe): DataFrame = {
     import s.implicits._
     val ix = ivfIndex(s, dir)
     val qEmb = t(s, dir, "embeddings")
-      .filter(col("vec_id") === QueryVecId)
+      .filter(col("vec_id") === qid)
       .select(col("embedding")).as[Array[Float]].head()
     val probeLists = ix.cents
       .map { case (l, c) => (l, cosD(qEmb, c)) }
       .sortBy { case (l, c) => (-c, l) }
-      .take(NProbe).map(_._1).toSeq
+      .take(nprobe).map(_._1).toSeq
     s.read.parquet(ix.listsPath)
       .filter(col("list_id").isin(probeLists: _*) &&
-        col("vec_id") =!= QueryVecId)
+        col("vec_id") =!= qid)
       .withColumn("cos", VectorExpressions.vecCosine(col("embedding"),
         typedLit(qEmb)))
       .orderBy(col("cos").desc, col("vec_id").asc)

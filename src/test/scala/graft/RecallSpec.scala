@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.VectorQueries
+
+/** Retrieval quality of the two approximate ANN paths, measured the way
+  * an ANN user tunes them: recall@k against the exact brute-force
+  * top-k, averaged over a 20-query sweep, as a CURVE over the tuning
+  * knob (IVF: nprobe; LSH: multi-probe Hamming radius). The oracle
+  * hash-match (q38/q56) proves engine portability of the algorithm;
+  * this is the other half — whether the approximation retrieves the
+  * true neighbours, and what turning the knob buys. Measured means are
+  * recorded in BASELINE.md; the asserted floors sit below them so
+  * data-regeneration jitter doesn't flake the suite while a real
+  * retrieval regression (wrong bucketing, wrong probe order, empty
+  * lists) still fails loudly.
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val queryIds: Seq[Long] = (0 until 20).map(_ * 25L)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select($"vec_id").as[Long].collect().toSet
+
+  private def recallAt10(approx: Long => Set[Long],
+                         exact: Map[Long, Set[Long]]): Double = {
+    val per = queryIds.map { q =>
+      approx(q).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    per.sum / per.size
+  }
+
+  test("ANN recall@10 curves: IVF vs nprobe, LSH vs multi-probe radius") {
+    val exact = queryIds
+      .map(q => q -> ids(VectorQueries.exactTopKDf(spark, sf, q))).toMap
+    assert(exact.values.forall(_.size == VectorQueries.TopK))
+
+    val ivfCurve = Seq(2, 4, 6).map { np =>
+      np -> recallAt10(
+        q => ids(VectorQueries.ivfTopKDf(spark, sf, q, np)), exact)
+    }
+    val lshCurve = Seq(0, 1, 2).map { r =>
+      r -> recallAt10(
+        q => ids(VectorQueries.lshTopKDf(spark, sf, q, r)), exact)
+    }
+    info("recall@10 over 20 queries —")
+    info("  ivf: " + ivfCurve.map { case (np, r) =>
+      f"nprobe=$np → $r%.3f" }.mkString("  "))
+    info("  lsh: " + lshCurve.map { case (rad, r) =>
+      f"radius=$rad → $r%.3f" }.mkString("  "))
+
+    val ivfR = ivfCurve.toMap
+    val lshR = lshCurve.toMap
+    // the curves must be monotone — a wider probe can only add
+    // candidates, and candidates are ranked by true cosine
+    assert(ivfR(2) <= ivfR(4) && ivfR(4) <= ivfR(6), s"ivf not monotone: $ivfCurve")
+    assert(lshR(0) <= lshR(1) && lshR(1) <= lshR(2), s"lsh not monotone: $lshCurve")
+    // floors: measured ≈ 0.41 / 0.63 / 0.76 (ivf @ nprobe 2/4/6 of 10
+    // lists) and ≈ 0.015 / 0.07 / 0.335 (lsh @ radius 0/1/2 of 8 bits)
+    // on the near-isotropic synthetic corpus — see BASELINE.md
+    // "ANN recall@10"
+    assert(ivfR(2) >= 0.30, f"IVF nprobe=2 recall collapsed: ${ivfR(2)}%.3f")
+    assert(ivfR(6) >= 0.60, f"IVF nprobe=6 recall collapsed: ${ivfR(6)}%.3f")
+    assert(lshR(2) >= 0.15, f"LSH radius=2 recall collapsed: ${lshR(2)}%.3f")
+  }
+}
