@@ -116,7 +116,7 @@ object DedupQueries {
       .toDF("doc_id", "sig")
   }
 
-  private[queries] def signatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def signatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(t(s, dir, "documents"))
 
   /** Band buckets holding more documents than this are dropped from

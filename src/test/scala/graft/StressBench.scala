@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{ConnectedComponents, SequencePacking}
+import graft.queries.{DedupQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress wall-time recorder: the StressSpec shapes, bigger, on
+  * local[32] — output is pasted into SCALE.md. Run with
+  * `Test/runMain graft.StressBench`.
+  */
+object StressBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.create("32")
+    import spark.implicits._
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    // 1. band-bucket cap: 30k unique near-dups in one bucket
+    val lshDir = java.nio.file.Files.createTempDirectory("stressb-lsh").toString
+    StressData.writeDocs(spark, lshDir, StressData.hotBucketDocs(30000))
+    val sig = timed("minhash 30k docs (300-word template)") {
+      val x = DedupQueries.signatures(spark, lshDir).localCheckpoint()
+      x.count(); x
+    }
+    val over = timed("oversize monitor") {
+      DedupQueries.oversizedBandBuckets(sig, DedupQueries.MaxBandBucket)
+        .as[(Int, String, Long)].collect()
+    }
+    val nCand = timed("capped LSH candidates") {
+      DedupQueries.lshCandidates(sig).count()
+    }
+    println(s"[stress] hot-bucket: hottest=${over.map(_._3).max}, " +
+      s"oversized=${over.length}, candidates=$nCand " +
+      s"(uncapped would be ~${30000L * 29999 / 2} pairs/band)")
+
+    // 2. connected components: 100k path + 100k star
+    val edges = StressData.pathPlusStarEdges(spark, 100000, 100000)
+      .localCheckpoint()
+    val prop = timed("CC label-prop (100k path + 100k star)") {
+      ConnectedComponents.run(edges, "src", "dst", maxIter = 30)
+        .filter(col("comp") === StressData.PathBase).count()
+    }
+    val star = timed("CC large/small-star (same graph)") {
+      ConnectedComponents.runAlternating(edges, "src", "dst")
+        .filter(col("comp") === StressData.PathBase).count()
+    }
+    println(s"[stress] CC path-component sizes agree: $prop vs $star")
+
+    // 3. sequence packing: 2M rows, one key with 90% of tokens
+    val rows = StressData.skewedPackingRows(spark, 2000000, 0.9)
+      .localCheckpoint()
+    timed("pack 2M rows, hot key 90%") {
+      SequencePacking.withBins(rows, Seq("source"), "doc_id", "n_tokens",
+        tokensPerBin = 2048, numPartitions = 32)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val spread = rows.repartitionByRange(32, col("source"), col("doc_id"))
+      .select(spark_partition_id().as("p"), col("source"))
+      .filter(col("source") === "web").select("p").distinct().count()
+    println(s"[stress] packing hot-key spread: $spread of 32 partitions")
+
+    // 4. IVF build on 100k fat-label vectors
+    val ivfDir = java.nio.file.Files.createTempDirectory("stressb-ivf").toString
+    StressData.writeSkewedEmbeddings(spark, ivfDir, 100000, dims = 32,
+      gClusters = 10)
+    val ix = timed("IVF build (k-means quantizer + assign + write) 100k vecs") {
+      VectorQueries.ivfIndex(spark, ivfDir)
+    }
+    val sizes = spark.read.parquet(ix.listsPath)
+      .groupBy("list_id").count().as[(Int, Long)].collect().map(_._2)
+    println(f"[stress] IVF lists: n=${sizes.length}, " +
+      f"max/mean=${sizes.max / (sizes.sum.toDouble / sizes.length)}%.2f, " +
+      f"max-frac=${sizes.max / sizes.sum.toDouble}%.2f (label split: 0.80)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{ConnectedComponents, SequencePacking}
+import graft.queries.{DedupQueries, VectorQueries}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adversarial scale-stress: each test feeds an operator the
+  * pathological shape its scaladoc claims to survive and asserts the
+  * survival PROPERTY (bounded candidates, O(log) convergence, skew
+  * spread, balanced lists) — turning the 100 TB prose claims into
+  * executable checks. StressBench runs the same shapes bigger and
+  * records wall-times in SCALE.md.
+  */
+class StressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("band-bucket cap: 15k unique near-dups past MaxBandBucket stay " +
+    "bounded, and the drop is observable") {
+    val n = DedupQueries.MaxBandBucket + 5000
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress-lsh").toString
+    StressData.writeDocs(spark, dir, StressData.hotBucketDocs(n))
+    val sig = DedupQueries.signatures(spark, dir).localCheckpoint()
+    // FIRST the (linear-cost) oversize monitor: it must see the hot
+    // bucket. Checking this before the join also fail-fasts if the
+    // generator ever drifts below the cap — in that regime the
+    // candidate join really does go quadratic (observed: a just-under-
+    // cap bucket ground the JVM into a GC spiral), which is the point
+    // of the cap, not of this test.
+    val over = DedupQueries.oversizedBandBuckets(sig, DedupQueries.MaxBandBucket)
+      .as[(Int, String, Long)].collect()
+    assert(over.nonEmpty,
+      s"generator miscalibrated: no bucket over ${DedupQueries.MaxBandBucket}")
+    assert(over.map(_._3).max > DedupQueries.MaxBandBucket)
+    // the hot bucket is dropped: candidates come only from the straggler
+    // signatures (docs whose unique tail won a minhash slot) — orders of
+    // magnitude below the ~n²/2 ≈ 112M an uncapped join would emit
+    val nCand = DedupQueries.lshCandidates(sig).count()
+    assert(nCand < 200000, s"cap failed to bound candidates: $nCand")
+    info(s"candidates=$nCand, oversized buckets=${over.length}, " +
+      s"hottest=${over.map(_._3).max} members")
+  }
+
+  test("connected components: worst-case diameter (20k path) and degree " +
+    "(20k star) converge via pointer doubling, both variants agree") {
+    val edges = StressData.pathPlusStarEdges(spark, pathN = 20000, starN = 20000)
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val byProp = ConnectedComponents.run(edges, "src", "dst", maxIter = 25)
+      .as[(Long, Long)].collect().toMap
+    val tProp = (System.nanoTime() - t0) / 1e9
+    // exact labels prove convergence: an unconverged run leaves some
+    // path vertex pointing above the minimum
+    assert(byProp.size == 20001 + 20001)
+    (0 to 20000).foreach(i =>
+      assert(byProp(StressData.PathBase + i) == StressData.PathBase))
+    (0 to 20000).foreach(i =>
+      assert(byProp(StressData.StarBase + i) == StressData.StarBase))
+    val t1 = System.nanoTime()
+    val byStar = ConnectedComponents
+      .runAlternating(edges, "src", "dst").as[(Long, Long)].collect().toMap
+    val tStar = (System.nanoTime() - t1) / 1e9
+    assert(byStar == byProp)
+    info(f"label-prop $tProp%.1fs, large/small-star $tStar%.1fs")
+  }
+
+  test("sequence packing: a key with 90% of tokens spans the range " +
+    "partitions and still matches the window form bit-for-bit") {
+    val rows = StressData.skewedPackingRows(spark, n = 100000, hotShare = 0.9)
+      .localCheckpoint()
+    val packed = SequencePacking.withBins(rows, Seq("source"), "doc_id",
+      "n_tokens", tokensPerBin = 2048, numPartitions = 32)
+    // the property that kills the window form: the hot key's rows run
+    // through MANY partitions (parallel), not one task. Same
+    // partitioning spec as the operator's pass-1 shuffle.
+    val spread = rows.repartitionByRange(32, col("source"), col("doc_id"))
+      .select(spark_partition_id().as("p"), col("source"))
+      .filter(col("source") === "web").select("p").distinct().count()
+    assert(spread > 20, s"hot key spans only $spread of 32 partitions")
+    // bit-identical to the single-task window reference
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val expected = rows
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("bin_id",
+        ((col("cum_tokens") - col("n_tokens")) / 2048).cast("long"))
+      .select("source", "doc_id", "cum_tokens", "bin_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val got = packed.select("source", "doc_id", "cum_tokens", "bin_id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    info(s"hot key spread over $spread/32 partitions, 100k rows equal " +
+      "to window reference")
+  }
+
+  test("IVF on a fat label: learned quantizer balances lists by " +
+    "geometry where the label split would put 80% in one list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress-ivf").toString
+    StressData.writeSkewedEmbeddings(spark, dir, n = 5000, dims = 16,
+      gClusters = 10)
+    val ix = VectorQueries.ivfIndex(spark, dir)
+    val sizes = spark.read.parquet(ix.listsPath)
+      .groupBy("list_id").count().as[(Int, Long)].collect().toMap
+    val total = sizes.values.sum.toDouble
+    val maxFrac = sizes.values.max / total
+    val labelMaxFrac = spark.read.parquet(s"$dir/embeddings.parquet")
+      .groupBy("label").count().as[(Int, Long)].collect()
+      .map(_._2).max / total
+    info(f"learned lists: ${sizes.size} non-empty, max holds " +
+      f"$maxFrac%.2f of corpus (label split would hold $labelMaxFrac%.2f)")
+    assert(labelMaxFrac >= 0.75) // the trap is real in this corpus
+    assert(maxFrac <= 0.5,
+      f"learned quantizer still skewed: max list $maxFrac%.2f")
+    assert(sizes.size >= 5, s"only ${sizes.size} non-empty lists")
+  }
+}
