@@ -51,6 +51,23 @@ object CorpusPrepare {
   def dedupDecide(s: SparkSession, sfDir: String): DataFrame =
     DedupQueries.clusterLabels(s, sfDir)
 
+  /** The (doc_id, canonical_doc_id) dedup artifact from an INCREMENTAL
+    * q58-policy decision frame — produced either by the batch path
+    * ([[graft.queries.DedupQueries.q58]]) or by
+    * [[graft.streaming.StreamingCorpus.decide]] over a streamed
+    * candidate lake; both run the same policy code, so both ingest
+    * modes ship one artifact (JobsSpec pins the DAG-level equality).
+    * Kept docs are their own canonical; near-dup cluster members point
+    * at the cluster canonical; docs suppressed by an EXISTING corpus
+    * duplicate carry a NULL canonical (their duplicate lives outside
+    * the decided increment) — [[keptOf]]'s canonical filter treats
+    * NULL as not-kept, which is exactly the intended drop.
+    */
+  def dedupArtifactOf(decision: DataFrame): DataFrame =
+    decision.select(col("doc_id"),
+      when(col("linked_existing"), lit(null).cast("long"))
+        .otherwise(col("canonical_doc_id")).as("canonical_doc_id"))
+
   /** The filter + split join from explicit inputs — one definition
     * shared by the flat (oracle-gate) and bucketed (deployment) paths:
     * keep canonical documents above [[MinQuality]] and assign the

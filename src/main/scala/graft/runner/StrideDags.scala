@@ -176,5 +176,30 @@ object StrideDags {
       SiriLake.replace(s, d, "corpus_packed", packed)
       CorpusPrepare.exportTrainJsonl(
         SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")
+    },
+
+    // incremental-ingest twins: decide ONLY the incoming increment
+    // against the existing corpus with the q58 policy — via the batch
+    // path, or via a candidate lake a StreamingCorpus stream
+    // materialized beforehand. Same policy code, same artifact
+    // (JobsSpec pins the DAG-level equality).
+    "corpus.dedup_decide_incremental" -> { (s, kw) =>
+      val d = wd(kw)
+      val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
+      SiriLake.replace(s, d, "corpus_dedup", CorpusPrepare.dedupArtifactOf(
+        graft.queries.DedupQueries.q58(s, sf)))
+    },
+
+    "corpus.dedup_decide_streamed" -> { (s, kw) =>
+      val d = wd(kw)
+      val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
+      val cand = kw.getOrElse("cand_path", sys.error("cand_path kwarg required"))
+      // the increment is defined exactly as q58 defines it — by source
+      val inc = graft.Tables.load(s, sf, "documents")
+        .filter(col("source")
+          .isin(graft.queries.DedupQueries.IncomingSources: _*))
+        .select(col("doc_id"))
+      SiriLake.replace(s, d, "corpus_dedup", CorpusPrepare.dedupArtifactOf(
+        graft.streaming.StreamingCorpus.decide(s, cand, inc)))
     })
 }

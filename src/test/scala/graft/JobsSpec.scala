@@ -165,6 +165,69 @@ class JobsSpec extends SparkSpec {
       srcDirs.forall(_.listFiles().exists(_.getName.startsWith("bin_id="))))
   }
 
+  test("streamed-ingest corpus DAG ships the identical increment " +
+    "artifact as the batch-incremental DAG") {
+    import graft.queries.DedupQueries
+    import graft.streaming.{DocEv, StreamingCorpus, StreamingDedup}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // ≥50 clean tokens → quality ≥ 0.5 survives filterPack's bar
+    val words = (n: Int, p: String) => (0 until n).map(i => s"$p$i").mkString(" ")
+    val dupOfExisting = words(60, "alpha")
+    val incPair = words(60, "beta")
+    val existing = Seq(
+      (1L, "src00", "en", dupOfExisting),
+      (2L, "src00", "en", words(60, "gamma")))
+    val incoming = Seq( // q58's IncomingSources — the increment
+      (101L, "src18", "en", dupOfExisting), // dup of existing → dropped
+      (102L, "src18", "en", incPair), // intra-increment pair: 102 kept,
+      (103L, "src19", "en", incPair), //   103 → canonical 102, dropped
+      (104L, "src19", "en", words(60, "epsilon"))) // unique → kept
+    val sfDir = Files.createTempDirectory("graft_sdag_sf").toString
+    (existing ++ incoming).toDF("doc_id", "source", "lang", "text")
+      .write.parquet(s"$sfDir/documents.parquet")
+
+    // materialize the candidate lake: corpus backfill micro-batch, then
+    // the increment micro-batch, through the replay-safe LakeSink
+    val candDir = Files.createTempDirectory("graft_sdag_cand").toString
+    val in = MemoryStream[DocEv]
+    val q = StreamingCorpus.writeCandidates(
+        StreamingDedup.candidates(in.toDS(), DedupQueries.NBands,
+          DedupQueries.RowsPerBand, horizonMinutes = 60),
+        s"$candDir/cand")
+      .option("checkpointLocation", s"$candDir/ckpt").start()
+    try {
+      in.addData(existing.map(r => DocEv(r._1, r._4, ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      in.addData(incoming.map(r => DocEv(r._1, r._4, ts("2024-01-01 10:05:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // run BOTH DAGs — streamed ingest vs batch-incremental
+    def runDag(name: String, over: Map[String, String]): String = {
+      val wd = Files.createTempDirectory(s"graft_sdag_$name").toString
+      val dag = StrideDags.config.filter(_.name == name)
+      assert(dag.nonEmpty, s"$name not in dags.yaml")
+      val res = JobGraph.run(spark, dag, StrideDags.registry,
+        overrides = over + ("work_dir" -> wd, "sf_dir" -> sfDir))
+      assert(res.forall(_.status == "success"), res.mkString("\n"))
+      wd
+    }
+    val wdS = runDag("graft-corpus-prepare-streamed",
+      Map("cand_path" -> s"$candDir/cand"))
+    val wdB = runDag("graft-corpus-prepare-incremental", Map.empty)
+
+    def packedOf(wd: String) = SiriLake.read(spark, wd, "corpus_packed")
+      .select($"doc_id", $"source", $"split", $"bin_id", $"n_tokens")
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    val streamed = packedOf(wdS)
+    val batch = packedOf(wdB)
+    assert(streamed == batch, s"artifacts diverge:\n$streamed\nvs\n$batch")
+    // and the increment semantics held: only kept incoming docs shipped
+    assert(streamed.map(_._1) == Set(102L, 104L))
+  }
+
   test("bucketed corpus intermediates: doc_id joins run exchange-free") {
     import graft.jobs.CorpusPrepare
     val scores = CorpusPrepare.score(spark, sf)
@@ -190,7 +253,13 @@ class JobsSpec extends SparkSpec {
   test("the whole pipeline surface runs from the declarative DAG config") {
     val wd = Files.createTempDirectory("graft_dags").toString
     seedLake(wd)
-    val results = JobGraph.run(spark, StrideDags.config, StrideDags.registry,
+    // the streamed-ingest DAG is the one config with an external
+    // precondition (a candidate lake a running stream materialized —
+    // its cand_path has no default by design); its end-to-end run and
+    // artifact equality have a dedicated test below
+    val timerDags = StrideDags.config
+      .filter(_.scheduleInterval != "@continuous")
+    val results = JobGraph.run(spark, timerDags, StrideDags.registry,
       overrides = Map("work_dir" -> wd, "sf_dir" -> sf,
         "now" -> "2024-03-12 12:00:00"))
     assert(results.nonEmpty && results.forall(_.status == "success"),
@@ -309,8 +378,11 @@ class JobsSpec extends SparkSpec {
     val fns = dags.flatMap(_.tasks).map(_.function).toSet
     val unresolved = fns -- StrideDags.registry.keySet
     assert(unresolved.isEmpty, s"config names unregistered functions: $unresolved")
-    // every schedule is one of the two tiers the reference uses
-    assert(dags.map(_.scheduleInterval).toSet.subsetOf(Set("@hourly", "@daily")))
+    // every schedule is one of the reference's two timer tiers, or the
+    // streamed-ingest tier (driven by an always-on stream + on-demand
+    // decide runs — a timer scheduler must NOT pick it up)
+    assert(dags.map(_.scheduleInterval).toSet
+      .subsetOf(Set("@hourly", "@daily", "@continuous")))
   }
 
   test("object store key probe gives up after the attempt budget") {
