@@ -85,6 +85,73 @@ class LocalFsObjectStore(root: String) extends ObjectStore {
   override def url(key: String): String = s"file://$root/$key"
 }
 
+/** Hadoop-FileSystem-rooted [[ObjectStore]] — the deployment binding.
+  * `baseUri` selects the backend by scheme: `s3a://bucket/prefix`
+  * (with hadoop-aws on the deployment classpath), `gs://`, `abfs://`,
+  * `hdfs://`, or `file:///` — the five operations ride whatever
+  * FileSystem implementation the classpath provides, credentials and
+  * endpoint come from the Hadoop configuration (e.g.
+  * `fs.s3a.endpoint` for the reference's S3-compatible provider,
+  * `packagers/common.py:14-23`'s client construction), and THIS code
+  * never changes. The sandbox has no cloud connector jars (zero
+  * egress), so SourcesSpec exercises the binding over `file:` and pins
+  * parity with [[LocalFsObjectStore]] operation by operation — the
+  * scheme swap is config, not code.
+  */
+class HadoopFsObjectStore(baseUri: String,
+                          conf: org.apache.hadoop.conf.Configuration)
+    extends ObjectStore {
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  private val base = new HPath(
+    if (baseUri.endsWith("/")) baseUri.dropRight(1) else baseUri)
+  private val fs = base.getFileSystem(conf)
+  private def hp(key: String): HPath = new HPath(base, key)
+
+  private def fileStatus(key: String) =
+    try Some(fs.getFileStatus(hp(key))).filter(_.isFile)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  override def exists(key: String): Boolean = fileStatus(key).isDefined
+
+  override def put(localFile: Path, key: String): String = {
+    // delSrc=false, overwrite=true — republishing a key replaces it,
+    // matching LocalFsObjectStore's REPLACE_EXISTING copy
+    fs.copyFromLocalFile(false, true,
+      new HPath(localFile.toUri), hp(key))
+    url(key)
+  }
+
+  override def get(key: String, localFile: Path): Boolean =
+    if (!exists(key)) false
+    else {
+      Option(localFile.getParent).foreach(Files.createDirectories(_))
+      // useRawLocalFileSystem=true: no .crc sidecar beside the download
+      fs.copyToLocalFile(false, hp(key), new HPath(localFile.toUri), true)
+      true
+    }
+
+  override def list(prefix: String): Seq[String] =
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val it = fs.listFiles(base, true)
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      val baseStr = base.toUri.getPath
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(baseStr)
+          .stripPrefix("/")
+        if (rel.startsWith(prefix) && st.getLen > 0) keys += rel
+      }
+      keys.toSeq.sorted
+    }
+
+  override def lastModified(key: String): Option[Long] =
+    fileStatus(key).map(_.getModificationTime)
+
+  override def url(key: String): String = s"$base/$key"
+}
+
 object ObjectStore {
 
   /** Recursive local-filesystem delete — THE one copy (staging dirs,

@@ -97,6 +97,42 @@ class SourcesSpec extends SparkSpec {
     assert(store.list("a/") == Seq("a/b.txt", "a/c.txt"))
   }
 
+  test("HadoopFsObjectStore matches LocalFsObjectStore operation by " +
+    "operation over file: (the deployment binding's parity gate)") {
+    import graft.sources.{HadoopFsObjectStore, ObjectStore}
+    def scenario(store: ObjectStore): Seq[Any] = {
+      val src = Files.createTempFile("graft_hsrc", ".txt")
+      Files.writeString(src, "payload")
+      val empty = Files.createTempFile("graft_hempty", ".txt")
+      val before =
+        Seq(store.exists("a/b.txt"), store.lastModified("a/b.txt").isEmpty,
+          store.get("a/missing.txt", Files.createTempFile("graft_hdst", ".x")))
+      store.put(src, "a/b.txt")
+      store.put(src, "a/c.txt")
+      store.put(src, "z/d.txt")
+      store.put(empty, "a/empty.txt") // size-0: invisible to list
+      store.put(src, "a/b.txt") // republish replaces, never duplicates
+      val dst = Files.createTempFile("graft_hdst", ".txt")
+      val got = store.get("a/b.txt", dst)
+      val free = ObjectStore.freeKey(store, "a/b.txt", n => s"a/b__$n.txt")
+      before ++ Seq(store.exists("a/b.txt"),
+        store.lastModified("a/b.txt").nonEmpty, got,
+        Files.readString(dst), store.list("a/"), free)
+    }
+    val localRoot = Files.createTempDirectory("graft_store_l").toString
+    val hadoopRoot = Files.createTempDirectory("graft_store_h").toString
+    val local = scenario(new LocalFsObjectStore(localRoot))
+    val hadoop = scenario(new HadoopFsObjectStore(s"file://$hadoopRoot",
+      spark.sparkContext.hadoopConfiguration))
+    assert(hadoop == local, s"bindings diverge:\n$hadoop\nvs\n$local")
+    assert(hadoop.last == "a/b__2.txt")
+    // url carries the base URI — the scheme a deployment configures
+    // (Hadoop Path normalizes file:///x to file:/x)
+    assert(new HadoopFsObjectStore(s"file://$hadoopRoot",
+      spark.sparkContext.hadoopConfiguration).url("k.txt")
+      == s"file:$hadoopRoot/k.txt")
+  }
+
   test("artifact upload: collision-avoiding __N keys and success rows") {
     val base = Files.createTempDirectory("graft_art").toString
     val store = new LocalFsObjectStore(s"$base/store")
