@@ -85,6 +85,18 @@ object VectorQueries extends Serializable {
   def q38(s: SparkSession, dir: String): DataFrame =
     lshTopKDf(s, dir, QueryVecId)
 
+  /** Multi-probe radius for q66 (RecallSpec: recall 0.335 vs 0.015 at
+    * radius 0, scanning 37/256 buckets instead of 1/256).
+    */
+  val ProbeRadius = 2
+
+  /** q66 — multi-probe LSH ANN: the [[lshTopKDf]] Hamming-radius
+    * search as a gated query ([[ProbeRadius]], vec_id 0) — the recall
+    * path beside q38's maximum scan reduction.
+    */
+  def q66(s: SparkSession, dir: String): DataFrame =
+    lshTopKDf(s, dir, QueryVecId, ProbeRadius)
+
   /** Per-label centroid frame (label, n_vecs, centroid: array<double>):
     * element-wise mean embedding + member count per coarse label. The
     * vector-analytics reduction behind an IVF index build (centroid per
@@ -392,7 +404,8 @@ object VectorQueries extends Serializable {
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
     "q54_label_centroids" -> (q54 _),
-    "q56_ann_ivf" -> (q56 _))
+    "q56_ann_ivf" -> (q56 _),
+    "q66_ann_multiprobe" -> (q66 _))
 
   // ---- oracle SQL ----
 
@@ -449,7 +462,20 @@ object VectorQueries extends Serializable {
          |      FROM embeddings GROUP BY label)
          |SELECT n.label, n.n_vecs, array_to_string(c.cl, ',') AS centroid
          |FROM n JOIN c ON n.label = c.label""".stripMargin,
-    "q56_ann_ivf" -> q56OracleSql)
+    "q56_ann_ivf" -> q56OracleSql,
+    "q66_ann_multiprobe" ->
+      s"""WITH bucketed AS (
+         | SELECT vec_id, embedding, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
+         | FROM embeddings)
+         |SELECT e.vec_id, e.bucket,
+         | round(${DedupQueries.cosineSql("e.embedding", "q.qv")}, 6) AS cos_sim
+         |FROM bucketed e
+         |JOIN (SELECT bucket AS qbucket, embedding AS qv
+         |      FROM bucketed WHERE vec_id = $QueryVecId) q
+         |  ON bit_count(xor(e.bucket, q.qbucket)) <= $ProbeRadius
+         |WHERE e.vec_id <> $QueryVecId
+         |ORDER BY ${DedupQueries.cosineSql("e.embedding", "q.qv")} DESC, e.vec_id ASC
+         |LIMIT $TopK""".stripMargin)
 
   /** One Lloyd iteration as SQL CTEs: assign every sample vector to its
     * nearest `prev` centroid (ties to the smaller cid — the Spark
