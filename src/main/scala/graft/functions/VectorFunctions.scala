@@ -64,7 +64,10 @@ object VectorFunctions {
 
   /** Dot product of `vec` with a literal weight vector, same fold shape
     * as [[dot]] (zip_with + 0.0-seeded aggregate) so the arithmetic is
-    * bit-identical on any engine that folds left-to-right.
+    * bit-identical on any engine that folds left-to-right. This is the
+    * REFERENCE form (interpreted lambdas — fine for spec-sized frames);
+    * scans use [[graft.expressions.VectorExpressions.lshBucket]], the
+    * codegen'd equivalent, pinned equal by ExpressionSpec.
     */
   def dotLiteral(vec: Column, weights: Seq[Double]): Column =
     aggregate(

@@ -64,7 +64,7 @@ object VectorQueries extends Serializable {
                                radius: Int = 0): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
-      .withColumn("bucket", VectorFunctions.lshBucket(col("embedding"), NBits, Dims))
+      .withColumn("bucket", VectorExpressions.lshBucket(col("embedding"), NBits, Dims))
     val q = e.filter(col("vec_id") === qid)
       .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
     val qBucket = q.select(col("qbucket")).as[Long].head()

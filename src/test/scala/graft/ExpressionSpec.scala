@@ -55,6 +55,32 @@ class ExpressionSpec extends SparkSpec {
     assert(proj(bad).isNullAt(0) && expr.eval(bad) == null)
   }
 
+  test("codegen'd lshBucket matches the declarative reference bucket-for-bucket") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val mismatches = e.select(
+      VectorExpressions.lshBucket(col("embedding"), 8, 64).as("native"),
+      VectorFunctions.lshBucket(col("embedding"), 8, 64).as("fold"))
+      .filter(!(col("native") <=> col("fold")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("vecDotLiteral null semantics match the zip_with literal fold") {
+    val df = Seq(
+      Some(Seq(1f, 2f)),     // 1*0.5 + 2*(-0.25) = 0.0
+      Some(Seq(1f)),         // length mismatch → null
+      None,                  // null array → null
+      Some(Seq[Float]())     // length mismatch (0 vs 2) → null
+    ).toDF("a")
+    val w = Seq(0.5, -0.25)
+    val native = df.select(VectorExpressions.vecDotLiteral($"a", w))
+      .as[Option[Double]].collect().toSeq
+    val fold = df.select(VectorFunctions.dotLiteral($"a", w))
+      .as[Option[Double]].collect().toSeq
+    assert(native == Seq(Some(0.0), None, None, None))
+    assert(native == fold)
+  }
+
   test("vec_dot and vec_cosine are registered as SQL functions via GraftExtensions") {
     Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
     val got = spark.sql("SELECT vec_dot(a, b) AS d FROM v").as[Double].head()
