@@ -176,6 +176,69 @@ object TextQueries {
       keyCols = Seq("source"), orderCol = "doc_id",
       tokensCol = "n_tokens", tokensPerBin = TokensPerBin)
 
+  /** PII patterns, shared VERBATIM between the Spark plan and the
+    * DuckDB oracle (the MinHash-constant discipline): ASCII-only
+    * classes, no capture groups, no lookaround — the subset where Java
+    * regex and RE2 agree match-for-match. Kept deliberately simple;
+    * a production scrubber grows the pattern list, not the machinery.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d-]{6,}\\d"
+
+  /** The synthetic corpus carries no PII, so the scrub demonstration
+    * INJECTS it deterministically: both engines append an email, an
+    * IPv4 and a phone number derived from `doc_id` with identical
+    * integer arithmetic, then the scrubber must strip exactly those.
+    * The oracle hash-match therefore proves byte-identical scrubbed
+    * output, not just matching row counts.
+    */
+  private[graft] def piiInjected: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail-"), (col("doc_id") % 50).cast("string"),
+    lit(".example.com from 10."),
+    (col("doc_id") % 200).cast("string"), lit("."),
+    (col("doc_id") % 250).cast("string"), lit(".7 call +1-555-"),
+    lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"))
+
+  /** Email → IP → phone, in that fixed order on both engines (the
+    * chain order is part of the contract: replacements must not create
+    * or destroy later matches differently across engines).
+    */
+  private[graft] def piiScrub(raw: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** doc_id, raw (injected), scrubbed — the spec surface (CorpusSpec
+    * asserts zero residual matches and scrub idempotence).
+    */
+  private[graft] def piiScrubDetail(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), piiInjected.as("raw"))
+      .withColumn("scrubbed", piiScrub(col("raw")))
+
+  /** q67 — PII scrubbing (emails, IPv4s, phone numbers): per-document
+    * redaction counts plus the md5 of the scrubbed text. One narrow
+    * projection over the corpus — Spark's regexp functions are native
+    * codegen'd expressions, so the whole scrub is a single
+    * WholeStageCodegen pass with nothing shuffled; at 100 TB this is
+    * embarrassingly parallel scan work, exactly like q33–q36.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame =
+    piiScrubDetail(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(col("scrubbed")).as("scrub_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
@@ -184,7 +247,8 @@ object TextQueries {
     "q51_token_budget" -> (q51 _),
     "q52_repetition" -> (q52 _),
     "q53_stratified_sample" -> (q53 _),
-    "q57_sequence_pack" -> (q57 _))
+    "q57_sequence_pack" -> (q57 _),
+    "q67_pii_scrub" -> (q67 _))
 
   // ---- oracle SQL ----
 
@@ -288,6 +352,22 @@ object TextQueries {
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rank
          | FROM h)
          |SELECT doc_id, source, rank FROM r WHERE rank <= ${StratifiedK}""".stripMargin,
+    "q67_pii_scrub" ->
+      s"""WITH raw AS (
+         | SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+         |  CAST(doc_id % 50 AS VARCHAR) || '.example.com from 10.' ||
+         |  CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ||
+         |  '.7 call +1-555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') AS raw
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+         | md5(regexp_replace(regexp_replace(regexp_replace(raw,
+         |   '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |   '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
+         |FROM raw""".stripMargin,
     "q36_fingerprint" ->
       s"""WITH h AS (
          | SELECT doc_id, list_transform($wsSql,

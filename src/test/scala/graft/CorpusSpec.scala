@@ -23,4 +23,32 @@ class CorpusSpec extends SparkSpec {
     // "aab": H = -(2/3 log2 2/3 + 1/3 log2 1/3) ≈ 0.9183
     assert(math.abs(byId(2L)._2 - 0.9183) < 1e-9)
   }
+
+  test("q67 scrub leaves no residual PII and is idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.TextQueries
+    val detail = TextQueries.piiScrubDetail(spark, "/root/testdata/sf0.001")
+    // the injection guarantees at least one of each PII kind per doc,
+    // so a scrubber that silently matches nothing cannot pass
+    val residual = detail.filter(
+      size(regexp_extract_all(col("scrubbed"), lit(TextQueries.EmailRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("scrubbed"), lit(TextQueries.Ipv4Re), lit(0))) > 0 ||
+      size(regexp_extract_all(col("scrubbed"), lit(TextQueries.PhoneRe), lit(0))) > 0)
+      .count()
+    assert(residual == 0)
+    val unredacted = detail.filter(!col("scrubbed").contains("<EMAIL>") ||
+      !col("scrubbed").contains("<IP>") || !col("scrubbed").contains("<PHONE>"))
+      .count()
+    assert(unredacted == 0)
+    // scrubbing scrubbed text must be a no-op (replacement tokens and
+    // surviving text never form new matches)
+    val changed = detail.filter(
+      !(TextQueries.piiScrub(col("scrubbed")) <=> col("scrubbed"))).count()
+    assert(changed == 0)
+    // a crafted line with all three kinds, scrubbed in chain order
+    val got = Seq((99L, "mail bob.smith+x@corp.example.org ip 192.168.0.12 tel +44-20-7946-0958 end"))
+      .toDF("doc_id", "text")
+      .select(TextQueries.piiScrub(col("text")).as("s")).as[String].head()
+    assert(got == "mail <EMAIL> ip <IP> tel <PHONE> end")
+  }
 }
