@@ -196,13 +196,49 @@ object CorpusQueries {
       .limit(TopNgrams)
   }
 
+  /** Documents per output shard (q68). */
+  val ShardDocs = 64L
+
+  /** q68 — deterministic corpus shuffle + shard assignment: the
+    * training-order randomization a pretraining run needs before
+    * writing shard files. Order is md5(doc_id) — a reproducible
+    * pseudo-random permutation (same everywhere, unlike `df.sample`/
+    * `rand()`) — and each contiguous run of [[ShardDocs]] docs in that
+    * order becomes one shard.
+    *
+    * Scale shape: the global rank is NOT a `row_number` over an
+    * unpartitioned window (one task holding the corpus). It reuses
+    * [[graft.operators.SequencePacking]]'s two-pass distributed prefix
+    * sum with a single global key and unit weights: range-partition on
+    * the hash order, per-partition counts to the driver, seeded narrow
+    * local cumsum — the hash order spans every partition and
+    * parallelism stays `numPartitions` at any corpus size. The 32-char
+    * md5 is concatenated with the zero-padded doc_id so the single
+    * range/order column still totally orders (hash, doc_id).
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val ordered = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(md5(col("doc_id").cast("string")),
+          lpad(col("doc_id").cast("string"), 20, "0")).as("ord"),
+        lit(1L).as("one"))
+    graft.operators.SequencePacking
+      .withBins(ordered, keyCols = Seq.empty, orderCol = "ord",
+        tokensCol = "one", tokensPerBin = ShardDocs)
+      .select(col("doc_id"),
+        col("cum_tokens").as("global_rank"),
+        col("bin_id").as("shard_id"),
+        ((col("cum_tokens") - 1) % ShardDocs).as("pos_in_shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
     "q61_char_entropy" -> (q61 _),
     "q62_curriculum_buckets" -> (q62 _),
     "q63_topk_per_group" -> (q63 _),
-    "q64_top_ngrams" -> (q64 _))
+    "q64_top_ngrams" -> (q64 _),
+    "q68_shuffle_shard" -> (q68 _))
 
   // ---- oracle SQL ----
 
@@ -233,6 +269,17 @@ object CorpusQueries {
          |      WHEN ${md5ModSql("split-", 100)} < $ValPct THEN 'val'
          |      ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "q68_shuffle_shard" ->
+      s"""WITH h AS (
+         | SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |r AS (
+         | SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS global_rank
+         | FROM h)
+         |SELECT doc_id, global_rank,
+         | (global_rank - 1) // $ShardDocs AS shard_id,
+         | (global_rank - 1) % $ShardDocs AS pos_in_shard
+         |FROM r""".stripMargin,
     "q64_top_ngrams" -> {
       val wsSql = TextQueries.wsSql
       s"""WITH base AS (SELECT $wsSql AS ws FROM documents),

@@ -24,6 +24,30 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(byId(2L)._2 - 0.9183) < 1e-9)
   }
 
+  test("q68 shuffle-shard: rank is a permutation, shards fill contiguously, order is deterministic") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.CorpusQueries
+    val k = CorpusQueries.ShardDocs
+    val out = CorpusQueries.q68(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    // global_rank is exactly 1..N (a permutation, no gaps or dups)
+    assert(out.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    // shard/pos are pure functions of the rank
+    assert(out.forall { case (_, r, s, p) => s == (r - 1) / k && p == (r - 1) % k })
+    // every shard except the last is full
+    val sizes = out.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val last = sizes.keys.max
+    assert(sizes.filterNot(_._1 == last).values.forall(_ == k))
+    assert(sizes(last) == n - last * k)
+    // the hash permutation actually shuffles (doc_id order would be identity)
+    assert(out.exists { case (id, r, _, _) => id + 1 != r })
+    // deterministic across runs
+    val again = CorpusQueries.q68(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("q67 scrub leaves no residual PII and is idempotent") {
     import org.apache.spark.sql.functions._
     import graft.queries.TextQueries
