@@ -184,4 +184,23 @@ object CorpusPrepare {
       packed.filter(col("split") === "train")
         .select("doc_id", "lang", "n_tokens", "text", "source", "bin_id"),
       outDir, partitionCols = Seq("source", "bin_id"))
+
+  /** Export the train split SHUFFLED into fixed-size shards (the q68
+    * discipline via [[CorpusQueries.withShards]]): md5-order global
+    * permutation so consecutive shards mix sources/languages — the
+    * training-order randomization the (source, bin)-grouped layout
+    * deliberately does not do. One directory per `shard_id`; a shard's
+    * rows may span several part-files (the 64-doc runs cut across range
+    * partitions), so each row carries `pos_in_shard` for the trainer to
+    * order by — globally reproducible, never reliant on file order.
+    */
+  def exportTrainShards(packed: DataFrame, outDir: String): Unit =
+    JsonLines.write(
+      CorpusQueries.withShards(
+        packed.filter(col("split") === "train")
+          .select("doc_id", "lang", "n_tokens", "text", "source"),
+        "doc_id")
+        .select("doc_id", "lang", "n_tokens", "text", "source",
+          "shard_id", "pos_in_shard"),
+      outDir, partitionCols = Seq("shard_id"))
 }

@@ -216,19 +216,28 @@ object CorpusQueries {
     * md5 is concatenated with the zero-padded doc_id so the single
     * range/order column still totally orders (hash, doc_id).
     */
-  def q68(s: SparkSession, dir: String): DataFrame = {
-    val ordered = t(s, dir, "documents")
-      .select(col("doc_id"),
-        concat(md5(col("doc_id").cast("string")),
-          lpad(col("doc_id").cast("string"), 20, "0")).as("ord"),
-        lit(1L).as("one"))
+  def q68(s: SparkSession, dir: String): DataFrame =
+    withShards(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("global_rank"),
+        col("shard_id"), col("pos_in_shard"))
+
+  /** Append `global_rank`/`shard_id`/`pos_in_shard` to ANY frame with a
+    * unique integral id — the reusable form of q68 (the corpus-prepare
+    * pipeline shards its packed train split through the same code).
+    * All input columns ride along untouched.
+    */
+  def withShards(df: DataFrame, idCol: String): DataFrame = {
+    val ordered = df
+      .withColumn("ord", concat(md5(col(idCol).cast("string")),
+        lpad(col(idCol).cast("string"), 20, "0")))
+      .withColumn("one", lit(1L))
     graft.operators.SequencePacking
       .withBins(ordered, keyCols = Seq.empty, orderCol = "ord",
         tokensCol = "one", tokensPerBin = ShardDocs)
-      .select(col("doc_id"),
-        col("cum_tokens").as("global_rank"),
-        col("bin_id").as("shard_id"),
-        ((col("cum_tokens") - 1) % ShardDocs).as("pos_in_shard"))
+      .withColumn("global_rank", col("cum_tokens"))
+      .withColumn("shard_id", col("bin_id"))
+      .withColumn("pos_in_shard", (col("cum_tokens") - 1) % ShardDocs)
+      .drop("ord", "one", "cum_tokens", "bin_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -178,6 +178,12 @@ object StrideDags {
         SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")
     },
 
+    "corpus.shard_export" -> { (s, kw) =>
+      val d = wd(kw)
+      CorpusPrepare.exportTrainShards(
+        SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_shards")
+    },
+
     // incremental-ingest twins: decide ONLY the incoming increment
     // against the existing corpus with the q58 policy — via the batch
     // path, or via a candidate lake a StreamingCorpus stream

@@ -163,6 +163,28 @@ class JobsSpec extends SparkSpec {
       .filter(_.getName.startsWith("source="))
     assert(srcDirs.nonEmpty &&
       srcDirs.forall(_.listFiles().exists(_.getName.startsWith("bin_id="))))
+    // the shard export holds the SAME train rows, shuffled into
+    // fixed-size shards: every shard but the last is full, positions
+    // are a clean 0..size-1 run, and the md5 order mixes sources
+    val k = CorpusQueries.ShardDocs
+    val shards = spark.read.json(s"$wd/corpus_train_shards")
+      .select($"doc_id", $"shard_id", $"pos_in_shard", $"source")
+    val nTrain = packed.filter($"split" === "train").count()
+    assert(shards.count() == nTrain)
+    val byShard = shards.select($"shard_id", $"pos_in_shard")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (sid, poss) =>
+      val size = if (sid == lastShard) nTrain - sid * k else k
+      assert(poss == (0L until size), s"shard $sid positions: $poss")
+    }
+    // shuffle actually interleaves: some full shard holds >1 source
+    assert(byShard.size == (nTrain + k - 1) / k)
+    val multiSource = shards.groupBy($"shard_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"source").as("ns"))
+      .filter($"ns" > 1).count()
+    assert(multiSource > 0)
   }
 
   test("streamed-ingest corpus DAG ships the identical increment " +
