@@ -232,7 +232,7 @@ class JobsSpec extends SparkSpec {
       val dag = StrideDags.config.filter(_.name == name)
       assert(dag.nonEmpty, s"$name not in dags.yaml")
       val res = JobGraph.run(spark, dag, StrideDags.registry,
-        overrides = over + ("work_dir" -> wd, "sf_dir" -> sfDir))
+        overrides = over ++ Map("work_dir" -> wd, "sf_dir" -> sfDir))
       assert(res.forall(_.status == "success"), res.mkString("\n"))
       wd
     }

@@ -85,6 +85,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q66: multi-probe ANN is one pruned scan + broadcast, top-k without a global sort") {
+    // the probed-bucket set is a driver-side literal list: the corpus
+    // side must stay a single filtered scan (no self-join shuffle), the
+    // query vector a broadcast, and the top-k a TakeOrderedAndProject
+    val p = plan(graft.queries.VectorQueries.q66(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("ShuffleExchange") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q67: PII scrub is a pure projection, zero exchanges") {
+    val p = plan(graft.queries.TextQueries.q67(spark, sf))
+    assert(!p.contains("Exchange"))
+    assert(p.contains("*(1)")) // one codegen stage covers the whole scrub
+  }
+
   test("q56: IVF probe is a partition-pruned scan of the probed lists only") {
     // the index build (full-corpus assignment) happens once at ivfIndex
     // build time; the probe's parquet scan must prune on list_id at the
