@@ -612,6 +612,49 @@ object DedupQueries {
     decisionFromCandidates(inc, cand)
   }
 
+  /** Chunk size in whitespace words for paragraph-level dedup (q69). */
+  val ChunkWords = 20
+
+  /** q69 — chunk-level (paragraph) dedup report: split every document
+    * into non-overlapping [[ChunkWords]]-word chunks, find chunks whose
+    * md5 appears in MORE THAN ONE distinct document, and report each
+    * document's duplicated-chunk fraction. This is the boilerplate
+    * signal document-level dedup (q28/q29) cannot see: two near-dup
+    * docs share most chunks but hash differently as wholes, and a
+    * boilerplate header shared by thousands of otherwise-unique pages
+    * only ever shows up at chunk granularity.
+    *
+    * Scale shape: chunking is a narrow typed pass; the chunk STRING
+    * dies inside it — only (doc_id, md5) pairs ever shuffle. One
+    * partial-agg shuffle on the hash finds cross-doc chunks, a
+    * semi-join marks them, and the per-doc counts shuffle compact
+    * (doc_id, count) pairs. Nothing pairwise, no text movement.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split("\\s+").iterator.filter(_.nonEmpty)
+          .grouped(ChunkWords).map(c => (id, c.mkString(" ")))
+      }
+      .toDF("doc_id", "chunk")
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+      .localCheckpoint()
+    val shared = chunks
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val nChunks = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"))
+    val nDup = chunks.join(shared, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    nChunks.join(nDup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          col("n_chunks").cast("double"), 4).as("dup_chunk_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -621,7 +664,8 @@ object DedupQueries {
     "q48_dedup_clusters" -> (q48 _),
     "q49_corpus_filter" -> (q49 _),
     "q50_contamination" -> (q50 _),
-    "q58_incremental_dedup" -> (q58 _))
+    "q58_incremental_dedup" -> (q58 _),
+    "q69_chunk_dedup" -> (q69 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -688,6 +732,28 @@ object DedupQueries {
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_doc_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q69_chunk_dedup" ->
+      s"""WITH w AS (
+         | SELECT doc_id, ${graft.queries.TextQueries.wsSql} AS ws FROM documents),
+         |chunks AS (
+         | SELECT doc_id, unnest(list_transform(
+         |   range(0, CAST(ceil(len(ws) / ${ChunkWords}.0) AS BIGINT)),
+         |   i -> md5(array_to_string(
+         |     ws[i * $ChunkWords + 1 : least((i + 1) * $ChunkWords, len(ws))],
+         |     ' ')))) AS h
+         | FROM w WHERE len(ws) > 0),
+         |shared AS (
+         | SELECT h FROM chunks GROUP BY h
+         | HAVING count(DISTINCT doc_id) > 1),
+         |agg AS (
+         | SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(s.h) AS BIGINT) AS n_dup_chunks
+         | FROM chunks c LEFT JOIN shared s ON c.h = s.h
+         | GROUP BY c.doc_id)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         | round(CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4)
+         |   AS dup_chunk_ratio
+         |FROM agg""".stripMargin,
     "q29_minhash_lsh" ->
       s"""$lshCteSql
          |SELECT doc_a, doc_b,

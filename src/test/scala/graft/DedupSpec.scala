@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q69 chunk dedup flags cross-doc chunks, ignores within-doc repeats") {
+    import graft.queries.DedupQueries
+    val k = DedupQueries.ChunkWords
+    val boiler = (0 until k).map(i => s"bp$i").mkString(" ") // one shared chunk
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    Seq(
+      (1L, s"$boiler ${uniq("a", k)}"),          // boiler + 1 unique chunk
+      (2L, s"$boiler ${uniq("b", 5)}"),          // boiler + short tail chunk
+      (3L, uniq("c", 2 * k)),                    // fully unique, 2 chunks
+      (4L, s"${uniq("d", k)} ${uniq("d", k)}")   // same chunk TWICE in one doc
+    ).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q69(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))  // the boiler chunk is shared
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))  // unique docs stay clean
+    // within-doc repetition is q52's business, not cross-doc dedup's
+    assert(got(4L) == ((2L, 0L, 0.0)))
+  }
+
   test("md5Hash32 is the portable first-8-hex-chars value") {
     // DuckDB: CAST(concat('0x', substr(md5('hello'),1,8)) AS BIGINT) = 1564557354
     val got = Seq("hello").toDF("s")
