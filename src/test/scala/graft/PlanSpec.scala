@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)")) // one codegen stage covers the whole scrub
   }
 
+  test("q69: chunk dedup marks shared chunks via semi-join over ONE chunk materialization") {
+    // the flatMap chunking pass is localCheckpointed: all three
+    // consumers (shared-hash agg, per-doc totals, dup marking) read the
+    // materialized (doc_id, md5) pairs — text is chunked exactly once
+    // and nothing pairwise touches the corpus
+    val p = plan(DedupQueries.q69(spark, sf))
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q56: IVF probe is a partition-pruned scan of the probed lists only") {
     // the index build (full-corpus assignment) happens once at ivfIndex
     // build time; the probe's parquet scan must prune on list_id at the
