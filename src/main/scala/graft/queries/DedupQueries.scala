@@ -629,6 +629,11 @@ object DedupQueries {
     * partial-agg shuffle on the hash finds cross-doc chunks, a
     * semi-join marks them, and the per-doc counts shuffle compact
     * (doc_id, count) pairs. Nothing pairwise, no text movement.
+    * "Shared by ≥2 distinct docs" is decided by `min(doc_id) !=
+    * max(doc_id)` — O(1) aggregation state per hash — NOT
+    * `countDistinct`, whose per-key distinct set would make the one
+    * boilerplate chunk shared by a billion documents a one-reducer
+    * billion-id hot key.
     */
   def q69(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -642,8 +647,9 @@ object DedupQueries {
       .select(col("doc_id"), md5(col("chunk")).as("h"))
       .localCheckpoint()
     val shared = chunks
-      .groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select("h")
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
     val nChunks = chunks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"))
     val nDup = chunks.join(shared, Seq("h"), "left_semi")
@@ -744,7 +750,7 @@ object DedupQueries {
          | FROM w WHERE len(ws) > 0),
          |shared AS (
          | SELECT h FROM chunks GROUP BY h
-         | HAVING count(DISTINCT doc_id) > 1),
+         | HAVING min(doc_id) <> max(doc_id)),
          |agg AS (
          | SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
          |  CAST(count(s.h) AS BIGINT) AS n_dup_chunks
