@@ -88,4 +88,35 @@ object TextFunctions {
     val ws = words(lower(text))
     size(filter(ws, w => w.isin(markers.map(x => x: Any): _*)))
   }
+
+  /** Literal subword vocabulary for the deterministic greedy
+    * longest-match tokenizer ([[TextJvm.subwordCount]], q70) — the
+    * MinHash-constant discipline: one Scala constant interpolated into
+    * BOTH the typed pass and the DuckDB oracle, so token counts are
+    * engine-portable by construction. A real pipeline swaps in a
+    * trained BPE merge table (e.g. derived from q64's top n-grams at
+    * corpus scale); the greedy longest-match machinery — the part that
+    * has to be distributed and oracle-checkable — is unchanged by a
+    * bigger vocab. Entries are whole words plus subword pieces;
+    * anything unmatched falls back to one codepoint per token.
+    * ASCII-only by contract (see [[TextJvm.subwordCount]] for why that
+    * guarantees char/codepoint lockstep).
+    */
+  val SubwordVocab: Seq[String] = Seq(
+    "the", "join", "row", "key", "data", "part", "sort", "fast", "big",
+    "sc", "an", "ta", "ble", "val", "ue", "col", "umn", "win", "dow",
+    "str", "eam", "er", "ing", "or", "der", "cust", "om", "mer", "ge",
+    "sm", "all", "qu", "ery", "ba", "tch", "ha", "sh", "gr", "oup",
+    "ve", "ctor", "li", "ne", "sl", "ow", "ag", "sp", "ark", "fil",
+    "ter", "du", "a")
+
+  /** Vocab grouped by entry length for the greedy matcher — index l
+    * holds the length-l entries (index 0 unused). Built once per JVM.
+    */
+  lazy val SubwordVocabMaxLen: Int = SubwordVocab.map(_.length).max
+  lazy val SubwordVocabByLen: Array[Set[String]] = {
+    val a = Array.fill(SubwordVocabMaxLen + 1)(Set.empty[String])
+    SubwordVocab.groupBy(_.length).foreach { case (l, vs) => a(l) = vs.toSet }
+    a
+  }
 }

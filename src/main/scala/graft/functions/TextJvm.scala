@@ -45,6 +45,58 @@ object TextJvm extends Serializable {
     math.min(n / 100.0, 1.0) * math.max(0.0, 1.0 - praw * 5.0)
   }
 
+  /** Greedy longest-match subword tokenization of one whitespace word
+    * against [[TextFunctions.SubwordVocab]]: at each position consume
+    * the LONGEST vocab entry matching there, else fall back to a single
+    * codepoint (the "byte fallback" of real BPE vocabularies). Returns
+    * the token count.
+    *
+    * Engine parity is exact, not approximate: the DuckDB oracle replays
+    * the same loop with `substr`/`len` (codepoint semantics), and this
+    * side advances by `Character.charCount` on fallback so char-index
+    * bookkeeping stays in lockstep with codepoint positions — an ASCII
+    * vocab entry can only match an all-ASCII window, where chars ==
+    * codepoints, and a non-ASCII window matches on neither side. (The
+    * oracle unrolls 64 greedy steps per word; words beyond 64 codepoints
+    * would diverge — corpus max is 8, and real BPE pre-tokenizers cap
+    * word length far below 64 anyway.)
+    */
+  def subwordCount(word: String): Long = {
+    val byLen = TextFunctions.SubwordVocabByLen
+    val maxLen = TextFunctions.SubwordVocabMaxLen
+    var pos = 0
+    var cnt = 0L
+    while (pos < word.length) {
+      var l = math.min(maxLen, word.length - pos)
+      var step = 0
+      while (l >= 1 && step == 0) {
+        val s = byLen(l)
+        if (s.nonEmpty && s.contains(word.substring(pos, pos + l))) step = l
+        l -= 1
+      }
+      if (step == 0) step = Character.charCount(word.codePointAt(pos))
+      pos += step
+      cnt += 1
+    }
+    cnt
+  }
+
+  /** Per-document subword token count: Σ [[subwordCount]] over
+    * whitespace words (whitespace is a delimiter, never a token — so
+    * doc-level greedy == word-level greedy, which is what lets the
+    * oracle tokenize DISTINCT words once and join back).
+    */
+  def subwordCountDoc(text: String): Long = {
+    val ws = Ws.split(text)
+    var i = 0
+    var acc = 0L
+    while (i < ws.length) {
+      if (ws(i).nonEmpty) acc += subwordCount(ws(i))
+      i += 1
+    }
+    acc
+  }
+
   private val Ln2 = math.log(2.0)
 
   /** Character-unigram entropy in bits, UNROUNDED: −Σ p·log2 p folded

@@ -38,11 +38,11 @@ object CorpusPrepare {
     Tables.load(s, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        (id, TextJvm.tokenCountWs(text), TextJvm.qualityRaw(text),
-          TextJvm.charEntropyRaw(text))
+        (id, TextJvm.tokenCountWs(text), TextJvm.subwordCountDoc(text),
+          TextJvm.qualityRaw(text), TextJvm.charEntropyRaw(text))
       }
-      .toDF("doc_id", "n_tokens", "quality_raw", "entropy_raw")
-      .select(col("doc_id"), col("n_tokens"),
+      .toDF("doc_id", "n_tokens", "n_subword", "quality_raw", "entropy_raw")
+      .select(col("doc_id"), col("n_tokens"), col("n_subword"),
         round(col("quality_raw"), 4).as("quality"),
         round(col("entropy_raw"), 4).as("entropy"))
   }
@@ -97,6 +97,7 @@ object CorpusPrepare {
         when(h < CorpusQueries.TrainPct, "train")
           .when(h < CorpusQueries.ValPct, "val").otherwise("test"))
       .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .withColumn("n_subword", col("n_subword").cast("long"))
   }
 
   /** Sequence-pack the kept rows PER (source, split) — a val/test
@@ -106,24 +107,32 @@ object CorpusPrepare {
     * dominant (source, split) group spans range partitions instead of
     * serializing through one window task (JobsSpec asserts the plan
     * carries no Window node).
+    *
+    * `tokensCol` picks which count fills bins: `n_tokens` (whitespace —
+    * the oracle-gated default) or `n_subword` (greedy-subword, q70 —
+    * what a real token-budgeted run packs by; CorpusSpec proves the
+    * two produce materially different bins). Both counts ride along in
+    * the output either way.
     */
-  private def packKept(kept: DataFrame): DataFrame =
+  private def packKept(kept: DataFrame,
+                       tokensCol: String = "n_tokens"): DataFrame =
     graft.operators.SequencePacking.withBins(
       kept, keyCols = Seq("source", "split"), orderCol = "doc_id",
-      tokensCol = "n_tokens",
+      tokensCol = tokensCol,
       tokensPerBin = graft.queries.TextQueries.TokensPerBin)
-      .select("doc_id", "source", "lang", "split", "n_tokens", "quality",
-        "entropy", "bin_id", "text")
+      .select("doc_id", "source", "lang", "split", "n_tokens", "n_subword",
+        "quality", "entropy", "bin_id", "text")
 
   /** Filter + split + pack over the flat lake tables — the oracle-gate
     * path the DAG runs in the sandbox.
     */
   def filterPack(s: SparkSession, sfDir: String,
-                 scores: DataFrame, dedup: DataFrame): DataFrame =
+                 scores: DataFrame, dedup: DataFrame,
+                 tokensCol: String = "n_tokens"): DataFrame =
     packKept(keptOf(
       Tables.load(s, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")),
-      scores, dedup))
+      scores, dedup), tokensCol)
 
   /** Bucket count for the corpus exchange tables — the SAME count on
     * every side of the doc_id joins, or the exchange comes back.
@@ -170,9 +179,9 @@ object CorpusPrepare {
   /** Filter + split + pack over the bucketed intermediates — identical
     * rows to [[filterPack]], exchange-free join plan.
     */
-  def filterPackBucketed(s: SparkSession,
-                         prefix: String = "corpus"): DataFrame =
-    packKept(keptBucketed(s, prefix))
+  def filterPackBucketed(s: SparkSession, prefix: String = "corpus",
+                         tokensCol: String = "n_tokens"): DataFrame =
+    packKept(keptBucketed(s, prefix), tokensCol)
 
   /** Export the train split as JSONL shards laid out one directory per
     * (source, bin) — the bin boundary is PHYSICAL, so a trainer
@@ -202,5 +211,26 @@ object CorpusPrepare {
         "doc_id")
         .select("doc_id", "lang", "n_tokens", "text", "source",
           "shard_id", "pos_in_shard"),
+      outDir, partitionCols = Seq("shard_id"))
+
+  /** TOKEN-bounded shard export: the same md5-order global permutation
+    * as [[exportTrainShards]], but shards cut by a token budget via
+    * [[CorpusQueries.withShardsByTokens]] — real trainers provision
+    * shards by tokens, not rows (64 docs can be 3k or 300k tokens).
+    * `tokensCol` defaults to the subword-accurate count (q70); rows
+    * carry `cum_tokens_global` (strictly increasing along the
+    * permutation) for within-shard ordering.
+    */
+  def exportTrainShardsByTokens(packed: DataFrame, outDir: String,
+                                tokensPerShard: Long,
+                                tokensCol: String = "n_subword"): Unit =
+    JsonLines.write(
+      CorpusQueries.withShardsByTokens(
+        packed.filter(col("split") === "train")
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("n_subword"), col("text"), col("source")),
+        "doc_id", tokensCol, tokensPerShard)
+        .select("doc_id", "lang", "n_tokens", "n_subword", "text",
+          "source", "shard_id", "cum_tokens_global"),
       outDir, partitionCols = Seq("shard_id"))
 }

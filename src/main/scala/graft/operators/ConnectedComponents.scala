@@ -32,6 +32,54 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Hash-bucket count for the [[degreeSketch]]. */
+  private val SketchBuckets = 4096
+
+  /** Max-degree fraction above which [[auto]] switches to the
+    * skew-robust star variant: one vertex touching ≥ this fraction of
+    * all edge endpoints means label propagation would funnel a
+    * comparable fraction of the graph through one reduce key every
+    * round.
+    */
+  private[graft] val SkewFraction = 0.10
+
+  /** Cheap degree-skew sketch: hash every edge endpoint into
+    * [[SketchBuckets]] buckets and take the largest bucket's share of
+    * all endpoints — an UPPER bound on the max-degree share (collisions
+    * only inflate it). One partial-agg shuffle of ≤ [[SketchBuckets]]
+    * rows regardless of graph size; compare with an exact
+    * `groupBy(vertex).count()`, which shuffles every edge and is the
+    * very skewed aggregation the sketch is trying to detect.
+    */
+  private[graft] def degreeSketch(edges: DataFrame,
+                                  src: String, dst: String): Double = {
+    val ends = edges.select(col(src).as("v"))
+      .union(edges.select(col(dst).as("v")))
+    val top = ends
+      .groupBy(pmod(hash(col("v")), lit(SketchBuckets)).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("total"))
+      .head()
+    if (top.isNullAt(0) || top.getLong(1) == 0L) 0.0
+    else top.getLong(0).toDouble / top.getLong(1).toDouble
+  }
+
+  /** The single CC entry point: picks the variant from the degree
+    * sketch — pointer doubling ([[run]]) on low-skew graphs (fewest
+    * rounds: 4 on the LSH graph, ~17 at 100k diameter — SCALE.md §2),
+    * large-star/small-star ([[runAlternating]]) when one hub dominates
+    * (a boilerplate near-dup cluster spanning half the corpus), where
+    * propagation would re-shuffle the giant star whole every round but
+    * the star rewrite shrinks it. Both produce identical labels
+    * (OperatorsSpec), so the choice is pure performance; StressSpec
+    * pins the selection on both adversarial graphs.
+    */
+  def auto(edges: DataFrame, src: String, dst: String,
+           maxIter: Int = 30): DataFrame =
+    if (degreeSketch(edges, src, dst) >= SkewFraction)
+      runAlternating(edges, src, dst, maxIter)
+    else run(edges, src, dst, maxIter)
+
   /** @param edges two-column DataFrame of undirected edges (src, dst)
     * @return (vertex, component) — component = min vertex id reachable;
     *         isolated vertices (absent from edges) are the caller's

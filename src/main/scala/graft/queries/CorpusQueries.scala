@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,25 +39,67 @@ object CorpusQueries {
     */
   def q59(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy()
-    val rates = counts
-      .withColumn("target",
-        sum(col("n_docs")).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double"))
-      .withColumn("keep_bps",
-        round(least(lit(1.0), col("target") / col("n_docs").cast("double"))
-          * MixBps, 0).cast("long"))
-      .select(col("lang"), col("n_docs"), col("keep_bps"))
+    val rates = mixtureKeepBps(
+      docs.groupBy("lang").agg(count(lit(1)).as("w")))
+      .withColumnRenamed("w", "n_docs")
     val kept = docs
       .join(broadcast(rates.select(col("lang"), col("keep_bps"))), "lang")
-      .filter(DedupFunctions.md5Hash32(
-        concat(lit("mix-"), col("doc_id").cast("string"))) % MixBps
-        < col("keep_bps"))
+      .filter(mixCoin < col("keep_bps"))
       .groupBy("lang").agg(count(lit(1)).as("kept_docs"))
     rates.join(kept, Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("keep_bps"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"))
+  }
+
+  /** The deterministic per-document mixture coin: md5("mix-"+doc_id)
+    * mod [[MixBps]] — identical on every engine, shared by q59 and q73.
+    */
+  private def mixCoin: Column =
+    DedupFunctions.md5Hash32(
+      concat(lit("mix-"), col("doc_id").cast("string"))) % MixBps
+
+  /** Uniform-mixture keep-rates from per-language WEIGHTS `(lang, w)` —
+    * the rate table both q59 (w = doc count) and q73 (w = subword
+    * tokens) derive: keep_bps = round(min(1, (Σw/n_langs)/w)·[[MixBps]]).
+    * A ≤ n_langs-row frame; the windows run over that aggregate, never
+    * the corpus.
+    */
+  private[graft] def mixtureKeepBps(weights: DataFrame): DataFrame = {
+    val win = Window.partitionBy()
+    weights
+      .withColumn("target",
+        sum(col("w")).over(win).cast("double") /
+          count(lit(1)).over(win).cast("double"))
+      .withColumn("keep_bps",
+        round(least(lit(1.0), col("target") / col("w").cast("double"))
+          * MixBps, 0).cast("long"))
+      .select(col("lang"), col("w"), col("keep_bps"))
+  }
+
+  /** q73 — TOKEN-weighted mixture resampling: q59's rebalance recomputed
+    * on subword-accurate token counts (q70's greedy tokenizer) instead
+    * of document counts. keep_rate(lang) = min(1, target/lang_tokens)
+    * with target = total_tokens/n_langs; the same md5 coin decides
+    * survival, and the report shows tokens kept per language. Document
+    * counts and token counts are NOT proportional across languages
+    * (doc-length and tokenizer-fertility both vary by language), so the
+    * two rate tables genuinely differ — CorpusSpec pins the divergence;
+    * this is the mixture a token-budgeted pretraining run actually
+    * wants. Same scale shape as q59: one typed scoring scan, a
+    * broadcast rate table, one narrow filter pass.
+    */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextQueries.subwordCounts(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_subword"))
+    val rates = mixtureKeepBps(
+      docs.groupBy("lang").agg(sum(col("n_subword")).as("w")))
+    val kept = docs
+      .join(broadcast(rates.select(col("lang"), col("keep_bps"))), "lang")
+      .filter(mixCoin < col("keep_bps"))
+      .groupBy("lang").agg(sum(col("n_subword")).as("kept_tokens"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("w").as("n_tokens"), col("keep_bps"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
   /** Train/val/test per-cent cut points (q60): <98 train, <99 val. */
@@ -240,6 +282,29 @@ object CorpusQueries {
       .drop("ord", "one", "cum_tokens", "bin_id")
   }
 
+  /** TOKEN-bounded variant of [[withShards]]: the same md5-order global
+    * permutation, but shards cut by a token budget instead of a doc
+    * count (greedy fill, oversized docs own their shards — the
+    * [[graft.operators.SequencePacking]] bin contract with one global
+    * key). Real trainers provision shards by tokens/bytes, not by row
+    * count: 64 docs can be 3k or 300k tokens. Rows carry `shard_id`
+    * plus `cum_tokens_global` — the weighted running sum, strictly
+    * increasing along the permutation (weights ≥ 1), so a consumer
+    * orders within a shard by it and never relies on file order.
+    */
+  def withShardsByTokens(df: DataFrame, idCol: String, tokensCol: String,
+                         tokensPerShard: Long): DataFrame = {
+    val ordered = df
+      .withColumn("ord", concat(md5(col(idCol).cast("string")),
+        lpad(col(idCol).cast("string"), 20, "0")))
+    graft.operators.SequencePacking
+      .withBins(ordered, keyCols = Seq.empty, orderCol = "ord",
+        tokensCol = tokensCol, tokensPerBin = tokensPerShard)
+      .withColumn("shard_id", col("bin_id"))
+      .withColumn("cum_tokens_global", col("cum_tokens"))
+      .drop("ord", "cum_tokens", "bin_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -247,7 +312,8 @@ object CorpusQueries {
     "q62_curriculum_buckets" -> (q62 _),
     "q63_topk_per_group" -> (q63 _),
     "q64_top_ngrams" -> (q64 _),
-    "q68_shuffle_shard" -> (q68 _))
+    "q68_shuffle_shard" -> (q68 _),
+    "q73_token_mixture" -> (q73 _))
 
   // ---- oracle SQL ----
 
@@ -289,6 +355,26 @@ object CorpusQueries {
          | (global_rank - 1) // $ShardDocs AS shard_id,
          | (global_rank - 1) % $ShardDocs AS pos_in_shard
          |FROM r""".stripMargin,
+    "q73_token_mixture" ->
+      s"""WITH ${TextQueries.subwordCtesSql},
+         |dt AS (
+         | SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(a.n_subword, 0) AS BIGINT) AS nt
+         | FROM docs d LEFT JOIN swagg a ON d.doc_id = a.doc_id),
+         |c AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS w FROM dt GROUP BY lang),
+         |s AS (SELECT CAST(sum(w) AS DOUBLE) AS total,
+         |             CAST(count(*) AS DOUBLE) AS nl FROM c),
+         |r AS (SELECT lang, w,
+         |  CAST(round(least(1.0, (s.total / s.nl) / CAST(w AS DOUBLE))
+         |    * $MixBps) AS BIGINT) AS keep_bps
+         | FROM c, s),
+         |k AS (SELECT dt.lang, CAST(sum(dt.nt) AS BIGINT) AS kept_tokens
+         | FROM dt JOIN r ON dt.lang = r.lang
+         | WHERE ${md5ModSql("mix-", MixBps)} < r.keep_bps
+         | GROUP BY dt.lang)
+         |SELECT r.lang, r.w AS n_tokens, r.keep_bps,
+         | coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+         |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin,
     "q64_top_ngrams" -> {
       val wsSql = TextQueries.wsSql
       s"""WITH base AS (SELECT $wsSql AS ws FROM documents),

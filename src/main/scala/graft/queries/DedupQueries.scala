@@ -446,7 +446,11 @@ object DedupQueries {
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-cluster-labels", s, dir)) {
       val (mapping, cand) = collapsedLshInputs(s, dir)
-      val comp = graft.operators.ConnectedComponents.run(cand, "doc_a", "doc_b")
+      // `auto`: the degree sketch picks pointer doubling here (the LSH
+      // candidate graph is low-skew once exact dups are collapsed) but
+      // keeps the star variant armed for a boilerplate hub — one tiny
+      // aggregation, amortized by the surrounding memo
+      val comp = graft.operators.ConnectedComponents.auto(cand, "doc_a", "doc_b")
       // member → representative → component (groups with no near-dup
       // neighbours have no component row: the group min IS the label)
       val redirect = mapping

@@ -122,12 +122,93 @@ object MultimodalQueries {
       .toDF("doc_id", "width", "height", "resize_w", "resize_h", "feature")
   }
 
+  /** Deterministic REAL PNG payloads: a fixed-pattern
+    * `BufferedImage` sized by doc_id, encoded through the JDK's own
+    * `ImageIO` PNG writer inside the executor pass. The bytes are a
+    * genuine PNG container (magic, IHDR, IDAT, CRCs) whose DIMENSIONS
+    * are a pure function of doc_id — which is what lets the q71 oracle
+    * predict the decoded metadata without running a decoder itself.
+    */
+  private[graft] def realPngMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (16 + id % 32).toInt
+        val h = (16 + (id * 7) % 32).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((id + x * 31L + y * 17L) % 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaIn(id, bos.toByteArray)
+      })
+  }
+
+  /** Decode a real image container's header with `javax.imageio` —
+    * the REAL twin of [[MediaCodecStub.decode]]: same input row type,
+    * same output row type, so the two paths are drop-in swappable (the
+    * q40 plumbing claim, now exercised against an actual codec).
+    * Header-only reads: `reader.getWidth/getHeight(0)` parse IHDR
+    * without decoding pixel data — the right cost model for a
+    * metadata pass over 100 TB of media blobs.
+    */
+  private[graft] def decodeReal(m: MediaIn): MediaMeta = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, s"no reader for doc ${m.doc_id}")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        MediaMeta(m.doc_id, m.payload.length.toLong,
+          r.getWidth(0).toLong, r.getHeight(0).toLong,
+          r.getFormatName.toLowerCase)
+      } finally r.dispose()
+    } finally in.close()
+  }
+
+  /** q71 — REAL image metadata decode: generate deterministic PNG bytes
+    * in-executor, decode width/height/format back out of the container
+    * with `javax.imageio` (zero extra dependencies). Where q40 proves
+    * the multimodal PLUMBING with a stub codec, q71 proves the codec
+    * seam itself: the oracle's id-derived dimensions only match if the
+    * decoder actually parsed the IHDR it was handed
+    * (MultimodalSpec additionally pins that a corrupted container
+    * fails rather than echoing). `n_bytes` is excluded from the gate —
+    * PNG encoder output size is writer-implementation-specific; the
+    * oracle-checkable surface is exactly what the container CONTRACT
+    * fixes: dimensions and format.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realPngMedia(s, dir)
+      .mapPartitions(_.map(decodeReal))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("format"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40 _),
     "q41_frame_sample" -> (q41 _),
-    "q55_media_features" -> (q55 _))
+    "q55_media_features" -> (q55 _),
+    "q71_real_png_decode" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
+    "q71_real_png_decode" ->
+      """SELECT doc_id,
+        | 16 + doc_id % 32 AS width,
+        | 16 + (doc_id * 7) % 32 AS height,
+        | 'png' AS format
+        |FROM documents""".stripMargin,
     "q40_media_metadata" ->
       // first BYTE via hex (not ascii(substr(...)), which reads a
       // character and diverges from `payload(0) & 0xff` on non-ASCII)

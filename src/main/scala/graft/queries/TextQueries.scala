@@ -76,22 +76,30 @@ object TextQueries {
       .select(col("doc_id"),
         DedupFunctions.fingerprint(TextFunctions.words(col("text"))).as("fp"))
 
-  /** q51 — token-budget report: documents and whitespace tokens per
-    * source plus each source's share of the total — the domain-mix
-    * table a pretraining pipeline derives sampling weights from. One
-    * partial-agg shuffle to 20 rows; the share is a window over the
-    * already-tiny aggregate.
+  /** The budget aggregation behind q51 and q72, over ANY per-document
+    * token count: docs and tokens per source plus each source's share
+    * of the total. One partial-agg shuffle to ≤ n_sources rows; the
+    * share is a window over the already-tiny aggregate.
     */
-  def q51(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def tokenBudgetOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    t(s, dir, "documents")
+    docs
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("token_share",
         round(col("n_tokens").cast("double") /
           sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
   }
+
+  /** q51 — token-budget report: documents and whitespace tokens per
+    * source plus each source's share of the total — the domain-mix
+    * table a pretraining pipeline derives sampling weights from.
+    * (q72 is the same report on subword-accurate counts.)
+    */
+  def q51(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOf(t(s, dir, "documents")
+      .select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok")))
 
   /** q52 — intra-document repetition metrics (the Gopher/C4-style
     * quality signals): repeated-token ratio (1 − distinct/total) and
@@ -239,6 +247,59 @@ object TextQueries {
           .cast("long").as("n_phones"),
         md5(col("scrubbed")).as("scrub_md5"))
 
+  /** Per-document subword counts — q70's body, reused by the corpus
+    * pipeline's scoring pass. One narrow typed pass (the q52/q61 hot-
+    * path shape): split once, greedy-match each word in a JVM loop.
+    */
+  private[graft] def subwordCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .as[(Long, String, String, String)]
+      .map { case (id, source, lang, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        var sub = 0L
+        var i = 0
+        while (i < ws.length) {
+          sub += graft.functions.TextJvm.subwordCount(ws(i)); i += 1
+        }
+        (id, source, lang, ws.length.toLong, sub)
+      }
+      .toDF("doc_id", "source", "lang", "n_ws", "n_subword")
+  }
+
+  /** q70 — subword-accurate token counts: deterministic greedy
+    * longest-match tokenization against the literal
+    * [[TextFunctions.SubwordVocab]] ([[graft.functions.TextJvm.subwordCount]]),
+    * per document, with the ratio to the whitespace count. This is the
+    * count a pretraining pipeline budgets/packs/mixes by — whitespace
+    * counts diverge from tokenizer counts by 1.3–3× and NON-uniformly
+    * across words (CorpusSpec proves the resulting packing differs), so
+    * every token-driven downstream (q51→q72 budget, q57 packing, q59
+    * mixture) is wrong in mixture-relevant ways without this.
+    *
+    * Scale shape: embarrassingly parallel narrow scan, no shuffle; the
+    * vocab is a broadcast-free JVM constant. The oracle tokenizes
+    * DISTINCT words once (31 in this corpus; bounded by true vocab size
+    * in any real one) and joins back — valid because whitespace never
+    * participates in a match, so doc-greedy ≡ word-greedy.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame =
+    subwordCounts(s, dir)
+      .select(col("doc_id"), col("n_ws"), col("n_subword"),
+        when(col("n_ws") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_subword").cast("double") /
+            col("n_ws").cast("double"), 4)).as("subword_ratio"))
+
+  /** q72 — token-accurate budget: q51's domain-mix report computed on
+    * greedy-subword counts instead of whitespace counts. The share
+    * deltas between q51 and q72 are exactly the sampling-weight error a
+    * whitespace-budgeted pipeline bakes into its mixture.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetOf(subwordCounts(s, dir)
+      .select(col("source"), col("n_subword").as("n_tok")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
@@ -248,7 +309,9 @@ object TextQueries {
     "q52_repetition" -> (q52 _),
     "q53_stratified_sample" -> (q53 _),
     "q57_sequence_pack" -> (q57 _),
-    "q67_pii_scrub" -> (q67 _))
+    "q67_pii_scrub" -> (q67 _),
+    "q70_subword_tokens" -> (q70 _),
+    "q72_subword_budget" -> (q72 _))
 
   // ---- oracle SQL ----
 
@@ -265,6 +328,36 @@ object TextQueries {
       |      / CAST(len(text) AS DOUBLE) END""".stripMargin
   private val stopwordsSql =
     TextFunctions.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val subwordVocabSql =
+    TextFunctions.SubwordVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** CTEs computing per-doc subword counts: `docs(doc_id, ws)` →
+    * `dw(w)` distinct words → `tok(w, n_tok)` greedy longest-match
+    * replay (64 unrolled steps via list_reduce; each step consumes the
+    * longest matching vocab entry at the cursor, else one codepoint) →
+    * `swagg(doc_id, n_ws, n_subword)`. Shared by the q70 and q72
+    * oracles — the SQL twin of [[graft.functions.TextJvm.subwordCount]].
+    */
+  private[queries] val subwordCtesSql: String =
+    s"""docs AS (
+       | SELECT doc_id, source, lang, $wsSql AS ws FROM documents),
+       |dw AS (SELECT DISTINCT unnest(ws) AS w FROM docs),
+       |tok AS (
+       | SELECT w, list_reduce(
+       |   list_concat([[CAST(1 AS BIGINT), CAST(0 AS BIGINT)]],
+       |     list_transform(range(1, 65), i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+       |   (acc, x) -> CASE WHEN acc[1] > len(w) THEN acc
+       |     ELSE [acc[1] + coalesce(list_max(list_transform(
+       |         list_filter($subwordVocabSql,
+       |           v -> substr(w, CAST(acc[1] AS INTEGER), len(v)) = v),
+       |         v -> CAST(len(v) AS BIGINT))), 1), acc[2] + 1] END)[2] AS n_tok
+       | FROM dw),
+       |expl AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+       |swagg AS (
+       | SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+       |  CAST(sum(t.n_tok) AS BIGINT) AS n_subword
+       | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q33_langid" -> {
@@ -368,6 +461,25 @@ object TextQueries {
          |   '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
          |   '$PhoneRe', '<PHONE>', 'g')) AS scrub_md5
          |FROM raw""".stripMargin,
+    "q70_subword_tokens" ->
+      s"""WITH $subwordCtesSql
+         |SELECT d.doc_id,
+         | coalesce(a.n_ws, CAST(0 AS BIGINT)) AS n_ws,
+         | coalesce(a.n_subword, CAST(0 AS BIGINT)) AS n_subword,
+         | CASE WHEN a.n_ws IS NULL THEN NULL
+         |  ELSE round(CAST(a.n_subword AS DOUBLE) / CAST(a.n_ws AS DOUBLE), 4)
+         | END AS subword_ratio
+         |FROM docs d LEFT JOIN swagg a ON d.doc_id = a.doc_id""".stripMargin,
+    "q72_subword_budget" ->
+      s"""WITH $subwordCtesSql,
+         |c AS (
+         | SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(a.n_subword, 0)) AS BIGINT) AS n_tokens
+         | FROM docs d LEFT JOIN swagg a ON d.doc_id = a.doc_id
+         | GROUP BY d.source)
+         |SELECT source, n_docs, n_tokens,
+         | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+         |FROM c""".stripMargin,
     "q36_fingerprint" ->
       s"""WITH h AS (
          | SELECT doc_id, list_transform($wsSql,

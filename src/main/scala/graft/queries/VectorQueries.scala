@@ -205,6 +205,21 @@ object VectorQueries extends Serializable {
     * centroid arithmetic is rounded to 6 decimals per iteration so
     * assignments are engine-portable (the q54 contract); clusters that
     * lose every member keep their previous centroid on both engines.
+    *
+    * Portability caveat (accepted): this side rounds with exact
+    * BigDecimal HALF_UP on the binary double while DuckDB's `round()`
+    * computes in floating point, so a centroid coordinate sitting
+    * exactly on a rounding boundary can differ by 1e-6 — the same
+    * 1-ulp risk the repo carries for q54, but here it COMPOUNDS through
+    * [[KmIters]] iterations (a flipped assignment in iteration k feeds
+    * every later mean). CORRECTNESS gates it empirically at the shipped
+    * KmIters=2; re-check the oracle match whenever KmIters is raised.
+    *
+    * The sample is localCheckpointed ONCE and feeds both the seed take
+    * and every Lloyd iteration — without it each iteration re-scans the
+    * parquet for the sample (uncached lineage), making build cost grow
+    * by a full sample scan per added iteration, the dominant build term
+    * at deployment scale.
     */
   private[graft] def quantizerCentroids(
       s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
@@ -212,6 +227,8 @@ object VectorQueries extends Serializable {
     val samp = t(s, dir, "embeddings")
       .withColumn("h", md5(col("vec_id").cast("string")))
       .filter(substring(col("h"), 1, 1).isin(SampleHexDigits: _*))
+      .select(col("h"), col("vec_id"), col("embedding"))
+      .localCheckpoint()
     val seeds = samp.orderBy(col("h"), col("vec_id"))
       .select(col("embedding")).as[Array[Float]].take(KLists)
     require(seeds.length == KLists,
@@ -266,9 +283,10 @@ object VectorQueries extends Serializable {
     * [[graft.sources.DatasetFingerprint]] — file names, sizes and
     * mtimes, not just the path — means a dataset rewritten IN PLACE
     * gets a fresh home automatically: a surviving completeness marker
-    * from the old version can never be adopted for the new data. The
-    * build deletes superseded sibling versions, so the root still
-    * holds at most one live directory per dataset.
+    * from the old version can never be adopted for the new data.
+    * Superseded sibling versions are left for a retention job (see
+    * [[ivfIndex]] — sweeping them here could delete an index a live
+    * session still holds memoized).
     */
   private[graft] def ivfIndexPath(s: SparkSession, dir: String): String =
     java.nio.file.Paths.get(ivfRoot(dir), IndexFormat + "-" +
@@ -312,11 +330,16 @@ object VectorQueries extends Serializable {
     * session ([[QueryMemo]]) AND adopted from disk by a completeness
     * marker written after both writes commit — exactly the index
     * lifecycle a 1B-vector deployment needs: build is a job, probes are
-    * lookups. Two sessions racing the build write identical
-    * deterministic content; the marker is claimed with an atomic
-    * `createNewFile`, and the loser adopts the winner's index instead
-    * of failing. (A real deployment serializes builds as a scheduled
-    * job; the race handling is a sandbox courtesy, not the design.)
+    * lookups. Two sessions racing the build each write into their OWN
+    * session-unique staging dir and commit with one atomic directory
+    * `rename` onto the versioned path — rename-wins IS the marker
+    * claim, so no interleaved-writer dir can ever exist; the loser's
+    * rename fails and it adopts the winner's (identical, deterministic)
+    * index. Superseded sibling versions are NOT swept here: a live
+    * session may still hold the old version memoized mid-probe, and
+    * deleting under it would fail those probes — reclaiming old
+    * versions is a retention job's concern in a deployment (the
+    * sandbox's per-dataset tmp root keeps the residue bounded).
     */
   private[graft] def ivfIndex(s: SparkSession, dir: String): IvfIndex =
     QueryMemo.getAny(s, ivfMemoKey(s, dir)) {
@@ -324,18 +347,22 @@ object VectorQueries extends Serializable {
       val path = ivfIndexPath(s, dir)
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val centsPath = path + "/_centroids"
       def adopt(): IvfIndex = {
-        val cents = s.read.parquet(centsPath)
+        val cents = s.read.parquet(path + "/_centroids")
           .select(col("cid"), col("centroid")).as[(Int, Seq[Double])]
           .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)
         IvfIndex(path, cents)
       }
       if (indexHealthy(fs, path)) adopt()
       else {
-        // partial leftovers (crashed build, reaped files) poison a
-        // dynamic-overwrite rewrite — clear the version dir first
+        // an UNHEALTHY published dir (reaper-damaged: rename commits
+        // are all-or-nothing, so partial builds never publish) cannot
+        // be repaired in place — remove it so the rename can land
         if (fs.exists(hPath)) fs.delete(hPath, true)
+        // stage under a session-unique name in the SAME root (rename
+        // is only atomic within a filesystem/volume)
+        val stagePath = new org.apache.hadoop.fs.Path(
+          hPath.getParent, s".stage-${java.util.UUID.randomUUID()}")
         val cents: Array[(Int, Array[Double])] = quantizerCentroids(s, dir)
         val bc = s.sparkContext.broadcast(cents)
         val assigned = t(s, dir, "embeddings")
@@ -343,20 +370,20 @@ object VectorQueries extends Serializable {
           .map { case (id, emb) => (id, assignTo(bc.value, emb), emb) }
           .toDF("vec_id", "list_id", "embedding")
         graft.sources.Lake
-          .writeListPartitioned(assigned, "list_id", "vec_id", path)
+          .writeListPartitioned(assigned, "list_id", "vec_id", stagePath.toString)
         cents.toSeq.map { case (l, c) => (l, c.toSeq) }
           .toDF("cid", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(centsPath)
-        // superseded versions (older fingerprints) are dead by
-        // construction — nothing can adopt them — so reclaim the disk
-        val leaf = hPath.getName
-        val root = hPath.getParent
-        fs.listStatus(root)
-          .filter(st => st.isDirectory && st.getPath.getName != leaf)
-          .foreach(st => fs.delete(st.getPath, true))
-        val claimed = fs.createNewFile(
-          new org.apache.hadoop.fs.Path(path, "_GRAFT_INDEX_DONE"))
-        if (claimed) IvfIndex(path, cents) else adopt()
+          .coalesce(1).write.mode("overwrite")
+          .parquet(stagePath.toString + "/_centroids")
+        // the health marker is part of the staged content: it becomes
+        // visible at `path` only via the atomic publish below
+        fs.createNewFile(
+          new org.apache.hadoop.fs.Path(stagePath, "_GRAFT_INDEX_DONE"))
+        if (fs.rename(stagePath, hPath)) IvfIndex(path, cents)
+        else { // lost the publish race — discard our copy, adopt theirs
+          fs.delete(stagePath, true)
+          adopt()
+        }
       }
     }
 

@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   * Mirrors the reference's freshness contract — its task ledger decides
   * staleness from upstream file metadata, not file contents
   * (`open_bus_stride_etl/common.py`'s download-if-newer helpers).
+  *
+  * KNOWN LIMIT: the contract holds only when a rewrite changes some
+  * (name, length, mtime) triple. Spark-written tables always do (fresh
+  * random part-file names per job), but an external tool that rewrites
+  * files in place preserving names AND sizes within one mtime tick
+  * (rsync --times, a same-second same-size overwrite on a
+  * seconds-granularity filesystem) fingerprints identically and stale
+  * derived state would be served. If such writers share the lake, fold
+  * a content discriminator (e.g. parquet footer checksum) into the
+  * entry line — metadata-only is the deliberate cheap default, same
+  * trade the reference makes.
   */
 object DatasetFingerprint {
 

@@ -64,10 +64,17 @@ class LocalFsObjectStore(root: String) extends ObjectStore {
     }
 
   override def list(prefix: String): Seq[String] = {
+    // walk only the deepest directory the prefix implies — O(matching
+    // subtree) like the reference's server-side prefix scan
+    // (`packagers/common.py:66-72`), not O(entire store); a ledger
+    // listing one day's keys must not pay for the whole history
     val rootPath = Paths.get(root)
-    if (!Files.isDirectory(rootPath)) Seq.empty
+    val slash = prefix.lastIndexOf('/')
+    val startPath =
+      if (slash < 0) rootPath else rootPath.resolve(prefix.substring(0, slash))
+    if (!Files.isDirectory(startPath)) Seq.empty
     else {
-      val stream = Files.walk(rootPath)
+      val stream = Files.walk(startPath)
       try {
         import scala.jdk.CollectionConverters._
         stream.iterator().asScala
@@ -131,10 +138,17 @@ class HadoopFsObjectStore(baseUri: String,
       true
     }
 
-  override def list(prefix: String): Seq[String] =
-    if (!fs.exists(base)) Seq.empty
+  override def list(prefix: String): Seq[String] = {
+    // scope the recursive listing to the deepest prefix directory —
+    // on s3a each listFiles page is a server-side prefix scan, so this
+    // is the LIST call shape the reference uses
+    // (`packagers/common.py:66-72`), O(matching keys) not O(bucket)
+    val slash = prefix.lastIndexOf('/')
+    val start =
+      if (slash < 0) base else new HPath(base, prefix.substring(0, slash))
+    if (!fs.exists(start)) Seq.empty
     else {
-      val it = fs.listFiles(base, true)
+      val it = fs.listFiles(start, true)
       val keys = scala.collection.mutable.ArrayBuffer.empty[String]
       val baseStr = base.toUri.getPath
       while (it.hasNext) {
@@ -145,6 +159,7 @@ class HadoopFsObjectStore(baseUri: String,
       }
       keys.toSeq.sorted
     }
+  }
 
   override def lastModified(key: String): Option[Long] =
     fileStatus(key).map(_.getModificationTime)

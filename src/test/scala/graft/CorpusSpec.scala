@@ -24,6 +24,61 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(byId(2L)._2 - 0.9183) < 1e-9)
   }
 
+  test("greedy subword tokenizer: longest-match wins, fallback consumes codepoints") {
+    import graft.functions.TextJvm
+    assert(TextJvm.subwordCount("scan") == 2)     // sc + an
+    assert(TextJvm.subwordCount("customer") == 3) // cust + om + er
+    assert(TextJvm.subwordCount("the") == 1)      // whole-word entry beats pieces
+    assert(TextJvm.subwordCount("xyz") == 3)      // pure single-char fallback
+    assert(TextJvm.subwordCount("thexyz") == 4)   // the + x + y + z
+    // each 😀 is ONE codepoint (two UTF-16 chars): fallback must consume
+    // the pair, matching DuckDB's substr stride — char-wise consumption
+    // would count 4 and desync the oracle
+    assert(TextJvm.subwordCount("😀😀") == 2)
+    assert(TextJvm.subwordCountDoc("the scan  customer") == 6)
+    assert(TextJvm.subwordCountDoc("") == 0)
+  }
+
+  test("packing by subword counts assigns materially different bins than whitespace counts") {
+    import graft.operators.SequencePacking
+    import graft.queries.TextQueries
+    // same docs, same budget, same order — only the token column differs
+    val counts = TextQueries.subwordCounts(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    def bins(tok: String): Map[Long, Long] = SequencePacking
+      .withBins(counts, keyCols = Seq("source"), orderCol = "doc_id",
+        tokensCol = tok, tokensPerBin = TextQueries.TokensPerBin)
+      .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
+    val wsBins = bins("n_ws")
+    val swBins = bins("n_subword")
+    // subword counts are strictly larger (fertility > 1), so bins fill
+    // faster: a whitespace-budgeted plan OVERFILLS real token budgets
+    val moved = wsBins.count { case (id, b) => swBins(id) != b }
+    assert(moved > 0, "subword packing identical to whitespace packing")
+    assert(swBins.values.max > wsBins.values.max,
+      s"subword packing should need more bins: ${swBins.values.max} vs ${wsBins.values.max}")
+  }
+
+  test("token-weighted mixture (q73) can FLIP the resampling direction vs doc-count mixture (q59)") {
+    import graft.queries.CorpusQueries
+    val dir = Files.createTempDirectory("graft_mix").toString
+    // en: 1 long doc of 40×'customer' (subword fertility 3) → 120 tokens
+    // de: 4 short docs of 10×'the' (fertility 1) → 40 tokens total
+    val en = Seq((1L, Seq.fill(40)("customer").mkString(" "), "en", "web"))
+    val de = (2L to 5L).map(i => (i, Seq.fill(10)("the").mkString(" "), "de", "web"))
+    (en ++ de).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def rates(df: org.apache.spark.sql.DataFrame) = df
+      .select($"lang", $"keep_bps").as[(String, Long)].collect().toMap
+    val byDocs = rates(CorpusQueries.q59(spark, dir))
+    val byTokens = rates(CorpusQueries.q73(spark, dir))
+    // doc-count mixture: de is over-represented (4 of 5 docs) → downsampled
+    assert(byDocs("en") == 10000L && byDocs("de") < 10000L)
+    // token mixture: en holds 120 of 160 tokens → the direction FLIPS
+    assert(byTokens("de") == 10000L && byTokens("en") < 10000L,
+      s"expected flip, got $byTokens")
+  }
+
   test("q68 shuffle-shard: rank is a permutation, shards fill contiguously, order is deterministic") {
     import org.apache.spark.sql.functions._
     import graft.queries.CorpusQueries

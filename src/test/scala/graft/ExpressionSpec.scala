@@ -63,21 +63,37 @@ class ExpressionSpec extends SparkSpec {
       .filter(!(col("native") <=> col("fold")))
       .count()
     assert(mismatches == 0)
+    // the documented degenerate inputs, where the two implementations
+    // could legally diverge if either mishandled them: a NULL embedding
+    // and a wrong-dimension embedding must yield the SAME bucket from
+    // both (each hyperplane projection nulls → bit 0 on every plane)
+    val degenerate = Seq(
+      None,                       // null embedding
+      Some(Seq(1f, 2f, 3f))       // dim 3 vs the 64-dim hyperplanes
+    ).toDF("embedding")
+    val pairs = degenerate.select(
+      VectorExpressions.lshBucket(col("embedding"), 8, 64).as("native"),
+      VectorFunctions.lshBucket(col("embedding"), 8, 64).as("fold"))
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    assert(pairs.forall { case (n, f) => n == f }, pairs.toString)
+    assert(pairs.forall(_._1.contains(0L)), pairs.toString) // all-bits-0 bucket
   }
 
   test("vecDotLiteral null semantics match the zip_with literal fold") {
     val df = Seq(
-      Some(Seq(1f, 2f)),     // 1*0.5 + 2*(-0.25) = 0.0
-      Some(Seq(1f)),         // length mismatch → null
-      None,                  // null array → null
-      Some(Seq[Float]())     // length mismatch (0 vs 2) → null
+      Some(Seq(1f, 2f)),       // 1*0.5 + 2*(-0.25) = 0.0
+      Some(Seq(1f)),           // vec SHORTER than weights → null
+      Some(Seq(1f, 2f, 3f)),   // vec LONGER than weights → null (other
+                               //   zip_with padding direction)
+      None,                    // null array → null
+      Some(Seq[Float]())       // length mismatch (0 vs 2) → null
     ).toDF("a")
     val w = Seq(0.5, -0.25)
     val native = df.select(VectorExpressions.vecDotLiteral($"a", w))
       .as[Option[Double]].collect().toSeq
     val fold = df.select(VectorFunctions.dotLiteral($"a", w))
       .as[Option[Double]].collect().toSeq
-    assert(native == Seq(Some(0.0), None, None, None))
+    assert(native == Seq(Some(0.0), None, None, None, None))
     assert(native == fold)
   }
 

@@ -47,7 +47,7 @@ class FreshnessSpec extends SparkSpec {
   }
 
   test("IVF index rebuilds after an in-place rewrite; the superseded " +
-    "version dir is reclaimed") {
+    "version stays adoptable for sessions still holding it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fresh-ivf").toString
     writeEmbeddings(dir, n = 60, seed = 1)
     val p1 = VectorQueries.ivfIndexPath(spark, dir)
@@ -60,9 +60,17 @@ class FreshnessSpec extends SparkSpec {
     assert(ix2.listsPath == p2)
     // the rebuilt index covers the NEW corpus…
     assert(spark.read.parquet(p2).count() == 90)
-    // …and the dead version was deleted by the build (one live dir per
-    // dataset, no accumulating orphans)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)))
+    // …and the superseded version is NOT swept by the build — a live
+    // session that memoized it mid-probe must keep reading it
+    // (reclaiming is a retention job's call, not a concurrent build's);
+    // both versions stay independently readable
+    assert(spark.read.parquet(p1).count() == 60)
+    // the atomic rename publish leaves no staging residue behind
+    val root = java.nio.file.Paths.get(p1).getParent
+    val stray = java.nio.file.Files.list(root).iterator()
+    var names = List.empty[String]
+    while (stray.hasNext) names ::= stray.next().getFileName.toString
+    assert(!names.exists(_.startsWith(".stage-")), names.toString)
   }
 
   test("IVF adoption survives a tmp reaper: marker without data falls " +

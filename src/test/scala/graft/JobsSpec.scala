@@ -187,6 +187,60 @@ class JobsSpec extends SparkSpec {
     assert(multiSource > 0)
   }
 
+  test("token-bounded shard export: budget respected, greedy-full replay matches, sources mixed") {
+    import graft.jobs.CorpusPrepare
+    val wd = Files.createTempDirectory("graft_tokshard").toString
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    val packed = CorpusPrepare.filterPack(spark, sf, scores, dedup)
+    val budget = 2000L
+    CorpusPrepare.exportTrainShardsByTokens(packed, s"$wd/shards", budget)
+    val shards = spark.read.json(s"$wd/shards")
+      .select($"doc_id", $"n_subword", $"shard_id", $"cum_tokens_global",
+        $"source")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val train = packed.filter($"split" === "train")
+      .select($"doc_id", $"n_subword").as[(Long, Long)].collect().toMap
+    assert(train.nonEmpty && shards.map(_._1).toSet == train.keySet)
+    // replay the greedy fill locally in the same md5-permutation order:
+    // shard id AND global cumsum must match the export row-for-row
+    def hexMd5(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    var cum = 0L
+    val expected = train.toSeq
+      .sortBy { case (id, _) => (hexMd5(id), id) }
+      .map { case (id, n) =>
+        cum += n
+        id -> ((cum - n) / budget, cum)
+      }.toMap
+    shards.foreach { case (id, _, sid, cumG, _) =>
+      assert(expected(id) == ((sid, cumG)),
+        s"doc $id: got ($sid,$cumG), expected ${expected(id)}")
+    }
+    // shard k owns the docs STARTING in cum range [k·B, (k+1)·B) — the
+    // SequencePacking bin contract: a boundary-straddling doc overfills
+    // its shard rather than splitting. So the invariants are (a) shards
+    // TILE the token axis: every non-final shard's cumsum reaches its
+    // boundary (full, nothing deferred), and (b) overfill is bounded by
+    // one document, never cumulative
+    val cumEnd = shards.groupBy(_._3).view
+      .mapValues(_.map(_._4).max).toMap
+    val lastShard = cumEnd.keys.max
+    assert(lastShard > 0, "budget too large for the corpus — test is vacuous")
+    val maxDoc = train.values.max
+    (0L until lastShard).foreach { sid =>
+      assert(cumEnd(sid) >= (sid + 1) * budget, s"shard $sid under-filled")
+      assert(cumEnd(sid) < (sid + 1) * budget + maxDoc,
+        s"shard $sid overfilled by more than one doc")
+    }
+    // the md5 permutation interleaves sources within shards
+    assert(shards.groupBy(_._3).values
+      .exists(_.map(_._5).distinct.length > 1))
+  }
+
   test("streamed-ingest corpus DAG ships the identical increment " +
     "artifact as the batch-incremental DAG") {
     import graft.queries.DedupQueries

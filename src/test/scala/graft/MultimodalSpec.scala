@@ -30,6 +30,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select($"doc_id").distinct().count() == n)
   }
 
+  test("q71 real decode: actual PNG containers, header-parsed dims, stub-compatible shape") {
+    // the generated payloads are REAL PNGs: magic bytes present
+    val sample = MultimodalQueries.realPngMedia(spark, sf).head(3)
+    val pngMagic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    sample.foreach { m =>
+      assert(m.payload.take(4).sameElements(pngMagic))
+      // and decodeReal shares the stub's exact I/O shape: MediaIn in,
+      // MediaMeta out — the swap-in claim, exercised
+      val meta: MultimodalQueries.MediaMeta = MultimodalQueries.decodeReal(m)
+      assert(meta.doc_id == m.doc_id && meta.format == "png")
+      assert(meta.width == 16 + m.doc_id % 32)
+      assert(meta.height == 16 + (m.doc_id * 7) % 32)
+    }
+    // the decoder PARSES, it does not echo: corrupting the IHDR width
+    // field changes the decoded width (or fails) — either way the
+    // id-derived value is no longer returned
+    val m0 = sample.head
+    val corrupted = m0.payload.clone()
+    corrupted(19) = (corrupted(19) ^ 0x01).toByte // IHDR width low byte
+    val echoed =
+      try MultimodalQueries.decodeReal(MediaIn(m0.doc_id, corrupted))
+        .width == 16 + m0.doc_id % 32
+      catch { case _: Exception => false }
+    assert(!echoed, "decode echoed id-derived dims for a corrupted container")
+  }
+
   test("q41 frame sampling emits ceil(n_bytes/step) frames per doc") {
     val out = MultimodalQueries.q41(spark, sf)
       .groupBy("doc_id").count()

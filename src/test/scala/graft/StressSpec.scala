@@ -64,6 +64,27 @@ class StressSpec extends SparkSpec {
     info(f"label-prop $tProp%.1fs, large/small-star $tStar%.1fs")
   }
 
+  test("CC auto-selection: the degree sketch routes the star graph to the " +
+    "skew-robust variant and the path graph to pointer doubling") {
+    // pure path: max degree 2 of 40k endpoints → far below the skew bar
+    val path = StressData.pathPlusStarEdges(spark, pathN = 20000, starN = 0)
+      .localCheckpoint()
+    val pathSkew = ConnectedComponents.degreeSketch(path, "src", "dst")
+    assert(pathSkew < ConnectedComponents.SkewFraction,
+      f"path skew $pathSkew%.4f should be below ${ConnectedComponents.SkewFraction}")
+    // pure star: the hub is HALF of all endpoints → far above the bar
+    val star = StressData.pathPlusStarEdges(spark, pathN = 0, starN = 20000)
+      .localCheckpoint()
+    val starSkew = ConnectedComponents.degreeSketch(star, "src", "dst")
+    assert(starSkew >= ConnectedComponents.SkewFraction,
+      f"star skew $starSkew%.4f should be above ${ConnectedComponents.SkewFraction}")
+    // and auto() itself is label-identical to both variants either way
+    val viaAuto = ConnectedComponents.auto(star, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    (0 to 20000).foreach(i =>
+      assert(viaAuto(StressData.StarBase + i) == StressData.StarBase))
+  }
+
   test("sequence packing: a key with 90% of tokens spans the range " +
     "partitions and still matches the window form bit-for-bit") {
     val rows = StressData.skewedPackingRows(spark, n = 100000, hotShare = 0.9)
