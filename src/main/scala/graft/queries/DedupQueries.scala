@@ -209,7 +209,7 @@ object DedupQueries {
     s"$name:$dir:" +
       graft.sources.DatasetFingerprint.ofTable(s, dir, "documents")
 
-  private def checkpointedSignatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def checkpointedSignatures(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-signatures", s, dir)) {
       signatures(s, dir).localCheckpoint()
     }
@@ -560,7 +560,7 @@ object DedupQueries {
     * remainder contributes exactly its band keys. The asymmetric form
     * incremental dedup needs (q58): seed = the new batch.
     */
-  private def lshCandidatesSeeded(sig: DataFrame, seedIds: DataFrame): DataFrame = {
+  private[graft] def lshCandidatesSeeded(sig: DataFrame, seedIds: DataFrame): DataFrame = {
     val bands = sig
       .select(col("doc_id"),
         explode(DedupFunctions.lshBands(col("sig"), NBands, RowsPerBand)).as("band"))
