@@ -247,6 +247,25 @@ object TextQueries {
           .cast("long").as("n_phones"),
         md5(col("scrubbed")).as("scrub_md5"))
 
+  /** q75 — packing-efficiency report per source: bins used, docs and
+    * tokens packed, and the fill ratio against the bins' total capacity
+    * (`n_tokens / (n_bins·TokensPerBin)`) — the waste metric a trainer
+    * watches to tune the bin budget (greedy-by-count packing wastes the
+    * tail of every bin a long doc straddles). Derived from q57's bin
+    * assignment with one extra ≤n_sources-row aggregate; the corpus
+    * itself is only touched by q57's passes.
+    */
+  def q75(s: SparkSession, dir: String): DataFrame =
+    q57(s, dir)
+      .groupBy("source")
+      .agg(max(col("bin_id")).as("mx"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), (col("mx") + 1).as("n_bins"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          ((col("mx") + 1) * TokensPerBin).cast("double"), 4).as("fill_ratio"))
+
   /** Per-document subword counts — q70's body, reused by the corpus
     * pipeline's scoring pass. One narrow typed pass (the q52/q61 hot-
     * path shape): split once, greedy-match each word in a JVM loop.
@@ -311,7 +330,8 @@ object TextQueries {
     "q57_sequence_pack" -> (q57 _),
     "q67_pii_scrub" -> (q67 _),
     "q70_subword_tokens" -> (q70 _),
-    "q72_subword_budget" -> (q72 _))
+    "q72_subword_budget" -> (q72 _),
+    "q75_packing_report" -> (q75 _))
 
   // ---- oracle SQL ----
 
@@ -416,6 +436,23 @@ object TextQueries {
          |FROM c
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q75_packing_report" ->
+      s"""WITH c AS (
+         | SELECT doc_id, source, CAST(len($wsSql) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |b AS (
+         | SELECT source, n_tokens,
+         |  CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens)
+         |    / $TokensPerBin.0) AS BIGINT) AS bin_id
+         | FROM c
+         | WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT source, CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | round(CAST(sum(n_tokens) AS DOUBLE) /
+         |   (CAST(max(bin_id) + 1 AS DOUBLE) * $TokensPerBin.0), 4) AS fill_ratio
+         |FROM b GROUP BY source""".stripMargin,
     "q52_repetition" ->
       s"""WITH base AS (
          | SELECT doc_id, $wsSql AS ws FROM documents),

@@ -427,12 +427,51 @@ object VectorQueries extends Serializable {
       .select(col("vec_id"), col("list_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Cosine bar for the IVF-blocked near-dup sweep (q74). Same value as
+    * q32's label-blocked bar so the two blocking strategies are
+    * directly comparable on the gated corpus.
+    */
+  val SemDedupCos = 0.35
+
+  /** q74 — SemDeDup-style embedding near-dup, blocked by the LEARNED
+    * IVF lists: all within-list pairs above [[SemDedupCos]]. This is
+    * q32's operation with principled blocking — q32 blocks on the
+    * `label` column (a stand-in for a semantic cluster id that real
+    * corpora may not have), q74 blocks on the geometry the corpus
+    * itself taught the quantizer, reusing the MATERIALIZED [[ivfIndex]]
+    * verbatim (build once, serve ANN probes AND the dedup sweep).
+    *
+    * Scale shape: pairwise work is confined within lists — K balanced
+    * lists cut the naive n²/2 to ~n²/(2K) (StressBench §4 shows the
+    * learned quantizer keeps lists balanced under label skew, which is
+    * exactly what bounds the largest list's quadratic term); the join
+    * shuffles on `list_id` only. Blocking caveat (inherent to SemDeDup
+    * and every blocked dedup): a pair split across a list boundary is
+    * unseen — widen with multi-probe assignment if that recall matters.
+    */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val ix = ivfIndex(s, dir)
+    val lists = s.read.parquet(ix.listsPath)
+      .select(col("list_id"), col("vec_id"), col("embedding"))
+    val a = lists.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = lists.select(col("list_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorExpressions.vecCosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= SemDedupCos)
+      .select(col("list_id"), col("vec_a"), col("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
     "q54_label_centroids" -> (q54 _),
     "q56_ann_ivf" -> (q56 _),
-    "q66_ann_multiprobe" -> (q66 _))
+    "q66_ann_multiprobe" -> (q66 _),
+    "q74_semdedup_ivf" -> (q74 _))
 
   // ---- oracle SQL ----
 
@@ -490,6 +529,7 @@ object VectorQueries extends Serializable {
          |SELECT n.label, n.n_vecs, array_to_string(c.cl, ',') AS centroid
          |FROM n JOIN c ON n.label = c.label""".stripMargin,
     "q56_ann_ivf" -> q56OracleSql,
+    "q74_semdedup_ivf" -> q74OracleSql,
     "q66_ann_multiprobe" ->
       s"""WITH bucketed AS (
          | SELECT vec_id, embedding, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
@@ -529,16 +569,19 @@ object VectorQueries extends Serializable {
        |   FROM m_$next GROUP BY cid) l
        |  ON c.cid = l.cid)""".stripMargin
 
-  /** The full q56 oracle: replay the seeded k-means build (sample →
-    * seeds → [[KmIters]] iterations), assign the whole corpus to the
-    * final centroids, then probe exactly like the Spark side.
+  /** The shared k-means-replay CTE chain, up to `asg(vec_id, embedding,
+    * list_id)` (every corpus vector with its final-centroid list) and
+    * `scored` (the per-vector centroid ranking). Replays the seeded
+    * build: sample → seeds → [[KmIters]] iterations. Used by the q56
+    * oracle (probe the query's nearest lists) and the q74 oracle
+    * (within-list pairwise near-dup).
     */
-  private def q56OracleSql: String = {
+  private def ivfAssignCtesSql: String = {
     val sampleHex = SampleHexDigits.map(d => s"'$d'").mkString(", ")
     val finalCents = s"c$KmIters"
     val iters = (1 to KmIters)
       .map(i => kmeansIterSql(s"c${i - 1}", s"c$i")).mkString(",\n")
-    s"""WITH samp AS (
+    s"""samp AS (
        | SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
        | FROM embeddings
        | WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ($sampleHex)),
@@ -557,7 +600,15 @@ object VectorQueries extends Serializable {
        |    ORDER BY ${DedupQueries.cosineSql("e.embedding", "c.centroid")} DESC,
        |      c.cid ASC) AS rn
        | FROM embeddings e CROSS JOIN $finalCents c),
-       |asg AS (SELECT vec_id, embedding, cid AS list_id FROM scored WHERE rn = 1),
+       |asg AS (SELECT vec_id, embedding, cid AS list_id FROM scored WHERE rn = 1)""".stripMargin
+  }
+
+  /** The full q56 oracle: replay the seeded k-means build, assign the
+    * whole corpus to the final centroids, then probe exactly like the
+    * Spark side.
+    */
+  private def q56OracleSql: String =
+    s"""WITH $ivfAssignCtesSql,
        |probes AS (SELECT cid FROM scored
        |           WHERE vec_id = $QueryVecId AND rn <= $NProbe)
        |SELECT a.vec_id, a.list_id,
@@ -567,5 +618,15 @@ object VectorQueries extends Serializable {
        |WHERE a.vec_id <> $QueryVecId AND a.list_id IN (SELECT cid FROM probes)
        |ORDER BY ${DedupQueries.cosineSql("a.embedding", "q.qv")} DESC, a.vec_id ASC
        |LIMIT $TopK""".stripMargin
-  }
+
+  /** q74's oracle: the same corpus assignment, then all within-list
+    * pairs above the similarity bar.
+    */
+  private def q74OracleSql: String =
+    s"""WITH $ivfAssignCtesSql
+       |SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       | round(${DedupQueries.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM asg a JOIN asg b
+       |  ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |WHERE ${DedupQueries.cosineSql("a.embedding", "b.embedding")} >= $SemDedupCos""".stripMargin
 }

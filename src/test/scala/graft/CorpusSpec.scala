@@ -79,6 +79,28 @@ class CorpusSpec extends SparkSpec {
       s"expected flip, got $byTokens")
   }
 
+  test("q75 packing report is consistent with q57's bins") {
+    import graft.queries.TextQueries
+    val sf = "/root/testdata/sf0.001"
+    val bins = TextQueries.q57(spark, sf)
+      .select($"source", $"bin_id", $"n_tokens")
+      .as[(String, Long, Long)].collect()
+    val report = TextQueries.q75(spark, sf)
+      .select($"source", $"n_bins", $"n_tokens", $"fill_ratio")
+      .as[(String, Long, Long, Double)].collect()
+    assert(report.nonEmpty)
+    val bySource = bins.groupBy(_._1)
+    report.foreach { case (src, nBins, nTok, fill) =>
+      val rows = bySource(src)
+      assert(nBins == rows.map(_._2).max + 1)
+      assert(nTok == rows.map(_._3).sum)
+      val expected = BigDecimal(
+        nTok.toDouble / (nBins * TextQueries.TokensPerBin).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(fill - expected) < 1e-12, s"$src fill $fill vs $expected")
+    }
+  }
+
   test("q68 shuffle-shard: rank is a permutation, shards fill contiguously, order is deterministic") {
     import org.apache.spark.sql.functions._
     import graft.queries.CorpusQueries

@@ -112,6 +112,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q70: subword counting is one narrow typed pass, zero exchanges") {
+    val p = plan(graft.queries.TextQueries.q70(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q73: token-weighted mixture broadcasts the rate table like q59") {
+    val p = plan(graft.queries.CorpusQueries.q73(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q74: IVF-blocked near-dup shuffles on list_id only, nothing cartesian") {
+    // the pairwise work rides a list_id-keyed join over the materialized
+    // index — no cross join, no nested-loop; the quadratic term is
+    // confined within lists by construction
+    val p = plan(graft.queries.VectorQueries.q74(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("list_id"))
+  }
+
   test("q56: IVF probe is a partition-pruned scan of the probed lists only") {
     // the index build (full-corpus assignment) happens once at ivfIndex
     // build time; the probe's parquet scan must prune on list_id at the

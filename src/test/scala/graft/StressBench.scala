@@ -75,6 +75,50 @@ object StressBench {
     println(f"[stress] IVF lists: n=${sizes.length}, " +
       f"max/mean=${sizes.max / (sizes.sum.toDouble / sizes.length)}%.2f, " +
       f"max-frac=${sizes.max / sizes.sum.toDouble}%.2f (label split: 0.80)")
+
+    // 5. greedy subword tokenizer throughput: 500k docs × 200 words
+    // (100M words), generated in-executor so the driver never holds the
+    // corpus; half the word pool matches vocab pieces, half falls back
+    val pool: Array[String] =
+      (graft.functions.TextFunctions.SubwordVocab.filter(_.length >= 3) ++
+        (0 until 500).map(i => s"zz${i}xq")).toArray
+    val docs = spark.range(500000).map { id =>
+      val rnd = new scala.util.Random(id)
+      val words = Array.fill(200)(pool(rnd.nextInt(pool.length)))
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint()
+    val (nWords, nSub) = timed("subword-tokenize 500k docs x 200 words") {
+      docs.as[(Long, String)]
+        .map { case (_, t) =>
+          (t.split("\\s+").count(_.nonEmpty).toLong,
+            graft.functions.TextJvm.subwordCountDoc(t))
+        }
+        .toDF("w", "s").agg(sum("w"), sum("s"))
+        .as[(Long, Long)].head()
+    }
+    println(f"[stress] tokenizer: $nWords%,d words -> $nSub%,d subwords " +
+      f"(fertility ${nSub.toDouble / nWords}%.2f)")
+
+    // 6. token-bounded shard export: 1M rows, heavy-tailed weights plus
+    // 20 docs each 100x the shard budget (must own their shards, not
+    // stall a reducer)
+    val shardRows = spark.range(1000000).select(col("id").as("doc_id"),
+      (when(pmod(col("id"), lit(50000)) === 0, lit(800000L))
+        .otherwise(pmod(org.apache.spark.sql.functions.hash(col("id")),
+          lit(400)) + lit(20)))
+        .cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val sharded = timed("token-bounded shards: 1M rows, budget 8192") {
+      val x = graft.queries.CorpusQueries
+        .withShardsByTokens(shardRows, "doc_id", "n_tokens", 8192L)
+        .localCheckpoint()
+      x.count(); x
+    }
+    val nShards = sharded.agg(max(col("shard_id"))).as[Long].head() + 1
+    val oversizedOwn = sharded.filter(col("n_tokens") === 800000L)
+      .select(col("shard_id")).distinct().count()
+    println(s"[stress] shards: $nShards total, 20 oversized docs in " +
+      s"$oversizedOwn distinct shards (greedy: each owns its own)")
     spark.stop()
   }
 }
