@@ -305,6 +305,50 @@ object CorpusQueries {
       .drop("ord", "cum_tokens", "bin_id")
   }
 
+  /** Content-hash diff of two corpus versions — the primitive behind
+    * incremental processing (process only `added`/`changed`, retire
+    * `removed`, skip `unchanged`): one full-outer join on the id with
+    * an md5 compare. Text never moves — each side reduces to (id, md5)
+    * before the join, so at 100 TB the shuffle carries 48-byte rows.
+    */
+  def versionDiff(prev: DataFrame, cur: DataFrame): DataFrame =
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_cur") =!= col("h_prev"), "changed")
+          .otherwise("unchanged").as("status"))
+
+  /** q76's deterministic synthetic "previous version": docs whose id is
+    * divisible by [[DiffAddedMod]] do not exist yet, docs divisible by
+    * [[DiffChangedMod]] carried a " v1" suffix. Both engines derive the
+    * same previous version, so the oracle hash-match proves the diff
+    * logic — the q67-injection discipline (the lake has one version;
+    * the operator under test is [[versionDiff]], not the synthesis).
+    */
+  val DiffAddedMod = 7
+  val DiffChangedMod = 5
+
+  /** q76 — corpus version diff: per-document added/changed/unchanged
+    * status between the synthetic previous version and the current
+    * corpus ("removed" has no synthetic member here; CorpusSpec
+    * exercises that arm on constructed frames). This is the gate a
+    * scheduled corpus-prepare run consults to touch only the delta —
+    * the reference's ledger freshness idea (`idempotent_process_gtfs_
+    * data.py:13-37`) applied at document granularity.
+    */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cur = docs.select(col("doc_id"), md5(col("text")).as("h_cur"))
+    val prev = docs
+      .filter(col("doc_id") % DiffAddedMod =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % DiffChangedMod === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+          .as("h_prev"))
+    versionDiff(prev, cur)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -313,7 +357,8 @@ object CorpusQueries {
     "q63_topk_per_group" -> (q63 _),
     "q64_top_ngrams" -> (q64 _),
     "q68_shuffle_shard" -> (q68 _),
-    "q73_token_mixture" -> (q73 _))
+    "q73_token_mixture" -> (q73 _),
+    "q76_version_diff" -> (q76 _))
 
   // ---- oracle SQL ----
 
@@ -375,6 +420,20 @@ object CorpusQueries {
          |SELECT r.lang, r.w AS n_tokens, r.keep_bps,
          | coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
          |FROM r LEFT JOIN k ON r.lang = k.lang""".stripMargin,
+    "q76_version_diff" ->
+      s"""WITH cur AS (
+         | SELECT doc_id, md5(text) AS h_cur FROM documents),
+         |prev AS (
+         | SELECT doc_id,
+         |  md5(CASE WHEN doc_id % $DiffChangedMod = 0
+         |      THEN text || ' v1' ELSE text END) AS h_prev
+         | FROM documents WHERE doc_id % $DiffAddedMod <> 0)
+         |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+         | CASE WHEN p.h_prev IS NULL THEN 'added'
+         |      WHEN c.h_cur IS NULL THEN 'removed'
+         |      WHEN c.h_cur <> p.h_prev THEN 'changed'
+         |      ELSE 'unchanged' END AS status
+         |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id""".stripMargin,
     "q64_top_ngrams" -> {
       val wsSql = TextQueries.wsSql
       s"""WITH base AS (SELECT $wsSql AS ws FROM documents),

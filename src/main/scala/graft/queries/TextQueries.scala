@@ -319,6 +319,45 @@ object TextQueries {
     tokenBudgetOf(subwordCounts(s, dir)
       .select(col("source"), col("n_subword").as("n_tok")))
 
+  /** q77 — bigram-frequency novelty: score every document by how
+    * common its word bigrams are across the WHOLE corpus — the cheap
+    * statistical stand-in for an LM perplexity filter (boilerplate
+    * scores high: its bigrams appear everywhere; novel/rare text scores
+    * low; gibberish scores lowest). Per doc: bigram count, the corpus
+    * frequency of its rarest bigram, and the mean corpus frequency of
+    * its bigrams.
+    *
+    * All aggregations are INTEGER (sum/min/count of global counts), so
+    * the 4-dp mean is a division of exact integers — engine-portable
+    * without float-fold-order caveats. Scale shape: one bigram explode
+    * (the q64 shape), a partial-agg count on the bigram key, a join
+    * back on the same key (the count's exchange carries it), and a
+    * compact (doc_id, int, int) aggregation — no text in any shuffle
+    * beyond the bigram strings themselves, and a production variant
+    * would hash bigrams to 8 bytes first.
+    */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else ws.iterator.sliding(2).withPartial(false)
+          .map(p => (id, p.head + " " + p.last))
+      }
+      .toDF("doc_id", "bg")
+    val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("n_global"))
+    bigrams.join(counts, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        min(col("n_global")).as("min_bigram_freq"),
+        sum(col("n_global")).as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("min_bigram_freq"),
+        round(col("freq_sum").cast("double") /
+          col("n_bigrams").cast("double"), 4).as("avg_bigram_freq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
@@ -331,7 +370,8 @@ object TextQueries {
     "q67_pii_scrub" -> (q67 _),
     "q70_subword_tokens" -> (q70 _),
     "q72_subword_budget" -> (q72 _),
-    "q75_packing_report" -> (q75 _))
+    "q75_packing_report" -> (q75 _),
+    "q77_bigram_novelty" -> (q77 _))
 
   // ---- oracle SQL ----
 
@@ -517,6 +557,21 @@ object TextQueries {
          |SELECT source, n_docs, n_tokens,
          | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM c""".stripMargin,
+    "q77_bigram_novelty" ->
+      s"""WITH base AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |bigrams AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |   i -> concat(ws[i], ' ', ws[i+1]))) AS bg
+         | FROM base WHERE len(ws) >= 2),
+         |counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_global
+         | FROM bigrams GROUP BY bg)
+         |SELECT b.doc_id,
+         | CAST(count(*) AS BIGINT) AS n_bigrams,
+         | CAST(min(c.n_global) AS BIGINT) AS min_bigram_freq,
+         | round(CAST(sum(c.n_global) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 4) AS avg_bigram_freq
+         |FROM bigrams b JOIN counts c ON b.bg = c.bg
+         |GROUP BY b.doc_id""".stripMargin,
     "q36_fingerprint" ->
       s"""WITH h AS (
          | SELECT doc_id, list_transform($wsSql,

@@ -79,6 +79,19 @@ class CorpusSpec extends SparkSpec {
       s"expected flip, got $byTokens")
   }
 
+  test("versionDiff covers all four arms, including removed (absent from q76's synthetic prev)") {
+    import graft.queries.CorpusQueries
+    import org.apache.spark.sql.functions.md5
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "t")
+      .select($"doc_id", md5($"t").as("h_prev"))
+    val cur = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "t")
+      .select($"doc_id", md5($"t").as("h_cur"))
+    val got = CorpusQueries.versionDiff(prev, cur)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("q75 packing report is consistent with q57's bins") {
     import graft.queries.TextQueries
     val sf = "/root/testdata/sf0.001"
