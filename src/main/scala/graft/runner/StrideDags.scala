@@ -178,10 +178,18 @@ object StrideDags {
         SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")
     },
 
+    // `shard_tokens` kwarg switches the cut from ShardDocs-sized doc
+    // counts to a token budget (greedy fill by subword count) — config,
+    // not code: a trainer provisioning by tokens flips one override
     "corpus.shard_export" -> { (s, kw) =>
       val d = wd(kw)
-      CorpusPrepare.exportTrainShards(
-        SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_shards")
+      val packed = SiriLake.read(s, d, "corpus_packed")
+      kw.get("shard_tokens").filter(_.nonEmpty) match {
+        case Some(t) => CorpusPrepare.exportTrainShardsByTokens(
+          packed, s"$d/corpus_train_shards", t.toLong)
+        case None => CorpusPrepare.exportTrainShards(
+          packed, s"$d/corpus_train_shards")
+      }
     },
 
     // incremental-ingest twins: decide ONLY the incoming increment

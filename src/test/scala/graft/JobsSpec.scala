@@ -239,6 +239,15 @@ class JobsSpec extends SparkSpec {
     // the md5 permutation interleaves sources within shards
     assert(shards.groupBy(_._3).values
       .exists(_.map(_._5).distinct.length > 1))
+    // and the DAG task honors the shard_tokens kwarg — same rows as the
+    // direct API call (the switch is config, not code)
+    SiriLake.replace(spark, wd, "corpus_packed", packed)
+    StrideDags.registry("corpus.shard_export")(spark,
+      Map("work_dir" -> wd, "shard_tokens" -> budget.toString))
+    val viaDag = spark.read.json(s"$wd/corpus_train_shards")
+      .select($"doc_id", $"shard_id", $"cum_tokens_global")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaDag == shards.map(r => (r._1, r._3, r._4)).toSet)
   }
 
   test("streamed-ingest corpus DAG ships the identical increment " +
