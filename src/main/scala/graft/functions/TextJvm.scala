@@ -81,21 +81,28 @@ object TextJvm extends Serializable {
     cnt
   }
 
-  /** Per-document subword token count: Σ [[subwordCount]] over
-    * whitespace words (whitespace is a delimiter, never a token — so
-    * doc-level greedy == word-level greedy, which is what lets the
-    * oracle tokenize DISTINCT words once and join back).
+  /** Whitespace AND subword token counts from ONE split — the hot-path
+    * form for passes that need both (the corpus scorer, q70): the text
+    * is regex-split exactly once. Whitespace is a delimiter, never a
+    * token, so doc-level greedy == word-level greedy — which is what
+    * lets the oracle tokenize DISTINCT words once and join back.
     */
-  def subwordCountDoc(text: String): Long = {
+  def wsAndSubwordCounts(text: String): (Long, Long) = {
     val ws = Ws.split(text)
     var i = 0
-    var acc = 0L
+    var n = 0L
+    var sub = 0L
     while (i < ws.length) {
-      if (ws(i).nonEmpty) acc += subwordCount(ws(i))
+      if (ws(i).nonEmpty) { n += 1; sub += subwordCount(ws(i)) }
       i += 1
     }
-    acc
+    (n, sub)
   }
+
+  /** Per-document subword token count: Σ [[subwordCount]] over
+    * whitespace words.
+    */
+  def subwordCountDoc(text: String): Long = wsAndSubwordCounts(text)._2
 
   private val Ln2 = math.log(2.0)
 

@@ -38,8 +38,8 @@ object CorpusPrepare {
     Tables.load(s, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        (id, TextJvm.tokenCountWs(text), TextJvm.subwordCountDoc(text),
-          TextJvm.qualityRaw(text), TextJvm.charEntropyRaw(text))
+        val (nWs, nSub) = TextJvm.wsAndSubwordCounts(text)
+        (id, nWs, nSub, TextJvm.qualityRaw(text), TextJvm.charEntropyRaw(text))
       }
       .toDF("doc_id", "n_tokens", "n_subword", "quality_raw", "entropy_raw")
       .select(col("doc_id"), col("n_tokens"), col("n_subword"),

@@ -89,8 +89,12 @@ object CorpusQueries {
     * broadcast rate table, one narrow filter pass.
     */
   def q73(s: SparkSession, dir: String): DataFrame = {
+    // one tokenization scan, materialized: the rate aggregate AND the
+    // kept filter both read it — without the checkpoint each branch
+    // would re-run the greedy subword pass over the whole corpus
     val docs = TextQueries.subwordCounts(s, dir)
       .select(col("doc_id"), col("lang"), col("n_subword"))
+      .localCheckpoint()
     val rates = mixtureKeepBps(
       docs.groupBy("lang").agg(sum(col("n_subword")).as("w")))
     val kept = docs

@@ -445,11 +445,16 @@ object DedupQueries {
 
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-cluster-labels", s, dir)) {
-      val (mapping, cand) = collapsedLshInputs(s, dir)
+      val (mapping, cand0) = collapsedLshInputs(s, dir)
+      // checkpoint the candidate frame ONCE: the degree sketch below
+      // and the CC rounds both consume it, and without materialization
+      // each would re-run the whole band self-join pipeline
+      val cand = cand0.localCheckpoint()
       // `auto`: the degree sketch picks pointer doubling here (the LSH
       // candidate graph is low-skew once exact dups are collapsed) but
-      // keeps the star variant armed for a boilerplate hub — one tiny
-      // aggregation, amortized by the surrounding memo
+      // keeps the star variant armed for a boilerplate hub — the sketch
+      // itself is one tiny aggregation over the materialized candidates,
+      // amortized by the surrounding memo
       val comp = graft.operators.ConnectedComponents.auto(cand, "doc_a", "doc_b")
       // member → representative → component (groups with no near-dup
       // neighbours have no component row: the group min IS the label)

@@ -276,13 +276,8 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
       .as[(Long, String, String, String)]
       .map { case (id, source, lang, text) =>
-        val ws = text.split("\\s+").filter(_.nonEmpty)
-        var sub = 0L
-        var i = 0
-        while (i < ws.length) {
-          sub += graft.functions.TextJvm.subwordCount(ws(i)); i += 1
-        }
-        (id, source, lang, ws.length.toLong, sub)
+        val (nWs, nSub) = graft.functions.TextJvm.wsAndSubwordCounts(text)
+        (id, source, lang, nWs, nSub)
       }
       .toDF("doc_id", "source", "lang", "n_ws", "n_subword")
   }

@@ -272,8 +272,13 @@ object VectorQueries extends Serializable {
 
   /** On-disk index format tag, part of the version dir name: bumped
     * whenever the layout or the quantizer algorithm changes, so an
-    * index built by older code is treated as superseded (swept at the
-    * next build) instead of adopted with the wrong semantics.
+    * index built by older code is never adopted with the wrong
+    * semantics — it simply stops being addressed. Superseded versions
+    * (old formats, old fingerprints) are NOT reclaimed by builds (see
+    * [[ivfIndex]]); a deployment pairs the index root with a retention
+    * job (the [[graft.jobs.StorageBackup]] cutoff pattern), and the
+    * sandbox's per-dataset tmp root bounds the residue to the handful
+    * of rewrites a test session performs.
     */
   private val IndexFormat = "kq1"
 
@@ -354,6 +359,14 @@ object VectorQueries extends Serializable {
         IvfIndex(path, cents)
       }
       if (indexHealthy(fs, path)) adopt()
+      // re-probe right before touching the path: a concurrent session
+      // may have PUBLISHED between the check above and here, and
+      // publishes are atomic renames, so healthy-now means complete-now
+      // — never delete a healthy index (the residual instant between
+      // this check and the delete is the accepted TOCTOU window of the
+      // sandbox's courtesy race handling; a deployment serializes
+      // builds as a scheduled job)
+      else if (indexHealthy(fs, path)) adopt()
       else {
         // an UNHEALTHY published dir (reaper-damaged: rename commits
         // are all-or-nothing, so partial builds never publish) cannot
@@ -379,9 +392,17 @@ object VectorQueries extends Serializable {
         // visible at `path` only via the atomic publish below
         fs.createNewFile(
           new org.apache.hadoop.fs.Path(stagePath, "_GRAFT_INDEX_DONE"))
-        if (fs.rename(stagePath, hPath)) IvfIndex(path, cents)
+        // Hadoop rename semantics trap: renaming onto an EXISTING dst
+        // directory "succeeds" by moving the source INSIDE it (both
+        // RawLocalFileSystem and HDFS) — that is a LOST race, not a
+        // publish. Detect it by probing for our stage dir nested under
+        // the published path and discard the nested copy.
+        val renamed = fs.rename(stagePath, hPath)
+        val nested = new org.apache.hadoop.fs.Path(hPath, stagePath.getName)
+        if (renamed && !fs.exists(nested)) IvfIndex(path, cents)
         else { // lost the publish race — discard our copy, adopt theirs
-          fs.delete(stagePath, true)
+          if (fs.exists(nested)) fs.delete(nested, true)
+          if (fs.exists(stagePath)) fs.delete(stagePath, true)
           adopt()
         }
       }

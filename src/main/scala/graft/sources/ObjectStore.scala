@@ -143,9 +143,13 @@ class HadoopFsObjectStore(baseUri: String,
     // on s3a each listFiles page is a server-side prefix scan, so this
     // is the LIST call shape the reference uses
     // (`packagers/common.py:66-72`), O(matching keys) not O(bucket)
+    // slash <= 0 covers both no-slash prefixes and a (malformed but
+    // tolerated) leading-slash prefix like "/key", whose dir part is
+    // the empty string — `new HPath(base, "")` would throw where the
+    // LocalFs binding quietly resolves to the root
     val slash = prefix.lastIndexOf('/')
     val start =
-      if (slash < 0) base else new HPath(base, prefix.substring(0, slash))
+      if (slash <= 0) base else new HPath(base, prefix.substring(0, slash))
     if (!fs.exists(start)) Seq.empty
     else {
       val it = fs.listFiles(start, true)

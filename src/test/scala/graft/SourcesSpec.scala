@@ -117,7 +117,13 @@ class SourcesSpec extends SparkSpec {
       val free = ObjectStore.freeKey(store, "a/b.txt", n => s"a/b__$n.txt")
       before ++ Seq(store.exists("a/b.txt"),
         store.lastModified("a/b.txt").nonEmpty, got,
-        Files.readString(dst), store.list("a/"), free)
+        Files.readString(dst), store.list("a/"),
+        // prefix-scoped listing edge cases must agree between bindings:
+        // nested dir prefix, no-slash prefix, missing dir, and the
+        // malformed leading-slash prefix (tolerated as empty, no throw)
+        store.list("a/b"), store.list("z"), store.list("nope/x"),
+        store.list("/a"),
+        free) // kept last: the caller asserts on it positionally
     }
     val localRoot = Files.createTempDirectory("graft_store_l").toString
     val hadoopRoot = Files.createTempDirectory("graft_store_h").toString
