@@ -113,10 +113,6 @@ object TextFunctions {
   /** Vocab grouped by entry length for the greedy matcher — index l
     * holds the length-l entries (index 0 unused). Built once per JVM.
     */
-  lazy val SubwordVocabMaxLen: Int = SubwordVocab.map(_.length).max
-  lazy val SubwordVocabByLen: Array[Set[String]] = {
-    val a = Array.fill(SubwordVocabMaxLen + 1)(Set.empty[String])
-    SubwordVocab.groupBy(_.length).foreach { case (l, vs) => a(l) = vs.toSet }
-    a
-  }
+  lazy val SubwordVocabByLen: Array[Set[String]] =
+    TextJvm.vocabByLen(SubwordVocab)
 }

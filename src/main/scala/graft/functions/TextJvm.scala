@@ -61,9 +61,15 @@ object TextJvm extends Serializable {
     * would diverge — corpus max is 8, and real BPE pre-tokenizers cap
     * word length far below 64 anyway.)
     */
-  def subwordCount(word: String): Long = {
-    val byLen = TextFunctions.SubwordVocabByLen
-    val maxLen = TextFunctions.SubwordVocabMaxLen
+  def subwordCount(word: String): Long =
+    subwordCountWith(word, TextFunctions.SubwordVocabByLen)
+
+  /** The greedy matcher against ANY by-length vocab table (index l =
+    * the length-l entries) — [[subwordCount]] binds the fixed literal
+    * vocab; q78 binds a corpus-LEARNED vocab built at query time.
+    */
+  def subwordCountWith(word: String, byLen: Array[Set[String]]): Long = {
+    val maxLen = byLen.length - 1
     var pos = 0
     var cnt = 0L
     while (pos < word.length) {
@@ -79,6 +85,14 @@ object TextJvm extends Serializable {
       cnt += 1
     }
     cnt
+  }
+
+  /** Group a vocab into the by-length table the greedy matcher scans. */
+  def vocabByLen(vocab: Seq[String]): Array[Set[String]] = {
+    val maxLen = vocab.map(_.length).max
+    val a = Array.fill(maxLen + 1)(Set.empty[String])
+    vocab.groupBy(_.length).foreach { case (l, vs) => a(l) = vs.toSet }
+    a
   }
 
   /** Whitespace AND subword token counts from ONE split — the hot-path

@@ -353,6 +353,54 @@ object TextQueries {
           col("n_bigrams").cast("double"), 4).as("avg_bigram_freq"))
   }
 
+  /** Learned whole-word vocab size for q78. */
+  val LearnedVocabK = 20
+
+  /** q78 — LEARNED-vocab subword tokenization: the greedy matcher of
+    * q70 run against a vocabulary the corpus itself taught — the
+    * [[LearnedVocabK]] most frequent whitespace words (ties broken
+    * lexicographically) merged with the fixed subword pieces — beside
+    * the fixed-vocab count for comparison. This is the step from
+    * "tokenizer with shipped constants" to "tokenizer trained on the
+    * data" (a real BPE trainer learns merges the same way: from corpus
+    * frequency); fertility on in-vocab words drops to 1, and the
+    * n_fixed/n_learned gap measures what vocab learning buys.
+    *
+    * Scale shape: the vocab derivation is one explode + partial-agg
+    * count + TakeOrdered to K rows collected to the driver (the
+    * quantizerCentroids discipline — a bounded model, never data), then
+    * the same zero-shuffle typed pass as q70. The oracle re-derives the
+    * identical vocab in SQL (same count-desc, word-asc order) and
+    * replays the greedy loop against it, so the hash-match proves the
+    * LEARNING is engine-portable, not just the matching.
+    */
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topWords: Array[String] = t(s, dir, "documents")
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(LearnedVocabK)
+      .select("w").as[String].collect()
+    val learnedByLen = graft.functions.TextJvm.vocabByLen(
+      (topWords ++ TextFunctions.SubwordVocab).distinct.toSeq)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        var learned = 0L
+        var fixed = 0L
+        var i = 0
+        while (i < ws.length) {
+          learned += graft.functions.TextJvm.subwordCountWith(ws(i), learnedByLen)
+          fixed += graft.functions.TextJvm.subwordCount(ws(i))
+          i += 1
+        }
+        (id, ws.length.toLong, learned, fixed)
+      }
+      .toDF("doc_id", "n_ws", "n_learned", "n_fixed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
@@ -366,7 +414,8 @@ object TextQueries {
     "q70_subword_tokens" -> (q70 _),
     "q72_subword_budget" -> (q72 _),
     "q75_packing_report" -> (q75 _),
-    "q77_bigram_novelty" -> (q77 _))
+    "q77_bigram_novelty" -> (q77 _),
+    "q78_learned_vocab" -> (q78 _))
 
   // ---- oracle SQL ----
 
@@ -387,26 +436,35 @@ object TextQueries {
   private val subwordVocabSql =
     TextFunctions.SubwordVocab.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The greedy longest-match replay as a SQL expression over word
+    * column `w` (64 unrolled steps via list_reduce; each step consumes
+    * the longest matching vocab entry at the cursor, else one
+    * codepoint) — the SQL twin of
+    * [[graft.functions.TextJvm.subwordCountWith]]. `vocabExpr` is any
+    * LIST-of-VARCHAR expression: the literal constant for q70/q72, a
+    * learned-vocab CTE column for q78.
+    */
+  private def greedySql(vocabExpr: String): String =
+    s"""list_reduce(
+       |   list_concat([[CAST(1 AS BIGINT), CAST(0 AS BIGINT)]],
+       |     list_transform(range(1, 65), i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+       |   (acc, x) -> CASE WHEN acc[1] > len(w) THEN acc
+       |     ELSE [acc[1] + coalesce(list_max(list_transform(
+       |         list_filter($vocabExpr,
+       |           v -> substr(w, CAST(acc[1] AS INTEGER), len(v)) = v),
+       |         v -> CAST(len(v) AS BIGINT))), 1), acc[2] + 1] END)[2]""".stripMargin
+
   /** CTEs computing per-doc subword counts: `docs(doc_id, ws)` →
-    * `dw(w)` distinct words → `tok(w, n_tok)` greedy longest-match
-    * replay (64 unrolled steps via list_reduce; each step consumes the
-    * longest matching vocab entry at the cursor, else one codepoint) →
+    * `dw(w)` distinct words → `tok(w, n_tok)` greedy replay →
     * `swagg(doc_id, n_ws, n_subword)`. Shared by the q70 and q72
-    * oracles — the SQL twin of [[graft.functions.TextJvm.subwordCount]].
+    * oracles.
     */
   private[queries] val subwordCtesSql: String =
     s"""docs AS (
        | SELECT doc_id, source, lang, $wsSql AS ws FROM documents),
        |dw AS (SELECT DISTINCT unnest(ws) AS w FROM docs),
        |tok AS (
-       | SELECT w, list_reduce(
-       |   list_concat([[CAST(1 AS BIGINT), CAST(0 AS BIGINT)]],
-       |     list_transform(range(1, 65), i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
-       |   (acc, x) -> CASE WHEN acc[1] > len(w) THEN acc
-       |     ELSE [acc[1] + coalesce(list_max(list_transform(
-       |         list_filter($subwordVocabSql,
-       |           v -> substr(w, CAST(acc[1] AS INTEGER), len(v)) = v),
-       |         v -> CAST(len(v) AS BIGINT))), 1), acc[2] + 1] END)[2] AS n_tok
+       | SELECT w, ${greedySql(subwordVocabSql)} AS n_tok
        | FROM dw),
        |expl AS (SELECT doc_id, unnest(ws) AS w FROM docs),
        |swagg AS (
@@ -552,6 +610,29 @@ object TextQueries {
          |SELECT source, n_docs, n_tokens,
          | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM c""".stripMargin,
+    "q78_learned_vocab" ->
+      s"""WITH docs AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |dw AS (SELECT DISTINCT unnest(ws) AS w FROM docs),
+         |wc AS (SELECT w2 AS tw, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(ws) AS w2 FROM docs) GROUP BY w2),
+         |topw AS (SELECT tw FROM wc ORDER BY n DESC, tw ASC LIMIT $LearnedVocabK),
+         |vcab AS (SELECT list_distinct(list_concat(list(tw), $subwordVocabSql)) AS vs
+         |  FROM topw),
+         |tokL AS (SELECT w, ${greedySql("vs")} AS n_tok
+         |  FROM dw CROSS JOIN vcab),
+         |tokF AS (SELECT w, ${greedySql(subwordVocabSql)} AS n_tok FROM dw),
+         |expl AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+         |agg AS (
+         | SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |  CAST(sum(l.n_tok) AS BIGINT) AS n_learned,
+         |  CAST(sum(f.n_tok) AS BIGINT) AS n_fixed
+         | FROM expl e JOIN tokL l ON e.w = l.w JOIN tokF f ON e.w = f.w
+         | GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         | coalesce(a.n_ws, CAST(0 AS BIGINT)) AS n_ws,
+         | coalesce(a.n_learned, CAST(0 AS BIGINT)) AS n_learned,
+         | coalesce(a.n_fixed, CAST(0 AS BIGINT)) AS n_fixed
+         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "q77_bigram_novelty" ->
       s"""WITH base AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |bigrams AS (

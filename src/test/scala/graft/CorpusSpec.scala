@@ -59,6 +59,18 @@ class CorpusSpec extends SparkSpec {
       s"subword packing should need more bins: ${swBins.values.max} vs ${wsBins.values.max}")
   }
 
+  test("q78: the learned vocab lowers fertility vs the fixed vocab") {
+    import graft.queries.TextQueries
+    import org.apache.spark.sql.functions.sum
+    val (learned, fixed, ws) = TextQueries.q78(spark, "/root/testdata/sf0.001")
+      .agg(sum($"n_learned"), sum($"n_fixed"), sum($"n_ws"))
+      .as[(Long, Long, Long)].head()
+    // top-K corpus words become single tokens → corpus-level fertility
+    // strictly drops; it can never drop below one token per word
+    assert(learned < fixed, s"learned $learned should beat fixed $fixed")
+    assert(learned >= ws)
+  }
+
   test("token-weighted mixture (q73) can FLIP the resampling direction vs doc-count mixture (q59)") {
     import graft.queries.CorpusQueries
     val dir = Files.createTempDirectory("graft_mix").toString
