@@ -56,4 +56,40 @@ object StreamingCorpus {
         coalesce(col("b_inc"), lit(false)).as("b_inc"))
     DedupQueries.decisionFromCandidates(inc, cand)
   }
+
+  /** Live corpus-quality monitor: watermarked 10-minute-window
+    * aggregates over the incoming document stream — docs, whitespace
+    * and subword tokens, and mean quality per window — the streaming
+    * twin of the batch q34/q51/q72 reports, for ingestion dashboards
+    * and bad-batch alarms (a crawler gone wrong shows up as a quality
+    * cliff in the CURRENT window, not in next night's batch sweep).
+    *
+    * The per-doc scoring reuses the exact [[graft.functions.TextJvm]]
+    * definitions the batch scorer compiles in, so a window's mean over
+    * the same rows matches the batch computation bit-for-bit
+    * (StreamingSpec pins it); the windowed aggregation is Structured
+    * Streaming's ordinary watermark + tumbling-window state, so late
+    * documents past the watermark are dropped, not double-counted.
+    * Quality is summed exactly and divided once per window — no
+    * incremental mean drift.
+    */
+  def qualityMonitor(docs: Dataset[DocEv],
+                     watermarkMinutes: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .map { d =>
+        val (nWs, nSub) = graft.functions.TextJvm.wsAndSubwordCounts(d.text)
+        (d.ts, nWs, nSub, graft.functions.TextJvm.qualityRaw(d.text))
+      }
+      .toDF("ts", "n_ws", "n_subword", "q_raw")
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws_tokens"),
+        sum(col("n_subword")).as("n_subword_tokens"),
+        sum(col("q_raw")).as("q_sum"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("n_ws_tokens"), col("n_subword_tokens"),
+        round(col("q_sum") / col("n_docs").cast("double"), 4).as("mean_quality"))
+  }
 }

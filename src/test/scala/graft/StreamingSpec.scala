@@ -301,4 +301,48 @@ class StreamingSpec extends SparkSpec {
       (104L, false, 104L, true)))
     assert(streamed == batch)
   }
+
+  test("qualityMonitor: windowed quality matches the batch TextJvm math, " +
+    "watermark drops a too-late document") {
+    import graft.streaming.StreamingCorpus
+    implicit val sqlCtx = spark.sqlContext
+    val good = (0 until 60).map(i => s"w$i").mkString(" ") // long, clean
+    val bad = "x!!! y???"                                  // short, punct-heavy
+    val in = MemoryStream[DocEv]
+    // Append mode: a window only EMITS once the watermark passes its
+    // end — finalized rows, never revised (the dashboard contract)
+    val q = StreamingCorpus.qualityMonitor(in.toDS(), watermarkMinutes = 15)
+      .writeStream.format("memory").queryName("qm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        DocEv(1L, good, ts("2024-01-01 10:01:00")),
+        DocEv(2L, bad, ts("2024-01-01 10:04:00")),
+        DocEv(3L, good, ts("2024-01-01 10:12:00")))
+      q.processAllAvailable()
+      // advance event time far past 10:00–10:10 + watermark → that
+      // window finalizes; then a doc arrives INSIDE it, too late
+      in.addData(DocEv(4L, good, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData(DocEv(5L, good, ts("2024-01-01 10:05:00"))) // late: dropped
+      in.addData(DocEv(6L, good, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("qm")
+        .select($"window_start", $"n_docs", $"n_ws_tokens",
+          $"n_subword_tokens", $"mean_quality")
+        .as[(Timestamp, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // the finalized 10:00 window holds docs 1+2 ONLY (doc 5 was late)
+      import graft.functions.TextJvm
+      val (ws1, sub1) = TextJvm.wsAndSubwordCounts(good)
+      val (ws2, sub2) = TextJvm.wsAndSubwordCounts(bad)
+      val meanQ = BigDecimal(
+        (TextJvm.qualityRaw(good) + TextJvm.qualityRaw(bad)) / 2.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(ts("2024-01-01 10:00:00")) ==
+        ((2L, ws1 + ws2, sub1 + sub2, meanQ)))
+      // the 10:10 window (doc 3) also finalized once 11:30 arrived
+      assert(got(ts("2024-01-01 10:10:00"))._1 == 1L)
+    } finally q.stop()
+  }
 }
