@@ -401,6 +401,26 @@ object TextQueries {
       .toDF("doc_id", "n_ws", "n_learned", "n_fixed")
   }
 
+  /** q79 — tokenizer fertility by language: whitespace tokens, subword
+    * tokens, and their ratio aggregated per `lang` — the measurement
+    * behind the round-6 verdict's observation that whitespace counts
+    * diverge from tokenizer counts NON-uniformly across languages
+    * (which is why q73's token-weighted mixture differs from q59's
+    * doc-weighted one). One ≤n_langs-row aggregate over the q70 scan;
+    * the ratio divides two exact integer sums, so the 4-dp rounding is
+    * engine-portable.
+    */
+  def q79(s: SparkSession, dir: String): DataFrame =
+    subwordCounts(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws_tokens"),
+        sum(col("n_subword")).as("n_subword_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+        col("n_subword_tokens"),
+        round(col("n_subword_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"), 4).as("fertility"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
@@ -415,7 +435,8 @@ object TextQueries {
     "q72_subword_budget" -> (q72 _),
     "q75_packing_report" -> (q75 _),
     "q77_bigram_novelty" -> (q77 _),
-    "q78_learned_vocab" -> (q78 _))
+    "q78_learned_vocab" -> (q78 _),
+    "q79_fertility_by_lang" -> (q79 _))
 
   // ---- oracle SQL ----
 
@@ -610,6 +631,15 @@ object TextQueries {
          |SELECT source, n_docs, n_tokens,
          | round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
          |FROM c""".stripMargin,
+    "q79_fertility_by_lang" ->
+      s"""WITH $subwordCtesSql
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(coalesce(a.n_ws, 0)) AS BIGINT) AS n_ws_tokens,
+         | CAST(sum(coalesce(a.n_subword, 0)) AS BIGINT) AS n_subword_tokens,
+         | round(CAST(sum(coalesce(a.n_subword, 0)) AS DOUBLE) /
+         |   CAST(sum(coalesce(a.n_ws, 0)) AS DOUBLE), 4) AS fertility
+         |FROM docs d LEFT JOIN swagg a ON d.doc_id = a.doc_id
+         |GROUP BY d.lang""".stripMargin,
     "q78_learned_vocab" ->
       s"""WITH docs AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |dw AS (SELECT DISTINCT unnest(ws) AS w FROM docs),
