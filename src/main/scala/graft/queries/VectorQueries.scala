@@ -486,13 +486,62 @@ object VectorQueries extends Serializable {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** q80 — int8 scalar quantization audit: per vector, the symmetric
+    * max-abs scale (`max|x|/127`), and the cosine error the 4×-smaller
+    * representation costs (`1 − cos(original, dequantized)`). The
+    * storage lever for a deployment-scale embedding store — 100 TB of
+    * float32 embeddings become 25 TB of int8 + one float scale per
+    * vector — and this query is the audit that says whether the ANN
+    * columns can take the trade (sub-1e-3 error at these magnitudes).
+    *
+    * One narrow typed pass, no shuffle. Quantized values are rounded
+    * HALF_UP away from zero (BigDecimal), matching DuckDB's `round()`
+    * — `Math.round` would diverge on negative halfway values. Cosine
+    * accumulates left-to-right in double on both engines (the q37
+    * parity discipline), so the 6-dp error hash-matches.
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        var maxAbs = 0.0
+        emb.foreach(x => maxAbs = math.max(maxAbs, math.abs(x.toDouble)))
+        val scale = maxAbs / 127.0
+        if (maxAbs == 0.0) (id, 0.0, None: Option[Double])
+        else {
+          val deq = emb.map { x =>
+            val q = new java.math.BigDecimal(x.toDouble / scale)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+            q * scale
+          }
+          var dot = 0.0
+          var na = 0.0
+          var nb = 0.0
+          var i = 0
+          while (i < emb.length) {
+            dot += emb(i).toDouble * deq(i)
+            na += emb(i).toDouble * emb(i).toDouble
+            nb += deq(i) * deq(i)
+            i += 1
+          }
+          val err = 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+          (id, scale, Some(err))
+        }
+      }
+      .toDF("vec_id", "scale_raw", "err_raw")
+      .select(col("vec_id"), round(col("scale_raw"), 9).as("qscale"),
+        round(col("err_raw"), 6).as("cos_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
     "q54_label_centroids" -> (q54 _),
     "q56_ann_ivf" -> (q56 _),
     "q66_ann_multiprobe" -> (q66 _),
-    "q74_semdedup_ivf" -> (q74 _))
+    "q74_semdedup_ivf" -> (q74 _),
+    "q80_int8_quant_audit" -> (q80 _))
 
   // ---- oracle SQL ----
 
@@ -551,6 +600,24 @@ object VectorQueries extends Serializable {
          |FROM n JOIN c ON n.label = c.label""".stripMargin,
     "q56_ann_ivf" -> q56OracleSql,
     "q74_semdedup_ivf" -> q74OracleSql,
+    "q80_int8_quant_audit" ->
+      s"""WITH base AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         | FROM embeddings),
+         |d AS (
+         | SELECT vec_id, maxabs / 127.0 AS scale, e,
+         |  list_transform(e, x -> round(x / (maxabs / 127.0))
+         |    * (maxabs / 127.0)) AS dq
+         | FROM base WHERE maxabs > 0)
+         |SELECT vec_id, round(scale, 9) AS qscale,
+         | round(1.0 - ${DedupQueries.cosineSql("d.e", "d.dq")}, 6) AS cos_err
+         |FROM d
+         |UNION ALL
+         |SELECT vec_id, 0.0 AS qscale, NULL AS cos_err
+         |FROM base WHERE maxabs = 0""".stripMargin,
     "q66_ann_multiprobe" ->
       s"""WITH bucketed AS (
          | SELECT vec_id, embedding, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket
