@@ -330,6 +330,14 @@ object TextQueries {
     * compact (doc_id, int, int) aggregation — no text in any shuffle
     * beyond the bigram strings themselves, and a production variant
     * would hash bigrams to 8 bytes first.
+    *
+    * The counts side carries an explicit merge hint: the typed flatMap
+    * destroys Catalyst's stats, and the resulting estimate can choose
+    * to BROADCAST the distinct-bigram table — which is corpus-sized in
+    * a real run, i.e. a driver-memory collect of unbounded data
+    * (StressBench observed exactly that blow the 1 GB result cap at
+    * 500k docs before the hint). Sort-merge on the count key is the
+    * plan that survives any corpus size.
     */
   def q77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -343,7 +351,7 @@ object TextQueries {
       }
       .toDF("doc_id", "bg")
     val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("n_global"))
-    bigrams.join(counts, "bg")
+    bigrams.join(counts.hint("merge"), "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         min(col("n_global")).as("min_bigram_freq"),

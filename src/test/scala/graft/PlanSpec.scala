@@ -132,6 +132,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("list_id"))
   }
 
+  test("q76: version diff joins compact hash rows, nothing cartesian") {
+    val p = plan(graft.queries.CorpusQueries.q76(spark, sf))
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q77: bigram novelty sort-merges on the count key — the distinct-" +
+    "bigram table must NEVER broadcast (it is corpus-sized at scale)") {
+    val p = plan(graft.queries.TextQueries.q77(spark, sf))
+    // partial + final aggregate on the bigram key before anything joins
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("q79/q80: fertility and quant audit never window or cross-join") {
+    val p79 = plan(graft.queries.TextQueries.q79(spark, sf))
+    assert(!p79.contains("Window") && !p79.contains("CartesianProduct"))
+    // q80 is a pure narrow typed pass: zero exchanges
+    val p80 = plan(graft.queries.VectorQueries.q80(spark, sf))
+    assert(!p80.contains("Exchange"))
+  }
+
   test("q56: IVF probe is a partition-pruned scan of the probed lists only") {
     // the index build (full-corpus assignment) happens once at ivfIndex
     // build time; the probe's parquet scan must prune on list_id at the

@@ -119,6 +119,34 @@ object StressBench {
       .select(col("shard_id")).distinct().count()
     println(s"[stress] shards: $nShards total, 20 oversized docs in " +
       s"$oversizedOwn distinct shards (greedy: each owns its own)")
+
+    // 7. bigram-novelty shape at scale: the q77 explode + count + join
+    // over the SAME 500k×200-word corpus as §5 — ~100M exploded bigram
+    // rows through a partial-agg count and a same-key join back
+    val novelty = timed("bigram novelty: 500k docs, ~100M bigrams") {
+      val bigrams = docs.as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val ws = text.split("\\s+").filter(_.nonEmpty)
+          if (ws.length < 2) Iterator.empty
+          else ws.iterator.sliding(2).withPartial(false)
+            .map(p => (id, p.head + " " + p.last))
+        }
+        .toDF("doc_id", "bg")
+      val counts = bigrams.groupBy("bg").agg(count(lit(1)).as("n_global"))
+      // merge hint: the distinct-bigram table is corpus-sized in a real
+      // run, so the scale plan is a sort-merge join on the count key —
+      // at this synthetic scale Catalyst's static estimate broadcasts
+      // instead, and the build-side collect (the 100M-row side at one
+      // point of the estimate curve) blows driver memory; the hint pins
+      // the plan a 100 TB run needs
+      bigrams.join(counts.hint("merge"), "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), min(col("n_global")).as("mn"))
+        .agg(sum(col("n_bigrams")), min(col("mn")))
+        .as[(Long, Long)].head()
+    }
+    println(s"[stress] novelty: ${novelty._1} bigram instances scored, " +
+      s"rarest global count ${novelty._2}")
     spark.stop()
   }
 }
