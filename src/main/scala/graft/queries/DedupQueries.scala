@@ -661,9 +661,15 @@ object DedupQueries {
       .filter(col("mn") =!= col("mx")).select("h")
     val nChunks = chunks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"))
-    val nDup = chunks.join(shared, Seq("h"), "left_semi")
+    // merge hints on BOTH corpus-scaling joins: `shared` (cross-doc
+    // chunk hashes) and `nDup` (per-doc counts) grow with the corpus,
+    // and the typed chunking pass upstream leaves Catalyst stats-blind
+    // — an estimate-driven broadcast of either side is a driver OOM at
+    // scale (the q77 lesson, SCALE.md §7); sort-merge on the already-
+    // shuffled keys is the plan that survives any corpus size
+    val nDup = chunks.join(shared.hint("merge"), Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
-    nChunks.join(nDup, Seq("doc_id"), "left")
+    nChunks.join(nDup.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
         round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /

@@ -105,10 +105,13 @@ class PlanSpec extends SparkSpec {
     // the flatMap chunking pass is localCheckpointed: all three
     // consumers (shared-hash agg, per-doc totals, dup marking) read the
     // materialized (doc_id, md5) pairs — text is chunked exactly once
-    // and nothing pairwise touches the corpus
+    // and nothing pairwise touches the corpus. Both joins are pinned
+    // sort-merge: shared hashes AND per-doc counts scale with the
+    // corpus, so an estimate-driven broadcast of either is a scale bug
     val p = plan(DedupQueries.q69(spark, sf))
     assert(p.contains("LeftSemi"))
     assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
