@@ -676,6 +676,53 @@ object DedupQueries {
           col("n_chunks").cast("double"), 4).as("dup_chunk_ratio"))
   }
 
+  /** The survivor-selection core, factored for spec coverage on
+    * constructed frames: given (doc_id, quality, cluster_id) rows, pick
+    * each cluster's highest-quality member (ties broken by min doc_id)
+    * as its survivor. One partial-agg shuffle on the cluster key —
+    * `max(struct(quality, -doc_id))` carries both the max quality AND
+    * the tie-break in O(1) aggregation state, so the billion-member
+    * boilerplate cluster stays one compact reducer key (no window sort
+    * over the cluster, no two-pass max-then-min) — then one same-key
+    * join back to mark members.
+    */
+  private[graft] def survivorSelect(labeled: DataFrame): DataFrame = {
+    val best = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg")).as("survivor_id"))
+    // both sides are cluster-keyed and corpus-sized; the labeled input
+    // descends from a localCheckpointed memo (stats-blind), so pin
+    // sort-merge rather than risk an estimate-driven broadcast of a
+    // corpus-scaling side (the q77 lesson, SCALE.md §7)
+    labeled.join(best.hint("merge"), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+  }
+
+  /** q81 — quality-aware survivor selection: the dedup decision a
+    * production pipeline actually wants. q48/q49 keep each near-dup
+    * cluster's MIN-ID member — an arbitrary survivor; here the cluster
+    * keeps its HIGHEST-QUALITY member (q34's score; ties → min doc_id),
+    * so deduplication stops discarding the best copy of duplicated
+    * content (scraped mirrors differ in boilerplate/truncation, and the
+    * min-id copy is often the worst one). Composes the memoized
+    * clustering (q48) with the scoring pass (q34); the reference has no
+    * notion of this — beyond-reference corpus surface.
+    */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val labeled = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .join(clusterLabels(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("quality"),
+        col("canonical_doc_id").as("cluster_id"))
+      // two consumers (the per-cluster agg and the member join): without
+      // materialization each re-runs the scoring scan + label join
+      .localCheckpoint()
+    survivorSelect(labeled)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -686,7 +733,8 @@ object DedupQueries {
     "q49_corpus_filter" -> (q49 _),
     "q50_contamination" -> (q50 _),
     "q58_incremental_dedup" -> (q58 _),
-    "q69_chunk_dedup" -> (q69 _))
+    "q69_chunk_dedup" -> (q69 _),
+    "q81_survivor_select" -> (q81 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -842,6 +890,41 @@ object DedupQueries {
          |FROM documents d
          |JOIN q ON d.doc_id = q.doc_id
          |LEFT JOIN comp c ON d.doc_id = c.v""".stripMargin,
+    // q81 replays q48's clustering + q34's scoring, then re-derives the
+    // survivor with portable two-step SQL (max quality per cluster, min
+    // doc_id among the maxima) — value-identical to the engine's
+    // single-pass max(struct(quality, -doc_id)) tie-break. Quality is
+    // round(.,4) on both sides (the q49 parity), so the equality join
+    // on it is exact.
+    "q81_survivor_select" ->
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |q AS (
+         | SELECT doc_id,
+         |  round(least(CAST(len(${TextQueries.wsSql}) AS DOUBLE) / 100.0, 1.0)
+         |    * greatest(0.0, 1.0 - (${TextQueries.punctRatioSql}) * 5.0), 4) AS quality
+         | FROM documents),
+         |lab AS (
+         | SELECT d.doc_id, q.quality, coalesce(c.comp, d.doc_id) AS cluster_id
+         | FROM documents d
+         | JOIN q ON d.doc_id = q.doc_id
+         | LEFT JOIN comp c ON d.doc_id = c.v),
+         |best AS (SELECT cluster_id, max(quality) AS mq FROM lab GROUP BY cluster_id),
+         |surv AS (
+         | SELECT l.cluster_id, min(l.doc_id) AS survivor_id
+         | FROM lab l JOIN best b
+         |   ON l.cluster_id = b.cluster_id AND l.quality = b.mq
+         | GROUP BY l.cluster_id)
+         |SELECT l.doc_id, l.cluster_id, l.quality, s.survivor_id,
+         | (l.doc_id = s.survivor_id) AS is_survivor
+         |FROM lab l JOIN surv s ON l.cluster_id = s.cluster_id""".stripMargin,
     "q32_embedding_neardup" ->
       s"""SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim

@@ -29,6 +29,26 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("survivor selection keeps max quality, breaks ties by min doc_id") {
+    import graft.queries.DedupQueries
+    val labeled = Seq(
+      // cluster 1: min-id member is the WORST copy — survivor must be 3
+      (1L, 0.2, 1L), (2L, 0.5, 1L), (3L, 0.9, 1L),
+      // cluster 4: quality tie between 5 and 6 — min doc_id (5) wins
+      (4L, 0.1, 4L), (5L, 0.7, 4L), (6L, 0.7, 4L),
+      // singleton: its own survivor regardless of score
+      (7L, 0.0, 7L)
+    ).toDF("doc_id", "quality", "cluster_id")
+    val got = DedupQueries.survivorSelect(labeled)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) == ((3L, false)) && got(2L) == ((3L, false)))
+    assert(got(3L) == ((3L, true)))   // best quality beats min id
+    assert(got(5L) == ((5L, true)))   // tie → min doc_id
+    assert(got(6L) == ((5L, false)) && got(4L) == ((5L, false)))
+    assert(got(7L) == ((7L, true)))
+  }
+
   test("md5Hash32 is the portable first-8-hex-chars value") {
     // DuckDB: CAST(concat('0x', substr(md5('hello'),1,8)) AS BIGINT) = 1564557354
     val got = Seq("hello").toDF("s")

@@ -115,6 +115,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q81: survivor selection is agg + pinned sort-merge, nothing pairwise") {
+    // the per-cluster best is a partial-agg (max of a (quality, -id)
+    // struct — O(1) state per cluster), and the member join is pinned
+    // sort-merge: both sides scale with the corpus and the checkpointed
+    // input is stats-blind, so an estimate-driven broadcast would be
+    // the q77 scale bug again
+    val p = plan(DedupQueries.q81(spark, sf))
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window")) // no per-cluster sort; agg carries the tie-break
+  }
+
   test("q70: subword counting is one narrow typed pass, zero exchanges") {
     val p = plan(graft.queries.TextQueries.q70(spark, sf))
     assert(!p.contains("Exchange"))
