@@ -353,6 +353,76 @@ object CorpusQueries {
     versionDiff(prev, cur)
   }
 
+  /** The literal target mixture (basis points per source, summing to
+    * [[MixBps]]) — the hand-written "data recipe" a pretraining run
+    * starts from: a few head domains carry most of the weight, a long
+    * tail shares the rest. A literal constant interpolated into both
+    * engines (the MinHash-constant discipline).
+    */
+  val TargetMixBps: Seq[(String, Long)] =
+    Seq("src0" -> 3000L, "src1" -> 1500L, "src2" -> 1000L,
+      "src3" -> 800L, "src4" -> 600L, "src5" -> 500L, "src6" -> 400L,
+      "src7" -> 300L, "src8" -> 200L, "src9" -> 100L) ++
+      (10 to 19).map(i => s"src$i" -> 160L)
+
+  /** Max repetitions of any source before the plan caps it (the "no
+    * more than N epochs over a domain" rule — repeating data much past
+    * ~4 epochs stops helping and starts hurting).
+    */
+  val MaxEpochs = 3
+
+  /** q82 — epoch-capped mixture PLAN: per-source repetition factors
+    * that realize [[TargetMixBps]] from the measured token counts,
+    * capped at [[MaxEpochs]] epochs. q59/q73 can only DOWN-sample
+    * toward uniform; a real recipe also UP-samples scarce domains —
+    * epochs(src) = tgt_share · total_tokens / src_tokens, expressed in
+    * [[MixBps]]ths (epochs_bps 25000 = repeat 2.5×). Each document gets
+    * floor(epochs) copies plus one more iff its md5 coin clears the
+    * fractional remainder, so the realized counts are exact integers
+    * any engine reproduces. Output: the per-source plan (tokens,
+    * target, epochs, capped) and the realized copy/token counts.
+    *
+    * Scale shape: one tokenization scan (checkpointed — the rate agg
+    * and the per-doc pass share it), a ≤ n_sources-row rate table
+    * broadcast back, one narrow per-doc projection, one partial-agg
+    * shuffle. The raw epochs value is computed as one left-to-right
+    * double expression shared verbatim with the oracle; the final
+    * round's half-way boundary is the repo's accepted 1-ulp risk
+    * (CORRECTNESS gates it empirically).
+    */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = TextQueries.subwordCounts(s, dir)
+      .select(col("doc_id"), col("source"), col("n_subword"))
+      .localCheckpoint()
+    val win = Window.partitionBy()
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_subword").as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(win).cast("double"))
+      .join(broadcast(TargetMixBps.toDF("source", "tgt_bps")), Seq("source"))
+      .withColumn("raw_bps",
+        round(col("tgt_bps").cast("double") * col("total") /
+          col("n_tokens").cast("double"), 0).cast("long"))
+      .withColumn("epochs_bps",
+        least(lit(MaxEpochs.toLong * MixBps), col("raw_bps")))
+      .withColumn("capped", col("raw_bps") > MaxEpochs.toLong * MixBps)
+    val coin = DedupFunctions.md5Hash32(
+      concat(lit("epoch-"), col("doc_id").cast("string"))) % MixBps
+    val realized = docs
+      .join(broadcast(rates.select(col("source"), col("epochs_bps"))), "source")
+      .withColumn("copies",
+        floor(col("epochs_bps").cast("double") / MixBps) +
+          when(coin < col("epochs_bps") % MixBps, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(sum("copies").as("realized_copies"),
+        sum(col("n_subword") * col("copies")).as("realized_tokens"))
+    rates.join(realized, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("tgt_bps"), col("epochs_bps"), col("capped"),
+        coalesce(col("realized_copies"), lit(0L)).as("realized_copies"),
+        coalesce(col("realized_tokens"), lit(0L)).as("realized_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -362,7 +432,8 @@ object CorpusQueries {
     "q64_top_ngrams" -> (q64 _),
     "q68_shuffle_shard" -> (q68 _),
     "q73_token_mixture" -> (q73 _),
-    "q76_version_diff" -> (q76 _))
+    "q76_version_diff" -> (q76 _),
+    "q82_epoch_plan" -> (q82 _))
 
   // ---- oracle SQL ----
 
@@ -438,6 +509,45 @@ object CorpusQueries {
          |      WHEN c.h_cur <> p.h_prev THEN 'changed'
          |      ELSE 'unchanged' END AS status
          |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id""".stripMargin,
+    // q82 replays the tokenization CTEs, the literal target VALUES, the
+    // identical left-to-right raw-epochs double expression, and the
+    // per-doc floor+coin replication
+    "q82_epoch_plan" -> {
+      val valuesSql = TargetMixBps
+        .map { case (src, bps) => s"('$src', CAST($bps AS BIGINT))" }
+        .mkString(",\n    ")
+      val capBps = MaxEpochs.toLong * MixBps
+      s"""WITH ${TextQueries.subwordCtesSql},
+         |dt AS (
+         | SELECT d.doc_id, d.source,
+         |  CAST(coalesce(a.n_subword, 0) AS BIGINT) AS nt
+         | FROM docs d LEFT JOIN swagg a ON d.doc_id = a.doc_id),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(nt) AS BIGINT) AS n_tokens
+         |      FROM dt GROUP BY source),
+         |s AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM c),
+         |tgt(source, tgt_bps) AS (VALUES $valuesSql),
+         |r AS (SELECT c.source, c.n_docs, c.n_tokens, t.tgt_bps,
+         |  CAST(round(CAST(t.tgt_bps AS DOUBLE) * s.total
+         |    / CAST(c.n_tokens AS DOUBLE)) AS BIGINT) AS raw_bps
+         | FROM c JOIN tgt t ON c.source = t.source, s),
+         |r2 AS (SELECT source, n_docs, n_tokens, tgt_bps,
+         |  least(CAST($capBps AS BIGINT), raw_bps) AS epochs_bps,
+         |  raw_bps > $capBps AS capped FROM r),
+         |cp AS (SELECT dt.source, dt.nt,
+         |  CAST(floor(r2.epochs_bps / 10000.0) AS BIGINT)
+         |   + CASE WHEN ${md5ModSql("epoch-", MixBps)} < r2.epochs_bps % $MixBps
+         |     THEN 1 ELSE 0 END AS copies
+         | FROM dt JOIN r2 ON dt.source = r2.source),
+         |k AS (SELECT source, CAST(sum(copies) AS BIGINT) AS realized_copies,
+         |             CAST(sum(nt * copies) AS BIGINT) AS realized_tokens
+         |      FROM cp GROUP BY source)
+         |SELECT r2.source, r2.n_docs, r2.n_tokens, r2.tgt_bps,
+         | r2.epochs_bps, r2.capped,
+         | coalesce(k.realized_copies, CAST(0 AS BIGINT)) AS realized_copies,
+         | coalesce(k.realized_tokens, CAST(0 AS BIGINT)) AS realized_tokens
+         |FROM r2 LEFT JOIN k ON r2.source = k.source""".stripMargin
+    },
     "q64_top_ngrams" -> {
       val wsSql = TextQueries.wsSql
       s"""WITH base AS (SELECT $wsSql AS ws FROM documents),

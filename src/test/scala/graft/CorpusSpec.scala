@@ -91,6 +91,33 @@ class CorpusSpec extends SparkSpec {
       s"expected flip, got $byTokens")
   }
 
+  test("q82 epoch plan: scarce source up-samples to the cap, glutted source down-samples") {
+    import graft.queries.CorpusQueries
+    val dir = Files.createTempDirectory("graft_epoch").toString
+    // src0 (target 30%) holds 40 of 440 tokens → raw 3.3 epochs → capped
+    // at 3; src9 (target 1%) holds 400 → raw 110 bps, a hard down-sample.
+    // 'the' is in the fixed vocab (fertility 1), so tokens = words.
+    val scarce = (1L to 2L).map(i =>
+      (i, Seq.fill(20)("the").mkString(" "), "en", "src0"))
+    val glut = (10L to 19L).map(i =>
+      (i, Seq.fill(40)("the").mkString(" "), "en", "src9"))
+    (scarce ++ glut).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q82(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r0 = got("src0")
+    assert(r0.getLong(4) == 3L * CorpusQueries.MixBps && r0.getBoolean(5),
+      s"src0 should cap at ${CorpusQueries.MaxEpochs} epochs: $r0")
+    // the cap's remainder is 0, so every src0 doc gets EXACTLY 3 copies
+    assert(r0.getLong(6) == 3L * r0.getLong(1))
+    assert(r0.getLong(7) == 3L * r0.getLong(2))
+    val r9 = got("src9")
+    assert(r9.getLong(4) < CorpusQueries.MixBps && !r9.getBoolean(5))
+    assert(r9.getLong(6) <= r9.getLong(1)) // down-sample never replicates
+    // 40 tokens per src9 doc → realized tokens track realized copies
+    assert(r9.getLong(7) == 40L * r9.getLong(6))
+  }
+
   test("versionDiff covers all four arms, including removed (absent from q76's synthetic prev)") {
     import graft.queries.CorpusQueries
     import org.apache.spark.sql.functions.md5

@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window")) // no per-cluster sort; agg carries the tie-break
   }
 
+  test("q82: epoch plan broadcasts the rate table, corpus is one narrow pass") {
+    // the ≤ n_sources-row rate table broadcasts back onto the
+    // tokenization scan; the corpus itself is never window-sorted or
+    // self-joined
+    val p = plan(graft.queries.CorpusQueries.q82(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q70: subword counting is one narrow typed pass, zero exchanges") {
     val p = plan(graft.queries.TextQueries.q70(spark, sf))
     assert(!p.contains("Exchange"))
