@@ -534,6 +534,65 @@ object VectorQueries extends Serializable {
         round(col("err_raw"), 6).as("cos_err"))
   }
 
+  /** Prefix length for the q83 truncation audit (matryoshka-style:
+    * keep the first half of the dims, drop the rest — a 2× storage
+    * and bandwidth cut if retrieval survives it).
+    */
+  val KeepDims = 32
+
+  /** q83 — dimension-truncation (matryoshka) audit: what does dropping
+    * the tail [[Dims]]−[[KeepDims]] dimensions cost? Per vector:
+    * `norm_frac` (the fraction of the L2 norm the kept prefix holds —
+    * the self-cosine of truncation), the cosine to the reference query
+    * vector at full and truncated width, and the absolute similarity
+    * shift `cos_delta`. Together with q80 (int8) this is the storage
+    * menu for a deployment-scale embedding store: 4× from int8, 2×
+    * from truncation, and the measured retrieval cost of each.
+    *
+    * One narrow typed pass over the embeddings scan — the reference
+    * vector is a one-row driver lookup broadcast into the closure (the
+    * IVF-centroid discipline), so the plan has zero exchanges. All
+    * sums accumulate left-to-right in double from a 0.0 seed (the q37
+    * parity fold), rounded once at 6 dp.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv: Array[Float] = t(s, dir, "embeddings")
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).as[Array[Float]].head()
+    val bc = s.sparkContext.broadcast(qv)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val q = bc.value
+        def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        val vv = dot(emb, emb, Dims)
+        val vvK = dot(emb, emb, KeepDims)
+        val ww = dot(q, q, Dims)
+        val wwK = dot(q, q, KeepDims)
+        val cosFull =
+          if (vv == 0.0 || ww == 0.0) None
+          else Some(dot(emb, q, Dims) / (math.sqrt(vv) * math.sqrt(ww)))
+        val cosTrunc =
+          if (vvK == 0.0 || wwK == 0.0) None
+          else Some(dot(emb, q, KeepDims) / (math.sqrt(vvK) * math.sqrt(wwK)))
+        val normFrac =
+          if (vv == 0.0) None else Some(math.sqrt(vvK) / math.sqrt(vv))
+        val delta = for { f <- cosFull; t <- cosTrunc } yield math.abs(f - t)
+        (id, normFrac, cosFull, cosTrunc, delta)
+      }
+      .toDF("vec_id", "nf_raw", "cf_raw", "ct_raw", "cd_raw")
+      .select(col("vec_id"), round(col("nf_raw"), 6).as("norm_frac"),
+        round(col("cf_raw"), 6).as("cos_full"),
+        round(col("ct_raw"), 6).as("cos_trunc"),
+        round(col("cd_raw"), 6).as("cos_delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
@@ -541,7 +600,8 @@ object VectorQueries extends Serializable {
     "q56_ann_ivf" -> (q56 _),
     "q66_ann_multiprobe" -> (q66 _),
     "q74_semdedup_ivf" -> (q74 _),
-    "q80_int8_quant_audit" -> (q80 _))
+    "q80_int8_quant_audit" -> (q80 _),
+    "q83_matryoshka_audit" -> (q83 _))
 
   // ---- oracle SQL ----
 
@@ -618,6 +678,42 @@ object VectorQueries extends Serializable {
          |UNION ALL
          |SELECT vec_id, 0.0 AS qscale, NULL AS cos_err
          |FROM base WHERE maxabs = 0""".stripMargin,
+    // q83 replays the same 0.0-seeded index-order folds at full and
+    // prefix width over pre-cast DOUBLE lists; deltas subtract the raw
+    // (unrounded) quotients exactly as the engine does
+    "q83_matryoshka_audit" -> {
+      def pdot(a: String, b: String, n: Int): String =
+        s"""list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+           |    list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])),
+           |    (x, y) -> x + y)""".stripMargin
+      s"""WITH q AS (
+         | SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS w
+         | FROM embeddings WHERE vec_id = $QueryVecId),
+         |b AS (
+         | SELECT e.vec_id,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v, q.w
+         | FROM embeddings e, q),
+         |d AS (
+         | SELECT vec_id,
+         |  ${pdot("v", "v", Dims)} AS vv,
+         |  ${pdot("v", "v", KeepDims)} AS vvk,
+         |  ${pdot("w", "w", Dims)} AS ww,
+         |  ${pdot("w", "w", KeepDims)} AS wwk,
+         |  ${pdot("v", "w", Dims)} AS vw,
+         |  ${pdot("v", "w", KeepDims)} AS vwk
+         | FROM b)
+         |SELECT vec_id,
+         | CASE WHEN vv = 0 THEN NULL
+         |  ELSE round(sqrt(vvk) / sqrt(vv), 6) END AS norm_frac,
+         | CASE WHEN vv = 0 OR ww = 0 THEN NULL
+         |  ELSE round(vw / (sqrt(vv) * sqrt(ww)), 6) END AS cos_full,
+         | CASE WHEN vvk = 0 OR wwk = 0 THEN NULL
+         |  ELSE round(vwk / (sqrt(vvk) * sqrt(wwk)), 6) END AS cos_trunc,
+         | CASE WHEN vv = 0 OR ww = 0 OR vvk = 0 OR wwk = 0 THEN NULL
+         |  ELSE round(abs(vw / (sqrt(vv) * sqrt(ww))
+         |    - vwk / (sqrt(vvk) * sqrt(wwk))), 6) END AS cos_delta
+         |FROM d""".stripMargin
+    },
     "q66_ann_multiprobe" ->
       s"""WITH bucketed AS (
          | SELECT vec_id, embedding, CAST(${bucketSql("embedding")} AS BIGINT) AS bucket

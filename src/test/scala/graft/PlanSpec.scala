@@ -172,6 +172,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("q83: truncation audit is one narrow typed pass, zero exchanges") {
+    // the reference vector rides the closure (one-row driver lookup,
+    // the IVF-centroid discipline) — the per-vector audit itself never
+    // shuffles or joins
+    val p = plan(graft.queries.VectorQueries.q83(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+
   test("q79/q80: fertility and quant audit never window or cross-join") {
     val p79 = plan(graft.queries.TextQueries.q79(spark, sf))
     assert(!p79.contains("Window") && !p79.contains("CartesianProduct"))

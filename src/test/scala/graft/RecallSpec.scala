@@ -31,6 +31,39 @@ class RecallSpec extends SparkSpec {
     per.sum / per.size
   }
 
+  test("q83 truncation audit: hand-computed norms, cosines, and null arms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val d = VectorQueries.Dims
+    val k = VectorQueries.KeepDims
+    def vec(head: Float, tail: Float) =
+      Array.fill(k)(head) ++ Array.fill(d - k)(tail)
+    Seq(
+      (0L, vec(1f, 1f)),  // the reference query: all ones
+      (1L, vec(1f, 0f)),  // all norm in the kept prefix
+      (2L, vec(1f, 1f)),  // identical to the query
+      (3L, vec(0f, 0f)),  // zero vector: every audit column NULL
+      (4L, vec(0f, 1f))   // all norm in the DROPPED tail
+    ).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = VectorQueries.q83(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c = 0.707107 // sqrt(32)/8 rounded to 6dp
+    val r1 = got(1L)
+    assert(r1.getDouble(1) == 1.0 && r1.getDouble(3) == 1.0)
+    assert(math.abs(r1.getDouble(2) - c) < 1e-6)
+    assert(math.abs(r1.getDouble(4) - (1.0 - r1.getDouble(2))) < 1e-6)
+    val r2 = got(2L)
+    assert(math.abs(r2.getDouble(1) - c) < 1e-6) // half the energy kept
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 1.0 &&
+      r2.getDouble(4) == 0.0) // truncation is free for aligned vectors
+    val r3 = got(3L)
+    assert(r3.isNullAt(1) && r3.isNullAt(2) && r3.isNullAt(3) && r3.isNullAt(4))
+    val r4 = got(4L)
+    assert(r4.getDouble(1) == 0.0)       // prefix holds nothing
+    assert(math.abs(r4.getDouble(2) - c) < 1e-6)
+    assert(r4.isNullAt(3) && r4.isNullAt(4)) // truncated cosine undefined
+  }
+
   test("ANN recall@10 curves: IVF vs nprobe, LSH vs multi-probe radius") {
     val exact = queryIds
       .map(q => q -> ids(VectorQueries.exactTopKDf(spark, sf, q))).toMap
