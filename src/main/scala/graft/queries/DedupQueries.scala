@@ -676,6 +676,41 @@ object DedupQueries {
           col("n_chunks").cast("double"), 4).as("dup_chunk_ratio"))
   }
 
+  /** q84 — within-document duplicate-chunk SCRUB: the transform q69's
+    * report motivates. Each document is re-chunked ([[ChunkWords]]-word
+    * windows, q69's granularity) and repeated chunks are dropped
+    * keeping the FIRST occurrence, so the boilerplate header pasted
+    * five times into one page survives once. Output is the cleaning
+    * receipt per document — chunk counts before/after and the md5 of
+    * the scrubbed text (the q67 discipline: the hash-match proves the
+    * rebuilt BYTES are engine-identical, not just the counts). The
+    * scrub canonicalizes whitespace (chunks re-join with single
+    * spaces) — documented contract, same as the packing/chunking path.
+    *
+    * Scale shape: a pure per-document typed pass — no shuffle, no
+    * join, nothing leaves the partition; the only state is one doc's
+    * chunk set.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        val chunks = ws.grouped(ChunkWords).map(_.mkString(" ")).toArray
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        chunks.foreach(seen += _)
+        val scrubbed = seen.mkString(" ")
+        val nTokensAfter =
+          scrubbed.split("\\s+").count(_.nonEmpty).toLong
+        (id, chunks.length.toLong, (chunks.length - seen.size).toLong,
+          scrubbed, nTokensAfter)
+      }
+      .toDF("doc_id", "n_chunks", "n_dropped", "scrubbed", "n_tokens_after")
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        md5(col("scrubbed")).as("scrubbed_md5"), col("n_tokens_after"))
+  }
+
   /** The survivor-selection core, factored for spec coverage on
     * constructed frames: given (doc_id, quality, cluster_id) rows, pick
     * each cluster's highest-quality member (ties broken by min doc_id)
@@ -734,7 +769,8 @@ object DedupQueries {
     "q50_contamination" -> (q50 _),
     "q58_incremental_dedup" -> (q58 _),
     "q69_chunk_dedup" -> (q69 _),
-    "q81_survivor_select" -> (q81 _))
+    "q81_survivor_select" -> (q81 _),
+    "q84_chunk_scrub" -> (q84 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -823,6 +859,32 @@ object DedupQueries {
          | round(CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4)
          |   AS dup_chunk_ratio
          |FROM agg""".stripMargin,
+    // q84 rebuilds the scrubbed text in SQL: the indexed-lambda filter
+    // keeps a chunk iff its first occurrence index is its own index
+    // (order-preserving dedup), and the md5 of the single-space rejoin
+    // must hash-match the engine's bytes
+    "q84_chunk_scrub" ->
+      s"""WITH w AS (
+         | SELECT doc_id, ${graft.queries.TextQueries.wsSql} AS ws FROM documents),
+         |ch AS (
+         | SELECT doc_id, list_transform(
+         |   range(0, CAST(ceil(len(ws) / ${ChunkWords}.0) AS BIGINT)),
+         |   i -> array_to_string(
+         |     ws[i * $ChunkWords + 1 : least((i + 1) * $ChunkWords, len(ws))],
+         |     ' ')) AS chunks
+         | FROM w),
+         |k AS (
+         | SELECT doc_id, chunks,
+         |  list_filter(chunks, (c, i) -> list_position(chunks, c) = i) AS kept
+         | FROM ch)
+         |SELECT doc_id,
+         | CAST(len(chunks) AS BIGINT) AS n_chunks,
+         | CAST(len(chunks) - len(kept) AS BIGINT) AS n_dropped,
+         | md5(array_to_string(kept, ' ')) AS scrubbed_md5,
+         | CAST(len(list_filter(
+         |   regexp_split_to_array(array_to_string(kept, ' '), '\\s+'),
+         |   x -> len(x) > 0)) AS BIGINT) AS n_tokens_after
+         |FROM k""".stripMargin,
     "q29_minhash_lsh" ->
       s"""$lshCteSql
          |SELECT doc_a, doc_b,

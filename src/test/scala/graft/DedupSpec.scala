@@ -29,6 +29,37 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("q84 chunk scrub drops repeats keeping first occurrence; idempotent") {
+    import graft.queries.DedupQueries
+    val k = DedupQueries.ChunkWords
+    val boiler = (0 until k).map(i => s"bp$i").mkString(" ")
+    val unique = (0 until k).map(i => s"u$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scrub").toString
+    Seq(
+      (1L, s"$boiler $unique $boiler"), // boiler pasted twice
+      (2L, unique),                     // clean doc: untouched
+      (3L, "")                          // empty doc: empty receipt
+    ).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q84(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1: 3 chunks, second boiler dropped, bytes = "boiler unique"
+    assert(got(1L) == ((3L, 1L, md5hex(s"$boiler $unique"), 2L * k)))
+    assert(got(2L) == ((1L, 0L, md5hex(unique), k.toLong)))
+    assert(got(3L) == ((0L, 0L, md5hex(""), 0L)))
+    // idempotence: scrubbing the scrubbed text drops nothing
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_scrub2").toString
+    Seq((1L, s"$boiler $unique")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir2/documents.parquet")
+    val again = DedupQueries.q84(spark, dir2).collect().head
+    assert(again.getLong(2) == 0L &&
+      again.getString(3) == md5hex(s"$boiler $unique"))
+  }
+
   test("survivor selection keeps max quality, breaks ties by min doc_id") {
     import graft.queries.DedupQueries
     val labeled = Seq(

@@ -172,6 +172,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("q84: chunk scrub is a pure per-document pass, zero exchanges") {
+    val p = plan(DedupQueries.q84(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+
   test("q83: truncation audit is one narrow typed pass, zero exchanges") {
     // the reference vector rides the closure (one-row driver lookup,
     // the IVF-centroid discipline) — the per-vector audit itself never
