@@ -545,6 +545,58 @@ object DedupQueries {
         col("n_overlap").cast("double") / col("n_shingles") >= ContamThreshold)
   }
 
+  /** False-positive budget for the q85 bloom blocklist. */
+  val BloomFpp = 0.01
+
+  /** q85 — broadcast-Bloom contamination BLOCKLIST: the shuffle-free
+    * alternative to q50's semi-join. The eval set's distinct shingles
+    * (a bounded reference set — benchmarks are millions of shingles,
+    * never corpus-scale) are folded into one Spark-native
+    * `BloomFilter` sketch (`Dataset.stat.bloomFilter`, a mergeable
+    * treeAggregate) and broadcast as KBs of bits; the 100 TB corpus
+    * side then probes it in a pure projection — per-shingle membership
+    * with NO join and NO shuffle of corpus data, where q50 must move
+    * every corpus shingle through an exchange. The price is false
+    * positives, so the gate row carries the exact hit count (oracle-
+    * replayable) plus two Spark-verified bounds, q46-style: Bloom
+    * guarantees zero false negatives, and the false-positive excess
+    * must sit within 3× the [[BloomFpp]] budget.
+    *
+    * Driver state is the sketch itself — sized by the EVAL set's
+    * cardinality, independent of corpus size — the same bounded-
+    * driver-work contract as the IVF centroids.
+    */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = checkpointedShingleSets(s, dir).join(docs, "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+    val evalShingles = pairs.filter(col("source") === EvalSource)
+      .select("shingle").distinct()
+    val bloom = evalShingles.stat.bloomFilter(
+      "shingle", math.max(evalShingles.count(), 1L), BloomFpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val probed = pairs.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("shingle")).as[(Long, String)]
+      .map { case (id, sh) => (id, sh, bc.value.mightContain(sh)) }
+      .toDF("doc_id", "shingle", "hit")
+    // the exact truth rides a broadcast of the same bounded eval set —
+    // only for the gate's verification columns, not the decision path
+    probed
+      .join(broadcast(evalShingles.withColumn("ex", lit(true))),
+        Seq("shingle"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("ex") && !col("hit"), 1L).otherwise(0L)).as("n_fn"))
+      .select(col("n_checked"), col("n_exact_hits"),
+        (col("n_fn") === 0L).as("no_false_negatives"),
+        ((col("n_bloom_hits") - col("n_exact_hits")).cast("double") <=
+          lit(3.0 * BloomFpp) *
+            (col("n_checked") - col("n_exact_hits")).cast("double"))
+          .as("fp_rate_ok"))
+  }
+
   /** The "new batch" sources for incremental dedup (q58). */
   val IncomingSources: Seq[String] = Seq("src18", "src19")
 
@@ -770,7 +822,8 @@ object DedupQueries {
     "q58_incremental_dedup" -> (q58 _),
     "q69_chunk_dedup" -> (q69 _),
     "q81_survivor_select" -> (q81 _),
-    "q84_chunk_scrub" -> (q84 _))
+    "q84_chunk_scrub" -> (q84 _),
+    "q85_bloom_blocklist" -> (q85 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1044,5 +1097,26 @@ object DedupQueries {
          |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(s.sh), 4) AS contam_ratio,
          |  (CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / len(s.sh)) >= $ContamThreshold AS contaminated
          |FROM sets s LEFT JOIN ov ON s.doc_id = ov.doc_id
-         |WHERE s.source != '$EvalSource'""".stripMargin)
+         |WHERE s.source != '$EvalSource'""".stripMargin,
+    // q85's exact columns replay q50's shingle/eval machinery; the two
+    // sketch bounds are literal TRUE (the q46 discipline: the Bloom
+    // bits are engine-specific, the bound they must satisfy is not)
+    "q85_bloom_blocklist" ->
+      s"""WITH $tokShingleCte,
+         |sets AS (
+         |  SELECT sh.doc_id, d.source, list_distinct(shingles) AS sh
+         |  FROM shingled sh JOIN documents d ON sh.doc_id = d.doc_id
+         |  WHERE len(shingles) > 0),
+         |pairs AS (SELECT doc_id, source, unnest(sh) AS shingle FROM sets),
+         |ev AS (SELECT DISTINCT shingle FROM pairs WHERE source = '$EvalSource'),
+         |c AS (
+         |  SELECT e.shingle AS es
+         |  FROM pairs p LEFT JOIN ev e ON p.shingle = e.shingle
+         |  WHERE p.source != '$EvalSource')
+         |SELECT CAST(count(*) AS BIGINT) AS n_checked,
+         | CAST(sum(CASE WHEN es IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_exact_hits,
+         | TRUE AS no_false_negatives,
+         | TRUE AS fp_rate_ok
+         |FROM c""".stripMargin)
 }

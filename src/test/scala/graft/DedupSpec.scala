@@ -29,6 +29,23 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("q85 bloom blocklist: exact hits hand-counted, both sketch bounds hold") {
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    // eval doc: shingles {a b c, b c d}; corpus doc 2 shares exactly
+    // "a b c"; doc 3 shares nothing → 5 probed shingles, 1 exact hit
+    Seq(
+      (1L, "a b c d", "en", DedupQueries.EvalSource),
+      (2L, "a b c x y", "en", "src0"),
+      (3L, "p q r s", "en", "src0")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = DedupQueries.q85(spark, dir).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1L)
+    assert(r.getBoolean(2), "bloom must never miss a true member")
+    assert(r.getBoolean(3), "false-positive excess must sit in budget")
+  }
+
   test("q84 chunk scrub drops repeats keeping first occurrence; idempotent") {
     import graft.queries.DedupQueries
     val k = DedupQueries.ChunkWords

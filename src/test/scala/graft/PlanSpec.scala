@@ -172,6 +172,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("q85: bloom probe joins nothing on the corpus side except a broadcast") {
+    // the membership test itself is closure-side (no join at all); the
+    // only shingle-keyed join is the gate's broadcast of the bounded
+    // eval set — corpus shingles must never sort-merge or go cartesian
+    val p = plan(DedupQueries.q85(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q84: chunk scrub is a pure per-document pass, zero exchanges") {
     val p = plan(DedupQueries.q84(spark, sf))
     assert(!p.contains("Exchange") && !p.contains("Join"))
