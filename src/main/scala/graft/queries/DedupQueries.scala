@@ -597,6 +597,44 @@ object DedupQueries {
           .as("fp_rate_ok"))
   }
 
+  /** q86 — cross-source duplication MATRIX: which sources mirror each
+    * other. For every unordered source pair, the number of near-dup
+    * document pairs the two sources share (q48's clusters), computed
+    * WITHOUT enumerating member pairs: per (cluster, source) member
+    * counts m, then Σ over clusters of m_a·m_b (off-diagonal) or
+    * m·(m−1)/2 (within-source) — integer `div`, no doubles. The
+    * billion-member boilerplate cluster contributes one compact
+    * (cluster, source, m) row per source, and the self-join that forms
+    * the pair terms is keyed on the cluster id with ≤ n_sources rows a
+    * side — the matrix costs O(clusters · sources), never O(docs²).
+    * This is the "where do my mirrors come from" report that decides
+    * which ingest feeds to cut.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(clusterLabels(s, dir), Seq("doc_id"))
+      .groupBy(col("canonical_doc_id").as("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("m"))
+      // two self-join consumers; the cluster agg upstream is the
+      // expensive part (memoized clustering + one shuffle)
+      .localCheckpoint()
+    val a = m.select(col("cluster_id"), col("source").as("src_a"),
+      col("m").as("m_a"))
+    val b = m.select(col("cluster_id"), col("source").as("src_b"),
+      col("m").as("m_b"))
+    // cluster-keyed sort-merge: both sides are O(clusters·sources) and
+    // stats-blind behind the checkpoint (the q77 lesson)
+    a.join(b.hint("merge"), Seq("cluster_id"))
+      .filter(col("src_a") <= col("src_b"))
+      .withColumn("pairs",
+        expr("CASE WHEN src_a = src_b THEN (m_a * (m_a - 1)) div 2" +
+          " ELSE m_a * m_b END"))
+      .filter(col("pairs") > 0)
+      .groupBy("src_a", "src_b")
+      .agg(sum("pairs").as("dup_pairs"),
+        count(lit(1)).as("n_clusters"))
+  }
+
   /** The "new batch" sources for incremental dedup (q58). */
   val IncomingSources: Seq[String] = Seq("src18", "src19")
 
@@ -823,7 +861,8 @@ object DedupQueries {
     "q69_chunk_dedup" -> (q69 _),
     "q81_survivor_select" -> (q81 _),
     "q84_chunk_scrub" -> (q84 _),
-    "q85_bloom_blocklist" -> (q85 _))
+    "q85_bloom_blocklist" -> (q85 _),
+    "q86_source_dup_matrix" -> (q86 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1118,5 +1157,31 @@ object DedupQueries {
          |   AS n_exact_hits,
          | TRUE AS no_false_negatives,
          | TRUE AS fp_rate_ok
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+    // q86 replays q48's clustering, then the same count-based pair
+    // arithmetic (integer //, one triangle including the diagonal)
+    "q86_source_dup_matrix" ->
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |lab AS (
+         | SELECT d.doc_id, d.source, coalesce(c.comp, d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+         |m AS (SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS m
+         |      FROM lab GROUP BY 1, 2),
+         |p AS (
+         | SELECT a.cluster_id, a.source AS src_a, b.source AS src_b,
+         |  CASE WHEN a.source = b.source THEN (a.m * (a.m - 1)) // 2
+         |       ELSE a.m * b.m END AS pairs
+         | FROM m a JOIN m b
+         |   ON a.cluster_id = b.cluster_id AND a.source <= b.source)
+         |SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS dup_pairs,
+         | CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM p WHERE pairs > 0 GROUP BY 1, 2""".stripMargin)
 }

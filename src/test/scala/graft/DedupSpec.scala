@@ -29,6 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("q86 source dup matrix: pair counts from cluster membership, not enumeration") {
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_matrix").toString
+    val x = (0 until 30).map(i => s"w$i").mkString(" ") // one shared template
+    val docs =
+      (1L to 3L).map(i => (i, x, "en", "srcA")) ++
+        (4L to 5L).map(i => (i, x, "en", "srcB")) :+
+        ((6L, (0 until 30).map(i => s"u$i").mkString(" "), "en", "srcC"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q86(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // m_A=3, m_B=2 in one cluster: within-A 3 pairs, within-B 1, cross 6
+    assert(got(("srcA", "srcA")) == ((3L, 1L)))
+    assert(got(("srcB", "srcB")) == ((1L, 1L)))
+    assert(got(("srcA", "srcB")) == ((6L, 1L)))
+    // the unique srcC doc contributes no row at all
+    assert(!got.keys.exists(k => k._1 == "srcC" || k._2 == "srcC"))
+  }
+
   test("q85 bloom blocklist: exact hits hand-counted, both sketch bounds hold") {
     import graft.queries.DedupQueries
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString

@@ -172,6 +172,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"))
   }
 
+  test("q86: dup matrix never enumerates member pairs or broadcasts corpus frames") {
+    // the pair terms come from (cluster, source, m) count rows joined
+    // on the cluster key — pinned sort-merge (both sides descend from
+    // the stats-blind checkpoint); the docs⋈labels join upstream may
+    // broadcast the PARQUET side at this sf because its stats are real
+    // — that choice reverts to sort-merge at scale on its own
+    val p = plan(DedupQueries.q86(spark, sf))
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q85: bloom probe joins nothing on the corpus side except a broadcast") {
     // the membership test itself is closure-side (no join at all); the
     // only shingle-keyed join is the gate's broadcast of the bounded
