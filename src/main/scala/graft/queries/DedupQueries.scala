@@ -571,8 +571,11 @@ object DedupQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
     val pairs = checkpointedShingleSets(s, dir).join(docs, "doc_id")
       .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+    // three consumers (cardinality count, sketch build, gate join) —
+    // materialize the bounded eval set once instead of re-running the
+    // explode+distinct per action
     val evalShingles = pairs.filter(col("source") === EvalSource)
-      .select("shingle").distinct()
+      .select("shingle").distinct().localCheckpoint()
     val bloom = evalShingles.stat.bloomFilter(
       "shingle", math.max(evalShingles.count(), 1L), BloomFpp)
     val bc = s.sparkContext.broadcast(bloom)
