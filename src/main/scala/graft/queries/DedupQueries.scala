@@ -613,10 +613,19 @@ object DedupQueries {
     * This is the "where do my mirrors come from" report that decides
     * which ingest feeds to cut.
     */
-  def q86(s: SparkSession, dir: String): DataFrame = {
-    val m = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      .join(clusterLabels(s, dir), Seq("doc_id"))
-      .groupBy(col("canonical_doc_id").as("cluster_id"), col("source"))
+  def q86(s: SparkSession, dir: String): DataFrame =
+    sourceDupMatrix(
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(clusterLabels(s, dir), Seq("doc_id"))
+        .select(col("source"), col("canonical_doc_id").as("cluster_id")))
+
+  /** The matrix core, factored for the stress harness: members is any
+    * (source, cluster_id) frame; output is the per-source-pair dup-pair
+    * count. See [[q86]] for the arithmetic.
+    */
+  private[graft] def sourceDupMatrix(members: DataFrame): DataFrame = {
+    val m = members
+      .groupBy(col("cluster_id"), col("source"))
       .agg(count(lit(1)).as("m"))
       // two self-join consumers; the cluster agg upstream is the
       // expensive part (memoized clustering + one shuffle)

@@ -147,6 +147,56 @@ object StressBench {
     }
     println(s"[stress] novelty: ${novelty._1} bigram instances scored, " +
       s"rarest global count ${novelty._2}")
+
+    // 8. survivor selection + source matrix on a 1M-member hot cluster:
+    // the boilerplate template mirrored by three feeds. Both operators
+    // must keep the cluster as compact aggregation state — survivor
+    // via max(struct) (O(1) per cluster), matrix via (cluster, source,
+    // m) counts — never enumerating the ~5×10¹¹ member pairs.
+    val hot = spark.range(0, 1000000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), (col("id") % 3).cast("string")).as("source"),
+        lit(0L).as("cluster_id"),
+        (col("id") % 97).cast("double").as("quality"))
+    val single = spark.range(1000000L, 2000000L)
+      .select(col("id").as("doc_id"), lit("srcS").as("source"),
+        col("id").as("cluster_id"),
+        lit(1.0).as("quality"))
+    val members = hot.unionAll(single).localCheckpoint()
+    val surv = timed("survivor select: 1M-member cluster + 1M singletons") {
+      DedupQueries.survivorSelect(
+          members.select(col("doc_id"), col("quality"), col("cluster_id")))
+        .filter(col("cluster_id") === 0L && col("is_survivor")).count()
+    }
+    val matrix = timed("source dup matrix: same frame") {
+      DedupQueries.sourceDupMatrix(members.select(col("source"), col("cluster_id")))
+        .collect()
+    }
+    val crossAB = matrix
+      .find(r => r.getString(0) == "src0" && r.getString(1) == "src1")
+      .map(_.getLong(2)).getOrElse(-1L)
+    println(s"[stress] survivor rows in hot cluster: $surv (must be 1); " +
+      s"matrix rows: ${matrix.length} (6 from the hot cluster, " +
+      s"singletons contribute none); src0×src1 pairs=$crossAB")
+
+    // 9. bloom blocklist probe: 1M-entry blocklist, 10M probes.
+    // Driver state is the sketch alone — report its size; the probe is
+    // a closure-side projection, so throughput is scan-bound.
+    val block = spark.range(0, 1000000L)
+      .select(concat(lit("sh-"), col("id").cast("string")).as("shingle"))
+    val bloom = timed("bloom build: 1M entries") {
+      block.stat.bloomFilter("shingle", 1000000L, DedupQueries.BloomFpp)
+    }
+    val bcB = spark.sparkContext.broadcast(bloom)
+    val hits = timed("bloom probe: 10M shingles (50% members)") {
+      spark.range(0, 10000000L)
+        .select(concat(lit("sh-"), (col("id") % 2000000L).cast("string")).as("s"))
+        .as[String]
+        .map(s => if (bcB.value.mightContain(s)) 1L else 0L)
+        .toDF("h").agg(sum("h")).as[Long].head()
+    }
+    println(f"[stress] bloom: sketch ${bloom.bitSize() / 8 / 1024}%,d KiB, " +
+      f"$hits%,d of 10,000,000 flagged (5M true members + fp)")
     spark.stop()
   }
 }

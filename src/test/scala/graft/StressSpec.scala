@@ -133,4 +133,36 @@ class StressSpec extends SparkSpec {
       f"learned quantizer still skewed: max list $maxFrac%.2f")
     assert(sizes.size >= 5, s"only ${sizes.size} non-empty lists")
   }
+
+  test("survivor selection and source matrix keep a 50k-member hot cluster " +
+    "as compact aggregation state with exact closed-form results") {
+    // one boilerplate cluster mirrored by two feeds (30k + 20k members)
+    // plus 10k singletons — the member-pair count is ~1.25×10⁹, so any
+    // pairwise formulation times out here while the count-based one is
+    // instant. Expected values are closed-form.
+    val hot = spark.range(0, 50000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 30000L, "srcA").otherwise("srcB").as("source"),
+        lit(0L).as("cluster_id"),
+        (col("id") % 97).cast("double").as("quality"))
+    val single = spark.range(50000L, 60000L)
+      .select(col("id").as("doc_id"), lit("srcS").as("source"),
+        col("id").as("cluster_id"), lit(1.0).as("quality"))
+    val members = hot.unionAll(single).localCheckpoint()
+    val surv = DedupQueries.survivorSelect(
+        members.select(col("doc_id"), col("quality"), col("cluster_id")))
+      .filter(col("cluster_id") === 0L && col("is_survivor"))
+      .select(col("doc_id")).as[Long].collect()
+    // max quality 96 first reached at doc_id 96; ties resolve to min id
+    assert(surv.toSeq == Seq(96L))
+    val matrix = DedupQueries.sourceDupMatrix(
+        members.select(col("source"), col("cluster_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(matrix(("srcA", "srcA")) == 30000L * 29999 / 2)
+    assert(matrix(("srcB", "srcB")) == 20000L * 19999 / 2)
+    assert(matrix(("srcA", "srcB")) == 30000L * 20000)
+    // singletons (m = 1) contribute no pairs at all
+    assert(!matrix.keys.exists(k => k._1 == "srcS" || k._2 == "srcS"))
+  }
 }
