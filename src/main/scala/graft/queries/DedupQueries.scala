@@ -647,6 +647,48 @@ object DedupQueries {
         count(lit(1)).as("n_clusters"))
   }
 
+  /** q87 — DECONTAMINATION scrub: the transform q50's report
+    * motivates. q50 *flags* documents whose shingles overlap the eval
+    * set; this drops the offending text — each document is re-chunked
+    * ([[ChunkWords]] windows) and a chunk is removed iff any of its
+    * word [[ShingleN]]-grams appears anywhere in the eval subset, so a
+    * benchmark passage pasted into a web page is cut while the rest of
+    * the page survives. Receipt per doc: chunk counts, scrubbed md5
+    * (byte-identity proved by the oracle hash), tokens after.
+    *
+    * The eval set's distinct shingles ride the closure as a broadcast
+    * set — bounded by the REFERENCE set (benchmarks, not the corpus),
+    * the same driver-state contract as q85's sketch; where a blocklist
+    * outgrows exact broadcast, q85's bloom is the drop-in (at the cost
+    * of fp chunk drops). The corpus side is one narrow typed pass,
+    * zero exchanges.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val evalSh = docs.filter(col("source") === EvalSource)
+      .select(col("text")).as[String]
+      .flatMap(shingleSet(_)).distinct().collect()
+    val bcSet = s.sparkContext.broadcast(evalSh.toSet)
+    docs.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        val chunks = ws.grouped(ChunkWords).map(_.mkString(" ")).toArray
+        val set = bcSet.value
+        val kept = chunks.filterNot { c =>
+          c.split(" ").iterator.sliding(ShingleN).withPartial(false)
+            .exists(g => set.contains(g.mkString(" ")))
+        }
+        val scrubbed = kept.mkString(" ")
+        (id, chunks.length.toLong, (chunks.length - kept.length).toLong,
+          scrubbed, scrubbed.split("\\s+").count(_.nonEmpty).toLong)
+      }
+      .toDF("doc_id", "n_chunks", "n_dropped", "scrubbed", "n_tokens_after")
+      .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+        md5(col("scrubbed")).as("scrubbed_md5"), col("n_tokens_after"))
+  }
+
   /** The "new batch" sources for incremental dedup (q58). */
   val IncomingSources: Seq[String] = Seq("src18", "src19")
 
@@ -874,7 +916,8 @@ object DedupQueries {
     "q81_survivor_select" -> (q81 _),
     "q84_chunk_scrub" -> (q84 _),
     "q85_bloom_blocklist" -> (q85 _),
-    "q86_source_dup_matrix" -> (q86 _))
+    "q86_source_dup_matrix" -> (q86 _),
+    "q87_decontam_scrub" -> (q87 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1195,5 +1238,47 @@ object DedupQueries {
          |   ON a.cluster_id = b.cluster_id AND a.source <= b.source)
          |SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS dup_pairs,
          | CAST(count(*) AS BIGINT) AS n_clusters
-         |FROM p WHERE pairs > 0 GROUP BY 1, 2""".stripMargin)
+         |FROM p WHERE pairs > 0 GROUP BY 1, 2""".stripMargin,
+    // q87 replays the chunking with ordinality (CROSS JOIN unnest), the
+    // per-chunk shingles, an exact join against the eval shingles, and
+    // the order-preserving rebuild (list(... ORDER BY idx)); the hash
+    // proves byte-identical scrubbed output
+    "q87_decontam_scrub" -> {
+      def shOf(lst: String): String =
+        s"""CASE WHEN len($lst) < $ShingleN THEN []
+           | ELSE list_transform(range(1, len($lst) - ${ShingleN - 2}),
+           |   j -> array_to_string($lst[j:j+${ShingleN - 1}], ' ')) END""".stripMargin
+      s"""WITH w AS (
+         | SELECT doc_id, source, ${graft.queries.TextQueries.wsSql} AS ws
+         | FROM documents),
+         |ev AS (SELECT DISTINCT unnest(${shOf("ws")}) AS s
+         |       FROM w WHERE source = '$EvalSource'),
+         |base AS (
+         | SELECT doc_id, ws,
+         |  CAST(ceil(len(ws) / ${ChunkWords}.0) AS BIGINT) AS nch
+         | FROM w WHERE source <> '$EvalSource'),
+         |ch AS (
+         | SELECT doc_id, i AS idx,
+         |  ws[i * $ChunkWords + 1 : least((i + 1) * $ChunkWords, len(ws))] AS cw
+         | FROM base CROSS JOIN unnest(range(0, nch)) AS t(i)),
+         |cs AS (SELECT doc_id, idx, unnest(${shOf("cw")}) AS s FROM ch),
+         |bad AS (SELECT DISTINCT cs.doc_id, cs.idx
+         |        FROM cs JOIN ev ON cs.s = ev.s),
+         |kept AS (
+         | SELECT ch.doc_id, ch.idx, array_to_string(ch.cw, ' ') AS chunk
+         | FROM ch LEFT JOIN bad
+         |   ON ch.doc_id = bad.doc_id AND ch.idx = bad.idx
+         | WHERE bad.idx IS NULL),
+         |reb AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  array_to_string(list(chunk ORDER BY idx), ' ') AS scrubbed
+         | FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, b.nch AS n_chunks,
+         | CAST(b.nch - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+         | md5(coalesce(r.scrubbed, '')) AS scrubbed_md5,
+         | CAST(CASE WHEN r.scrubbed IS NULL THEN 0
+         |  ELSE len(list_filter(regexp_split_to_array(r.scrubbed, '\\s+'),
+         |    x -> len(x) > 0)) END AS BIGINT) AS n_tokens_after
+         |FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin
+    })
 }

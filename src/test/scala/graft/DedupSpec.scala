@@ -29,6 +29,35 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("q87 decontam scrub cuts the chunk holding the eval passage, keeps the rest") {
+    import graft.queries.DedupQueries
+    val k = DedupQueries.ChunkWords
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    val evalText = "bench mark question answer pair"
+    val clean1 = (0 until k).map(i => s"c$i").mkString(" ")
+    val clean2 = (0 until k).map(i => s"d$i").mkString(" ")
+    // the eval passage sits wholly inside doc 2's SECOND chunk
+    val poisoned = s"$clean1 $evalText ${(0 until k - 7).map(i => s"e$i").mkString(" ")}"
+    Seq(
+      (1L, evalText, "en", DedupQueries.EvalSource),
+      (2L, poisoned, "en", "src0"),
+      (3L, clean2, "en", "src0")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q87(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 2: 2 chunks, the contaminated second one drops, first survives
+    assert(got(2L) == ((2L, 1L, md5hex(clean1), k.toLong)),
+      s"got ${got(2L)}")
+    // clean doc untouched; eval doc itself is not in the output
+    assert(got(3L) == ((1L, 0L, md5hex(clean2), k.toLong)))
+    assert(!got.contains(1L))
+  }
+
   test("q86 source dup matrix: pair counts from cluster membership, not enumeration") {
     import graft.queries.DedupQueries
     val dir = java.nio.file.Files.createTempDirectory("graft_matrix").toString

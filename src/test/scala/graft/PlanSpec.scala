@@ -197,6 +197,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"))
   }
 
+  test("q87: decontam scrub's corpus side is a pure pass, blocklist in closure") {
+    val p = plan(DedupQueries.q87(spark, sf))
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+  }
+
   test("q83: truncation audit is one narrow typed pass, zero exchanges") {
     // the reference vector rides the closure (one-row driver lookup,
     // the IVF-centroid discipline) — the per-vector audit itself never
