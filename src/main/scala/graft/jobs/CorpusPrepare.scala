@@ -83,14 +83,31 @@ object CorpusPrepare {
     * exchange-free plan).
     */
   private def keptOf(docs: DataFrame, scores: DataFrame,
-                     dedup: DataFrame): DataFrame = {
+                     dedup: DataFrame,
+                     survivorKeep: Boolean = false): DataFrame = {
     val h = graft.functions.DedupFunctions.md5Hash32(
       concat(lit("split-"), col("doc_id").cast("string"))) % 100
-    val canonical = dedup
-      .filter(col("doc_id") === col("canonical_doc_id"))
-      .select("doc_id")
+    // keep_policy=canonical: each cluster keeps its min-id member (the
+    // q48/q49 contract). keep_policy=survivor: the cluster keeps its
+    // highest-quality member instead (q81's selection — dedup stops
+    // discarding the best copy). Either way the decision reduces to a
+    // doc_id list FIRST, so every downstream join stays on the single
+    // bucket key (the bucketed path's exchange-free discipline holds
+    // for both policies). NULL canonicals (incremental suppression by
+    // an existing-corpus duplicate) are dropped under both policies.
+    val keptIds =
+      if (!survivorKeep)
+        dedup.filter(col("doc_id") === col("canonical_doc_id"))
+          .select("doc_id")
+      else
+        DedupQueries.survivorSelect(
+            scores.select(col("doc_id"), col("quality"))
+              .join(dedup.filter(col("canonical_doc_id").isNotNull), Seq("doc_id"))
+              .select(col("doc_id"), col("quality"),
+                col("canonical_doc_id").as("cluster_id")))
+          .filter(col("is_survivor")).select("doc_id")
     docs
-      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(keptIds, Seq("doc_id"), "left_semi")
       .join(scores, "doc_id")
       .filter(col("quality") >= MinQuality)
       .withColumn("split",
@@ -128,11 +145,12 @@ object CorpusPrepare {
     */
   def filterPack(s: SparkSession, sfDir: String,
                  scores: DataFrame, dedup: DataFrame,
-                 tokensCol: String = "n_tokens"): DataFrame =
+                 tokensCol: String = "n_tokens",
+                 survivorKeep: Boolean = false): DataFrame =
     packKept(keptOf(
       Tables.load(s, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")),
-      scores, dedup), tokensCol)
+      scores, dedup, survivorKeep), tokensCol)
 
   /** Bucket count for the corpus exchange tables — the SAME count on
     * every side of the doc_id joins, or the exchange comes back.

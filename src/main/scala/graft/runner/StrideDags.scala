@@ -167,12 +167,16 @@ object StrideDags {
       SiriLake.replace(s, d, "corpus_dedup", CorpusPrepare.dedupDecide(s, sf))
     },
 
+    // `keep_policy=survivor` switches the dedup keep from the min-id
+    // canonical to q81's highest-quality cluster member — config, not
+    // code, like `shard_tokens`
     "corpus.filter_pack" -> { (s, kw) =>
       val d = wd(kw)
       val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
       val packed = CorpusPrepare.filterPack(s, sf,
         SiriLake.read(s, d, "corpus_scores"),
-        SiriLake.read(s, d, "corpus_dedup"))
+        SiriLake.read(s, d, "corpus_dedup"),
+        survivorKeep = kw.get("keep_policy").contains("survivor"))
       SiriLake.replace(s, d, "corpus_packed", packed)
       CorpusPrepare.exportTrainJsonl(
         SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")

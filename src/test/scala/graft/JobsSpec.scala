@@ -187,6 +187,34 @@ class JobsSpec extends SparkSpec {
     assert(multiSource > 0)
   }
 
+  test("keep_policy=survivor keeps exactly q81's best-quality cluster members") {
+    import graft.jobs.CorpusPrepare
+    import graft.queries.DedupQueries
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    val kept = CorpusPrepare
+      .filterPack(spark, sf, scores, dedup, survivorKeep = true)
+      .select($"doc_id").as[Long].collect().toSet
+    // the DAG's survivor keep must equal q81's selection ∩ quality bar
+    val expected = DedupQueries.q81(spark, sf)
+      .filter($"is_survivor" &&
+        $"quality" >= graft.jobs.CorpusPrepare.MinQuality)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == expected && kept.nonEmpty)
+    // the policies may keep DIFFERENT counts: a cluster whose min-id
+    // copy fails the quality bar but whose best copy passes survives
+    // only under the survivor policy — so the only cross-policy
+    // invariant is per-cluster: never more than one keeper
+    val canonical = CorpusPrepare
+      .filterPack(spark, sf, scores, dedup)
+      .select($"doc_id").as[Long].collect().toSet
+    val labels = DedupQueries.clusterLabels(spark, sf)
+      .select($"doc_id", $"canonical_doc_id").as[(Long, Long)]
+      .collect().toMap
+    assert(kept.groupBy(labels).forall(_._2.size == 1))
+    assert(canonical.groupBy(labels).forall(_._2.size == 1))
+  }
+
   test("token-bounded shard export: budget respected, greedy-full replay matches, sources mixed") {
     import graft.jobs.CorpusPrepare
     val wd = Files.createTempDirectory("graft_tokshard").toString
