@@ -423,6 +423,38 @@ object CorpusQueries {
         coalesce(col("realized_tokens"), lit(0L)).as("realized_tokens"))
   }
 
+  /** q88 — per-language ADAPTIVE quality gate: each language keeps its
+    * own top three quarters. q49's absolute bar (0.5) silently keeps
+    * very different fractions per language — length and punctuation
+    * distributions differ by language, so a global constant is a
+    * hidden mixture decision. Here the bar is each language's exact
+    * 25th-percentile quality (q62's histogram-rank discipline,
+    * partitioned by lang: ceil-rank over a (lang, quality) histogram,
+    * never a sort of the corpus), and the output carries bar + verdict
+    * per document.
+    *
+    * Scale shape: the histogram is ≤ langs × distinct-4dp-qualities
+    * rows (bounded by construction at 10⁴ per language); the rank
+    * windows run over THAT aggregate; the per-lang bars broadcast back
+    * onto one narrow corpus pass.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val hist = scored.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("lang").orderBy("quality")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+    val bars = cum.groupBy("lang")
+      .agg(min(when(col("cum") >= expr("(1 * n + 3) div 4"), col("quality")))
+        .as("lang_bar"))
+    scored.join(broadcast(bars), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"), col("lang_bar"),
+        (col("quality") >= col("lang_bar")).as("kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -433,7 +465,8 @@ object CorpusQueries {
     "q68_shuffle_shard" -> (q68 _),
     "q73_token_mixture" -> (q73 _),
     "q76_version_diff" -> (q76 _),
-    "q82_epoch_plan" -> (q82 _))
+    "q82_epoch_plan" -> (q82 _),
+    "q88_adaptive_quality_gate" -> (q88 _))
 
   // ---- oracle SQL ----
 
@@ -593,6 +626,29 @@ object CorpusQueries {
          | FROM s)
          |SELECT source, doc_id, quality, rank
          |FROM r WHERE rank <= $TopKDocs""".stripMargin
+    },
+    // q88 replays q62's ceil-rank percentile partitioned by language
+    "q88_adaptive_quality_gate" -> {
+      val wsSql = TextQueries.wsSql
+      val praw = TextQueries.punctRatioSql
+      s"""WITH s AS (
+         | SELECT doc_id, lang,
+         |  round(least(CAST(len($wsSql) AS DOUBLE) / 100.0, 1.0)
+         |    * greatest(0.0, 1.0 - ($praw) * 5.0), 4) AS quality
+         | FROM documents),
+         |h AS (SELECT lang, quality, CAST(count(*) AS BIGINT) AS c
+         |      FROM s GROUP BY lang, quality),
+         |cum AS (SELECT lang, quality,
+         |  sum(c) OVER (PARTITION BY lang ORDER BY quality
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(c) OVER (PARTITION BY lang) AS n
+         | FROM h),
+         |b AS (SELECT lang,
+         |  min(CASE WHEN cum >= (1 * n + 3) // 4 THEN quality END) AS lang_bar
+         | FROM cum GROUP BY lang)
+         |SELECT s.doc_id, s.lang, s.quality, b.lang_bar,
+         | (s.quality >= b.lang_bar) AS kept
+         |FROM s JOIN b ON s.lang = b.lang""".stripMargin
     },
     "q62_curriculum_buckets" -> {
       val wsSql = TextQueries.wsSql

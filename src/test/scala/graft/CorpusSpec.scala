@@ -118,6 +118,28 @@ class CorpusSpec extends SparkSpec {
     assert(r9.getLong(7) == 40L * r9.getLong(6))
   }
 
+  test("q88 adaptive gate: each language gets its own bar at the exact ceil-rank") {
+    import graft.queries.CorpusQueries
+    val dir = Files.createTempDirectory("graft_adapt").toString
+    // no punctuation → quality = min(words/100, 1); two languages with
+    // shifted distributions: en holds .1–.8, de holds .55–.90
+    def doc(id: Long, words: Int, lang: String) =
+      (id, (0 until words).map(i => s"w$i").mkString(" "), lang, "src0")
+    val en = (1 to 8).map(i => doc(i.toLong, i * 10, "en"))
+    val de = (11 to 18).map(i => doc(i.toLong, 55 + (i - 11) * 5, "de"))
+    (en ++ de).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q88(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // n=8 → ceil-rank (8+3)//4 = 2 → the bar is each lang's 2nd-lowest
+    assert(got(1L)._1 == 0.2 && !got(1L)._2)  // en bar 0.2; the .1 doc drops
+    assert(got(2L)._2 && got(8L)._2)          // bar itself and above keep
+    assert(got(11L)._1 == 0.6 && !got(11L)._2) // de bar 0.6; the .55 doc drops
+    assert(got(12L)._2 && got(18L)._2)
+    // the bars genuinely differ — an absolute constant cannot do this
+    assert(got(1L)._1 != got(11L)._1)
+  }
+
   test("versionDiff covers all four arms, including removed (absent from q76's synthetic prev)") {
     import graft.queries.CorpusQueries
     import org.apache.spark.sql.functions.md5

@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window")) // no per-cluster sort; agg carries the tie-break
   }
 
+  test("q88: adaptive gate windows the lang histogram, broadcasts the bars") {
+    // the rank windows run over the (lang, quality) HISTOGRAM (bounded
+    // by 4dp quality), partitioned by lang; the corpus itself is never
+    // sorted, and the ≤ n_langs bar table broadcasts back
+    val p = plan(graft.queries.CorpusQueries.q88(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q82: epoch plan broadcasts the rate table, corpus is one narrow pass") {
     // the ≤ n_sources-row rate table broadcasts back onto the
     // tokenization scan; the corpus itself is never window-sorted or
