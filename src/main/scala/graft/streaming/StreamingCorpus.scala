@@ -73,6 +73,33 @@ object StreamingCorpus {
     * Quality is summed exactly and divided once per window — no
     * incremental mean drift.
     */
+  /** Online contamination filter: probe every incoming document's word
+    * [[DedupQueries.ShingleN]]-grams against a broadcast Bloom sketch
+    * of the eval blocklist (q85's sketch — build once from the bounded
+    * reference set, ship KBs of bits to every executor) and emit the
+    * per-document verdict as the stream flows. A stateless map, so the
+    * SAME code runs over a stream or a batch frame and produces
+    * identical verdicts (StreamingSpec pins the equality) — the
+    * streamed ingest can drop contaminated documents online instead of
+    * waiting for the nightly q50 sweep. Bloom semantics carry over:
+    * zero false negatives, fp rate bounded by the build-time budget.
+    */
+  def blocklistMonitor(docs: Dataset[DocEv],
+                       bloom: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    docs
+      .map { d =>
+        val ws = d.text.split("\\s+").filter(_.nonEmpty)
+        val hits = ws.iterator.sliding(DedupQueries.ShingleN)
+          .withPartial(false)
+          .count(g => bc.value.mightContain(g.mkString(" ")))
+        (d.ts, d.doc_id, hits.toLong, hits > 0)
+      }
+      .toDF("ts", "doc_id", "n_bloom_hits", "flagged")
+  }
+
   def qualityMonitor(docs: Dataset[DocEv],
                      watermarkMinutes: Int): DataFrame = {
     import docs.sparkSession.implicits._

@@ -302,6 +302,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("blocklistMonitor: streamed verdicts equal the batch ones, bloom " +
+    "never misses a true member") {
+    import graft.streaming.StreamingCorpus
+    implicit val sqlCtx = spark.sqlContext
+    // blocklist: the 3-gram "a b c" (plus its own shingle set)
+    val bloom = Seq("a b c").toDF("s").stat.bloomFilter("s", 10L, 0.01)
+    val docs = Seq(
+      DocEv(1L, "a b c d e", ts("2024-01-01 10:00:00")), // hits at pos 0
+      DocEv(2L, "d e f g h", ts("2024-01-01 10:01:00")), // clean
+      DocEv(3L, "x a b c", ts("2024-01-01 10:02:00")),   // hits at pos 1
+      DocEv(4L, "a b", ts("2024-01-01 10:03:00")))       // too short to shingle
+    val in = MemoryStream[DocEv]
+    val q = StreamingCorpus.blocklistMonitor(in.toDS(), bloom)
+      .writeStream.format("memory").queryName("blm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("blm")
+        .select($"doc_id", $"n_bloom_hits", $"flagged")
+        .as[(Long, Long, Boolean)].collect().toSet
+      // the same stateless map over a BATCH frame: identical verdicts
+      val batch = StreamingCorpus.blocklistMonitor(docs.toDS(), bloom)
+        .select($"doc_id", $"n_bloom_hits", $"flagged")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch)
+      val byId = streamed.map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(byId(1L)._2 && byId(1L)._1 >= 1L) // no false negatives
+      assert(byId(3L)._2)
+      assert(byId(4L) == ((0L, false))) // sub-shingle docs never flag
+      // doc 2's shingles are non-members; at fpp 0.01 over 3 probes a
+      // flag would be a ~3% fluke — assert the deterministic outcome
+      assert(!byId(2L)._2)
+    } finally q.stop()
+  }
+
   test("qualityMonitor: windowed quality matches the batch TextJvm math, " +
     "watermark drops a too-late document") {
     import graft.streaming.StreamingCorpus
