@@ -593,6 +593,63 @@ object VectorQueries extends Serializable {
         round(col("cd_raw"), 6).as("cos_delta"))
   }
 
+  /** q89 — int8-quantized RETRIEVAL parity: q80 measures the per-vector
+    * cosine error of max-abs int8 quantization; this measures what the
+    * trade does to the thing a store actually serves — the top-k. The
+    * stored side is dequantized int8 (q80's exact scheme), the query
+    * stays float (the usual deployment asymmetry); output is the
+    * top-[[TopK]] by quantized cosine with both cosines and a flag for
+    * membership in the float top-[[TopK]] — overlap 10/10 means the 4×
+    * storage cut is retrieval-free on this corpus.
+    *
+    * One narrow typed pass (query vector in the closure) + one
+    * TakeOrderedAndProject; the float top-k ids are a 10-row driver
+    * list folded back as a literal predicate. All folds 0.0-seeded
+    * left-to-right, quantization BigDecimal HALF_UP — both replayed
+    * verbatim by the oracle.
+    */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qv: Array[Float] = t(s, dir, "embeddings")
+      .filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).as[Array[Float]].head()
+    val bc = s.sparkContext.broadcast(qv)
+    val cosines = t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= QueryVecId)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val q = bc.value
+        var maxAbs = 0.0
+        emb.foreach(x => maxAbs = math.max(maxAbs, math.abs(x.toDouble)))
+        val scale = maxAbs / 127.0
+        val dq = emb.map { x =>
+          if (maxAbs == 0.0) 0.0
+          else new java.math.BigDecimal(x.toDouble / scale)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() * scale
+        }
+        def cos(a: Int => Double, b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < b.length) {
+            dot += a(i) * b(i).toDouble
+            na += a(i) * a(i)
+            nb += b(i).toDouble * b(i).toDouble
+            i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        (id, maxAbs, cos(dq(_), q), cos(emb(_).toDouble, q))
+      }
+      .toDF("vec_id", "maxabs", "cq", "cf")
+      .filter(col("maxabs") > 0.0)
+      .localCheckpoint() // three consumers: float top-k, quant top-k
+    val floatTop = cosines.orderBy(col("cf").desc, col("vec_id").asc)
+      .limit(TopK).select(col("vec_id")).as[Long].collect()
+    cosines.orderBy(col("cq").desc, col("vec_id").asc).limit(TopK)
+      .select(col("vec_id"), round(col("cq"), 6).as("cos_q"),
+        round(col("cf"), 6).as("cos_f"),
+        col("vec_id").isin(floatTop.toIndexedSeq: _*).as("in_float_topk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
@@ -601,7 +658,8 @@ object VectorQueries extends Serializable {
     "q66_ann_multiprobe" -> (q66 _),
     "q74_semdedup_ivf" -> (q74 _),
     "q80_int8_quant_audit" -> (q80 _),
-    "q83_matryoshka_audit" -> (q83 _))
+    "q83_matryoshka_audit" -> (q83 _),
+    "q89_int8_retrieval" -> (q89 _))
 
   // ---- oracle SQL ----
 
@@ -678,6 +736,33 @@ object VectorQueries extends Serializable {
          |UNION ALL
          |SELECT vec_id, 0.0 AS qscale, NULL AS cos_err
          |FROM base WHERE maxabs = 0""".stripMargin,
+    // q89 replays q80's dequantization and both cosine folds, then
+    // takes both top-k sets with identical (cos DESC, vec_id ASC)
+    // ordering on the raw doubles
+    "q89_int8_retrieval" ->
+      s"""WITH q AS (
+         | SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS w
+         | FROM embeddings WHERE vec_id = $QueryVecId),
+         |base AS (
+         | SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |  list_max(list_transform(embedding,
+         |    x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         | FROM embeddings WHERE vec_id <> $QueryVecId),
+         |d AS (
+         | SELECT vec_id, v,
+         |  list_transform(v, x -> round(x / (maxabs / 127.0))
+         |    * (maxabs / 127.0)) AS dq
+         | FROM base WHERE maxabs > 0),
+         |c AS (
+         | SELECT d.vec_id,
+         |  ${DedupQueries.cosineSql("d.dq", "q.w")} AS cq,
+         |  ${DedupQueries.cosineSql("d.v", "q.w")} AS cf
+         | FROM d, q),
+         |ftop AS (SELECT vec_id FROM c ORDER BY cf DESC, vec_id ASC LIMIT $TopK)
+         |SELECT c.vec_id, round(c.cq, 6) AS cos_q, round(c.cf, 6) AS cos_f,
+         | (c.vec_id IN (SELECT vec_id FROM ftop)) AS in_float_topk
+         |FROM c ORDER BY c.cq DESC, c.vec_id ASC LIMIT $TopK""".stripMargin,
     // q83 replays the same 0.0-seeded index-order folds at full and
     // prefix width over pre-cast DOUBLE lists; deltas subtract the raw
     // (unrounded) quotients exactly as the engine does

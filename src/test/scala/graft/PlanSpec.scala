@@ -211,6 +211,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"))
   }
 
+  test("q89: quantized retrieval is one typed pass + top-k, no joins") {
+    // membership in the float top-k folds back as a 10-id literal
+    // predicate, not a join; the top-k is TakeOrderedAndProject
+    val p = plan(graft.queries.VectorQueries.q89(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+  }
+
   test("q83: truncation audit is one narrow typed pass, zero exchanges") {
     // the reference vector rides the closure (one-row driver lookup,
     // the IVF-centroid discipline) — the per-vector audit itself never

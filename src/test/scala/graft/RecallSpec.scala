@@ -64,6 +64,23 @@ class RecallSpec extends SparkSpec {
     assert(r4.isNullAt(3) && r4.isNullAt(4)) // truncated cosine undefined
   }
 
+  test("q89 int8 retrieval: float cosines agree with q37, rows bounded at TopK") {
+    val q89 = VectorQueries.q89(spark, sf).collect()
+    assert(q89.length == VectorQueries.TopK)
+    // for ids the two top-k sets share, q89's float cosine must equal
+    // q37's value exactly (same fold, same 6dp round)
+    val q37 = VectorQueries.q37(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shared = q89.filter(r => q37.contains(r.getLong(0)))
+    assert(shared.nonEmpty)
+    shared.foreach { r =>
+      assert(r.getDouble(2) == q37(r.getLong(0)),
+        s"vec ${r.getLong(0)}: q89 cos_f ${r.getDouble(2)} vs q37 ${q37(r.getLong(0))}")
+      // a shared id is by definition in the float top-k
+      assert(r.getBoolean(3))
+    }
+  }
+
   test("ANN recall@10 curves: IVF vs nprobe, LSH vs multi-probe radius") {
     val exact = queryIds
       .map(q => q -> ids(VectorQueries.exactTopKDf(spark, sf, q))).toMap
