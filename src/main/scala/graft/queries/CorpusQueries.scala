@@ -455,6 +455,45 @@ object CorpusQueries {
         (col("quality") >= col("lang_bar")).as("kept"))
   }
 
+  /** Per-source top-ngram count for the q90 boilerplate report. */
+  val TopNgramsPerSource = 5
+
+  /** q90 — per-source boilerplate detector: the [[TopNgramsPerSource]]
+    * most frequent word bigrams of EACH source (q64's global report
+    * can't see a feed-local template that global frequency washes
+    * out — per-source boilerplate is what per-feed cleaning rules are
+    * written against). The ranking runs through the bounded
+    * [[graft.operators.TopKPerGroup]] typed aggregator over the
+    * (source, ngram) count relation — O(k) state per source, one
+    * partial-agg shuffle, NO window sort over the corpus-sized count
+    * table (the q63 discipline).
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = t(s, dir, "documents")
+      .select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else ws.iterator.sliding(2).withPartial(false)
+          .map(p => (src, p.head + " " + p.last))
+      }
+      .toDF("source", "ngram")
+    val agg = graft.operators.TopKPerGroup.topK[(Long, String)](
+      TopNgramsPerSource, Ordering.by { case (n, g) => (-n, g) })
+    grams.groupBy("source", "ngram").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((n, g), i) =>
+          (src, g, n, (i + 1).toLong)
+        }
+      }
+      .toDF("source", "ngram", "n_occurrences", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -466,7 +505,8 @@ object CorpusQueries {
     "q73_token_mixture" -> (q73 _),
     "q76_version_diff" -> (q76 _),
     "q82_epoch_plan" -> (q82 _),
-    "q88_adaptive_quality_gate" -> (q88 _))
+    "q88_adaptive_quality_gate" -> (q88 _),
+    "q90_source_top_ngrams" -> (q90 _))
 
   // ---- oracle SQL ----
 
@@ -626,6 +666,25 @@ object CorpusQueries {
          | FROM s)
          |SELECT source, doc_id, quality, rank
          |FROM r WHERE rank <= $TopKDocs""".stripMargin
+    },
+    // q90 replays the bigram explode per source; DuckDB ranks with a
+    // row_number window (fine for the oracle — the ENGINE is the side
+    // that must avoid the corpus-sized window sort)
+    "q90_source_top_ngrams" -> {
+      val wsSql = TextQueries.wsSql
+      s"""WITH base AS (SELECT source, $wsSql AS ws FROM documents),
+         |grams AS (
+         | SELECT source, unnest(list_transform(range(1, len(ws)),
+         |   i -> concat(ws[i], ' ', ws[i+1]))) AS ngram
+         | FROM base WHERE len(ws) >= 2),
+         |c AS (SELECT source, ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+         |      FROM grams GROUP BY 1, 2),
+         |r AS (SELECT source, ngram, n_occurrences,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY n_occurrences DESC, ngram ASC) AS rank
+         | FROM c)
+         |SELECT source, ngram, n_occurrences, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $TopNgramsPerSource""".stripMargin
     },
     // q88 replays q62's ceil-rank percentile partitioned by language
     "q88_adaptive_quality_gate" -> {

@@ -118,6 +118,26 @@ class CorpusSpec extends SparkSpec {
     assert(r9.getLong(7) == 40L * r9.getLong(6))
   }
 
+  test("q90 per-source top ngrams: feed-local boilerplate outranks, ties by ngram") {
+    import graft.queries.CorpusQueries
+    val dir = Files.createTempDirectory("graft_srcgrams").toString
+    Seq(
+      // srcA boilerplate "x y" appears 3x; everything else once
+      (1L, "x y p x y q x y", "en", "srcA"),
+      // srcB: all bigrams tie at 1 → rank order is lexicographic
+      (2L, "b c a b", "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q90(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3)) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(("srcA", 1L)) == (("x y", 3L)))
+    // global frequency cannot leak across sources: srcB's top is its own
+    assert(got(("srcB", 1L)) == (("a b", 1L)))  // lexicographic tie-break
+    assert(got(("srcB", 2L)) == (("b c", 1L)))
+    assert(got(("srcB", 3L)) == (("c a", 1L)))
+  }
+
   test("q88 adaptive gate: each language gets its own bar at the exact ceil-rank") {
     import graft.queries.CorpusQueries
     val dir = Files.createTempDirectory("graft_adapt").toString

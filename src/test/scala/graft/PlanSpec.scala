@@ -128,6 +128,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window")) // no per-cluster sort; agg carries the tie-break
   }
 
+  test("q90: per-source top-k rides the bounded typed agg, never a window sort") {
+    val p = plan(graft.queries.CorpusQueries.q90(spark, sf))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q88: adaptive gate windows the lang histogram, broadcasts the bars") {
     // the rank windows run over the (lang, quality) HISTOGRAM (bounded
     // by 4dp quality), partitioned by lang; the corpus itself is never
