@@ -400,9 +400,14 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_subword").as("n_tokens"))
       .withColumn("total", sum(col("n_tokens")).over(win).cast("double"))
       .join(broadcast(TargetMixBps.toDF("source", "tgt_bps")), Seq("source"))
+      // a zero-token source has nothing to repeat: epochs 0, not the
+      // Infinity the bare division would produce (and the oracle's
+      // CAST(inf AS BIGINT) would crash on)
       .withColumn("raw_bps",
-        round(col("tgt_bps").cast("double") * col("total") /
-          col("n_tokens").cast("double"), 0).cast("long"))
+        when(col("n_tokens") > 0L,
+          round(col("tgt_bps").cast("double") * col("total") /
+            col("n_tokens").cast("double"), 0).cast("long"))
+          .otherwise(0L))
       .withColumn("epochs_bps",
         least(lit(MaxEpochs.toLong * MixBps), col("raw_bps")))
       .withColumn("capped", col("raw_bps") > MaxEpochs.toLong * MixBps)
@@ -601,14 +606,15 @@ object CorpusQueries {
          |s AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM c),
          |tgt(source, tgt_bps) AS (VALUES $valuesSql),
          |r AS (SELECT c.source, c.n_docs, c.n_tokens, t.tgt_bps,
-         |  CAST(round(CAST(t.tgt_bps AS DOUBLE) * s.total
-         |    / CAST(c.n_tokens AS DOUBLE)) AS BIGINT) AS raw_bps
+         |  CASE WHEN c.n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |   ELSE CAST(round(CAST(t.tgt_bps AS DOUBLE) * s.total
+         |    / CAST(c.n_tokens AS DOUBLE)) AS BIGINT) END AS raw_bps
          | FROM c JOIN tgt t ON c.source = t.source, s),
          |r2 AS (SELECT source, n_docs, n_tokens, tgt_bps,
          |  least(CAST($capBps AS BIGINT), raw_bps) AS epochs_bps,
          |  raw_bps > $capBps AS capped FROM r),
          |cp AS (SELECT dt.source, dt.nt,
-         |  CAST(floor(r2.epochs_bps / 10000.0) AS BIGINT)
+         |  CAST(floor(r2.epochs_bps / $MixBps.0) AS BIGINT)
          |   + CASE WHEN ${md5ModSql("epoch-", MixBps)} < r2.epochs_bps % $MixBps
          |     THEN 1 ELSE 0 END AS copies
          | FROM dt JOIN r2 ON dt.source = r2.source),

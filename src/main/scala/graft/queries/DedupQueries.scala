@@ -589,9 +589,15 @@ object DedupQueries {
       .join(broadcast(evalShingles.withColumn("ex", lit(true))),
         Seq("shingle"), "left")
       .agg(count(lit(1)).as("n_checked"),
-        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact_hits"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
-        sum(when(col("ex") && !col("hit"), 1L).otherwise(0L)).as("n_fn"))
+        // coalesce: a corpus with nothing to probe (every non-eval doc
+        // below shingle width) sums over zero rows → NULL, and the
+        // gate booleans must still read TRUE like the oracle's
+        coalesce(sum(when(col("ex"), 1L).otherwise(0L)), lit(0L))
+          .as("n_exact_hits"),
+        coalesce(sum(when(col("hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_bloom_hits"),
+        coalesce(sum(when(col("ex") && !col("hit"), 1L).otherwise(0L)),
+          lit(0L)).as("n_fn"))
       .select(col("n_checked"), col("n_exact_hits"),
         (col("n_fn") === 0L).as("no_false_negatives"),
         ((col("n_bloom_hits") - col("n_exact_hits")).cast("double") <=
@@ -673,16 +679,10 @@ object DedupQueries {
     docs.filter(col("source") =!= EvalSource)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val ws = text.split("\\s+").filter(_.nonEmpty)
-        val chunks = ws.grouped(ChunkWords).map(_.mkString(" ")).toArray
+        val chunks = wsChunks(text)
         val set = bcSet.value
-        val kept = chunks.filterNot { c =>
-          c.split(" ").iterator.sliding(ShingleN).withPartial(false)
-            .exists(g => set.contains(g.mkString(" ")))
-        }
-        val scrubbed = kept.mkString(" ")
-        (id, chunks.length.toLong, (chunks.length - kept.length).toLong,
-          scrubbed, scrubbed.split("\\s+").count(_.nonEmpty).toLong)
+        scrubReceipt(id, chunks,
+          chunks.filterNot(chunkShingleHit(_, set.contains)))
       }
       .toDF("doc_id", "n_chunks", "n_dropped", "scrubbed", "n_tokens_after")
       .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
@@ -793,8 +793,7 @@ object DedupQueries {
     val chunks = t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        text.split("\\s+").iterator.filter(_.nonEmpty)
-          .grouped(ChunkWords).map(c => (id, c.mkString(" ")))
+        wsChunks(text).iterator.map(c => (id, c))
       }
       .toDF("doc_id", "chunk")
       .select(col("doc_id"), md5(col("chunk")).as("h"))
@@ -820,6 +819,34 @@ object DedupQueries {
           col("n_chunks").cast("double"), 4).as("dup_chunk_ratio"))
   }
 
+  /** [[ChunkWords]]-word whitespace chunks, single-space re-joined —
+    * the ONE chunking definition the chunk-granularity operators
+    * (q69/q84/q87) share with their oracles; a chunking change here is
+    * a change everywhere or the byte-identity hashes break.
+    */
+  private def wsChunks(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+      .grouped(ChunkWords).map(_.mkString(" ")).toArray
+
+  /** The cleaning receipt both scrub transforms (q84/q87) emit:
+    * (doc_id, n_chunks, n_dropped, scrubbed text, tokens after).
+    */
+  private def scrubReceipt(id: Long, chunks: Array[String],
+                           kept: Array[String])
+      : (Long, Long, Long, String, Long) = {
+    val scrubbed = kept.mkString(" ")
+    (id, chunks.length.toLong, (chunks.length - kept.length).toLong,
+      scrubbed, scrubbed.split("\\s+").count(_.nonEmpty).toLong)
+  }
+
+  /** True iff any word [[ShingleN]]-gram wholly inside `chunk`
+    * satisfies `hit` — the probe q87 and the streaming blocklist share
+    * in shape.
+    */
+  private def chunkShingleHit(chunk: String, hit: String => Boolean): Boolean =
+    chunk.split(" ").iterator.sliding(ShingleN).withPartial(false)
+      .exists(g => hit(g.mkString(" ")))
+
   /** q84 — within-document duplicate-chunk SCRUB: the transform q69's
     * report motivates. Each document is re-chunked ([[ChunkWords]]-word
     * windows, q69's granularity) and repeated chunks are dropped
@@ -840,15 +867,10 @@ object DedupQueries {
     t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val ws = text.split("\\s+").filter(_.nonEmpty)
-        val chunks = ws.grouped(ChunkWords).map(_.mkString(" ")).toArray
+        val chunks = wsChunks(text)
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
         chunks.foreach(seen += _)
-        val scrubbed = seen.mkString(" ")
-        val nTokensAfter =
-          scrubbed.split("\\s+").count(_.nonEmpty).toLong
-        (id, chunks.length.toLong, (chunks.length - seen.size).toLong,
-          scrubbed, nTokensAfter)
+        scrubReceipt(id, chunks, seen.toArray)
       }
       .toDF("doc_id", "n_chunks", "n_dropped", "scrubbed", "n_tokens_after")
       .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
@@ -1208,8 +1230,8 @@ object DedupQueries {
          |  FROM pairs p LEFT JOIN ev e ON p.shingle = e.shingle
          |  WHERE p.source != '$EvalSource')
          |SELECT CAST(count(*) AS BIGINT) AS n_checked,
-         | CAST(sum(CASE WHEN es IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |   AS n_exact_hits,
+         | CAST(coalesce(sum(CASE WHEN es IS NOT NULL THEN 1 ELSE 0 END), 0)
+         |   AS BIGINT) AS n_exact_hits,
          | TRUE AS no_false_negatives,
          | TRUE AS fp_rate_ok
          |FROM c""".stripMargin,

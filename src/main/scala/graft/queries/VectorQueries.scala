@@ -560,21 +560,24 @@ object VectorQueries extends Serializable {
     val qv: Array[Float] = t(s, dir, "embeddings")
       .filter(col("vec_id") === QueryVecId)
       .select(col("embedding")).as[Array[Float]].head()
+    def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // the query's self-dots are row-invariant: fold them once here
+    // (identical 0.0-seeded index-order fold, so values are bit-equal
+    // to the oracle's) instead of twice per scanned vector
+    val ww = dot(qv, qv, Dims)
+    val wwK = dot(qv, qv, KeepDims)
     val bc = s.sparkContext.broadcast(qv)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, emb) =>
         val q = bc.value
-        def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
-          var acc = 0.0
-          var i = 0
-          while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-          acc
-        }
         val vv = dot(emb, emb, Dims)
         val vvK = dot(emb, emb, KeepDims)
-        val ww = dot(q, q, Dims)
-        val wwK = dot(q, q, KeepDims)
         val cosFull =
           if (vv == 0.0 || ww == 0.0) None
           else Some(dot(emb, q, Dims) / (math.sqrt(vv) * math.sqrt(ww)))
@@ -613,6 +616,13 @@ object VectorQueries extends Serializable {
     val qv: Array[Float] = t(s, dir, "embeddings")
       .filter(col("vec_id") === QueryVecId)
       .select(col("embedding")).as[Array[Float]].head()
+    // the query norm is row-invariant — fold it once (same 0.0-seeded
+    // index-order fold the oracle uses), not once per scanned vector
+    val qNormSq = {
+      var acc = 0.0; var i = 0
+      while (i < qv.length) { acc += qv(i).toDouble * qv(i).toDouble; i += 1 }
+      acc
+    }
     val bc = s.sparkContext.broadcast(qv)
     val cosines = t(s, dir, "embeddings")
       .filter(col("vec_id") =!= QueryVecId)
@@ -627,21 +637,20 @@ object VectorQueries extends Serializable {
           else new java.math.BigDecimal(x.toDouble / scale)
             .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() * scale
         }
-        def cos(a: Int => Double, b: Array[Float]): Double = {
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < b.length) {
-            dot += a(i) * b(i).toDouble
+        def cos(a: Int => Double): Double = {
+          var dot = 0.0; var na = 0.0; var i = 0
+          while (i < q.length) {
+            dot += a(i) * q(i).toDouble
             na += a(i) * a(i)
-            nb += b(i).toDouble * b(i).toDouble
             i += 1
           }
-          dot / (math.sqrt(na) * math.sqrt(nb))
+          dot / (math.sqrt(na) * math.sqrt(qNormSq))
         }
-        (id, maxAbs, cos(dq(_), q), cos(emb(_).toDouble, q))
+        (id, maxAbs, cos(dq(_)), cos(emb(_).toDouble))
       }
       .toDF("vec_id", "maxabs", "cq", "cf")
       .filter(col("maxabs") > 0.0)
-      .localCheckpoint() // three consumers: float top-k, quant top-k
+      .localCheckpoint() // two consumers: float top-k ids, quant top-k
     val floatTop = cosines.orderBy(col("cf").desc, col("vec_id").asc)
       .limit(TopK).select(col("vec_id")).as[Long].collect()
     cosines.orderBy(col("cq").desc, col("vec_id").asc).limit(TopK)

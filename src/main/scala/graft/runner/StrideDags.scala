@@ -173,10 +173,18 @@ object StrideDags {
     "corpus.filter_pack" -> { (s, kw) =>
       val d = wd(kw)
       val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
+      // a typo'd policy must fail loudly, not silently ship the
+      // min-id corpus (same hard-fail discipline as a missing sf_dir)
+      val survivorKeep = kw.get("keep_policy") match {
+        case None | Some("") | Some("canonical") => false
+        case Some("survivor") => true
+        case Some(other) => sys.error(s"unknown keep_policy '$other' " +
+          "(expected 'canonical' or 'survivor')")
+      }
       val packed = CorpusPrepare.filterPack(s, sf,
         SiriLake.read(s, d, "corpus_scores"),
         SiriLake.read(s, d, "corpus_dedup"),
-        survivorKeep = kw.get("keep_policy").contains("survivor"))
+        survivorKeep = survivorKeep)
       SiriLake.replace(s, d, "corpus_packed", packed)
       CorpusPrepare.exportTrainJsonl(
         SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")

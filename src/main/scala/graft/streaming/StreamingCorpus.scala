@@ -73,6 +73,26 @@ object StreamingCorpus {
     * Quality is summed exactly and divided once per window — no
     * incremental mean drift.
     */
+  def qualityMonitor(docs: Dataset[DocEv],
+                     watermarkMinutes: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .map { d =>
+        val (nWs, nSub) = graft.functions.TextJvm.wsAndSubwordCounts(d.text)
+        (d.ts, nWs, nSub, graft.functions.TextJvm.qualityRaw(d.text))
+      }
+      .toDF("ts", "n_ws", "n_subword", "q_raw")
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws_tokens"),
+        sum(col("n_subword")).as("n_subword_tokens"),
+        sum(col("q_raw")).as("q_sum"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("n_ws_tokens"), col("n_subword_tokens"),
+        round(col("q_sum") / col("n_docs").cast("double"), 4).as("mean_quality"))
+  }
+
   /** Online contamination filter: probe every incoming document's word
     * [[DedupQueries.ShingleN]]-grams against a broadcast Bloom sketch
     * of the eval blocklist (q85's sketch — build once from the bounded
@@ -98,25 +118,5 @@ object StreamingCorpus {
         (d.ts, d.doc_id, hits.toLong, hits > 0)
       }
       .toDF("ts", "doc_id", "n_bloom_hits", "flagged")
-  }
-
-  def qualityMonitor(docs: Dataset[DocEv],
-                     watermarkMinutes: Int): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs
-      .map { d =>
-        val (nWs, nSub) = graft.functions.TextJvm.wsAndSubwordCounts(d.text)
-        (d.ts, nWs, nSub, graft.functions.TextJvm.qualityRaw(d.text))
-      }
-      .toDF("ts", "n_ws", "n_subword", "q_raw")
-      .withWatermark("ts", s"$watermarkMinutes minutes")
-      .groupBy(window(col("ts"), "10 minutes"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_ws")).as("n_ws_tokens"),
-        sum(col("n_subword")).as("n_subword_tokens"),
-        sum(col("q_raw")).as("q_sum"))
-      .select(col("window.start").as("window_start"),
-        col("n_docs"), col("n_ws_tokens"), col("n_subword_tokens"),
-        round(col("q_sum") / col("n_docs").cast("double"), 4).as("mean_quality"))
   }
 }
