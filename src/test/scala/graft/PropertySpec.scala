@@ -91,4 +91,52 @@ class PropertySpec extends Properties("graft") {
       }
       got == expected
     }
+
+  private val memberGen: Gen[List[(Long, Double, Long)]] =
+    Gen.listOfN(20, Gen.zip(
+      Gen.choose(0L, 999L),
+      Gen.choose(0, 5).map(_.toDouble), // few scores → quality ties
+      Gen.choose(0L, 3L)))              // few clusters → big clusters
+      .map(_.distinctBy(_._1))
+
+  property("survivorSelect picks max quality, min id among ties, one per cluster") =
+    Prop.forAll(memberGen) { rows =>
+      rows.isEmpty || {
+        val got = graft.queries.DedupQueries.survivorSelect(
+            rows.toDF("doc_id", "quality", "cluster_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+        val expected = rows.groupBy(_._3).view.mapValues { ms =>
+          ms.map(m => (-m._2, m._1)).min._2 // max quality, then min id
+        }.toMap
+        val rightSurvivor = got.forall { case (_, c, surv, _) =>
+          surv == expected(c)
+        }
+        val flags = got.forall { case (id, _, surv, isS) => isS == (id == surv) }
+        rightSurvivor && flags && got.length == rows.length
+      }
+    }
+
+  private val matrixGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(24, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 2L)))
+
+  property("sourceDupMatrix totals equal the per-cluster pair closed form") =
+    Prop.forAll(matrixGen) { rows =>
+      rows.isEmpty || {
+        val got = graft.queries.DedupQueries.sourceDupMatrix(
+            rows.toDF("source", "cluster_id"))
+          .collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        // every within/cross pair count re-derived by brute force
+        val byCluster = rows.zipWithIndex.groupBy(_._1._2)
+        val brute = scala.collection.mutable.Map.empty[(String, String), Long]
+        byCluster.values.foreach { ms =>
+          for {
+            (a, i) <- ms; (b, j) <- ms if i < j
+            key = if (a._1 <= b._1) (a._1, b._1) else (b._1, a._1)
+          } brute(key) = brute.getOrElse(key, 0L) + 1L
+        }
+        got == brute.toMap
+      }
+    }
 }
