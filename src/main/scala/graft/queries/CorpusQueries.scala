@@ -499,6 +499,44 @@ object CorpusQueries {
       .toDF("source", "ngram", "n_occurrences", "rank")
   }
 
+  /** Picks drawn by the q91 systematic weighted sample. */
+  val SampleTarget = 100L
+
+  /** q91 — token-weighted SYSTEMATIC sample: [[SampleTarget]] picks
+    * distributed over the corpus proportional to subword-token weight,
+    * with NO floating point and NO randomness beyond the fixed doc_id
+    * order — a doc is picked once per sampling boundary
+    * (multiples of total/target) that falls inside its cumulative-token
+    * interval, so Σ n_picks is EXACTLY the target (telescoping floors)
+    * and a doc holding k× the stride is picked k times (the
+    * multiplicity importance sampling wants). q43/q53 sample by md5
+    * coin per document — uniform over docs; this is the
+    * weight-proportional complement a token-budgeted subsample needs.
+    *
+    * Scale shape: the cumulative weights come from the SequencePacking
+    * two-pass distributed prefix sum (range partition + per-partition
+    * subtotal broadcast — no global window sort); the boundary test is
+    * one integer projection. Integer bounds: cum·target must fit a
+    * long — with target 100, corpora to ~9×10¹⁶ tokens are exact
+    * (DuckDB's window sum is HUGEINT either way).
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val dt = TextQueries.subwordCounts(s, dir)
+      .select(col("doc_id"), col("n_subword").cast("long").as("w"))
+    val cum = graft.operators.SequencePacking.withBins(
+        dt, keyCols = Seq.empty, orderCol = "doc_id",
+        tokensCol = "w", tokensPerBin = Long.MaxValue)
+      .drop("bin_id")
+    val total = cum.agg(max(col("cum_tokens"))).head().getLong(0)
+    cum
+      .withColumn("n_picks",
+        expr(s"(cum_tokens * $SampleTarget) div $total" +
+          s" - ((cum_tokens - w) * $SampleTarget) div $total"))
+      .filter(col("n_picks") > 0)
+      .select(col("doc_id"), col("w").as("n_tokens"),
+        col("cum_tokens"), col("n_picks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -511,7 +549,8 @@ object CorpusQueries {
     "q76_version_diff" -> (q76 _),
     "q82_epoch_plan" -> (q82 _),
     "q88_adaptive_quality_gate" -> (q88 _),
-    "q90_source_top_ngrams" -> (q90 _))
+    "q90_source_top_ngrams" -> (q90 _),
+    "q91_weighted_sample" -> (q91 _))
 
   // ---- oracle SQL ----
 
@@ -673,6 +712,26 @@ object CorpusQueries {
          |SELECT source, doc_id, quality, rank
          |FROM r WHERE rank <= $TopKDocs""".stripMargin
     },
+    // q91 replays the cumulative weights with a window sum (DuckDB's
+    // HUGEINT arithmetic; the ENGINE avoids the global window via the
+    // distributed prefix sum) and the identical floor-boundary test
+    "q91_weighted_sample" ->
+      s"""WITH ${TextQueries.subwordCtesSql},
+         |dt AS (
+         | SELECT d.doc_id, CAST(coalesce(a.n_subword, 0) AS BIGINT) AS w
+         | FROM docs d LEFT JOIN swagg a ON d.doc_id = a.doc_id),
+         |c AS (SELECT doc_id, w,
+         |  sum(w) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         | FROM dt),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM dt)
+         |SELECT c.doc_id, c.w AS n_tokens,
+         | CAST(c.cum AS BIGINT) AS cum_tokens,
+         | CAST((c.cum * $SampleTarget) // t.total
+         |  - ((c.cum - c.w) * $SampleTarget) // t.total AS BIGINT) AS n_picks
+         |FROM c, t
+         |WHERE (c.cum * $SampleTarget) // t.total
+         |    > ((c.cum - c.w) * $SampleTarget) // t.total""".stripMargin,
     // q90 replays the bigram explode per source; DuckDB ranks with a
     // row_number window (fine for the oracle — the ENGINE is the side
     // that must avoid the corpus-sized window sort)

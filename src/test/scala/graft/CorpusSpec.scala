@@ -138,6 +138,26 @@ class CorpusSpec extends SparkSpec {
     assert(got(("srcB", 3L)) == (("c a", 1L)))
   }
 
+  test("q91 weighted sample: picks sum to target exactly, weight drives multiplicity") {
+    import graft.queries.CorpusQueries
+    val dir = Files.createTempDirectory("graft_wsample").toString
+    // doc 50 holds half the corpus tokens ('the' has fertility 1);
+    // doc 99 is empty and must never be picked
+    val docs = (1L to 49L).map(i =>
+        (i, Seq.fill(10)("the").mkString(" "), "en", "src0")) ++
+      Seq((50L, Seq.fill(490)("the").mkString(" "), "en", "src0"),
+        (99L, "", "en", "src0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.q91(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.values.sum == CorpusQueries.SampleTarget) // telescoping floors
+    // doc 50 owns 50% of the mass → half the picks land inside it
+    assert(got(50L) == CorpusQueries.SampleTarget / 2)
+    assert(!got.contains(99L)) // zero weight, zero picks
+    assert(got.forall(_._2 >= 1L))
+  }
+
   test("q88 adaptive gate: each language gets its own bar at the exact ceil-rank") {
     import graft.queries.CorpusQueries
     val dir = Files.createTempDirectory("graft_adapt").toString

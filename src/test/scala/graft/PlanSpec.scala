@@ -128,6 +128,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window")) // no per-cluster sort; agg carries the tie-break
   }
 
+  test("q91: weighted sample cumsum is the two-pass prefix sum, no global window") {
+    val p = plan(graft.queries.CorpusQueries.q91(spark, sf))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q90: per-source top-k rides the bounded typed agg, never a window sort") {
     val p = plan(graft.queries.CorpusQueries.q90(spark, sf))
     assert(!p.contains("Window"))
