@@ -689,6 +689,56 @@ object DedupQueries {
         md5(col("scrubbed")).as("scrubbed_md5"), col("n_tokens_after"))
   }
 
+  /** q92 — split-LEAKAGE audit: how many near-dup clusters does the
+    * per-document split (q60's md5 hash) tear across train/val/test?
+    * A near-duplicate of a test document sitting in train is silent
+    * eval contamination that document-level decontamination (q50/q87)
+    * cannot see — the texts differ, only the cluster knows. One
+    * summary row: clusters, multi-doc clusters, leaky clusters, docs
+    * inside leaky clusters. Shapes: the (cluster, split) roll-up is
+    * two partial-agg shuffles over compact ids; nothing pairwise.
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val h = DedupFunctions.md5Hash32(
+      concat(lit("split-"), col("doc_id").cast("string"))) % 100
+    val labeled = t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(h < CorpusQueries.TrainPct, "train")
+          .when(h < CorpusQueries.ValPct, "val")
+          .otherwise("test").as("split"))
+      .join(clusterLabels(s, dir), Seq("doc_id"))
+    val per = labeled
+      .groupBy(col("canonical_doc_id").as("cluster_id"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_splits"), sum("n").as("n_docs"))
+    per.agg(count(lit(1)).as("n_clusters"),
+      coalesce(sum(when(col("n_docs") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_multi_doc"),
+      coalesce(sum(when(col("n_splits") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaky"),
+      coalesce(sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L)),
+        lit(0L)).as("n_docs_in_leaky"))
+  }
+
+  /** q93 — cluster-safe split: the fix for q92's finding. The split
+    * hash keys on the CLUSTER id (the canonical doc id), so every
+    * member of a near-dup cluster lands in the same split by
+    * construction — zero leakage, proven by DedupSpec running the q92
+    * audit over these assignments. Canonical documents keep exactly
+    * the split q60 gives them (same "split-" prefix on the same id);
+    * only non-canonical members move.
+    */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val h = DedupFunctions.md5Hash32(
+      concat(lit("split-"), col("canonical_doc_id").cast("string"))) % 100
+    clusterLabels(s, dir)
+      .select(col("doc_id"), col("canonical_doc_id").as("cluster_id"),
+        when(h < CorpusQueries.TrainPct, "train")
+          .when(h < CorpusQueries.ValPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** The "new batch" sources for incremental dedup (q58). */
   val IncomingSources: Seq[String] = Seq("src18", "src19")
 
@@ -939,7 +989,9 @@ object DedupQueries {
     "q84_chunk_scrub" -> (q84 _),
     "q85_bloom_blocklist" -> (q85 _),
     "q86_source_dup_matrix" -> (q86 _),
-    "q87_decontam_scrub" -> (q87 _))
+    "q87_decontam_scrub" -> (q87 _),
+    "q92_split_leakage" -> (q92 _),
+    "q93_cluster_split" -> (q93 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1235,6 +1287,67 @@ object DedupQueries {
          | TRUE AS no_false_negatives,
          | TRUE AS fp_rate_ok
          |FROM c""".stripMargin,
+    // q92/q93 replay q48's clustering plus q60's split hash — q92 on
+    // the document id (the audit), q93 on the cluster id (the fix)
+    "q92_split_leakage" -> {
+      def splitSql(idExpr: String): String =
+        s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split-',
+           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+           |    < ${CorpusQueries.TrainPct} THEN 'train'
+           |  WHEN CAST(concat('0x', substr(md5(concat('split-',
+           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+           |    < ${CorpusQueries.ValPct} THEN 'val'
+           |  ELSE 'test' END""".stripMargin
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |lab AS (
+         | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
+         |  ${splitSql("d.doc_id")} AS split
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+         |m AS (SELECT cluster_id, split, CAST(count(*) AS BIGINT) AS n
+         |      FROM lab GROUP BY 1, 2),
+         |per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_splits,
+         |        CAST(sum(n) AS BIGINT) AS n_docs FROM m GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         | CAST(coalesce(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END), 0)
+         |   AS BIGINT) AS n_multi_doc,
+         | CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0)
+         |   AS BIGINT) AS n_leaky,
+         | CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END), 0)
+         |   AS BIGINT) AS n_docs_in_leaky
+         |FROM per""".stripMargin
+    },
+    "q93_cluster_split" -> {
+      def splitSql(idExpr: String): String =
+        s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split-',
+           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+           |    < ${CorpusQueries.TrainPct} THEN 'train'
+           |  WHEN CAST(concat('0x', substr(md5(concat('split-',
+           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
+           |    < ${CorpusQueries.ValPct} THEN 'val'
+           |  ELSE 'test' END""".stripMargin
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT a AS v, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |lab AS (
+         | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+         |SELECT doc_id, cluster_id, ${splitSql("cluster_id")} AS split
+         |FROM lab""".stripMargin
+    },
     // q86 replays q48's clustering, then the same count-based pair
     // arithmetic (integer //, one triangle including the diagonal)
     "q86_source_dup_matrix" ->

@@ -29,6 +29,30 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("q92 finds the cluster a per-doc split tears; q93 heals it") {
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    // md5('split-1')%100 = 99 (test) but md5('split-2')%100 = 56
+    // (train): identical texts cluster together, the per-doc split
+    // tears them across the eval boundary — the leak q50/q87 cannot see
+    val x = (0 until 30).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, x, "en", "src0"), (2L, x, "en", "src0"),
+      (3L, (0 until 30).map(i => s"u$i").mkString(" "), "en", "src0")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val a = DedupQueries.q92(spark, dir).collect().head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ((2L, 1L, 1L, 2L))) // 2 clusters, 1 multi-doc, 1 LEAKY, 2 docs in it
+    val splits = DedupQueries.q93(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // the whole cluster follows its canonical (doc 1 → test)
+    assert(splits(1L) == ((1L, "test")) && splits(2L) == ((1L, "test")))
+    // the healed assignment passes its own audit by construction
+    assert(splits.values.groupBy(_._1).values
+      .forall(g => g.map(_._2).toSet.size == 1))
+  }
+
   test("q87 decontam scrub cuts the chunk holding the eval passage, keeps the rest") {
     import graft.queries.DedupQueries
     val k = DedupQueries.ChunkWords
