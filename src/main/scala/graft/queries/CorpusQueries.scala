@@ -527,7 +527,14 @@ object CorpusQueries {
         dt, keyCols = Seq.empty, orderCol = "doc_id",
         tokensCol = "w", tokensPerBin = Long.MaxValue)
       .drop("bin_id")
-    val total = cum.agg(max(col("cum_tokens"))).head().getLong(0)
+    // an empty (or all-zero-weight) corpus samples nothing — guard the
+    // NULL max and the zero divisor (the q82/q85 empty-edge lesson)
+    val totalRow = cum.agg(max(col("cum_tokens"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total == 0L)
+      return cum.filter(lit(false))
+        .select(col("doc_id"), col("w").as("n_tokens"),
+          col("cum_tokens"), lit(0L).as("n_picks"))
     cum
       .withColumn("n_picks",
         expr(s"(cum_tokens * $SampleTarget) div $total" +

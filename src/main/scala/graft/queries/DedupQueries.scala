@@ -699,13 +699,8 @@ object DedupQueries {
     * two partial-agg shuffles over compact ids; nothing pairwise.
     */
   def q92(s: SparkSession, dir: String): DataFrame = {
-    val h = DedupFunctions.md5Hash32(
-      concat(lit("split-"), col("doc_id").cast("string"))) % 100
     val labeled = t(s, dir, "documents")
-      .select(col("doc_id"),
-        when(h < CorpusQueries.TrainPct, "train")
-          .when(h < CorpusQueries.ValPct, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
       .join(clusterLabels(s, dir), Seq("doc_id"))
     val per = labeled
       .groupBy(col("canonical_doc_id").as("cluster_id"), col("split"))
@@ -729,15 +724,10 @@ object DedupQueries {
     * the split q60 gives them (same "split-" prefix on the same id);
     * only non-canonical members move.
     */
-  def q93(s: SparkSession, dir: String): DataFrame = {
-    val h = DedupFunctions.md5Hash32(
-      concat(lit("split-"), col("canonical_doc_id").cast("string"))) % 100
+  def q93(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir)
       .select(col("doc_id"), col("canonical_doc_id").as("cluster_id"),
-        when(h < CorpusQueries.TrainPct, "train")
-          .when(h < CorpusQueries.ValPct, "val")
-          .otherwise("test").as("split"))
-  }
+        splitCol(col("canonical_doc_id")).as("split"))
 
   /** The "new batch" sources for incremental dedup (q58). */
   val IncomingSources: Seq[String] = Seq("src18", "src19")
@@ -1035,6 +1025,45 @@ object DedupQueries {
        |   AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** The connected-components replay over `cand` — THE one copy of the
+    * clustering oracle SQL (edges → transitive reach → min-label
+    * comp), shared by every oracle that composes with q48's clusters
+    * (q48/q49/q81/q86/q92/q93). Callers prepend
+    * `lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")`.
+    */
+  private val ccCompCte: String =
+    """edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM cand
+      |  UNION SELECT doc_b, doc_a FROM cand),
+      |reach AS (
+      |  SELECT a AS v, a AS r FROM edges
+      |  UNION
+      |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
+      |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)""".stripMargin
+
+  /** q60's hash-split CASE over any id expression — the one SQL copy
+    * of the split formula, shared by the q92 (doc id) and q93 (cluster
+    * id) oracles; the engine side shares [[splitCol]].
+    */
+  private def splitCaseSql(idExpr: String): String = {
+    def mod = s"""CAST(concat('0x', substr(md5(concat('split-',
+                 |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100""".stripMargin
+    s"""CASE WHEN $mod < ${CorpusQueries.TrainPct} THEN 'train'
+       |  WHEN $mod < ${CorpusQueries.ValPct} THEN 'val'
+       |  ELSE 'test' END""".stripMargin
+  }
+
+  /** q60's hash-split as a Column over any id column — the engine twin
+    * of [[splitCaseSql]], shared by q92/q93.
+    */
+  private def splitCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = DedupFunctions.md5Hash32(
+      concat(lit("split-"), id.cast("string"))) % 100
+    when(h < CorpusQueries.TrainPct, "train")
+      .when(h < CorpusQueries.ValPct, "val")
+      .otherwise("test")
+  }
+
   /** Sequential 0.0-seeded double dot product — bit-equal to
     * [[VectorFunctions.dot]]'s fold.
     */
@@ -1142,26 +1171,12 @@ object DedupQueries {
          |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin,
     "q48_dedup_clusters" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT a AS v, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+         |$ccCompCte
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS canonical_doc_id
          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v""".stripMargin,
     "q49_corpus_filter" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT a AS v, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |$ccCompCte,
          |q AS (
          | SELECT doc_id,
          |  round(least(CAST(len(${TextQueries.wsSql}) AS DOUBLE) / 100.0, 1.0)
@@ -1181,14 +1196,7 @@ object DedupQueries {
     // on it is exact.
     "q81_survivor_select" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT a AS v, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |$ccCompCte,
          |q AS (
          | SELECT doc_id,
          |  round(least(CAST(len(${TextQueries.wsSql}) AS DOUBLE) / 100.0, 1.0)
@@ -1290,26 +1298,11 @@ object DedupQueries {
     // q92/q93 replay q48's clustering plus q60's split hash — q92 on
     // the document id (the audit), q93 on the cluster id (the fix)
     "q92_split_leakage" -> {
-      def splitSql(idExpr: String): String =
-        s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split-',
-           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
-           |    < ${CorpusQueries.TrainPct} THEN 'train'
-           |  WHEN CAST(concat('0x', substr(md5(concat('split-',
-           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
-           |    < ${CorpusQueries.ValPct} THEN 'val'
-           |  ELSE 'test' END""".stripMargin
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT a AS v, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |$ccCompCte,
          |lab AS (
          | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id,
-         |  ${splitSql("d.doc_id")} AS split
+         |  ${splitCaseSql("d.doc_id")} AS split
          | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
          |m AS (SELECT cluster_id, split, CAST(count(*) AS BIGINT) AS n
          |      FROM lab GROUP BY 1, 2),
@@ -1324,42 +1317,19 @@ object DedupQueries {
          |   AS BIGINT) AS n_docs_in_leaky
          |FROM per""".stripMargin
     },
-    "q93_cluster_split" -> {
-      def splitSql(idExpr: String): String =
-        s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split-',
-           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
-           |    < ${CorpusQueries.TrainPct} THEN 'train'
-           |  WHEN CAST(concat('0x', substr(md5(concat('split-',
-           |    CAST($idExpr AS VARCHAR))), 1, 8)) AS BIGINT) % 100
-           |    < ${CorpusQueries.ValPct} THEN 'val'
-           |  ELSE 'test' END""".stripMargin
+    "q93_cluster_split" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT a AS v, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |$ccCompCte,
          |lab AS (
          | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
          | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
-         |SELECT doc_id, cluster_id, ${splitSql("cluster_id")} AS split
-         |FROM lab""".stripMargin
-    },
+         |SELECT doc_id, cluster_id, ${splitCaseSql("cluster_id")} AS split
+         |FROM lab""".stripMargin,
     // q86 replays q48's clustering, then the same count-based pair
     // arithmetic (integer //, one triangle including the diagonal)
     "q86_source_dup_matrix" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT a AS v, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.v),
-         |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+         |$ccCompCte,
          |lab AS (
          | SELECT d.doc_id, d.source, coalesce(c.comp, d.doc_id) AS cluster_id
          | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
