@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.MultimodalQueries.queries ++
       graft.queries.SamplingQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.SearchQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.MultimodalQueries.oracles ++
       graft.queries.SamplingQueries.oracles ++
-      graft.queries.CorpusQueries.oracles
+      graft.queries.CorpusQueries.oracles ++
+      graft.queries.SearchQueries.oracles
 }

@@ -544,6 +544,58 @@ object CorpusQueries {
         col("cum_tokens"), col("n_picks"))
   }
 
+  /** q95 — the data-card ROLLUP: doc and whitespace-token counts at
+    * every (source, lang) grouping level — per cell, per source, and
+    * the corpus total — in ONE pass. `rollup` expands each input row
+    * into its grouping sets BEFORE the exchange, so the partial
+    * aggregation absorbs the fan-out map-side and the shuffle carries
+    * ≤ (sources·langs + sources + 1) rows per partition — at 100 TB
+    * this is the same one-exchange plan as q51, not three queries over
+    * three scans (what the reference's per-level stats jobs run,
+    * `stats/collect.py`-style). `lvl` is the grouping bitmask (0 cell,
+    * 1 source subtotal, 3 grand total) — same bit order as DuckDB's
+    * `GROUPING(source, lang)`. All aggregates are exact integers.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .rollup("source", "lang")
+      .agg(grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .select(coalesce(col("source"), lit("ALL")).as("source_lvl"),
+        coalesce(col("lang"), lit("ALL")).as("lang_lvl"),
+        col("lvl"), col("n_docs"), col("n_tokens"))
+
+  /** The fixed language column set of the q98 pivot — a corpus-schema
+    * constant (the synthetic lake's five langs), shared with the
+    * oracle's conditional-aggregation arms. Passing the value list to
+    * `pivot` explicitly matters at scale: the list-less overload runs a
+    * blocking distinct scan over the corpus just to discover column
+    * names.
+    */
+  val PivotLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** q98 — the language-mix PIVOT: one row per source, one doc-count
+    * column per language — the wide data-card table humans read (q95
+    * is its long-form dual). groupBy+pivot with an explicit value list
+    * is a single partial-agg exchange of ≤ sources·langs compact rows;
+    * absent combinations surface as 0, not null, to match the
+    * oracle's conditional sums.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = t(s, dir, "documents")
+      .groupBy("source").pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+    val filled = PivotLangs.foldLeft(pivoted)((d, l) =>
+      d.withColumn(l, coalesce(col(l), lit(0L))))
+    filled.select(
+      (col("source") +:
+        PivotLangs.map(l => col(l).as(s"n_$l"))) :+
+        PivotLangs.map(l => col(l)).reduceLeft(_ + _).as("n_total"): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -557,7 +609,9 @@ object CorpusQueries {
     "q82_epoch_plan" -> (q82 _),
     "q88_adaptive_quality_gate" -> (q88 _),
     "q90_source_top_ngrams" -> (q90 _),
-    "q91_weighted_sample" -> (q91 _))
+    "q91_weighted_sample" -> (q91 _),
+    "q95_corpus_rollup" -> (q95 _),
+    "q98_lang_pivot" -> (q98 _))
 
   // ---- oracle SQL ----
 
@@ -806,5 +860,25 @@ object CorpusQueries {
          |   + CAST(s.quality > t.t2 AS BIGINT)
          |   + CAST(s.quality > t.t3 AS BIGINT) AS bucket
          |FROM s CROSS JOIN t""".stripMargin
+    },
+    "q95_corpus_rollup" -> {
+      val wsSql = TextQueries.wsSql
+      s"""SELECT coalesce(source, 'ALL') AS source_lvl,
+         | coalesce(lang, 'ALL') AS lang_lvl,
+         | CAST(GROUPING(source, lang) AS BIGINT) AS lvl,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len($wsSql)) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
+    },
+    "q98_lang_pivot" -> {
+      val arms = PivotLangs.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+        .mkString(",\n ")
+      val total = PivotLangs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""SELECT source,
+         | $arms,
+         | CAST($total AS BIGINT) AS n_total
+         |FROM documents GROUP BY source""".stripMargin
     })
 }

@@ -964,6 +964,70 @@ object DedupQueries {
     survivorSelect(labeled)
   }
 
+  /** Sliding-window width (words) of the q97 repeated-span scan. */
+  val SpanW = 8
+
+  /** Every [[SpanW]]-word window's 32-bit md5 hash, stride 1 — the
+    * substring-granular unit below q69's paragraph chunks. One narrow
+    * typed flatMap; only (doc_id, hash) longs leave the pass.
+    */
+  private[queries] def spanHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < SpanW) Iterator.empty
+        else ws.iterator.sliding(SpanW).withPartial(false)
+          .map(win => (id, DedupFunctions.md5Hash32Jvm(win.mkString(" "))))
+      }
+      .toDF("doc_id", "h")
+  }
+
+  /** q97 — cross-document repeated-SPAN detection (the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", at fixed window width): for every
+    * document, how many of its [[SpanW]]-word windows (stride 1) also
+    * occur verbatim in ANOTHER document. Chunk dedup (q69) sees only
+    * aligned paragraph duplication; this catches a sentence quoted
+    * mid-paragraph at any offset. Per doc: total windows, windows whose
+    * hash is cross-doc shared, and the shared fraction — the
+    * "duplicated text inside me" score a scrub pass thresholds on.
+    *
+    * Scale shape: text dies inside the flatMap; the (doc_id, h) pair
+    * frame aggregates to per-(doc, hash) counts (one exchange on the
+    * compact pair key), the cross-doc decision is `min(doc_id) !=
+    * max(doc_id)` over that frame (O(1) agg state — a billion-doc
+    * boilerplate span stays one reducer key, the q69 discipline), and
+    * the join back is on the 8-byte hash. Nothing pairwise, nothing
+    * driver-side. 32-bit hashes are the engine-wide md5 convention
+    * (collision odds ~n²/2³³ per corpus — a production run widens to
+    * 64/128-bit by taking more md5 hex chars, same plan).
+    */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val perPair = spanHashes(s, dir)
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      // two consumers: the hash-level roll-up and the join back
+      .localCheckpoint()
+    val shared = perPair.groupBy("h")
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("is_shared"))
+    val perDoc = perPair.join(shared.hint("merge"), Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("is_shared"), col("c")).otherwise(0L)).as("n_shared"))
+    t(s, dir, "documents").select(col("doc_id"))
+      // perDoc is corpus-sized and stats-blind behind the checkpoint —
+      // pin sort-merge so no estimate ever broadcasts it (q77 lesson)
+      .join(perDoc.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("n_shared").cast("double") /
+            col("n_spans").cast("double"), 4)).as("shared_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -981,7 +1045,8 @@ object DedupQueries {
     "q86_source_dup_matrix" -> (q86 _),
     "q87_decontam_scrub" -> (q87 _),
     "q92_split_leakage" -> (q92 _),
-    "q93_cluster_split" -> (q93 _))
+    "q93_cluster_split" -> (q93 _),
+    "q97_repeated_spans" -> (q97 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1385,5 +1450,27 @@ object DedupQueries {
          |  ELSE len(list_filter(regexp_split_to_array(r.scrubbed, '\\s+'),
          |    x -> len(x) > 0)) END AS BIGINT) AS n_tokens_after
          |FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id""".stripMargin
-    })
+    },
+    "q97_repeated_spans" ->
+      s"""WITH d AS (SELECT doc_id, ${TextQueries.wsSql} AS ws FROM documents),
+         |sp AS (
+         | SELECT doc_id, unnest(list_transform(range(1, len(ws) - $SpanW + 2),
+         |   i -> CAST(concat('0x', substr(md5(
+         |     array_to_string(ws[i : i + ${SpanW - 1}], ' ')), 1, 8)) AS BIGINT))) AS h
+         | FROM d WHERE len(ws) >= $SpanW),
+         |pp AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS c
+         |       FROM sp GROUP BY doc_id, h),
+         |sh AS (SELECT h, (min(doc_id) <> max(doc_id)) AS is_shared
+         |       FROM pp GROUP BY h),
+         |pd AS (
+         | SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN s.is_shared THEN p.c ELSE 0 END) AS BIGINT) AS n_shared
+         | FROM pp p JOIN sh s ON p.h = s.h GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         | coalesce(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+         | coalesce(pd.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         | CASE WHEN pd.n_spans IS NULL THEN NULL
+         |  ELSE round(CAST(pd.n_shared AS DOUBLE) / CAST(pd.n_spans AS DOUBLE), 4)
+         | END AS shared_ratio
+         |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin)
 }

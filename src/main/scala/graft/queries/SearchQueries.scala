@@ -1,0 +1,220 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.DedupFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and model-inference scoring over `documents` —
+  * the search-shaped operators of a training-data pipeline: BM25 top-k
+  * (the classic inverted-index ranking, here expressed Spark-first) and
+  * hashing-trick linear-classifier inference (the fastText-style
+  * quality/domain gate real pipelines run over every document).
+  *
+  * Scale shape: both operators touch the corpus text exactly once in a
+  * narrow typed pass; everything that crosses an exchange afterwards is
+  * compact numeric rows. Corpus-derived model state (document
+  * frequencies, average length) is a BOUNDED driver-side collect — a
+  * handful of scalars, the quantizerCentroids discipline (model, never
+  * data).
+  */
+object SearchQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The literal query — shared verbatim with the DuckDB oracle (the
+    * MinHash-constant discipline). Term order is part of the contract:
+    * the per-document score folds contributions in THIS order on both
+    * engines, so the double sum is bit-reproducible.
+    */
+  val QueryTerms: Seq[String] = Seq("hash", "join", "merge", "vector")
+  /** Standard BM25 parameters (Robertson/Sparck Jones defaults). */
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 15
+
+  /** Per-document (length, per-term tf) in ONE narrow typed pass — the
+    * q52 hot-path shape: split once, count all query terms in a single
+    * JVM loop. At 100 TB this is the only pass that reads text; the
+    * output is |corpus| compact rows of (long, long, |Q| longs).
+    *
+    * A production engine would serve repeated ad-hoc queries from a
+    * materialized inverted index (term-bucketed posting lists — the
+    * [[graft.sources.BucketedLake]] layout applies as-is); for a single
+    * scoring run the one-pass scan IS the optimal plan: building the
+    * index costs the same full scan plus a token-keyed shuffle.
+    */
+  private[queries] def termStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = QueryTerms.toArray
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        val tfs = new Array[Long](terms.length)
+        var i = 0
+        while (i < ws.length) {
+          var j = 0
+          while (j < terms.length) {
+            if (ws(i) == terms(j)) tfs(j) += 1L
+            j += 1
+          }
+          i += 1
+        }
+        (id, ws.length.toLong, tfs)
+      }
+      .toDF("doc_id", "dl", "tfs")
+  }
+
+  /** q94 — BM25 top-[[TopK]] retrieval for [[QueryTerms]]:
+    * `score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * the Lucene idf `ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Plan: the [[termStats]] pass is localCheckpointed once (two
+    * consumers); corpus statistics (N, Σdl, per-term df) are ONE
+    * aggregate collected as a single row — 2+|Q| scalars of driver
+    * state. Scoring is then a pure column projection with the idfs as
+    * literals, and the cut is TakeOrderedAndProject (top-k heap per
+    * partition + driver merge of K·partitions rows, never a global
+    * sort).
+    *
+    * Float discipline: contributions fold left-to-right in QueryTerms
+    * order on both engines (IEEE addition order pinned); idf's `ln` is
+    * the one 1-ulp-risk transcendental, carried under round-6 exactly
+    * like q61's entropy ln (CORRECTNESS gates it empirically). Ordering
+    * uses the ROUNDED score so both engines cut the same top-k; exact
+    * duplicates tie and break deterministically on doc_id.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val stats = termStats(s, dir).localCheckpoint()
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+      QueryTerms.indices.map(i =>
+        sum(when(col("tfs").getItem(i) > 0L, 1L).otherwise(0L)).as(s"df_$i"))
+    val row = stats.agg(aggCols.head, aggCols.tail: _*).head()
+    val n = row.getLong(0)
+    val sumdl = row.getLong(1)
+    val dfs = QueryTerms.indices.map(i => row.getLong(2 + i))
+    val avgdl = sumdl.toDouble / n.toDouble
+    val idfs = dfs.map(df =>
+      math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)))
+    val norm: Column =
+      lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / lit(avgdl)))
+    val score = QueryTerms.indices.map { i =>
+      val tf = col("tfs").getItem(i).cast("double")
+      lit(idfs(i)) * ((tf * lit(K1 + 1.0)) / (tf + norm))
+    }.reduceLeft(_ + _)
+    val hits = QueryTerms.indices.map(i => col("tfs").getItem(i)).reduceLeft(_ + _)
+    stats
+      .withColumn("n_hits", hits)
+      .filter(col("n_hits") > 0L)
+      .withColumn("score", round(score, 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TopK)
+      .select(col("doc_id"), col("dl"), col("n_hits"), col("score"))
+  }
+
+  /** Feature-hash dimensionality of the q96 classifier. */
+  val HashDim = 64
+
+  /** The shipped model: integer per-mille logit weights derived from a
+    * fixed multiplicative-hash formula — deterministic stand-in for
+    * trained weights (what ships is an array of numbers either way).
+    * Integer weights keep the document score EXACT: the sum is
+    * order-free, so no float-fold caveat anywhere in q96.
+    */
+  def featWeight(i: Int): Long = ((i.toLong * 2654435761L) % 2003L) - 1001L
+
+  /** q96 — hashing-trick linear classifier inference (the fastText-
+    * style quality/domain gate): every token hashes into one of
+    * [[HashDim]] feature buckets (md5, the engine-wide hash), the
+    * document logit is the exact integer sum of bucket weights over all
+    * token OCCURRENCES (tf-weighted by construction), and the gate
+    * keeps logit > 0. One narrow typed pass, zero exchanges — at
+    * 100 TB this is embarrassingly parallel scan work, and a real
+    * trained model drops in by replacing [[featWeight]]'s formula with
+    * a literal array.
+    */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights: Array[Long] = Array.tabulate(HashDim)(featWeight)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        var sum = 0L
+        var i = 0
+        while (i < ws.length) {
+          sum += weights((DedupFunctions.md5Hash32Jvm(ws(i)) % HashDim).toInt)
+          i += 1
+        }
+        (id, ws.length.toLong, sum)
+      }
+      .toDF("doc_id", "n_tokens", "feat_sum")
+      .select(col("doc_id"), col("n_tokens"), col("feat_sum"),
+        round(col("feat_sum").cast("double") / lit(1000.0), 6).as("logit"),
+        (col("feat_sum") > 0L).as("keep"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_bm25_topk" -> (q94 _),
+    "q96_classifier_gate" -> (q96 _))
+
+  // ---- oracle SQL ----
+
+  private def qtermsSql: String =
+    QueryTerms.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def weightsSql: String =
+    Array.tabulate(HashDim)(featWeight).mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q94_bm25_topk" -> {
+      val dfCols = QueryTerms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tfs[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(",\n  ")
+      val hitsExpr = QueryTerms.indices.map(i => s"tfs[${i + 1}]").mkString(" + ")
+      // contributions fold left-to-right in QueryTerms order — the
+      // same IEEE addition order as the Spark column chain
+      val scoreExpr = QueryTerms.indices.map { i =>
+        s"""ln(1 + (CAST(s.n AS DOUBLE) - CAST(s.df_$i AS DOUBLE) + 0.5)
+           |     / (CAST(s.df_$i AS DOUBLE) + 0.5))
+           |  * ((CAST(tfs[${i + 1}] AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
+           |     / (CAST(tfs[${i + 1}] AS DOUBLE)
+           |        + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
+           |          + CAST($B AS DOUBLE) * (CAST(t.dl AS DOUBLE)
+           |            / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))""".stripMargin
+      }.mkString("\n  + ")
+      s"""WITH d AS (SELECT doc_id, ${TextQueries.wsSql} AS ws FROM documents),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         |  list_transform($qtermsSql, q -> CAST(len(list_filter(ws, w -> w = q)) AS BIGINT)) AS tfs
+         | FROM d),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         |  $dfCols
+         | FROM t),
+         |scored AS (
+         | SELECT t.doc_id, t.dl, $hitsExpr AS n_hits,
+         |  $scoreExpr AS raw
+         | FROM t CROSS JOIN s)
+         |SELECT doc_id, dl, n_hits, round(raw, 6) AS score
+         |FROM scored WHERE n_hits > 0
+         |ORDER BY round(raw, 6) DESC, doc_id ASC
+         |LIMIT $TopK""".stripMargin
+    },
+    "q96_classifier_gate" ->
+      s"""WITH docs AS (SELECT doc_id, ${TextQueries.wsSql} AS ws FROM documents),
+         |dw AS (SELECT DISTINCT unnest(ws) AS w FROM docs),
+         |wt AS (SELECT w,
+         |  ($weightsSql)[CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % $HashDim AS INTEGER) + 1] AS wgt
+         | FROM dw),
+         |expl AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+         |agg AS (
+         | SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(t.wgt) AS BIGINT) AS feat_sum
+         | FROM expl e JOIN wt t ON e.w = t.w GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         | coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         | coalesce(a.feat_sum, CAST(0 AS BIGINT)) AS feat_sum,
+         | round(CAST(coalesce(a.feat_sum, 0) AS DOUBLE) / 1000.0, 6) AS logit,
+         | coalesce(a.feat_sum, 0) > 0 AS keep
+         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin)
+}

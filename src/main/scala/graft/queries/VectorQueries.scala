@@ -659,6 +659,54 @@ object VectorQueries extends Serializable {
         col("vec_id").isin(floatTop.toIndexedSeq: _*).as("in_float_topk"))
   }
 
+  /** Query batch + negatives-per-query of the q99 miner. */
+  val HardNegQueryIds: Seq[Long] = Seq(0L, 1L, 2L)
+  val HardNegK = 5
+
+  /** q99 — hard-negative mining for contrastive/retrieval training:
+    * for each query vector in the batch, the [[HardNegK]] most-similar
+    * vectors carrying a DIFFERENT label (same-label neighbors are
+    * positives; the high-similarity other-label ones are the negatives
+    * a contrastive loss learns most from).
+    *
+    * Scale shape: the query batch broadcasts (rows × dims, bounded by
+    * the batch — never the corpus), the corpus is scanned ONCE against
+    * all queries, and the per-query cut rides the
+    * [[graft.operators.TopKPerGroup]] bounded typed aggregator: the
+    * exchange carries ≤ k·partitions rows per query, nothing window-
+    * sorts |corpus|·|batch| rows (the row_number plan the oracle runs —
+    * fine for DuckDB at sf0.1, a scale-killer at 10⁹×batch). Ordering
+    * is raw cosine desc with vec_id tiebreak — the q37 determinism
+    * contract.
+    */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id").isin(HardNegQueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val agg = graft.operators.TopKPerGroup.topK[(Double, Long)](
+      HardNegK, Ordering.by { case (c, id) => (-c, id) })
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        VectorExpressions.vecCosine(col("embedding"), col("qv")))
+      .select(col("query_id"), col("cos"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((c, id), i) =>
+          (qid, id, c, (i + 1).toLong)
+        }
+      }
+      .toDF("query_id", "neg_id", "cos_raw", "rank")
+      .select(col("query_id"), col("neg_id"),
+        round(col("cos_raw"), 6).as("cos_sim"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
@@ -668,7 +716,8 @@ object VectorQueries extends Serializable {
     "q74_semdedup_ivf" -> (q74 _),
     "q80_int8_quant_audit" -> (q80 _),
     "q83_matryoshka_audit" -> (q83 _),
-    "q89_int8_retrieval" -> (q89 _))
+    "q89_int8_retrieval" -> (q89 _),
+    "q99_hard_negatives" -> (q99 _))
 
   // ---- oracle SQL ----
 
@@ -820,7 +869,26 @@ object VectorQueries extends Serializable {
          |  ON bit_count(xor(e.bucket, q.qbucket)) <= $ProbeRadius
          |WHERE e.vec_id <> $QueryVecId
          |ORDER BY ${DedupQueries.cosineSql("e.embedding", "q.qv")} DESC, e.vec_id ASC
-         |LIMIT $TopK""".stripMargin)
+         |LIMIT $TopK""".stripMargin,
+    // q99 replays the batch as a cross join + per-query row_number on
+    // the same raw-cosine ordering — the window-sort plan this engine
+    // deliberately avoids via the bounded typed aggregator
+    "q99_hard_negatives" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         | FROM embeddings
+         | WHERE vec_id IN (${HardNegQueryIds.mkString(", ")})),
+         |r AS (
+         | SELECT q.query_id, e.vec_id AS neg_id,
+         |  ${DedupQueries.cosineSql("e.embedding", "q.qv")} AS c,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${DedupQueries.cosineSql("e.embedding", "q.qv")} DESC,
+         |      e.vec_id ASC) AS rank
+         | FROM embeddings e CROSS JOIN q
+         | WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel)
+         |SELECT query_id, neg_id, round(c, 6) AS cos_sim,
+         | CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $HardNegK""".stripMargin)
 
   /** One Lloyd iteration as SQL CTEs: assign every sample vector to its
     * nearest `prev` centroid (ties to the smaller cid — the Spark

@@ -293,4 +293,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("ntile"))
   }
+
+  test("q94: BM25 cut is top-k over the checkpointed stats pass, no window") {
+    // the text pass is localCheckpointed (Scan ExistingRDD) so scoring
+    // never re-reads the corpus; the cut is a per-partition heap merge,
+    // not a global sort
+    val p = plan(graft.queries.SearchQueries.q94(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("q96: classifier inference is a pure typed pass, zero exchanges") {
+    val p = plan(graft.queries.SearchQueries.q96(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q97: span sharing sort-merges on the hash key, nothing corpus-broadcast") {
+    // both join inputs are corpus-sized and stats-blind behind the
+    // checkpoint — a stats-guess broadcast here is the q77 failure mode
+    val p = plan(graft.queries.DedupQueries.q97(spark, sf))
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q95: rollup is one Expand feeding one partial-agg exchange") {
+    // grouping sets expand BEFORE the shuffle so the map-side combine
+    // absorbs the 3x row fan-out; three separate scans would be the
+    // reference's per-level stats-job shape
+    val p = plan(graft.queries.CorpusQueries.q95(spark, sf))
+    assert(p.contains("Expand"))
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("q98: pivot with an explicit value list — one scan, no distinct pre-pass") {
+    val p = plan(graft.queries.CorpusQueries.q98(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Window"))
+  }
 }

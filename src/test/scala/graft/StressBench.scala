@@ -197,6 +197,23 @@ object StressBench {
     }
     println(f"[stress] bloom: sketch ${bloom.bitSize() / 8 / 1024}%,d KiB, " +
       f"$hits%,d of 10,000,000 flagged (5M true members + fp)")
+
+    // 10. repeated spans: one boilerplate window shared by 500k docs.
+    // The hot hash is ONE reducer key holding 500k (doc, hash) rows —
+    // the min!=max decision is O(1) agg state; a per-pair formulation
+    // would enumerate ~1.25×10¹¹ doc pairs for this window alone.
+    val spanDir = java.nio.file.Files.createTempDirectory("stressb-span").toString
+    StressData.boilerSpanDocs(spark, 500000L, DedupQueries.SpanW)
+      .write.mode("overwrite").parquet(s"$spanDir/documents.parquet")
+    val spanAgg = timed("repeated spans: 500k docs, 4.5M windows, one hot hash") {
+      DedupQueries.q97(spark, spanDir)
+        .agg(sum(col("n_spans")), sum(col("n_shared")),
+          count(when(col("n_shared") === 1L, 1)))
+        .as[(Long, Long, Long)].head()
+    }
+    println(f"[stress] spans: ${spanAgg._1}%,d windows, ${spanAgg._2}%,d " +
+      f"shared (closed form 500,000 + md5-32 collisions), " +
+      f"${spanAgg._3}%,d/500,000 docs exactly at the closed form")
     spark.stop()
   }
 }

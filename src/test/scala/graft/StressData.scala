@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Adversarial corpus generators for the scale-stress harness
   * (StressSpec asserts the invariants; StressBench records wall-times
@@ -38,6 +39,22 @@ object StressData {
   def hotBucketDocs(n: Int): Seq[(Long, String)] = {
     val template = (1 to 300).map(w => s"word$w").mkString(" ")
     (1 to n).map(i => (i.toLong, s"$template uniq$i tail${i * 31}"))
+  }
+
+  /** `n` docs of `2·spanW` words: a fixed spanW-word boilerplate prefix
+    * (ONE hot span hash shared by every doc — the q97 worst case: its
+    * (hash) reducer key receives n rows) plus a per-doc unique tail, so
+    * every straddling window is doc-unique. Expected q97 shape per doc:
+    * `spanW+1` windows, exactly one cross-doc shared — modulo the
+    * ~(n·(spanW+1))²/2³³ md5-32 birthday collisions the q97 scaladoc
+    * documents. Generated in-executor: the driver never holds the corpus.
+    */
+  def boilerSpanDocs(s: SparkSession, n: Long, spanW: Int): DataFrame = {
+    val boiler = (1 to spanW).map(i => s"boiler$i").mkString(" ")
+    val tail = (1 to spanW).map(j =>
+      concat(lit(s"u${j}_"), col("id").cast("string")))
+    s.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", lit(boiler) +: tail: _*).as("text"))
   }
 
   def writeDocs(s: SparkSession, dir: String, docs: Seq[(Long, String)]): Unit = {

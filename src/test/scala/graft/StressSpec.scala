@@ -165,4 +165,27 @@ class StressSpec extends SparkSpec {
     // singletons (m = 1) contribute no pairs at all
     assert(!matrix.keys.exists(k => k._1 == "srcS" || k._2 == "srcS"))
   }
+
+  test("repeated spans: a boilerplate span in 20k docs stays one compact " +
+    "reducer key, straddling windows stay doc-unique") {
+    val W = DedupQueries.SpanW
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress-span").toString
+    StressData.boilerSpanDocs(spark, 20000L, W)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val rows = DedupQueries.q97(spark, dir)
+      .select(col("n_spans"), col("n_shared")).as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 20000)
+    // 2W words -> W+1 windows per doc, every doc
+    assert(rows.forall(_._1 == W + 1))
+    // exactly the boilerplate window is shared — up to the md5-32
+    // birthday collisions the scaladoc documents (~(n·(W+1))²/2³³ ≈ 4
+    // expected here; each collision inflates two docs' counts by 1)
+    val exact = rows.count(_._2 == 1L)
+    assert(exact >= 20000 - 50, s"only $exact docs at the closed-form count")
+    assert(rows.forall(_._2 <= 3L))
+    info(f"20k docs, ${rows.map(_._1).sum}%,d windows in $secs%.1fs; " +
+      s"$exact/20000 docs exactly at the closed form")
+  }
 }
