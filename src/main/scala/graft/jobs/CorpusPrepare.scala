@@ -39,12 +39,17 @@ object CorpusPrepare {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val (nWs, nSub) = TextJvm.wsAndSubwordCounts(text)
-        (id, nWs, nSub, TextJvm.qualityRaw(text), TextJvm.charEntropyRaw(text))
+        (id, nWs, nSub, TextJvm.qualityRaw(text), TextJvm.charEntropyRaw(text),
+          // the q96 classifier logit rides the SAME pass — model
+          // inference costs no extra corpus scan
+          graft.queries.SearchQueries.classifierFeatSum(text))
       }
-      .toDF("doc_id", "n_tokens", "n_subword", "quality_raw", "entropy_raw")
+      .toDF("doc_id", "n_tokens", "n_subword", "quality_raw", "entropy_raw",
+        "feat_sum")
       .select(col("doc_id"), col("n_tokens"), col("n_subword"),
         round(col("quality_raw"), 4).as("quality"),
-        round(col("entropy_raw"), 4).as("entropy"))
+        round(col("entropy_raw"), 4).as("entropy"),
+        col("feat_sum"))
   }
 
   /** The dedup decision (q48): doc_id → canonical_doc_id. */
@@ -84,7 +89,8 @@ object CorpusPrepare {
     */
   private def keptOf(docs: DataFrame, scores: DataFrame,
                      dedup: DataFrame,
-                     survivorKeep: Boolean = false): DataFrame = {
+                     survivorKeep: Boolean = false,
+                     classifierGate: Boolean = false): DataFrame = {
     val h = graft.functions.DedupFunctions.md5Hash32(
       concat(lit("split-"), col("doc_id").cast("string"))) % 100
     // keep_policy=canonical: each cluster keeps its min-id member (the
@@ -110,6 +116,9 @@ object CorpusPrepare {
       .join(keptIds, Seq("doc_id"), "left_semi")
       .join(scores, "doc_id")
       .filter(col("quality") >= MinQuality)
+      // quality_gate=classifier: ALSO require a positive q96 model
+      // logit (scored in the same pass — no extra scan, no extra join)
+      .filter(if (classifierGate) col("feat_sum") > 0L else lit(true))
       .withColumn("split",
         when(h < CorpusQueries.TrainPct, "train")
           .when(h < CorpusQueries.ValPct, "val").otherwise("test"))
@@ -146,11 +155,12 @@ object CorpusPrepare {
   def filterPack(s: SparkSession, sfDir: String,
                  scores: DataFrame, dedup: DataFrame,
                  tokensCol: String = "n_tokens",
-                 survivorKeep: Boolean = false): DataFrame =
+                 survivorKeep: Boolean = false,
+                 classifierGate: Boolean = false): DataFrame =
     packKept(keptOf(
       Tables.load(s, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")),
-      scores, dedup, survivorKeep), tokensCol)
+      scores, dedup, survivorKeep, classifierGate), tokensCol)
 
   /** Bucket count for the corpus exchange tables — the SAME count on
     * every side of the doc_id joins, or the exchange comes back.

@@ -134,20 +134,31 @@ object SearchQueries {
     * trained model drops in by replacing [[featWeight]]'s formula with
     * a literal array.
     */
+  private val Weights: Array[Long] = Array.tabulate(HashDim)(featWeight)
+
+  /** The q96 document logit evaluated JVM-side — ONE definition shared
+    * by the query and the corpus-prepare scoring pass
+    * ([[graft.jobs.CorpusPrepare.score]]), so the DAG's
+    * `quality_gate=classifier` keeps exactly the q96 `keep` set.
+    */
+  def classifierFeatSum(text: String): Long = {
+    val ws = text.split("\\s+").filter(_.nonEmpty)
+    var sum = 0L
+    var i = 0
+    while (i < ws.length) {
+      sum += Weights((DedupFunctions.md5Hash32Jvm(ws(i)) % HashDim).toInt)
+      i += 1
+    }
+    sum
+  }
+
   def q96(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val weights: Array[Long] = Array.tabulate(HashDim)(featWeight)
     t(s, dir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val ws = text.split("\\s+").filter(_.nonEmpty)
-        var sum = 0L
-        var i = 0
-        while (i < ws.length) {
-          sum += weights((DedupFunctions.md5Hash32Jvm(ws(i)) % HashDim).toInt)
-          i += 1
-        }
-        (id, ws.length.toLong, sum)
+        (id, text.split("\\s+").count(_.nonEmpty).toLong,
+          classifierFeatSum(text))
       }
       .toDF("doc_id", "n_tokens", "feat_sum")
       .select(col("doc_id"), col("n_tokens"), col("feat_sum"),
@@ -155,9 +166,85 @@ object SearchQueries {
         (col("feat_sum") > 0L).as("keep"))
   }
 
+  /** Max verified edit distance of the q100 fuzzy join. */
+  val FuzzyMaxDist = 2
+
+  /** All strings reachable from `w` by deleting up to [[FuzzyMaxDist]]
+    * codepoints, including `w` itself — the symmetric-deletion
+    * neighborhood (SymSpell, Garbe): two words are within edit
+    * distance d iff their depth-d deletion neighborhoods intersect,
+    * so a hash-join on variants yields a COMPLETE candidate set for
+    * the exact verify. Codepoint-indexed to stay aligned with DuckDB's
+    * substr semantics (the q61 discipline).
+    */
+  private[queries] def deletionVariants(w: String): Set[String] = {
+    def delOne(x: String): Iterator[String] = {
+      val cps = x.codePoints().toArray
+      Iterator.range(0, cps.length).map { i =>
+        val b = new java.lang.StringBuilder
+        var j = 0
+        while (j < cps.length) {
+          if (j != i) b.appendCodePoint(cps(j))
+          j += 1
+        }
+        b.toString
+      }
+    }
+    var out = Set(w)
+    var frontier = Set(w)
+    var d = 0
+    while (d < FuzzyMaxDist) {
+      frontier = frontier.flatMap(delOne)
+      out ++= frontier
+      d += 1
+    }
+    out
+  }
+
+  /** q100 — fuzzy vocabulary self-join (typo/variant discovery): all
+    * distinct corpus-word pairs within Levenshtein distance
+    * [[FuzzyMaxDist]], with corpus frequencies — the normalization
+    * table a cleaning pass folds rare misspellings onto their frequent
+    * forms with.
+    *
+    * Two-phase like MinHash→Jaccard: a symmetric-deletion candidate
+    * join (complete for ED ≤ d — no recall loss), then the exact
+    * `levenshtein` verify on candidates only. Scale shape: the corpus
+    * is touched once by the vocabulary explode+count (the q64 shape);
+    * everything after is VOCABULARY-sized (bounded by language, ~10⁷
+    * words at web scale, not corpus-sized), shuffling (word, variant)
+    * pairs on the variant key — O(vocab·len²) rows vs the O(vocab²)
+    * all-pairs a naive fuzzy join runs. Joins are pinned sort-merge:
+    * every input is stats-blind behind a checkpoint (q77 lesson).
+    */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = t(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // three consumers: variant generation + two freq join-backs
+      .localCheckpoint()
+    val variants = vocab.select(col("w")).as[String]
+      .flatMap(w => deletionVariants(w).iterator.map(v => (w, v)))
+      .toDF("word", "v")
+      .localCheckpoint() // both sides of the candidate self-join
+    val cand = variants.toDF("word_a", "v")
+      .join(variants.toDF("word_b", "v").hint("merge"), Seq("v"))
+      .filter(col("word_a") < col("word_b"))
+      .select("word_a", "word_b").distinct()
+    cand
+      .filter(levenshtein(col("word_a"), col("word_b")) <= FuzzyMaxDist)
+      .withColumn("dist",
+        levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .join(vocab.toDF("word_a", "freq_a").hint("merge"), Seq("word_a"))
+      .join(vocab.toDF("word_b", "freq_b").hint("merge"), Seq("word_b"))
+      .select("word_a", "word_b", "dist", "freq_a", "freq_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_bm25_topk" -> (q94 _),
-    "q96_classifier_gate" -> (q96 _))
+    "q96_classifier_gate" -> (q96 _),
+    "q100_fuzzy_join" -> (q100 _))
 
   // ---- oracle SQL ----
 
@@ -216,5 +303,39 @@ object SearchQueries {
          | coalesce(a.feat_sum, CAST(0 AS BIGINT)) AS feat_sum,
          | round(CAST(coalesce(a.feat_sum, 0) AS DOUBLE) / 1000.0, 6) AS logit,
          | coalesce(a.feat_sum, 0) > 0 AS keep
-         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin)
+         |FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    // q100 replays the symmetric-deletion candidate join: 0/1/2-deletion
+    // variants via codepoint substr surgery, hash-join on the variant,
+    // exact levenshtein verify — identical unit-cost DP on both engines
+    "q100_fuzzy_join" ->
+      s"""WITH vocab AS (
+         | SELECT w, CAST(count(*) AS BIGINT) AS freq
+         | FROM (SELECT unnest(${TextQueries.wsSql}) AS w FROM documents)
+         | GROUP BY w),
+         |d1 AS (
+         | SELECT w, unnest(list_concat([w],
+         |   list_transform(range(1, len(w) + 1),
+         |     i -> substr(w, 1, CAST(i - 1 AS INTEGER))
+         |       || substr(w, CAST(i + 1 AS INTEGER))))) AS v1
+         | FROM vocab),
+         |d2 AS (
+         | SELECT w, unnest(list_concat([v1],
+         |   list_transform(range(1, len(v1) + 1),
+         |     i -> substr(v1, 1, CAST(i - 1 AS INTEGER))
+         |       || substr(v1, CAST(i + 1 AS INTEGER))))) AS v
+         | FROM d1),
+         |vars AS (SELECT DISTINCT w, v FROM d2),
+         |cand AS (
+         | SELECT DISTINCT a.w AS word_a, b.w AS word_b
+         | FROM vars a JOIN vars b ON a.v = b.v
+         | WHERE a.w < b.w),
+         |ver AS (
+         | SELECT word_a, word_b FROM cand
+         | WHERE levenshtein(word_a, word_b) <= $FuzzyMaxDist)
+         |SELECT v.word_a, v.word_b,
+         | CAST(levenshtein(v.word_a, v.word_b) AS BIGINT) AS dist,
+         | fa.freq AS freq_a, fb.freq AS freq_b
+         |FROM ver v
+         |JOIN vocab fa ON v.word_a = fa.w
+         |JOIN vocab fb ON v.word_b = fb.w""".stripMargin)
 }

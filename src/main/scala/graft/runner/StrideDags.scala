@@ -181,10 +181,20 @@ object StrideDags {
         case Some(other) => sys.error(s"unknown keep_policy '$other' " +
           "(expected 'canonical' or 'survivor')")
       }
+      // `quality_gate=classifier` ALSO requires a positive q96 model
+      // logit (already scored in the corpus_scores pass) — config, not
+      // code, same hard-fail discipline
+      val classifierGate = kw.get("quality_gate") match {
+        case None | Some("") | Some("quality") => false
+        case Some("classifier") => true
+        case Some(other) => sys.error(s"unknown quality_gate '$other' " +
+          "(expected 'quality' or 'classifier')")
+      }
       val packed = CorpusPrepare.filterPack(s, sf,
         SiriLake.read(s, d, "corpus_scores"),
         SiriLake.read(s, d, "corpus_dedup"),
-        survivorKeep = survivorKeep)
+        survivorKeep = survivorKeep,
+        classifierGate = classifierGate)
       SiriLake.replace(s, d, "corpus_packed", packed)
       CorpusPrepare.exportTrainJsonl(
         SiriLake.read(s, d, "corpus_packed"), s"$d/corpus_train_jsonl")

@@ -119,4 +119,23 @@ object StreamingCorpus {
       }
       .toDF("ts", "doc_id", "n_bloom_hits", "flagged")
   }
+
+  /** ONLINE classifier gate: the q96 hashing-trick linear model scored
+    * over the document stream — the model is a JVM constant (weights
+    * ride the closure; a trained model would broadcast its literal
+    * array the same way), the scoring a stateless map, so stream and
+    * batch verdicts are identical by construction (StreamingSpec pins
+    * it, same contract as [[blocklistMonitor]]). This is the ingest
+    * shape of a production quality gate: score-at-arrival, drop or
+    * route before anything lands in the lake.
+    */
+  def classifierMonitor(docs: Dataset[DocEv]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .map { d =>
+        val fs = graft.queries.SearchQueries.classifierFeatSum(d.text)
+        (d.ts, d.doc_id, fs, fs > 0L)
+      }
+      .toDF("ts", "doc_id", "feat_sum", "keep")
+  }
 }

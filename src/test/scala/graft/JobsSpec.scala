@@ -215,6 +215,22 @@ class JobsSpec extends SparkSpec {
     assert(canonical.groupBy(labels).forall(_._2.size == 1))
   }
 
+  test("quality_gate=classifier keeps exactly the baseline ∩ q96 keep set") {
+    import graft.jobs.CorpusPrepare
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    val baseline = CorpusPrepare.filterPack(spark, sf, scores, dedup)
+      .select($"doc_id").as[Long].collect().toSet
+    val gated = CorpusPrepare
+      .filterPack(spark, sf, scores, dedup, classifierGate = true)
+      .select($"doc_id").as[Long].collect().toSet
+    val modelKeep = graft.queries.SearchQueries.q96(spark, sf)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(gated == (baseline intersect modelKeep))
+    // the gate must DO something on this corpus, and not empty it
+    assert(gated.nonEmpty && gated != baseline)
+  }
+
   test("token-bounded shard export: budget respected, greedy-full replay matches, sources mixed") {
     import graft.jobs.CorpusPrepare
     val wd = Files.createTempDirectory("graft_tokshard").toString

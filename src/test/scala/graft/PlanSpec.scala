@@ -332,4 +332,16 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1)
     assert(!p.contains("Window"))
   }
+
+  test("q100: fuzzy join is candidate-join + verify, never all-pairs") {
+    val p = plan(graft.queries.SearchQueries.q100(spark, sf))
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q99: negatives cut rides the bounded typed agg over one broadcast batch") {
+    val p = plan(graft.queries.VectorQueries.q99(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"))
+  }
 }

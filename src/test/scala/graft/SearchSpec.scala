@@ -104,6 +104,35 @@ class SearchSpec extends SparkSpec {
       (20 - DedupQueries.SpanW + 1) + (16 - DedupQueries.SpanW + 1))
   }
 
+  test("q100: symmetric-deletion candidates are COMPLETE vs brute-force " +
+    "edit distance on a typo vocabulary") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(
+        j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    Seq((1L, "color colour connection conection table cable zebra"),
+        (2L, "stream streams color downstream"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val words = Seq("color", "colour", "connection", "conection", "table",
+      "cable", "zebra", "stream", "streams", "downstream")
+    val expected = (for {
+      i <- words.indices; j <- words.indices if words(i) < words(j)
+      d = lev(words(i), words(j)) if d <= SearchQueries.FuzzyMaxDist
+    } yield (words(i), words(j), d.toLong)).toSet
+    val got = SearchQueries.q100(spark, dir)
+      .select($"word_a", $"word_b", $"dist")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.contains(("color", "colour", 1L)))
+    assert(got.contains(("cable", "table", 1L)))
+  }
+
   test("q95: rollup levels are mutually consistent (cells → subtotals → total)") {
     val rows = graft.queries.CorpusQueries.q95(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

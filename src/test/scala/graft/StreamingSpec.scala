@@ -338,6 +338,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifierMonitor: streamed q96 verdicts equal the batch query's") {
+    import graft.streaming.StreamingCorpus
+    implicit val sqlCtx = spark.sqlContext
+    // score real corpus documents through the stream so the equality
+    // check runs against q96 itself, not a reimplementation
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(50)
+      .zipWithIndex
+      .map { case ((id, text), i) =>
+        DocEv(id, text, ts(f"2024-01-01 10:${i % 60}%02d:00")) }
+    val in = MemoryStream[DocEv]
+    val q = StreamingCorpus.classifierMonitor(in.toDS())
+      .writeStream.format("memory").queryName("clm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(docs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clm")
+        .select($"doc_id", $"feat_sum", $"keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      val expected = graft.queries.SearchQueries
+        .q96(spark, "/root/testdata/sf0.001")
+        .filter($"doc_id".isin(docs.map(_.doc_id).toIndexedSeq: _*))
+        .select($"doc_id", $"feat_sum", $"keep")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(streamed == expected && streamed.nonEmpty)
+      assert(streamed.exists(_._3) && streamed.exists(!_._3))
+    } finally q.stop()
+  }
+
   test("qualityMonitor: windowed quality matches the batch TextJvm math, " +
     "watermark drops a too-late document") {
     import graft.streaming.StreamingCorpus
