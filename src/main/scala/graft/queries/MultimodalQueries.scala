@@ -196,13 +196,134 @@ object MultimodalQueries {
       .select(col("doc_id"), col("width"), col("height"), col("format"))
   }
 
+  /** q101 — perceptual-hash image dedup (aHash): decode the FULL pixel
+    * raster back out of each real PNG (`ImageIO.read` — q71 proved the
+    * header parse; this proves the lossless pixel ROUND-TRIP), compute
+    * the classic 8×8 average-hash (block means over the intensity
+    * grid, bit = block above global mean — all integer `div` math),
+    * and group on the hash: `n_same > 1` marks perceptual duplicates.
+    *
+    * The generated corpus makes the semantics observable: images in
+    * one dimension class differ only by a constant intensity shift
+    * (the doc_id term), and aHash is DESIGNED to be brightness-shift
+    * invariant — the shift cancels exactly in `block_mean >
+    * global_mean` (integer identity `(c·id + S) div c = id + S div
+    * c`), so shifted twins collapse onto one hash. The oracle predicts
+    * every block mean in CLOSED FORM from the generator's arithmetic
+    * series (no decoder, no pixel enumeration) — a hash match
+    * therefore proves the decoded raster was bit-exact. (The closed
+    * form drops the generator's `% 0xffffff`, valid while doc_id +
+    * 31·w + 17·h < 2²⁴ — a generated-corpus contract like q71's
+    * id-derived dimensions, documented not hidden.)
+    *
+    * Scale shape: one narrow decode pass (the 100 TB cost model: media
+    * decode is embarrassingly parallel scan work), then only (doc_id,
+    * 2×long) rows shuffle for the hash group — the q28 exact-dedup
+    * plan on a perceptual key. The hash split into two unsigned
+    * 32-bit halves keeps every value exact in signed BIGINT on both
+    * engines. A hamming-radius variant would band the 64 bits exactly
+    * like SimHash (q30); exact-match is the aHash dedup contract.
+    */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = realPngMedia(s, dir)
+      .mapPartitions(_.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        val w = img.getWidth
+        val h = img.getHeight
+        val bms = new Array[Long](64)
+        var b = 0
+        while (b < 64) {
+          val bx = b % 8; val by = b / 8
+          val xa = bx * w / 8; val xb = (bx + 1) * w / 8
+          val ya = by * h / 8; val yb = (by + 1) * h / 8
+          var sum = 0L; var cnt = 0L
+          var y = ya
+          while (y < yb) {
+            var x = xa
+            while (x < xb) {
+              sum += (img.getRGB(x, y) & 0xffffff).toLong
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          bms(b) = sum / cnt
+          b += 1
+        }
+        val g = bms.sum / 64
+        var hi = 0L; var lo = 0L
+        b = 0
+        while (b < 64) {
+          if (bms(b) > g) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        (m.doc_id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+      .localCheckpoint() // two consumers: the hash count + the join back
+    val counts = hashed.groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_same"))
+    // distinct hashes are corpus-sized in general — sort-merge, never
+    // a stats-guess broadcast of a typed-source frame (q77 lesson)
+    hashed.join(counts.hint("merge"), Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("n_same"), (col("n_same") > 1L).as("has_perceptual_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40 _),
     "q41_frame_sample" -> (q41 _),
     "q55_media_features" -> (q55 _),
-    "q71_real_png_decode" -> (q71 _))
+    "q71_real_png_decode" -> (q71 _),
+    "q101_image_ahash_dedup" -> (q101 _))
+
+  /** The q101 closed-form block mean as a DuckDB lambda body over
+    * block index `b` and the dmn CTE's (doc_id, w, h): the block's
+    * pixel sum is an arithmetic series — cnt·id + 31·Σx·cy + 17·Σy·cx
+    * — so no pixel is ever enumerated oracle-side.
+    */
+  private def ahashBlockMeanSql: String = {
+    val x0 = "(((b % 8) * w) // 8)"
+    val x1 = "((((b % 8) + 1) * w) // 8)"
+    val y0 = "(((b // 8) * h) // 8)"
+    val y1 = "((((b // 8) + 1) * h) // 8)"
+    val cx = s"($x1 - $x0)"
+    val cy = s"($y1 - $y0)"
+    val sx = s"((($x0 + $x1 - 1) * $cx) // 2)"
+    val sy = s"((($y0 + $y1 - 1) * $cy) // 2)"
+    s"(($cx * $cy * doc_id + 31 * $sx * $cy + 17 * $sy * $cx) // ($cx * $cy))"
+  }
 
   val oracles: Map[String, String] = Map(
+    "q101_image_ahash_dedup" ->
+      s"""WITH dmn AS (
+         | SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h
+         | FROM documents),
+         |bmt AS (SELECT doc_id,
+         |  list_transform(range(0, 64), b -> $ahashBlockMeanSql) AS bms
+         | FROM dmn),
+         |g AS (SELECT doc_id, bms,
+         |  list_reduce(bms, (a, x) -> a + x) // 64 AS gm FROM bmt),
+         |hsh AS (SELECT doc_id,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(range(32, 64), b ->
+         |      CASE WHEN bms[b + 1] > gm
+         |       THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER))
+         |       ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash_hi,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(range(0, 32), b ->
+         |      CASE WHEN bms[b + 1] > gm
+         |       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+         |       ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash_lo
+         | FROM g)
+         |SELECT doc_id, ahash_hi, ahash_lo,
+         | CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT) AS n_same,
+         | (count(*) OVER (PARTITION BY ahash_hi, ahash_lo)) > 1 AS has_perceptual_dup
+         |FROM hsh""".stripMargin,
     "q71_real_png_decode" ->
       """SELECT doc_id,
         | 16 + doc_id % 32 AS width,

@@ -22,7 +22,8 @@ class ContractSpec extends SparkSpec {
       graft.queries.RelationalQueries.queries, graft.queries.TimeseriesQueries.queries,
       graft.queries.DedupQueries.queries, graft.queries.TextQueries.queries,
       graft.queries.VectorQueries.queries, graft.queries.MultimodalQueries.queries,
-      graft.queries.SamplingQueries.queries, graft.queries.CorpusQueries.queries)
+      graft.queries.SamplingQueries.queries, graft.queries.CorpusQueries.queries,
+      graft.queries.SearchQueries.queries)
     assert(all.map(_.size).sum == SparkEntry.queries.size)
   }
 

@@ -56,6 +56,54 @@ class MultimodalSpec extends SparkSpec {
     assert(!echoed, "decode echoed id-derived dims for a corrupted container")
   }
 
+  test("q101 aHash reads the decoded raster: a one-pixel edit flips the hash, " +
+    "brightness-shifted twins collapse") {
+    // recompute one image's hash through the same JVM path, then
+    // through a brightness-shifted and a structurally-edited raster —
+    // invariance and sensitivity are the aHash contract
+    def ahash(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      val bms = new Array[Long](64)
+      for (b <- 0 until 64) {
+        val bx = b % 8; val by = b / 8
+        val xs = bx * w / 8 until (bx + 1) * w / 8
+        val ys = by * h / 8 until (by + 1) * h / 8
+        val vals = for (y <- ys; x <- xs) yield (img.getRGB(x, y) & 0xffffff).toLong
+        bms(b) = vals.sum / vals.length
+      }
+      val g = bms.sum / 64
+      var hi = 0L; var lo = 0L
+      for (b <- 0 until 64) if (bms(b) > g) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      (hi, lo)
+    }
+    def gen(id: Long, shift: Int): java.awt.image.BufferedImage = {
+      val w = (16 + id % 32).toInt; val h = (16 + (id * 7) % 32).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((id + shift + x * 31L + y * 17L) % 0xffffff).toInt)
+      img
+    }
+    val base = ahash(gen(5L, 0))
+    assert(ahash(gen(5L, 1000)) == base, "brightness shift must cancel")
+    val edited = gen(5L, 0)
+    edited.setRGB(0, 0, 0xffffff) // one saturated pixel skews block (0,0)
+    assert(ahash(edited) != base, "structural edit must flip the hash")
+    // and the corpus query agrees with itself: every doc in a hash
+    // group reports the same n_same, groups of >1 are flagged
+    val rows = MultimodalQueries.q101(spark, sf)
+      .select($"ahash_hi", $"ahash_lo", $"n_same", $"has_perceptual_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val byHash = rows.groupBy(r => (r._1, r._2))
+    byHash.foreach { case (_, g2) =>
+      assert(g2.map(_._3).toSet.size == 1 && g2.head._3 == g2.length)
+      assert(g2.forall(_._4 == (g2.length > 1)))
+    }
+    assert(rows.exists(_._4))
+  }
+
   test("q41 frame sampling emits ceil(n_bytes/step) frames per doc") {
     val out = MultimodalQueries.q41(spark, sf)
       .groupBy("doc_id").count()
