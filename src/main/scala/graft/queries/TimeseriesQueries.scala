@@ -226,6 +226,65 @@ object TimeseriesQueries {
       .select(col("signup_id"), col("user_id"), col("asof_value"))
   }
 
+  /** Minimum history and centi-variance floor before q102 emits a
+    * z-score.
+    */
+  val AnomalyMinN = 10
+  val AnomalyVarEpsC = 1e-4
+
+  /** q102 — ONLINE anomaly scoring (§2.5 family): each event's z-score
+    * against its user's RUNNING mean/variance at that moment — the
+    * monitoring primitive a telemetry pipeline (or the reference's
+    * siri-monitor dashboards) computes per device.
+    *
+    * Numeric discipline (this query earned a new rule): `value` is
+    * 2-decimal money-like data, so all accumulation runs on EXACT
+    * integer cents — the cumulative sums are order-free longs, every
+    * derived double (mean, variance, z) is then bit-identical across
+    * engines by IEEE determinism. The reported mean stays INTEGER
+    * (floor centi-units, the q62 integer-threshold discipline) because
+    * rounding a decimal-rational double is engine-ambiguous: s1/n
+    * lands EXACTLY on a .xx5 decimal for every dyadic n (25% of rows
+    * at n=64!), where Spark's HALF_UP on the shortest decimal repr and
+    * DuckDB's binary round legitimately disagree — observed live at
+    * sf0.01 row 13 (40.355 → 40.36 vs 40.35). The z-score is safe to
+    * round: it carries a `sqrt`, so it is never a short decimal.
+    * Variance via `s2c/n − (s1c/n)²`; z gated on [[AnomalyMinN]]
+    * history rows and [[AnomalyVarEpsC]] (cancellation guard), flag on
+    * raw |z| > 3.
+    *
+    * Scale shape: ONE shuffle on user_id; all three cumulative window
+    * aggregates and the flag projection share it (running frames in
+    * pinned (ts, event_id) order — the q39 family). Per-user state is
+    * two longs and a count — the streaming twin would carry the same
+    * state through mapGroupsWithState.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = col("s1c").cast("double") / col("n")
+    val vr = col("s2c").cast("double") / col("n") - mu * mu
+    val zRaw = (col("vc").cast("double") - mu) / sqrt(vr)
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      // one select, one Window node: chained withColumns left Catalyst
+      // with two Window operators over the same spec (shared exchange
+      // either way, but the single node skips a second buffer pass)
+      .select(col("event_id"), col("user_id"), col("ts"), col("vc"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("vc")).over(w).as("s1c"),
+        sum(col("vc") * col("vc")).over(w).as("s2c"))
+      .withColumn("z",
+        when(col("n") >= AnomalyMinN && vr > AnomalyVarEpsC, zRaw))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("s1c div n").as("mean_centi"),
+        round(col("z"), 2).as("zscore"),
+        coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_first_last_per_group" -> (q10 _),
     "q11_duration_watermark" -> (q11 _),
@@ -239,7 +298,8 @@ object TimeseriesQueries {
     "q27_json_extract" -> (q27 _),
     "q39_running_window" -> (q39 _),
     "q42_sessionize" -> (q42 _),
-    "q47_asof_join" -> (q47 _))
+    "q47_asof_join" -> (q47 _),
+    "q102_running_anomaly" -> (q102 _))
 
   val oracles: Map[String, String] = Map(
     "q10_first_last_per_group" ->
@@ -338,6 +398,33 @@ object TimeseriesQueries {
         | round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_value
         |FROM events""".stripMargin,
+    "q102_running_anomaly" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS BIGINT) AS vc
+         | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |c AS (
+         | SELECT event_id, user_id, ts, vc,
+         |  CAST(count(*) OVER w AS BIGINT) AS n,
+         |  CAST(sum(vc) OVER w AS BIGINT) AS s1c,
+         |  CAST(sum(vc * vc) OVER w AS BIGINT) AS s2c
+         | FROM e
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |z AS (
+         | SELECT event_id, user_id, ts, vc, n, s1c,
+         |  CAST(s2c AS DOUBLE) / n
+         |    - (CAST(s1c AS DOUBLE) / n) * (CAST(s1c AS DOUBLE) / n) AS vr
+         | FROM c)
+         |SELECT event_id, user_id, ts,
+         | s1c // n AS mean_centi,
+         | CASE WHEN n >= $AnomalyMinN AND vr > $AnomalyVarEpsC
+         |  THEN round((CAST(vc AS DOUBLE) - CAST(s1c AS DOUBLE) / n) / sqrt(vr), 2)
+         | END AS zscore,
+         | coalesce(CASE WHEN n >= $AnomalyMinN AND vr > $AnomalyVarEpsC
+         |  THEN abs((CAST(vc AS DOUBLE) - CAST(s1c AS DOUBLE) / n) / sqrt(vr)) > 3.0
+         | END, FALSE) AS is_anomaly
+         |FROM z""".stripMargin,
     "q42_sessionize" ->
       s"""WITH l AS (
          | SELECT user_id, event_id, ts, value,

@@ -344,4 +344,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Window"))
   }
+
+  test("q102: all three running aggregates share one user_id exchange and " +
+    "one Window node") {
+    val p = plan(graft.queries.TimeseriesQueries.q102(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert("Window".r.findAllIn(p).size == 1)
+  }
 }
