@@ -241,10 +241,58 @@ object SearchQueries {
       .select("word_a", "word_b", "dist", "freq_a", "freq_b")
   }
 
+  /** q103 — retrieval EVALUATION: precision@k, recall@k and MRR of the
+    * q94 BM25 ranking against a term-containment relevance oracle
+    * (relevant ⇔ the document contains EVERY query term) — the eval
+    * harness a retrieval pipeline runs after every index/scorer change
+    * (RecallSpec plays this role for the ANN side; this is the
+    * lexical twin, and it ships as a query so the metric itself is
+    * hash-gated cross-engine).
+    *
+    * Scale shape: the ranked list is [[TopK]] rows — a bounded driver
+    * collect (the q89 float-top pattern) re-emitted as a literal rank
+    * table; the relevance flags ride the SAME checkpointed termStats
+    * pass q94 scores from; both aggregates are single compact rows.
+    * Metric rounding: 1/rank and hit ratios are either non-terminating
+    * decimals or exactly-representable dyadics — both engines' round()
+    * agree on every case (the q102 lesson applied in design).
+    */
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = termStats(s, dir).localCheckpoint()
+    val relFlag = QueryTerms.indices
+      .map(i => col("tfs").getItem(i) > 0L).reduceLeft(_ && _)
+    val rel = stats.select(col("doc_id"), relFlag.as("is_rel"))
+    val topIds: Array[Long] =
+      q94(s, dir).select(col("doc_id")).as[Long].collect()
+    val ranked = topIds.zipWithIndex
+      .map { case (id, i) => (id, (i + 1).toLong) }.toSeq
+      .toDF("doc_id", "rank")
+    val hitAgg = ranked.join(rel, Seq("doc_id"), "left")
+      .agg(
+        coalesce(sum(when(col("is_rel"), 1L).otherwise(0L)), lit(0L))
+          .as("n_hits_topk"),
+        min(when(col("is_rel"), col("rank"))).as("best_rank"))
+    val relAgg = rel.agg(
+      coalesce(sum(when(col("is_rel"), 1L).otherwise(0L)), lit(0L))
+        .as("n_relevant"))
+    hitAgg.crossJoin(relAgg)
+      .select(col("n_relevant"), col("n_hits_topk"), col("best_rank"),
+        round(col("n_hits_topk").cast("double") / lit(TopK.toDouble), 4)
+          .as("precision_at_k"),
+        when(col("n_relevant") > 0L,
+          round(col("n_hits_topk").cast("double") /
+            col("n_relevant").cast("double"), 4)).as("recall_at_k"),
+        when(col("best_rank").isNotNull,
+          round(lit(1.0) / col("best_rank").cast("double"), 4))
+          .otherwise(lit(0.0)).as("mrr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_bm25_topk" -> (q94 _),
     "q96_classifier_gate" -> (q96 _),
-    "q100_fuzzy_join" -> (q100 _))
+    "q100_fuzzy_join" -> (q100 _),
+    "q103_retrieval_eval" -> (q103 _))
 
   // ---- oracle SQL ----
 
@@ -254,38 +302,69 @@ object SearchQueries {
   private def weightsSql: String =
     Array.tabulate(HashDim)(featWeight).mkString("[", ", ", "]")
 
+  /** The shared q94 scoring CTE chain (d → t → s → scored) — the BM25
+    * replay both the q94 and q103 oracles build on. Contributions fold
+    * left-to-right in QueryTerms order — the same IEEE addition order
+    * as the Spark column chain.
+    */
+  private def bm25CtesSql: String = {
+    val dfCols = QueryTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tfs[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(",\n  ")
+    val hitsExpr = QueryTerms.indices.map(i => s"tfs[${i + 1}]").mkString(" + ")
+    val scoreExpr = QueryTerms.indices.map { i =>
+      s"""ln(1 + (CAST(s.n AS DOUBLE) - CAST(s.df_$i AS DOUBLE) + 0.5)
+         |     / (CAST(s.df_$i AS DOUBLE) + 0.5))
+         |  * ((CAST(tfs[${i + 1}] AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
+         |     / (CAST(tfs[${i + 1}] AS DOUBLE)
+         |        + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
+         |          + CAST($B AS DOUBLE) * (CAST(t.dl AS DOUBLE)
+         |            / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))""".stripMargin
+    }.mkString("\n  + ")
+    s"""d AS (SELECT doc_id, ${TextQueries.wsSql} AS ws FROM documents),
+       |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |  list_transform($qtermsSql, q -> CAST(len(list_filter(ws, w -> w = q)) AS BIGINT)) AS tfs
+       | FROM d),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |  $dfCols
+       | FROM t),
+       |scored AS (
+       | SELECT t.doc_id, t.dl, $hitsExpr AS n_hits,
+       |  $scoreExpr AS raw
+       | FROM t CROSS JOIN s)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "q94_bm25_topk" -> {
-      val dfCols = QueryTerms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tfs[${i + 1}] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
-        .mkString(",\n  ")
-      val hitsExpr = QueryTerms.indices.map(i => s"tfs[${i + 1}]").mkString(" + ")
-      // contributions fold left-to-right in QueryTerms order — the
-      // same IEEE addition order as the Spark column chain
-      val scoreExpr = QueryTerms.indices.map { i =>
-        s"""ln(1 + (CAST(s.n AS DOUBLE) - CAST(s.df_$i AS DOUBLE) + 0.5)
-           |     / (CAST(s.df_$i AS DOUBLE) + 0.5))
-           |  * ((CAST(tfs[${i + 1}] AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
-           |     / (CAST(tfs[${i + 1}] AS DOUBLE)
-           |        + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
-           |          + CAST($B AS DOUBLE) * (CAST(t.dl AS DOUBLE)
-           |            / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE))))))""".stripMargin
-      }.mkString("\n  + ")
-      s"""WITH d AS (SELECT doc_id, ${TextQueries.wsSql} AS ws FROM documents),
-         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
-         |  list_transform($qtermsSql, q -> CAST(len(list_filter(ws, w -> w = q)) AS BIGINT)) AS tfs
-         | FROM d),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
-         |  $dfCols
-         | FROM t),
-         |scored AS (
-         | SELECT t.doc_id, t.dl, $hitsExpr AS n_hits,
-         |  $scoreExpr AS raw
-         | FROM t CROSS JOIN s)
+    "q94_bm25_topk" ->
+      s"""WITH $bm25CtesSql
          |SELECT doc_id, dl, n_hits, round(raw, 6) AS score
          |FROM scored WHERE n_hits > 0
          |ORDER BY round(raw, 6) DESC, doc_id ASC
-         |LIMIT $TopK""".stripMargin
+         |LIMIT $TopK""".stripMargin,
+    "q103_retrieval_eval" -> {
+      val allPos = QueryTerms.indices.map(i => s"tfs[${i + 1}] > 0")
+        .mkString(" AND ")
+      s"""WITH $bm25CtesSql,
+         |topk AS (
+         | SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) AS BIGINT) AS rank
+         | FROM scored WHERE n_hits > 0
+         | ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT $TopK),
+         |rel AS (SELECT doc_id, ($allPos) AS is_rel FROM t),
+         |h AS (
+         | SELECT CAST(coalesce(sum(CASE WHEN r.is_rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits_topk,
+         |  CAST(min(CASE WHEN r.is_rel THEN k.rank END) AS BIGINT) AS best_rank
+         | FROM topk k LEFT JOIN rel r ON k.doc_id = r.doc_id),
+         |ra AS (SELECT CAST(coalesce(sum(CASE WHEN is_rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_relevant
+         |       FROM rel)
+         |SELECT ra.n_relevant, h.n_hits_topk, h.best_rank,
+         | round(CAST(h.n_hits_topk AS DOUBLE) / ${TopK.toDouble}, 4) AS precision_at_k,
+         | CASE WHEN ra.n_relevant > 0
+         |  THEN round(CAST(h.n_hits_topk AS DOUBLE) / CAST(ra.n_relevant AS DOUBLE), 4)
+         | END AS recall_at_k,
+         | CASE WHEN h.best_rank IS NOT NULL
+         |  THEN round(1.0 / h.best_rank, 4) ELSE 0.0 END AS mrr
+         |FROM h CROSS JOIN ra""".stripMargin
     },
     "q96_classifier_gate" ->
       s"""WITH docs AS (SELECT doc_id, ${TextQueries.wsSql} AS ws FROM documents),

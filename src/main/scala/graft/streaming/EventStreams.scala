@@ -155,4 +155,62 @@ object EventStreams {
           }
       }
   }
+
+  /** Per-user running-stats accumulator: exact integer cents (the q102
+    * numeric discipline — order-free sums, no float drift in state).
+    */
+  case class AnomState(n: Long, s1c: Long, s2c: Long)
+
+  /** Emitted per-event anomaly score — the q102 row shape. */
+  case class AnomScore(event_id: Long, user_id: Long, ts: Timestamp,
+                       mean_centi: Long, zscore: Option[Double],
+                       is_anomaly: Boolean)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q102]]: score each event
+    * against its user's running mean/variance AT ARRIVAL, carrying
+    * (n, Σcents, Σcents²) per user through `flatMapGroupsWithState` —
+    * three longs of state per user, ever. Arithmetic is replicated
+    * term-for-term from the batch query (integer cents in, `BigDecimal
+    * .valueOf(…).setScale(2, HALF_UP)` for the z rounding — the exact
+    * `round()` Spark runs), so stream and batch scores are IDENTICAL
+    * row-for-row (StreamingSpec pins it, including across a
+    * micro-batch split — the state carries, the scores don't change).
+    * NoTimeout: running statistics never expire by design; a deployment
+    * that wants sliding baselines swaps the state for a decayed pair.
+    */
+  def anomalyMonitor(events: Dataset[Ev]): Dataset[AnomScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[AnomState]) =>
+          // within one micro-batch events arrive unordered; fold in
+          // full event-time order (micros via getNanos — getTime alone
+          // truncates to millis and could flip batch/stream tie order)
+          val evs = it.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+          val out = Vector.newBuilder[AnomScore]
+          evs.foreach { e =>
+            val vc = BigDecimal.valueOf(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            st = AnomState(st.n + 1, st.s1c + vc, st.s2c + vc * vc)
+            val mu = st.s1c.toDouble / st.n
+            val vr = st.s2c.toDouble / st.n - mu * mu
+            val zRaw =
+              if (st.n >= graft.queries.TimeseriesQueries.AnomalyMinN &&
+                vr > graft.queries.TimeseriesQueries.AnomalyVarEpsC)
+                Some((vc.toDouble - mu) / math.sqrt(vr))
+              else None
+            out += AnomScore(e.event_id, userId, e.ts, st.s1c / st.n,
+              zRaw.map(z => BigDecimal.valueOf(z)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble),
+              zRaw.exists(z => math.abs(z) > 3.0))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

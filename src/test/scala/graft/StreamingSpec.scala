@@ -338,6 +338,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyMonitor: streamed scores equal batch q102 row-for-row, " +
+    "state survives a micro-batch split") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    val subset = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"ts".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull && $"user_id" < 8)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    subset.coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.TimeseriesQueries.q102(spark, dir)
+      .select($"event_id", $"mean_centi", $"zscore", $"is_anomaly")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+      .toSet
+    // split the feed mid-stream in global event-time order: per user,
+    // everything in batch 1 precedes batch 2, so the carried state is
+    // genuinely exercised
+    val evs = subset.as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[Ev]
+    val q = EventStreams.anomalyMonitor(in.toDS())
+      .writeStream.format("memory").queryName("anm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(first.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(second.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("anm")
+        .select($"event_id", $"mean_centi", $"zscore", $"is_anomaly")
+        .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.exists(_._3.isDefined))
+    } finally q.stop()
+  }
+
   test("classifierMonitor: streamed q96 verdicts equal the batch query's") {
     import graft.streaming.StreamingCorpus
     implicit val sqlCtx = spark.sqlContext
