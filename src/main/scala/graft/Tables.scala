@@ -28,13 +28,23 @@ object Tables {
   val broadcastableDims: Set[String] = Set("region", "nation", "supplier")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The lake stores `events.ts` as parquet TIMESTAMP(NANOS), which
-    // Spark 4 rejects by default. Read nanos as long and truncate to
-    // micros (integer `div` — never float division: 1.7e18 ns exceeds
-    // the 2^53 double mantissa). Truncation matches DuckDB's ns→us cast,
-    // so oracle comparisons stay exact. No sub-microsecond residue
-    // exists in the data (verified: epoch_ns % 1000 == 0 everywhere).
+    // The lake has stored `events.ts` two ways across driver
+    // generations; both must read back as TimestampType (LTZ) carrying
+    // the same epoch-micros instant, because every downstream operator
+    // (unix_micros, date_trunc, window frames) and every DuckDB oracle
+    // assumes instant semantics in the UTC session zone:
+    //  * TIMESTAMP(NANOS): Spark 4 rejects it by default — read nanos
+    //    as long and truncate to micros below (integer `div`, never
+    //    float: 1.7e18 ns exceeds the 2^53 double mantissa; truncation
+    //    matches DuckDB's ns→us cast, no sub-us residue in the data).
+    //  * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4's NTZ
+    //    inference would surface TIMESTAMP_NTZ, which breaks
+    //    unix_micros and every Timestamp-typed encoder. Disable the
+    //    inference so naive micros read as the same UTC instants
+    //    DuckDB's naive TIMESTAMP sees — values identical to the
+    //    nanos-era path, bit-for-bit.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.dataType == org.apache.spark.sql.types.LongType && isNanosColumn(name, f.name))

@@ -85,8 +85,18 @@ object SearchQueries {
     * uses the ROUNDED score so both engines cut the same top-k; exact
     * duplicates tie and break deterministically on doc_id.
     */
-  def q94(s: SparkSession, dir: String): DataFrame = {
-    val stats = termStats(s, dir).localCheckpoint()
+  def q94(s: SparkSession, dir: String): DataFrame =
+    q94From(termStats(s, dir).localCheckpoint())
+
+  /** BM25 scoring over a PREBUILT (already-materialized) [[termStats]]
+    * frame — the entry q103 uses so its eval shares one checkpointed
+    * text pass between ranking and relevance flags (round-7 advisory:
+    * the old shape scanned and checkpointed the corpus twice per eval
+    * run). Callers own materialization: pass a localCheckpoint'd frame,
+    * since scoring consumes it twice (the stats aggregate + the
+    * projection).
+    */
+  private[queries] def q94From(stats: DataFrame): DataFrame = {
     val aggCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
       QueryTerms.indices.map(i =>
         sum(when(col("tfs").getItem(i) > 0L, 1L).otherwise(0L)).as(s"df_$i"))
@@ -264,7 +274,7 @@ object SearchQueries {
       .map(i => col("tfs").getItem(i) > 0L).reduceLeft(_ && _)
     val rel = stats.select(col("doc_id"), relFlag.as("is_rel"))
     val topIds: Array[Long] =
-      q94(s, dir).select(col("doc_id")).as[Long].collect()
+      q94From(stats).select(col("doc_id")).as[Long].collect()
     val ranked = topIds.zipWithIndex
       .map { case (id, i) => (id, (i + 1).toLong) }.toSeq
       .toDF("doc_id", "rank")

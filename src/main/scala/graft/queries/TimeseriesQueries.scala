@@ -237,21 +237,28 @@ object TimeseriesQueries {
     * monitoring primitive a telemetry pipeline (or the reference's
     * siri-monitor dashboards) computes per device.
     *
-    * Numeric discipline (this query earned a new rule): `value` is
-    * 2-decimal money-like data, so all accumulation runs on EXACT
-    * integer cents — the cumulative sums are order-free longs, every
-    * derived double (mean, variance, z) is then bit-identical across
-    * engines by IEEE determinism. The reported mean stays INTEGER
-    * (floor centi-units, the q62 integer-threshold discipline) because
-    * rounding a decimal-rational double is engine-ambiguous: s1/n
-    * lands EXACTLY on a .xx5 decimal for every dyadic n (25% of rows
-    * at n=64!), where Spark's HALF_UP on the shortest decimal repr and
-    * DuckDB's binary round legitimately disagree — observed live at
-    * sf0.01 row 13 (40.355 → 40.36 vs 40.35). The z-score is safe to
-    * round: it carries a `sqrt`, so it is never a short decimal.
-    * Variance via `s2c/n − (s1c/n)²`; z gated on [[AnomalyMinN]]
-    * history rows and [[AnomalyVarEpsC]] (cancellation guard), flag on
-    * raw |z| > 3.
+    * Numeric discipline (this query earned a new rule, then a
+    * STRICTER one after round 7): `value` is 2-decimal money-like
+    * data, so all accumulation runs on EXACT integer cents — the
+    * cumulative sums are order-free longs, every derived double
+    * (mean, variance, z) is then bit-identical across engines by IEEE
+    * determinism. NOTHING in the output is decimal-rounded: rounding
+    * a double is engine-ambiguous both on .xx5 decimals (s1/n lands
+    * exactly on one for every dyadic n — observed live at sf0.01 row
+    * 13, 40.355 → 40.36 vs 40.35) AND across DuckDB versions whose
+    * `round()` changed binary-vs-decimal strategy (the round-7 gate
+    * flagged `round(z, 2)` against a driver DuckDB this engine never
+    * saw). So the mean ships as FLOOR centi-units via an exact
+    * pmod-based integer floor division — `(s1c − pmod(s1c, n)) div n`
+    * — whose numerator is exactly divisible, making trunc-vs-floor
+    * `div` semantics irrelevant on both engines and correct for
+    * negative sums too (round-7 advisory: Spark `div` truncates,
+    * DuckDB `//` floors; they diverged on negative money). The
+    * z-score ships as `floor(z·100)` centi-z: one IEEE multiply and
+    * one floor on a bit-identical double — exact on any engine, no
+    * rounding mode involved. Variance via `s2c/n − (s1c/n)²`; z gated
+    * on [[AnomalyMinN]] history rows and [[AnomalyVarEpsC]]
+    * (cancellation guard), flag on raw |z| > 3.
     *
     * Scale shape: ONE shuffle on user_id; all three cumulative window
     * aggregates and the flag projection share it (running frames in
@@ -280,8 +287,8 @@ object TimeseriesQueries {
       .withColumn("z",
         when(col("n") >= AnomalyMinN && vr > AnomalyVarEpsC, zRaw))
       .select(col("event_id"), col("user_id"), col("ts"),
-        expr("s1c div n").as("mean_centi"),
-        round(col("z"), 2).as("zscore"),
+        expr("(s1c - pmod(s1c, n)) div n").as("mean_centi"),
+        floor(col("z") * lit(100.0)).as("z_centi"),
         coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
   }
 
@@ -417,10 +424,12 @@ object TimeseriesQueries {
          |    - (CAST(s1c AS DOUBLE) / n) * (CAST(s1c AS DOUBLE) / n) AS vr
          | FROM c)
          |SELECT event_id, user_id, ts,
-         | s1c // n AS mean_centi,
+         | (s1c - ((s1c % n) + n) % n) // n AS mean_centi,
          | CASE WHEN n >= $AnomalyMinN AND vr > $AnomalyVarEpsC
-         |  THEN round((CAST(vc AS DOUBLE) - CAST(s1c AS DOUBLE) / n) / sqrt(vr), 2)
-         | END AS zscore,
+         |  THEN CAST(floor(
+         |   ((CAST(vc AS DOUBLE) - CAST(s1c AS DOUBLE) / n) / sqrt(vr)) * 100.0
+         |  ) AS BIGINT)
+         | END AS z_centi,
          | coalesce(CASE WHEN n >= $AnomalyMinN AND vr > $AnomalyVarEpsC
          |  THEN abs((CAST(vc AS DOUBLE) - CAST(s1c AS DOUBLE) / n) / sqrt(vr)) > 3.0
          | END, FALSE) AS is_anomaly

@@ -163,7 +163,7 @@ object EventStreams {
 
   /** Emitted per-event anomaly score — the q102 row shape. */
   case class AnomScore(event_id: Long, user_id: Long, ts: Timestamp,
-                       mean_centi: Long, zscore: Option[Double],
+                       mean_centi: Long, z_centi: Option[Long],
                        is_anomaly: Boolean)
 
   /** The STREAMING twin of
@@ -171,11 +171,13 @@ object EventStreams {
     * against its user's running mean/variance AT ARRIVAL, carrying
     * (n, Σcents, Σcents²) per user through `flatMapGroupsWithState` —
     * three longs of state per user, ever. Arithmetic is replicated
-    * term-for-term from the batch query (integer cents in, `BigDecimal
-    * .valueOf(…).setScale(2, HALF_UP)` for the z rounding — the exact
-    * `round()` Spark runs), so stream and batch scores are IDENTICAL
-    * row-for-row (StreamingSpec pins it, including across a
-    * micro-batch split — the state carries, the scores don't change).
+    * term-for-term from the batch query (integer cents in,
+    * `Math.floorDiv` for the floor-centi mean, `floor(z·100)` for the
+    * centi-z — the exact expressions the batch plan runs; no decimal
+    * rounding anywhere, the round-7 q102 discipline), so stream and
+    * batch scores are IDENTICAL row-for-row (StreamingSpec pins it,
+    * including across a micro-batch split — the state carries, the
+    * scores don't change).
     * NoTimeout: running statistics never expire by design; a deployment
     * that wants sliding baselines swaps the state for a decayed pair.
     */
@@ -204,9 +206,9 @@ object EventStreams {
                 vr > graft.queries.TimeseriesQueries.AnomalyVarEpsC)
                 Some((vc.toDouble - mu) / math.sqrt(vr))
               else None
-            out += AnomScore(e.event_id, userId, e.ts, st.s1c / st.n,
-              zRaw.map(z => BigDecimal.valueOf(z)
-                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble),
+            out += AnomScore(e.event_id, userId, e.ts,
+              Math.floorDiv(st.s1c, st.n),
+              zRaw.map(z => math.floor(z * 100.0).toLong),
               zRaw.exists(z => math.abs(z) > 3.0))
           }
           state.update(st)

@@ -349,10 +349,10 @@ class StreamingSpec extends SparkSpec {
       .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
     subset.coalesce(1).write.parquet(s"$dir/events.parquet")
     val batch = graft.queries.TimeseriesQueries.q102(spark, dir)
-      .select($"event_id", $"mean_centi", $"zscore", $"is_anomaly")
+      .select($"event_id", $"mean_centi", $"z_centi", $"is_anomaly")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
       .toSet
     // split the feed mid-stream in global event-time order: per user,
     // everything in batch 1 precedes batch 2, so the carried state is
@@ -368,8 +368,8 @@ class StreamingSpec extends SparkSpec {
       in.addData(first.toIndexedSeq: _*); q.processAllAvailable()
       in.addData(second.toIndexedSeq: _*); q.processAllAvailable()
       val streamed = spark.table("anm")
-        .select($"event_id", $"mean_centi", $"zscore", $"is_anomaly")
-        .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+        .select($"event_id", $"mean_centi", $"z_centi", $"is_anomaly")
+        .as[(Long, Long, Option[Long], Boolean)].collect().toSet
       assert(streamed == batch && streamed.nonEmpty)
       assert(streamed.exists(_._3.isDefined))
     } finally q.stop()
