@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in EXACT integer fixed-point arithmetic —
+  * the second iterative graph primitive beyond
+  * [[ConnectedComponents]]: where CC answers "which near-dups form one
+  * group", PageRank ranks WITHIN the graph (e.g. the most-linked
+  * canonical page in a dup cluster, or authority weighting for
+  * survivor selection over a link graph).
+  *
+  * Integer discipline (the q102 rule applied to an iterative
+  * algorithm): floating-point PageRank is NOT cross-engine
+  * reproducible, because each iteration sums per-edge double
+  * contributions in partition order — a different engine (or a
+  * different partitioning of the SAME engine) adds them in a different
+  * order and drifts in the last ulps, compounding per iteration. Here
+  * every rank is a non-negative long in units of `scale⁻¹` total mass:
+  *  - initial rank: `scale div N` per node (identical everywhere);
+  *  - damped share: `(r · DampNum) div DampDen`, then `div outdeg`
+  *    per out-edge — floor divisions on non-negative longs, where
+  *    floor = truncation, so Spark `div` and any SQL engine's integer
+  *    division agree;
+  *  - new rank: `base + Σ contributions` — a sum of LONGS, which is
+  *    order-free, so partitioning cannot change the result.
+  * Floor division leaks ≤ 1 unit of mass per division (the classic
+  * fixed-point PageRank formulation); at scale = 10¹² the relative
+  * error per iteration is ≤ (N + E)/10¹² — negligible for ranking, and
+  * EXACTLY REPRODUCED by any engine running the same formula, which is
+  * the point: the whole iteration is hash-gateable against a SQL
+  * oracle.
+  *
+  * Scale shape: per iteration, ONE shuffle (the `groupBy(dst)` partial
+  * aggregation — map-side combine keeps per-reducer traffic at
+  * distinct-dst cardinality) plus a broadcast-or-sort-merge join of
+  * ranks against edges on `src`. Ranks are `localCheckpoint`ed every
+  * round (the [[ConnectedComponents]] lineage lesson: round N's plan
+  * must be one join over round N−1's blocks, not a 2^N nest).
+  * Iterations are FIXED (no convergence test): training-data ranking
+  * wants deterministic cost and deterministic output, and k≈5 is
+  * within a few percent of the fixpoint for damping 0.85 on the
+  * short-diameter graphs dedup candidates produce. Dangling nodes
+  * (outdeg 0) simply leak their damped mass — the standard
+  * "no-redistribution" variant, chosen because it keeps the oracle
+  * replay trivial; callers ranking undirected graphs never see it
+  * (every undirected edge yields an out-edge both ways).
+  */
+object PageRank {
+
+  /** Damping factor 0.85 as an exact rational — integer arithmetic
+    * only ever multiplies by the numerator and floor-divides by the
+    * denominator, so the "double" 0.85 never appears.
+    */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Default total-mass scale: ranks are longs in units of 10⁻¹². */
+  val DefaultScale = 1000000000000L
+
+  /** Rank `edges` (directed `src` → `dst` long columns; callers with
+    * undirected graphs union both directions first) for `iters`
+    * rounds. Returns one row per node appearing as EITHER endpoint:
+    * `(id, rank, outdeg)` with `rank` in `scale⁻¹` units.
+    */
+  def run(edges: DataFrame, iters: Int,
+          scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint() // consumed every iteration + for nodes/outdeg
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    // nodes ⟕ outdeg: sinks keep outdeg 0 and contribute nothing
+    val base0 = nodes.join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    val n = base0.count()
+    val init = scale / n
+    val teleport = ((scale / n) * (DampDen - DampNum)) / DampDen
+    var ranks = base0.select(col("id"), lit(init).as("rank"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"((rank * $DampNum) div $DampDen) div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("in_mass"))
+      ranks = base0.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks.join(base0.select(col("id"), col("outdeg")), "id")
+  }
+}

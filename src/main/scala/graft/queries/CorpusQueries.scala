@@ -596,6 +596,51 @@ object CorpusQueries {
         PivotLangs.map(l => col(l)).reduceLeft(_ + _).as("n_total"): _*)
   }
 
+  /** [[q106]] window geometry: [[ChunkWindow]]-token chunks every
+    * [[ChunkStride]] tokens ([[ChunkWindow]]−[[ChunkStride]] tokens of
+    * overlap between neighbors). Part of the cross-engine contract.
+    */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** q106 — sliding-window chunking WITH OVERLAP (beyond-reference,
+    * LLM-pipeline §chunking): cut every document into
+    * [[ChunkWindow]]-token windows that start every [[ChunkStride]]
+    * tokens — the RAG-indexing / context-window-preparation chunker,
+    * where overlap keeps a sentence that straddles a boundary fully
+    * inside at least one chunk. Distinct from q69/q84's NON-overlapping
+    * `grouped` chunks (dedup/scrub units): start positions here are
+    * `0, stride, 2·stride, …` while `start < len`, tail windows run
+    * short, and each row carries its offset geometry so a retriever
+    * can map hits back into the document.
+    *
+    * Emits (doc_id, chunk_idx, start_tok, n_tokens, chunk_md5) — the
+    * md5 stands in for the chunk text so the gated output stays
+    * compact while still pinning the exact chunk CONTENT cross-engine.
+    *
+    * Scale shape: ONE narrow typed pass, ZERO exchanges (PlanSpec pins
+    * it) — the chunk strings are born and hashed inside the same task
+    * that tokenizes, so at 100 TB nothing but compact hash rows ever
+    * leaves the scan stage. Output size is len/stride ≈ 1.33× the
+    * token count in rows — the deliberate cost of overlap.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        Iterator.range(0, ws.length, ChunkStride).map { st =>
+          val end = math.min(st + ChunkWindow, ws.length)
+          (id, (st / ChunkStride).toLong, st.toLong, (end - st).toLong,
+            ws.slice(st, end).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"), md5(col("chunk")).as("chunk_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_mixture_resample" -> (q59 _),
     "q60_train_split" -> (q60 _),
@@ -611,7 +656,8 @@ object CorpusQueries {
     "q90_source_top_ngrams" -> (q90 _),
     "q91_weighted_sample" -> (q91 _),
     "q95_corpus_rollup" -> (q95 _),
-    "q98_lang_pivot" -> (q98 _))
+    "q98_lang_pivot" -> (q98 _),
+    "q106_overlap_chunks" -> (q106 _))
 
   // ---- oracle SQL ----
 
@@ -880,5 +926,18 @@ object CorpusQueries {
          | $arms,
          | CAST($total AS BIGINT) AS n_total
          |FROM documents GROUP BY source""".stripMargin
+    },
+    "q106_overlap_chunks" -> {
+      val wsSql = TextQueries.wsSql
+      s"""WITH d AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |st AS (
+         | SELECT doc_id, ws, unnest(range(0, len(ws), $ChunkStride)) AS s
+         | FROM d)
+         |SELECT doc_id,
+         | CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+         | CAST(s AS BIGINT) AS start_tok,
+         | CAST(least(len(ws) - s, $ChunkWindow) AS BIGINT) AS n_tokens,
+         | md5(array_to_string(ws[s + 1 : s + $ChunkWindow], ' ')) AS chunk_md5
+         |FROM st""".stripMargin
     })
 }

@@ -1028,6 +1028,41 @@ object DedupQueries {
             col("n_spans").cast("double"), 4)).as("shared_ratio"))
   }
 
+  /** Fixed iteration count for [[q104]] — part of the cross-engine
+    * contract (the oracle unrolls exactly this many rounds).
+    */
+  val PageRankIters = 5
+
+  /** q104 — PageRank over the near-dup candidate graph (beyond-
+    * reference, LLM-pipeline §graph): rank each document by how
+    * central it is among its near-duplicates — the authority signal a
+    * survivor-selection policy can prefer over q81's length/source
+    * heuristics (the most-linked variant of a boilerplate family is
+    * usually the canonical one). Demonstrates the engine's SECOND
+    * iterative graph primitive beyond [[q48]]'s connected components.
+    *
+    * The graph is [[lshCandidates]] over the SAME memoized signature
+    * pass q29/q58 share, undirected (both edge directions), ranked by
+    * [[graft.operators.PageRank]] in exact integer fixed-point — every
+    * iteration is order-free long arithmetic, so the 5-round result is
+    * bit-identical on any engine and the oracle replays it as 5
+    * unrolled SQL stages (see PageRank's scaladoc for why FLOATING
+    * PageRank can never pass a cross-engine hash gate).
+    *
+    * Scale shape: one shuffle per iteration (partial-agg on dst) plus
+    * the shared candidate machinery; ranks checkpoint each round
+    * (lineage truncation, the CC lesson). Output is one row per node
+    * of the candidate graph — dedup-family-sized, not corpus-sized.
+    */
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.operators.PageRank.run(edges, PageRankIters)
+      .select(col("id").as("doc_id"), col("rank").as("pr_rank"),
+        col("outdeg").as("degree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -1046,7 +1081,8 @@ object DedupQueries {
     "q87_decontam_scrub" -> (q87 _),
     "q92_split_leakage" -> (q92 _),
     "q93_cluster_split" -> (q93 _),
-    "q97_repeated_spans" -> (q97 _))
+    "q97_repeated_spans" -> (q97 _),
+    "q104_pagerank" -> (q104 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1472,5 +1508,44 @@ object DedupQueries {
          | CASE WHEN pd.n_spans IS NULL THEN NULL
          |  ELSE round(CAST(pd.n_shared AS DOUBLE) / CAST(pd.n_spans AS DOUBLE), 4)
          | END AS shared_ratio
-         |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin)
+         |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    "q104_pagerank" -> q104OracleSql)
+
+  /** Unrolled [[PageRankIters]]-stage PageRank replay, generated from
+    * the same constants the operator runs ([[graft.operators.PageRank]]
+    * damping rational + scale): every stage is integer floor
+    * arithmetic over non-negative longs, so DuckDB `//` and Spark
+    * `div` agree term-for-term and the final ranks hash-match exactly.
+    */
+  private def q104OracleSql: String = {
+    val dn = graft.operators.PageRank.DampNum
+    val dd = graft.operators.PageRank.DampDen
+    val scale = graft.operators.PageRank.DefaultScale
+    val iters = (1 to PageRankIters).map { k =>
+      s"""r$k AS (
+         | SELECT b.id, CAST(t.tp + coalesce(m.mass, 0) AS BIGINT) AS rank
+         | FROM nd b CROSS JOIN tp t LEFT JOIN (
+         |  SELECT u.dst AS id,
+         |   CAST(sum(((r.rank * $dn) // $dd) // d.outdeg) AS BIGINT) AS mass
+         |  FROM und u JOIN r${k - 1} r ON u.src = r.id
+         |  JOIN deg d ON u.src = d.id
+         |  GROUP BY 1) m ON b.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$lshCteSql,
+       |und AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM cand
+       | UNION ALL
+       | SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |nd AS (SELECT DISTINCT src AS id FROM und),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM und GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+       |tp AS (SELECT CAST((($scale // n) * ${dd - dn}) // $dd AS BIGINT) AS tp
+       |       FROM nn),
+       |r0 AS (SELECT id, CAST($scale // n AS BIGINT) AS rank
+       |       FROM nd CROSS JOIN nn),
+       |$iters
+       |SELECT r.id AS doc_id, r.rank AS pr_rank, d.outdeg AS degree
+       |FROM r$PageRankIters r JOIN deg d ON r.id = d.id""".stripMargin
+  }
 }

@@ -292,6 +292,52 @@ object TimeseriesQueries {
         coalesce(abs(col("z")) > 3.0, lit(false)).as("is_anomaly"))
   }
 
+  /** Trailing-feature horizons for [[q105]], in event-time micros. */
+  val FeatureHorizon1 = 3600L * 1000000L        // 1 hour
+  val FeatureHorizon2 = 24L * 3600L * 1000000L  // 24 hours
+
+  /** q105 — multi-horizon ROLLING FEATURES (§2.5 family, the
+    * feature-engineering shape): for every event, its user's activity
+    * count and exact centi-sum over the trailing 1-hour and 24-hour
+    * event-time windows — the classic online-ML feature vector
+    * (velocity + short/long-horizon spend) a fraud or engagement model
+    * trains on, and a different WINDOW FRAME TYPE from everything else
+    * in the suite: RANGE frames over event-time micros
+    * (`[t−H, t]` inclusive), not ROWS frames ([[q39]]/[[q102]]) and
+    * not gap sessionization ([[q42]]).
+    *
+    * Determinism: RANGE frames are insensitive to intra-tie order —
+    * peers at the same `tus` are all in-frame on every engine — and
+    * both aggregates (long count, long centi-sum) are order-free, so
+    * no tiebreak column is needed at all (contrast q39's (ts,
+    * event_id) ROWS ordering). The q102 integer-cents discipline keeps
+    * the sums exact.
+    *
+    * Scale shape: ONE shuffle on user_id; both horizons share the
+    * exchange and sort (same partition + ordering, two frame specs —
+    * Catalyst stacks two Window nodes over one sort, no second
+    * exchange; PlanSpec pins it). Per-partition evaluation is the
+    * sliding two-pointer pass over the sorted run — O(rows) state, no
+    * per-row rescan, which is what makes a 100 TB backfill of these
+    * features one linear pass per user-shard.
+    */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-FeatureHorizon1, 0)
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-FeatureHorizon2, 0)
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"),
+        unix_micros(col("ts")).as("tus"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w1).as("n_1h"),
+        sum(col("vc")).over(w1).as("sum_centi_1h"),
+        count(lit(1)).over(w2).as("n_24h"),
+        sum(col("vc")).over(w2).as("sum_centi_24h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_first_last_per_group" -> (q10 _),
     "q11_duration_watermark" -> (q11 _),
@@ -306,7 +352,8 @@ object TimeseriesQueries {
     "q39_running_window" -> (q39 _),
     "q42_sessionize" -> (q42 _),
     "q47_asof_join" -> (q47 _),
-    "q102_running_anomaly" -> (q102 _))
+    "q102_running_anomaly" -> (q102 _),
+    "q105_rolling_features" -> (q105 _))
 
   val oracles: Map[String, String] = Map(
     "q10_first_last_per_group" ->
@@ -434,6 +481,23 @@ object TimeseriesQueries {
          |  THEN abs((CAST(vc AS DOUBLE) - CAST(s1c AS DOUBLE) / n) / sqrt(vr)) > 3.0
          | END, FALSE) AS is_anomaly
          |FROM z""".stripMargin,
+    "q105_rolling_features" ->
+      s"""WITH e AS (
+         | SELECT event_id, user_id, ts,
+         |  CAST(round(value * 100) AS BIGINT) AS vc,
+         |  epoch_us(ts) AS tus
+         | FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+         |SELECT event_id, user_id, ts,
+         | CAST(count(*) OVER w1 AS BIGINT) AS n_1h,
+         | CAST(sum(vc) OVER w1 AS BIGINT) AS sum_centi_1h,
+         | CAST(count(*) OVER w2 AS BIGINT) AS n_24h,
+         | CAST(sum(vc) OVER w2 AS BIGINT) AS sum_centi_24h
+         |FROM e
+         |WINDOW
+         | w1 AS (PARTITION BY user_id ORDER BY tus
+         |   RANGE BETWEEN $FeatureHorizon1 PRECEDING AND CURRENT ROW),
+         | w2 AS (PARTITION BY user_id ORDER BY tus
+         |   RANGE BETWEEN $FeatureHorizon2 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q42_sessionize" ->
       s"""WITH l AS (
          | SELECT user_id, event_id, ts, value,

@@ -351,4 +351,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1)
     assert("Window".r.findAllIn(p).size == 1)
   }
+
+  test("q105: both rolling horizons share ONE user_id exchange (two frame " +
+    "specs stack over the same sort, no second shuffle)") {
+    val p = plan(TimeseriesQueries.q105(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1)
+    // Spark folds BOTH range-frame specs into a single Window node
+    // (same partition + ordering): one exchange, one sort, one buffer
+    assert("Window".r.findAllIn(p).size == 1)
+    assert("Sort".r.findAllIn(p).size == 1)
+  }
+
+  test("q106: overlap chunking is one narrow typed pass, zero exchanges") {
+    val p = plan(graft.queries.CorpusQueries.q106(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
 }
