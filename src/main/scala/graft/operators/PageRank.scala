@@ -63,6 +63,18 @@ object PageRank {
     * rounds. Returns one row per node appearing as EITHER endpoint:
     * `(id, rank, outdeg)` with `rank` in `scale⁻¹` units.
     */
+  /** Checkpoint the rank frame every this-many iterations. Unlike
+    * [[ConnectedComponents]] — an UNBOUNDED loop whose convergence
+    * check must materialize every round anyway — a fixed-k PageRank is
+    * best left as one declarative multi-shuffle plan: chaining k
+    * iterations into a single action lets AQE size every exchange and
+    * costs one job instead of k. The interval only exists to bound
+    * lineage depth/analysis cost for LARGE k (k ≳ 8 nests enough joins
+    * that Catalyst re-analysis dominates); at the default it never
+    * fires for the q104-style k = 5.
+    */
+  val CheckpointInterval = 8
+
   def run(edges: DataFrame, iters: Int,
           scale: Long = DefaultScale): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -81,7 +93,6 @@ object PageRank {
     val init = scale / n
     val teleport = ((scale / n) * (DampDen - DampNum)) / DampDen
     var ranks = base0.select(col("id"), lit(init).as("rank"))
-      .localCheckpoint()
     var i = 0
     while (i < iters) {
       val contrib = e
@@ -94,8 +105,9 @@ object PageRank {
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-        .localCheckpoint()
       i += 1
+      if (i % CheckpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.join(base0.select(col("id"), col("outdeg")), "id")
   }

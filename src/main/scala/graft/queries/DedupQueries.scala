@@ -1050,9 +1050,12 @@ object DedupQueries {
     * PageRank can never pass a cross-engine hash gate).
     *
     * Scale shape: one shuffle per iteration (partial-agg on dst) plus
-    * the shared candidate machinery; ranks checkpoint each round
-    * (lineage truncation, the CC lesson). Output is one row per node
-    * of the candidate graph — dedup-family-sized, not corpus-sized.
+    * the shared candidate machinery; the 5 fixed iterations chain into
+    * ONE declarative action (AQE sizes every exchange — see
+    * PageRank.CheckpointInterval for why fixed-k does NOT checkpoint
+    * per round like the unbounded CC loop must). Output is one row per
+    * node of the candidate graph — dedup-family-sized, not
+    * corpus-sized.
     */
   def q104(s: SparkSession, dir: String): DataFrame = {
     val cand = lshCandidates(checkpointedSignatures(s, dir))

@@ -156,6 +156,82 @@ object EventStreams {
       }
   }
 
+  /** Sliding-window state for [[rollingFeatures]]: the user's events
+    * inside the LONGEST horizon, as (event-time micros, integer cents)
+    * pairs. Bounded by construction — eviction drops everything older
+    * than `ts − maxHorizon` on every arrival, so state size is the
+    * user's 24h event count, not their history.
+    */
+  case class RollState(recent: List[(Long, Long)])
+
+  /** Emitted per-event feature row — the q105 row shape. */
+  case class RollFeatures(event_id: Long, user_id: Long, ts: Timestamp,
+                          n_1h: Long, sum_centi_1h: Long,
+                          n_24h: Long, sum_centi_24h: Long)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q105]]: per-event trailing
+    * 1h/24h activity features computed AT ARRIVAL from per-user
+    * sliding-window state — the online feature-store path of the same
+    * feature definition the batch query backfills (train/serve
+    * consistency is exactly this pairing: one contract, two runtimes;
+    * StreamingSpec pins row equality including across a micro-batch
+    * split).
+    *
+    * Arithmetic replicates the batch plan term-for-term: integer
+    * cents, inclusive `[t−H, t]` horizons, and count/sum over the
+    * retained pairs — all order-free, so the RANGE-frame tie semantics
+    * (peers at the same `tus` all in-frame) fall out of sorting each
+    * group by (tus, event_id) and including ties. NoTimeout like
+    * [[anomalyMonitor]] — but unlike its ever-growing (n, Σ, Σ²)
+    * state, eviction here keeps state PROPORTIONAL TO THE WINDOW, the
+    * property that lets a 1000-executor deployment hold every user's
+    * state in memory indefinitely.
+    */
+  def rollingFeatures(events: Dataset[Ev]): Dataset[RollFeatures] = {
+    import events.sparkSession.implicits._
+    val h1 = graft.queries.TimeseriesQueries.FeatureHorizon1
+    val h2 = graft.queries.TimeseriesQueries.FeatureHorizon2
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, RollFeatures](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[RollState]) =>
+          val evs = it.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          def tusOf(e: Ev): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = Vector.newBuilder[RollFeatures]
+          // RANGE-frame tie semantics: peers at the SAME micros are all
+          // in each other's frame, so a tied group is inserted whole
+          // before any member's features are read. (Ties split across
+          // micro-batches are inherently unknowable to an online
+          // scorer; the batch backfill is the source of truth there.)
+          var i = 0
+          while (i < evs.length) {
+            val tus = tusOf(evs(i))
+            var j = i
+            while (j < evs.length && tusOf(evs(j)) == tus) j += 1
+            val group = evs.slice(i, j)
+            group.foreach { e =>
+              val vc = BigDecimal.valueOf(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              recent = (tus, vc) :: recent
+            }
+            recent = recent.filter(_._1 >= tus - h2)
+            val in1 = recent.filter(_._1 >= tus - h1)
+            val (n1, s1) = (in1.size.toLong, in1.map(_._2).sum)
+            val (n2, s2) = (recent.size.toLong, recent.map(_._2).sum)
+            group.foreach(e =>
+              out += RollFeatures(e.event_id, userId, e.ts, n1, s1, n2, s2))
+            i = j
+          }
+          state.update(RollState(recent))
+          out.result().iterator
+      }
+  }
+
   /** Per-user running-stats accumulator: exact integer cents (the q102
     * numeric discipline — order-free sums, no float drift in state).
     */

@@ -375,6 +375,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingFeatures: streamed features equal batch q105 row-for-row, " +
+    "eviction keeps state window-bounded across a micro-batch split") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_roll").toString
+    val subset = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"ts".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull && $"user_id" < 8)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    subset.coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.TimeseriesQueries.q105(spark, dir)
+      .select($"event_id", $"n_1h", $"sum_centi_1h", $"n_24h", $"sum_centi_24h")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val evs = subset.as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[Ev]
+    val q = EventStreams.rollingFeatures(in.toDS())
+      .writeStream.format("memory").queryName("roll")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(first.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(second.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("roll")
+        .select($"event_id", $"n_1h", $"sum_centi_1h", $"n_24h", $"sum_centi_24h")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the features are non-trivial: some event must have >1 in-window
+      assert(streamed.exists(_._4 > 1L))
+    } finally q.stop()
+  }
+
   test("classifierMonitor: streamed q96 verdicts equal the batch query's") {
     import graft.streaming.StreamingCorpus
     implicit val sqlCtx = spark.sqlContext

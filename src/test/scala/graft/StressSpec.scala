@@ -85,6 +85,53 @@ class StressSpec extends SparkSpec {
       assert(viaAuto(StressData.StarBase + i) == StressData.StarBase))
   }
 
+  test("pagerank: a 50k-leaf star (one-key in-mass funnel) and a 50k path " +
+    "rank exactly in bounded time — partial agg absorbs the hot sink") {
+    import graft.operators.PageRank
+    // undirected star: every iteration funnels 50k contributions into
+    // ONE dst key — the worst reduce-skew PageRank can see. Map-side
+    // combine must absorb it (sum of longs is associative), or this
+    // would be the one-reducer hot key the scaladoc forbids.
+    val starN = 50000
+    val star = StressData.pathPlusStarEdges(spark, pathN = 0, starN = starN)
+    val und = star.union(star.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val r = PageRank.run(und, iters = 5)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val tStar = (System.nanoTime() - t0) / 1e9
+    assert(r.size == starN + 1)
+    // exact closed-form replay: leaves are symmetric, so the whole
+    // 5-iteration recurrence collapses to two scalars
+    val scale = PageRank.DefaultScale
+    val n = starN + 1L
+    val tp = ((scale / n) * (PageRank.DampDen - PageRank.DampNum)) /
+      PageRank.DampDen
+    var (hub, leaf) = (scale / n, scale / n)
+    (1 to 5).foreach { _ =>
+      val hubNext = tp + starN * (((leaf * PageRank.DampNum) /
+        PageRank.DampDen) / 1L)
+      val leafNext = tp + (((hub * PageRank.DampNum) /
+        PageRank.DampDen) / starN)
+      hub = hubNext; leaf = leafNext
+    }
+    assert(r(StressData.StarBase) == hub)
+    assert(r(StressData.StarBase + 1L) == leaf)
+    assert((1 to starN).forall(i => r(StressData.StarBase + i) == leaf))
+    // long path: diameter is irrelevant to fixed-k cost (contrast CC,
+    // which must traverse it) — 50k-node chain in the same bound
+    val path = StressData.pathPlusStarEdges(spark, pathN = 50000, starN = 0)
+    val undP = path.union(path.select($"dst".as("src"), $"src".as("dst")))
+      .localCheckpoint()
+    val t1 = System.nanoTime()
+    val np = PageRank.run(undP, iters = 5).count()
+    val tPath = (System.nanoTime() - t1) / 1e9
+    assert(np == 50001L)
+    assert(tStar < 120 && tPath < 120,
+      f"pagerank stress too slow: star $tStar%.1fs path $tPath%.1fs")
+    info(f"star(${starN}) $tStar%.1fs, path(50k) $tPath%.1fs")
+  }
+
   test("sequence packing: a key with 90% of tokens spans the range " +
     "partitions and still matches the window form bit-for-bit") {
     val rows = StressData.skewedPackingRows(spark, n = 100000, hotShare = 0.9)
