@@ -33,7 +33,17 @@ object Bench {
     // SAME query on consecutive iterations right after a VM boot —
     // one extra sample cheaply shields the min from a single bad window
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q58,q99 runs a subset for regression
+    // adjudication (quiet-window min-of-N probes); a probe run writes
+    // bench_probe.json and NEVER touches BENCH_RESULT.json, which stays
+    // the full-registry artifact of record the harness reads.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -64,8 +74,9 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"total":$total,"sf":"$sfDir","queries":$detail}""")
+      java.nio.file.Paths.get(
+        if (only.isDefined) "bench_probe.json" else "bench_detail.json"),
+      s"""{"total":$total,"sf":"$sfDir","iters":$iters,"queries":$detail}""")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The harness JSON-parses the result from a bounded stdout tail that
@@ -73,8 +84,9 @@ object Bench {
     // rounds of BENCH_r*.json.parsed=null prove that channel is not
     // machine-readable. The fixed-path file IS: byte-exact compact JSON,
     // no prefixes, overwritten per run (referenced from BASELINE.md).
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_RESULT.json"), line)
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_RESULT.json"), line)
     println(line)
     spark.stop()
   }
