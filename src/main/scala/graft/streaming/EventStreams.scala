@@ -158,9 +158,10 @@ object EventStreams {
 
   /** Sliding-window state for [[rollingFeatures]]: the user's events
     * inside the LONGEST horizon, as (event-time micros, integer cents)
-    * pairs. Bounded by construction — eviction drops everything older
-    * than `ts − maxHorizon` on every arrival, so state size is the
-    * user's 24h event count, not their history.
+    * pairs kept SORTED ASCENDING by micros. Bounded by construction —
+    * eviction drops everything older than `maxSeen − maxHorizon` after
+    * every micro-batch, so state size is the user's 24h event count,
+    * not their history.
     */
   case class RollState(recent: List[(Long, Long)])
 
@@ -179,10 +180,25 @@ object EventStreams {
     * split).
     *
     * Arithmetic replicates the batch plan term-for-term: integer
-    * cents, inclusive `[t−H, t]` horizons, and count/sum over the
-    * retained pairs — all order-free, so the RANGE-frame tie semantics
-    * (peers at the same `tus` all in-frame) fall out of sorting each
-    * group by (tus, event_id) and including ties. NoTimeout like
+    * cents, inclusive `[t−H, t]` horizons — BOTH ends enforced, so a
+    * late event (micros below the user's max already in state) still
+    * scores over its own frame and never counts future-timestamped
+    * entries — and count/sum over the retained pairs, all order-free.
+    * RANGE-frame tie semantics (peers at the same `tus` all in-frame)
+    * fall out of the inclusive upper bound over the merged batch.
+    *
+    * Consistency caveat: any cross-batch out-of-order arrival — a tie
+    * group split across micro-batches, or a late event whose in-frame
+    * peers were already evicted — is inherently unknowable to an
+    * online scorer; rows already emitted are never revised. The batch
+    * backfill is the source of truth wherever arrival order diverges
+    * from event order.
+    *
+    * Cost: the per-batch work is one merge of the sorted state with
+    * the sorted batch plus one prefix-sum pass — O(W + B) total, i.e.
+    * amortized O(1) per event (and O(W) state decode per batch is the
+    * GroupState codec floor anyway), the streaming analogue of the
+    * batch plan's two-pointer RANGE frames. NoTimeout like
     * [[anomalyMonitor]] — but unlike its ever-growing (n, Σ, Σ²)
     * state, eviction here keeps state PROPORTIONAL TO THE WINDOW, the
     * property that lets a 1000-executor deployment hold every user's
@@ -201,33 +217,55 @@ object EventStreams {
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           def tusOf(e: Ev): Long =
             e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-          var recent = state.getOption.map(_.recent).getOrElse(Nil)
-          val out = Vector.newBuilder[RollFeatures]
-          // RANGE-frame tie semantics: peers at the SAME micros are all
-          // in each other's frame, so a tied group is inserted whole
-          // before any member's features are read. (Ties split across
-          // micro-batches are inherently unknowable to an online
-          // scorer; the batch backfill is the source of truth there.)
-          var i = 0
-          while (i < evs.length) {
-            val tus = tusOf(evs(i))
-            var j = i
-            while (j < evs.length && tusOf(evs(j)) == tus) j += 1
-            val group = evs.slice(i, j)
-            group.foreach { e =>
-              val vc = BigDecimal.valueOf(e.value * 100)
-                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-              recent = (tus, vc) :: recent
-            }
-            recent = recent.filter(_._1 >= tus - h2)
-            val in1 = recent.filter(_._1 >= tus - h1)
-            val (n1, s1) = (in1.size.toLong, in1.map(_._2).sum)
-            val (n2, s2) = (recent.size.toLong, recent.map(_._2).sum)
-            group.foreach(e =>
-              out += RollFeatures(e.event_id, userId, e.ts, n1, s1, n2, s2))
-            i = j
+          val prior: Array[(Long, Long)] =
+            state.getOption.map(_.recent.toArray).getOrElse(Array.empty)
+          // merge sorted state with the sorted batch: every batch row is
+          // in `merged` BEFORE any feature is read, so in-batch ties and
+          // in-batch late arrivals see their full frame
+          val batch = new Array[(Long, Long)](evs.length)
+          var b = 0
+          while (b < evs.length) {
+            val e = evs(b)
+            val vc = BigDecimal.valueOf(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            batch(b) = (tusOf(e), vc)
+            b += 1
           }
-          state.update(RollState(recent))
+          val pn = prior.length + batch.length
+          val merged = new Array[(Long, Long)](pn)
+          var pi = 0; var bi = 0; var mi = 0
+          while (mi < pn) {
+            val takePrior = bi >= batch.length ||
+              (pi < prior.length && prior(pi)._1 <= batch(bi)._1)
+            if (takePrior) { merged(mi) = prior(pi); pi += 1 }
+            else { merged(mi) = batch(bi); bi += 1 }
+            mi += 1
+          }
+          val psum = new Array[Long](pn + 1)
+          var k = 0
+          while (k < pn) { psum(k + 1) = psum(k) + merged(k)._2; k += 1 }
+          // batch rows are scored in ascending micros order, so the
+          // frame-boundary pointers only ever move forward: `hi` is the
+          // first index with micros > tus (inclusive upper bound —
+          // ties in-frame, future out), lo1/lo2 the first index inside
+          // each horizon's inclusive lower bound
+          var hi = 0; var lo1 = 0; var lo2 = 0
+          val out = Vector.newBuilder[RollFeatures]
+          evs.foreach { e =>
+            val tus = tusOf(e)
+            while (hi < pn && merged(hi)._1 <= tus) hi += 1
+            while (lo2 < hi && merged(lo2)._1 < tus - h2) lo2 += 1
+            while (lo1 < hi && merged(lo1)._1 < tus - h1) lo1 += 1
+            out += RollFeatures(e.event_id, userId, e.ts,
+              (hi - lo1).toLong, psum(hi) - psum(lo1),
+              (hi - lo2).toLong, psum(hi) - psum(lo2))
+          }
+          // evict relative to the max micros EVER seen (state is sorted,
+          // so its tail is that max even when this batch is all-late)
+          if (pn > 0) {
+            val cutoff = merged(pn - 1)._1 - h2
+            state.update(RollState(merged.dropWhile(_._1 < cutoff).toList))
+          }
           out.result().iterator
       }
   }

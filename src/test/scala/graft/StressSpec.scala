@@ -235,4 +235,54 @@ class StressSpec extends SparkSpec {
     info(f"20k docs, ${rows.map(_._1).sum}%,d windows in $secs%.1fs; " +
       s"$exact/20000 docs exactly at the closed form")
   }
+
+  test("streaming rollingFeatures: a 50k-event in-window hot user is linear " +
+    "per batch, and a cross-batch late event honors its own [t-H, t] frame") {
+    import graft.streaming.{EventStreams, Ev}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val n = 50000
+    // one user, one event per second, all inside the 24h horizon, so
+    // every arrival's window is the whole retained state — the shape
+    // where per-event O(W) rescans go quadratic (~3.7e9 list-node
+    // traversals for this batch) while the merged prefix-sum pass
+    // stays O(W + B)
+    val hot = (0 until n).map(i =>
+      Ev(i.toLong, 1L, "view", new java.sql.Timestamp(base + i * 1000L), 1.0))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.rollingFeatures(in.toDS())
+      .writeStream.format("memory").queryName("rollhot")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = System.nanoTime()
+      in.addData(hot: _*); q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(secs < 60.0, f"hot-user batch took $secs%.1fs — not linear")
+      val rows = spark.table("rollhot")
+        .select($"event_id", $"n_1h", $"sum_centi_1h", $"n_24h", $"sum_centi_24h")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(rows.size == n)
+      // closed forms: event i sees min(i+1, 3601) in the 1h frame and
+      // i+1 in the 24h frame, at 100 cents each
+      assert(rows(49999L) == ((49999L, 3601L, 360100L, 50000L, 5000000L)))
+      assert(rows(3600L) == ((3600L, 3601L, 360100L, 3601L, 360100L)))
+      // a LATE event lands mid-history in the next micro-batch: its
+      // frame is [t−H, t] — the 40k future-timestamped entries already
+      // in state must NOT count (the upper bound is enforced, not just
+      // the lower one)
+      val late = Ev(900000L, 1L, "view",
+        new java.sql.Timestamp(base + 10000L * 1000L + 500L), 1.0)
+      in.addData(late); q.processAllAvailable()
+      val lrow = spark.table("rollhot").filter($"event_id" === 900000L)
+        .select($"n_1h", $"sum_centi_1h", $"n_24h", $"sum_centi_24h")
+        .as[(Long, Long, Long, Long)].collect().head
+      // events 0..10000 precede t=10000.5s; 6401..10000 are inside the
+      // 1h frame; plus the late event itself
+      assert(lrow == ((3601L, 360100L, 10002L, 1000200L)))
+      info(f"50k-event hot-user batch in $secs%.1fs; late-event frame exact")
+    } finally q.stop()
+  }
 }
