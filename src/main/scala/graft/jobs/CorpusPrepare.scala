@@ -89,29 +89,45 @@ object CorpusPrepare {
     */
   private def keptOf(docs: DataFrame, scores: DataFrame,
                      dedup: DataFrame,
-                     survivorKeep: Boolean = false,
-                     classifierGate: Boolean = false): DataFrame = {
+                     keepPolicy: String = "canonical",
+                     classifierGate: Boolean = false,
+                     authorityRanks: () => DataFrame = () =>
+                       sys.error("keep_policy=authority needs ranks")): DataFrame = {
     val h = graft.functions.DedupFunctions.md5Hash32(
       concat(lit("split-"), col("doc_id").cast("string"))) % 100
     // keep_policy=canonical: each cluster keeps its min-id member (the
     // q48/q49 contract). keep_policy=survivor: the cluster keeps its
     // highest-quality member instead (q81's selection — dedup stops
-    // discarding the best copy). Either way the decision reduces to a
-    // doc_id list FIRST, so every downstream join stays on the single
-    // bucket key (the bucketed path's exchange-free discipline holds
-    // for both policies). NULL canonicals (incremental suppression by
-    // an existing-corpus duplicate) are dropped under both policies.
-    val keptIds =
-      if (!survivorKeep)
+    // discarding the best copy). keep_policy=authority: the cluster
+    // keeps its highest-PageRank member (q108's selection — the
+    // most-linked variant of a near-dup family is usually the
+    // canonical one; ranks arrive lazily so the q104 pass only runs
+    // under this policy). Every policy reduces to a doc_id list FIRST,
+    // so every downstream join stays on the single bucket key (the
+    // bucketed path's exchange-free discipline holds for all three).
+    // NULL canonicals (incremental suppression by an existing-corpus
+    // duplicate) are dropped under every policy.
+    val keptIds = keepPolicy match {
+      case "canonical" =>
         dedup.filter(col("doc_id") === col("canonical_doc_id"))
           .select("doc_id")
-      else
+      case "survivor" =>
         DedupQueries.survivorSelect(
             scores.select(col("doc_id"), col("quality"))
               .join(dedup.filter(col("canonical_doc_id").isNotNull), Seq("doc_id"))
               .select(col("doc_id"), col("quality"),
                 col("canonical_doc_id").as("cluster_id")))
           .filter(col("is_survivor")).select("doc_id")
+      case "authority" =>
+        DedupQueries.authoritySurvivors(
+            dedup.filter(col("canonical_doc_id").isNotNull),
+            authorityRanks())
+          .filter(col("is_survivor")).select("doc_id")
+      // a typo'd policy must fail loudly, not silently ship the
+      // min-id corpus (same hard-fail discipline as a missing sf_dir)
+      case other => sys.error(s"unknown keep_policy '$other' " +
+        "(expected 'canonical', 'survivor' or 'authority')")
+    }
     docs
       .join(keptIds, Seq("doc_id"), "left_semi")
       .join(scores, "doc_id")
@@ -155,12 +171,15 @@ object CorpusPrepare {
   def filterPack(s: SparkSession, sfDir: String,
                  scores: DataFrame, dedup: DataFrame,
                  tokensCol: String = "n_tokens",
-                 survivorKeep: Boolean = false,
+                 keepPolicy: String = "canonical",
                  classifierGate: Boolean = false): DataFrame =
     packKept(keptOf(
       Tables.load(s, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")),
-      scores, dedup, survivorKeep, classifierGate), tokensCol)
+      scores, dedup, keepPolicy, classifierGate,
+      // lazily bound: the q104 rank pass runs only under authority
+      () => DedupQueries.q104(s, sfDir)
+        .select(col("doc_id"), col("pr_rank"))), tokensCol)
 
   /** Bucket count for the corpus exchange tables — the SAME count on
     * every side of the doc_id joins, or the exchange comes back.

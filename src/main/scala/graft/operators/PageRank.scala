@@ -41,10 +41,25 @@ import org.apache.spark.sql.functions._
   * wants deterministic cost and deterministic output, and k≈5 is
   * within a few percent of the fixpoint for damping 0.85 on the
   * short-diameter graphs dedup candidates produce. Dangling nodes
-  * (outdeg 0) simply leak their damped mass — the standard
+  * (outdeg 0) simply leak their damped mass by default — the standard
   * "no-redistribution" variant, chosen because it keeps the oracle
   * replay trivial; callers ranking undirected graphs never see it
-  * (every undirected edge yields an out-edge both ways).
+  * (every undirected edge yields an out-edge both ways). Directed
+  * link graphs with real sinks should pass
+  * `redistributeDangling = true`: each round the sinks' damped mass is
+  * summed (one broadcast-scalar frame — no driver round-trip, the
+  * k-iteration plan stays ONE action) and every node receives
+  * `danglingMass div N`, the textbook redistribution in the same
+  * floor-division discipline (≤ N extra units leaked per round).
+  *
+  * [[runWeighted]] generalizes the edge walk to positive integer edge
+  * weights: a source's damped mass splits proportionally,
+  * `(damped · w) div Σw`, instead of uniformly. `run` IS
+  * `runWeighted` at weight 1 — `(damped · 1) div outdeg` ≡
+  * `damped div outdeg` term-for-term, so the unweighted path keeps
+  * its bit-exact oracle while sharing one implementation. Weights must
+  * keep `scale · maxWeight < 2⁶³` (at the default scale that allows
+  * weights up to ~9·10⁶ — a similarity in 10⁻⁶ fixed point fits).
   */
 object PageRank {
 
@@ -76,16 +91,33 @@ object PageRank {
   val CheckpointInterval = 8
 
   def run(edges: DataFrame, iters: Int,
-          scale: Long = DefaultScale): DataFrame = {
+          scale: Long = DefaultScale,
+          redistributeDangling: Boolean = false): DataFrame =
+    runWeighted(
+      edges.select(col("src"), col("dst")).withColumn("weight", lit(1L)),
+      iters, scale, redistributeDangling)
+
+  /** Weighted rank: `edges` carries `(src, dst, weight)` with positive
+    * long weights (zero/negative-weight edges are dropped — a zero
+    * edge is no edge). Returns `(id, rank, outdeg)` where `outdeg` is
+    * the node's TOTAL OUT-WEIGHT (= out-edge count at weight 1, so
+    * [[run]]'s column contract is unchanged).
+    */
+  def runWeighted(edges: DataFrame, iters: Int,
+                  scale: Long = DefaultScale,
+                  redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("long"))
+      .filter(col("weight") > 0L)
       .localCheckpoint() // consumed every iteration + for nodes/outdeg
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = edges.select(col("src").cast("long").as("id"))
+      .union(edges.select(col("dst").cast("long").as("id"))).distinct()
       .localCheckpoint()
     val outdeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg"))
+      .agg(sum(col("weight")).as("outdeg"))
     // nodes ⟕ outdeg: sinks keep outdeg 0 and contribute nothing
+    // (a node whose edges ALL have weight 0 is a sink by construction)
     val base0 = nodes.join(outdeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .localCheckpoint()
@@ -99,12 +131,28 @@ object PageRank {
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(outdeg.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"),
-          expr(s"((rank * $DampNum) div $DampDen) div outdeg").as("c"))
+          expr(s"(((rank * $DampNum) div $DampDen) * weight) div outdeg")
+            .as("c"))
         .groupBy("id").agg(sum(col("c")).as("in_mass"))
-      ranks = base0.select(col("id"))
+      val withMass = base0.select(col("id"))
         .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+      ranks =
+        if (!redistributeDangling)
+          withMass.select(col("id"),
+            (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        else {
+          // one-row damped-sink-mass frame, broadcast into every row:
+          // the redistribution stays inside the single declarative plan
+          // (no per-iteration driver action)
+          val dang = ranks
+            .join(base0.filter(col("outdeg") === 0L).select("id"), "id")
+            .agg(coalesce(sum(expr(s"(rank * $DampNum) div $DampDen")),
+              lit(0L)).as("dmass"))
+          withMass.crossJoin(broadcast(dang))
+            .select(col("id"),
+              (lit(teleport) + coalesce(col("in_mass"), lit(0L)) +
+                expr(s"dmass div ${n}L")).as("rank"))
+        }
       i += 1
       if (i % CheckpointInterval == 0 && i < iters)
         ranks = ranks.localCheckpoint()

@@ -1066,6 +1066,93 @@ object DedupQueries {
         col("outdeg").as("degree"))
   }
 
+  /** Fixed-point scale for q107's edge weights: verified Jaccard in
+    * units of 10⁻⁶, floored at 1 so every LSH-verified candidate edge
+    * keeps the graph connected (a hash-collision pair with zero true
+    * overlap degrades to the minimum weight instead of vanishing).
+    * `PageRank.DefaultScale · 10⁶ < 2⁶³`, the overflow bound
+    * [[graft.operators.PageRank.runWeighted]] documents.
+    */
+  val JaccardWeightScale = 1000000L
+
+  /** q107 — WEIGHTED PageRank over the near-dup candidate graph: q104
+    * ranks the topology alone; here each edge carries its q31-verified
+    * Jaccard as an integer fixed-point weight, so a source's damped
+    * mass splits `(damped · w) div Σw` — rank now reflects HOW similar
+    * a doc is to its neighbors, not just how many neighbors it has
+    * (the 0.95-Jaccard twin of a boilerplate family outranks a
+    * tangentially-colliding page of equal degree). Same integer
+    * discipline end-to-end — weights, splits, and sums are all
+    * non-negative long floor arithmetic — so the 5-round result
+    * hash-gates against the unrolled weighted SQL replay.
+    *
+    * Scale shape: identical to q104 (one partial-agg shuffle per
+    * iteration, candidates bounded by the band cap) plus q31's
+    * verify join, which only ever touches the candidate pairs.
+    */
+  /** Authority-based survivor selection over precomputed cluster
+    * labels and PageRank ranks — the frame-level op
+    * [[graft.jobs.CorpusPrepare]]'s `keep_policy=authority` shares
+    * with [[q108]]: per cluster keep the member with the highest
+    * graph-authority rank (ties and rankless members → min doc_id).
+    * Members outside the candidate graph (exact-dup collapsees,
+    * singletons) carry no rank and lose to any ranked member — a
+    * doc with near-dup edges is by construction better-attested than
+    * one reached only through exact collapse. groupBy-argmax like
+    * [[survivorSelect]] (bounded agg state, no per-cluster window),
+    * merge-hinted join for the same stats-blind-memo reason.
+    */
+  private[graft] def authoritySurvivors(labels: DataFrame,
+                                        ranks: DataFrame): DataFrame = {
+    val labeled = labels
+      .select(col("doc_id"), col("canonical_doc_id").as("cluster_id"))
+      .join(ranks.select(col("doc_id"), col("pr_rank")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("pr_rank"), lit(-1L)).as("rank_or"))
+    val best = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("rank_or"), (-col("doc_id")).as("neg"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg")).as("survivor_id"))
+    labeled.join(best.hint("merge"), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("rank_or") >= 0L, col("rank_or")).as("pr_rank"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+  }
+
+  /** q108 — authority survivor selection: q81 keeps each near-dup
+    * cluster's highest-QUALITY member; here the cluster keeps its
+    * highest-AUTHORITY member by q104's integer PageRank (the
+    * most-linked variant of a near-dup family is usually the canonical
+    * one — link authority where q81 is content quality). Composes the
+    * memoized clustering (q48) with the rank pass (q104); the exact
+    * integer ranks make the whole selection hash-gateable. The DAG's
+    * `keep_policy=authority` runs this same selection (JobsSpec pins
+    * the equality).
+    */
+  def q108(s: SparkSession, dir: String): DataFrame =
+    authoritySurvivors(clusterLabels(s, dir), q104(s, dir))
+
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val both = shingleSigs(s, dir)
+    val wcand = lshCandidates(both.select(col("doc_id"), col("sig")))
+      .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szsum"))
+      .select(col("doc_a"), col("doc_b"),
+        greatest(lit(1L),
+          expr(s"(inter * ${JaccardWeightScale}L) div (szsum - inter)"))
+          .as("weight"))
+    val edges = wcand
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("weight"))
+      .union(wcand
+        .select(col("doc_b").as("src"), col("doc_a").as("dst"), col("weight")))
+    graft.operators.PageRank.runWeighted(edges, PageRankIters)
+      .select(col("id").as("doc_id"), col("rank").as("pr_rank"),
+        col("outdeg").as("w_degree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -1085,7 +1172,9 @@ object DedupQueries {
     "q92_split_leakage" -> (q92 _),
     "q93_cluster_split" -> (q93 _),
     "q97_repeated_spans" -> (q97 _),
-    "q104_pagerank" -> (q104 _))
+    "q104_pagerank" -> (q104 _),
+    "q107_weighted_pagerank" -> (q107 _),
+    "q108_authority_survivors" -> (q108 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1512,7 +1601,9 @@ object DedupQueries {
          |  ELSE round(CAST(pd.n_shared AS DOUBLE) / CAST(pd.n_spans AS DOUBLE), 4)
          | END AS shared_ratio
          |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
-    "q104_pagerank" -> q104OracleSql)
+    "q104_pagerank" -> q104OracleSql,
+    "q107_weighted_pagerank" -> q107OracleSql,
+    "q108_authority_survivors" -> q108OracleSql)
 
   /** Unrolled [[PageRankIters]]-stage PageRank replay, generated from
     * the same constants the operator runs ([[graft.operators.PageRank]]
@@ -1520,22 +1611,37 @@ object DedupQueries {
     * arithmetic over non-negative longs, so DuckDB `//` and Spark
     * `div` agree term-for-term and the final ranks hash-match exactly.
     */
-  private def q104OracleSql: String = {
+  /** The shared `rK` iteration CTEs of the PageRank unroll (q104/q107/
+    * q108): `mass = Σ (damped // outdeg)` unweighted, `Σ ((damped · w)
+    * // Σw)` weighted — generated from the operator's own constants.
+    * Expects CTEs `und` (src, dst[, w]), `nd`, `deg`, `tp`, `r0`.
+    */
+  private def prIterCtesSql(weighted: Boolean): String = {
     val dn = graft.operators.PageRank.DampNum
     val dd = graft.operators.PageRank.DampDen
-    val scale = graft.operators.PageRank.DefaultScale
-    val iters = (1 to PageRankIters).map { k =>
+    val contrib =
+      if (weighted) s"(((r.rank * $dn) // $dd) * u.w) // d.outdeg"
+      else s"((r.rank * $dn) // $dd) // d.outdeg"
+    (1 to PageRankIters).map { k =>
       s"""r$k AS (
          | SELECT b.id, CAST(t.tp + coalesce(m.mass, 0) AS BIGINT) AS rank
          | FROM nd b CROSS JOIN tp t LEFT JOIN (
          |  SELECT u.dst AS id,
-         |   CAST(sum(((r.rank * $dn) // $dd) // d.outdeg) AS BIGINT) AS mass
+         |   CAST(sum($contrib) AS BIGINT) AS mass
          |  FROM und u JOIN r${k - 1} r ON u.src = r.id
          |  JOIN deg d ON u.src = d.id
          |  GROUP BY 1) m ON b.id = m.id)""".stripMargin
     }.mkString(",\n")
-    s"""$lshCteSql,
-       |und AS (
+  }
+
+  /** The unweighted graph-prep CTEs q104 and q108 share: undirected
+    * edges, node set, degree, node count, teleport, uniform init.
+    */
+  private def prGraphCtesSql: String = {
+    val dn = graft.operators.PageRank.DampNum
+    val dd = graft.operators.PageRank.DampDen
+    val scale = graft.operators.PageRank.DefaultScale
+    s"""und AS (
        | SELECT doc_a AS src, doc_b AS dst FROM cand
        | UNION ALL
        | SELECT doc_b AS src, doc_a AS dst FROM cand),
@@ -1546,9 +1652,80 @@ object DedupQueries {
        |tp AS (SELECT CAST((($scale // n) * ${dd - dn}) // $dd AS BIGINT) AS tp
        |       FROM nn),
        |r0 AS (SELECT id, CAST($scale // n AS BIGINT) AS rank
+       |       FROM nd CROSS JOIN nn)""".stripMargin
+  }
+
+  private def q104OracleSql: String =
+    s"""$lshCteSql,
+       |$prGraphCtesSql,
+       |${prIterCtesSql(weighted = false)}
+       |SELECT r.id AS doc_id, r.rank AS pr_rank, d.outdeg AS degree
+       |FROM r$PageRankIters r JOIN deg d ON r.id = d.id""".stripMargin
+
+  /** q108's replay: q48's recursive clustering composed with q104's
+    * rank unroll, then the argmax-by-(rank, min-id) survivor per
+    * cluster — rankless members (no candidate edges) sort below every
+    * ranked one via the same `-1` sentinel the engine uses.
+    */
+  private def q108OracleSql: String =
+    s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$ccCompCte,
+       |$prGraphCtesSql,
+       |${prIterCtesSql(weighted = false)},
+       |cl AS (
+       | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+       | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+       |lr AS (
+       | SELECT cl.doc_id, cl.cluster_id,
+       |  CAST(coalesce(r.rank, -1) AS BIGINT) AS rank_or
+       | FROM cl LEFT JOIN r$PageRankIters r ON cl.doc_id = r.id),
+       |rk AS (
+       | SELECT doc_id, cluster_id, rank_or,
+       |  row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY rank_or DESC, doc_id ASC) AS rn
+       | FROM lr),
+       |best AS (SELECT cluster_id, doc_id AS survivor_id FROM rk WHERE rn = 1)
+       |SELECT l.doc_id, l.cluster_id,
+       |  CASE WHEN l.rank_or >= 0 THEN l.rank_or END AS pr_rank,
+       |  b.survivor_id, (l.doc_id = b.survivor_id) AS is_survivor
+       |FROM lr l JOIN best b ON l.cluster_id = b.cluster_id""".stripMargin
+
+  /** q107's replay: the q104 unroll with the per-edge Jaccard weight
+    * threaded through — `mass = Σ ((damped · w) // Σw)` — generated
+    * from the same damping/scale/weight constants the operator runs.
+    */
+  private def q107OracleSql: String = {
+    val dn = graft.operators.PageRank.DampNum
+    val dd = graft.operators.PageRank.DampDen
+    val scale = graft.operators.PageRank.DefaultScale
+    val iters = prIterCtesSql(weighted = true)
+    s"""$lshCteSql,
+       |sets AS (
+       | SELECT doc_id, list_distinct(shingles) AS sh
+       | FROM shingled WHERE len(shingles) > 0),
+       |wc AS (
+       | SELECT doc_a, doc_b,
+       |  greatest(CAST(1 AS BIGINT),
+       |   (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * $JaccardWeightScale)
+       |    // CAST(len(sa.sh) + len(sb.sh)
+       |         - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)) AS w
+       | FROM cand
+       | JOIN sets sa ON doc_a = sa.doc_id
+       | JOIN sets sb ON doc_b = sb.doc_id),
+       |und AS (
+       | SELECT doc_a AS src, doc_b AS dst, w FROM wc
+       | UNION ALL
+       | SELECT doc_b AS src, doc_a AS dst, w FROM wc),
+       |nd AS (SELECT DISTINCT src AS id FROM und),
+       |deg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS outdeg
+       |        FROM und GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+       |tp AS (SELECT CAST((($scale // n) * ${dd - dn}) // $dd AS BIGINT) AS tp
+       |       FROM nn),
+       |r0 AS (SELECT id, CAST($scale // n AS BIGINT) AS rank
        |       FROM nd CROSS JOIN nn),
        |$iters
-       |SELECT r.id AS doc_id, r.rank AS pr_rank, d.outdeg AS degree
+       |SELECT r.id AS doc_id, r.rank AS pr_rank, d.outdeg AS w_degree
        |FROM r$PageRankIters r JOIN deg d ON r.id = d.id""".stripMargin
   }
 }

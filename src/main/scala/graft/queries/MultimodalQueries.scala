@@ -274,12 +274,151 @@ object MultimodalQueries {
         col("n_same"), (col("n_same") > 1L).as("has_perceptual_dup"))
   }
 
+  /** Animated-GIF generation parameters (q109): frame count, per-frame
+    * delay (GIF GraphicControlExtension centiseconds) and gray level
+    * are pure functions of (doc_id, frame), which is what lets the
+    * oracle predict the DECODED stream in closed form. Constant-gray
+    * frames keep the palette exact — GIF is lossless at ≤256 colors,
+    * so a value match proves a bit-exact raster round-trip (the q101
+    * argument, extended to the multi-frame container).
+    */
+  val GifW = 16
+  val GifFramesBase = 2L
+  val GifFramesMod = 6L
+  val GifDelayBase = 2L
+  val GifDelayMod = 5L
+  val FrameStride = 2L
+
+  /** Deterministic REAL multi-frame animated GIFs: per doc,
+    * `2 + id % 6` constant-gray 16×16 frames written through the JDK
+    * `ImageIO` GIF writer as a SEQUENCE, each frame carrying its
+    * GraphicControlExtension delay (`2 + id % 5` cs) in real container
+    * metadata — the multi-frame twin of [[realPngMedia]].
+    */
+  private[graft] def realGifMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nf = (GifFramesBase + id % GifFramesMod).toInt
+        val delay = GifDelayBase + id % GifDelayMod
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val g = ((id + 7L * f) % 256L).toInt
+            val img = new java.awt.image.BufferedImage(
+              GifW, GifW, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < GifW) {
+              var x = 0
+              while (x < GifW) { raster.setSample(x, y, 0, g); x += 1 }
+              y += 1
+            }
+            val meta = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img),
+              writer.getDefaultWriteParam)
+            val fmt = meta.getNativeMetadataFormatName
+            val root = meta.getAsTree(fmt)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            // set the per-frame delay on the (default-present or
+            // created) GraphicControlExtension node
+            val gces = root.getElementsByTagName("GraphicControlExtension")
+            val gce =
+              if (gces.getLength > 0)
+                gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              else {
+                val n = new javax.imageio.metadata.IIOMetadataNode(
+                  "GraphicControlExtension")
+                n.setAttribute("disposalMethod", "none")
+                n.setAttribute("userInputFlag", "FALSE")
+                n.setAttribute("transparentColorFlag", "FALSE")
+                n.setAttribute("transparentColorIndex", "0")
+                root.appendChild(n)
+                n
+              }
+            gce.setAttribute("delayTime", delay.toString)
+            meta.setFromTree(fmt, root)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, meta),
+              writer.getDefaultWriteParam)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        MediaIn(id, bos.toByteArray)
+      })
+  }
+
+  /** q109 — REAL frame sampling over an animated container: decode the
+    * GIF frame SEQUENCE back out (`reader.getNumImages`, per-frame
+    * raster + GraphicControlExtension delay from container metadata),
+    * keep every [[FrameStride]]-th frame, and emit its event-time
+    * offset (`frame · delay` cs) and mean intensity — q41's sampling
+    * shape (explode-by-stride) upgraded from the byte-offset stub to
+    * an actual multi-frame codec, completing the stub→real seam q71
+    * opened for still images (VERDICT r8 gap #1: the frame-sample path
+    * was the one first-class component with no real-codec exercise).
+    * The oracle predicts every row in closed form from the generator
+    * params, so a hash match proves frame count, metadata delay, and
+    * raster all round-tripped bit-exactly.
+    *
+    * Scale shape: identical to q40/q71 — one narrow typed pass, the
+    * payload dies in-executor, only (doc_id, 5×long) sampled-frame
+    * rows leave; no shuffle at all.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realGifMedia(s, dir)
+      .mapPartitions(_.flatMap { m =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          require(readers.hasNext, s"no reader for doc ${m.doc_id}")
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val nf = r.getNumImages(true)
+            (0 until nf by FrameStride.toInt).map { f =>
+              val img = r.read(f)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += raster.getSample(x, y, 0); x += 1
+                }
+                y += 1
+              }
+              val mean = sum / (img.getWidth.toLong * img.getHeight)
+              val gce = r.getImageMetadata(f)
+                .getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .getElementsByTagName("GraphicControlExtension").item(0)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              val delay = gce.getAttribute("delayTime").toLong
+              (m.doc_id, nf.toLong, f.toLong, delay, f * delay, mean)
+            }
+          } finally r.dispose()
+        } finally in.close()
+      })
+      .toDF("doc_id", "n_frames", "frame_idx", "delay_cs", "ts_cs", "gray")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40 _),
     "q41_frame_sample" -> (q41 _),
     "q55_media_features" -> (q55 _),
     "q71_real_png_decode" -> (q71 _),
-    "q101_image_ahash_dedup" -> (q101 _))
+    "q101_image_ahash_dedup" -> (q101 _),
+    "q109_gif_frame_sample" -> (q109 _))
 
   /** The q101 closed-form block mean as a DuckDB lambda body over
     * block index `b` and the dmn CTE's (doc_id, w, h): the block's
@@ -299,6 +438,18 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q109_gif_frame_sample" ->
+      s"""WITH f AS (
+         | SELECT doc_id,
+         |  CAST($GifFramesBase + doc_id % $GifFramesMod AS BIGINT) AS n_frames,
+         |  CAST($GifDelayBase + doc_id % $GifDelayMod AS BIGINT) AS delay_cs,
+         |  unnest(range(0, $GifFramesBase + doc_id % $GifFramesMod)) AS frame_idx
+         | FROM documents)
+         |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+         | delay_cs,
+         | CAST(frame_idx * delay_cs AS BIGINT) AS ts_cs,
+         | CAST((doc_id + 7 * frame_idx) % 256 AS BIGINT) AS gray
+         |FROM f WHERE frame_idx % $FrameStride = 0""".stripMargin,
     "q101_image_ahash_dedup" ->
       s"""WITH dmn AS (
          | SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h

@@ -168,18 +168,16 @@ object StrideDags {
     },
 
     // `keep_policy=survivor` switches the dedup keep from the min-id
-    // canonical to q81's highest-quality cluster member — config, not
-    // code, like `shard_tokens`
+    // canonical to q81's highest-quality cluster member;
+    // `keep_policy=authority` to q108's highest-PageRank member —
+    // config, not code, like `shard_tokens` (unknown values hard-fail
+    // inside keptOf, same discipline as a missing sf_dir)
     "corpus.filter_pack" -> { (s, kw) =>
       val d = wd(kw)
       val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
-      // a typo'd policy must fail loudly, not silently ship the
-      // min-id corpus (same hard-fail discipline as a missing sf_dir)
-      val survivorKeep = kw.get("keep_policy") match {
-        case None | Some("") | Some("canonical") => false
-        case Some("survivor") => true
-        case Some(other) => sys.error(s"unknown keep_policy '$other' " +
-          "(expected 'canonical' or 'survivor')")
+      val keepPolicy = kw.get("keep_policy") match {
+        case None | Some("") => "canonical"
+        case Some(p) => p
       }
       // `quality_gate=classifier` ALSO requires a positive q96 model
       // logit (already scored in the corpus_scores pass) — config, not
@@ -193,7 +191,7 @@ object StrideDags {
       val packed = CorpusPrepare.filterPack(s, sf,
         SiriLake.read(s, d, "corpus_scores"),
         SiriLake.read(s, d, "corpus_dedup"),
-        survivorKeep = survivorKeep,
+        keepPolicy = keepPolicy,
         classifierGate = classifierGate)
       SiriLake.replace(s, d, "corpus_packed", packed)
       CorpusPrepare.exportTrainJsonl(

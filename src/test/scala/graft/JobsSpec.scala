@@ -193,7 +193,7 @@ class JobsSpec extends SparkSpec {
     val scores = CorpusPrepare.score(spark, sf)
     val dedup = CorpusPrepare.dedupDecide(spark, sf)
     val kept = CorpusPrepare
-      .filterPack(spark, sf, scores, dedup, survivorKeep = true)
+      .filterPack(spark, sf, scores, dedup, keepPolicy = "survivor")
       .select($"doc_id").as[Long].collect().toSet
     // the DAG's survivor keep must equal q81's selection ∩ quality bar
     val expected = DedupQueries.q81(spark, sf)
@@ -213,6 +213,45 @@ class JobsSpec extends SparkSpec {
       .collect().toMap
     assert(kept.groupBy(labels).forall(_._2.size == 1))
     assert(canonical.groupBy(labels).forall(_._2.size == 1))
+  }
+
+  test("keep_policy=authority keeps exactly q108's max-rank cluster members") {
+    import graft.jobs.CorpusPrepare
+    import graft.queries.DedupQueries
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    val kept = CorpusPrepare
+      .filterPack(spark, sf, scores, dedup, keepPolicy = "authority")
+      .select($"doc_id").as[Long].collect().toSet
+    // the DAG's authority keep must equal q108's selection ∩ quality bar
+    val expected = DedupQueries.q108(spark, sf)
+      .filter($"is_survivor")
+      .join(scores.filter($"quality" >= CorpusPrepare.MinQuality), "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == expected && kept.nonEmpty)
+    // per-cluster invariant: never more than one keeper
+    val labels = DedupQueries.clusterLabels(spark, sf)
+      .select($"doc_id", $"canonical_doc_id").as[(Long, Long)]
+      .collect().toMap
+    assert(kept.groupBy(labels).forall(_._2.size == 1))
+    // this corpus's LSH clusters are symmetric (pairs/triangles — every
+    // member ties on rank, so min-id wins and authority coincides with
+    // canonical); the policy's BITE is pinned on a constructed
+    // asymmetric cluster instead: a non-min-id hub with the highest
+    // rank must beat the min-id member
+    val labs = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "canonical_doc_id")
+    val ranks = Seq((1L, 10L), (2L, 99L), (3L, 10L))
+      .toDF("doc_id", "pr_rank")
+    val surv = DedupQueries.authoritySurvivors(labs, ranks)
+      .filter($"is_survivor").select($"doc_id").as[Long].collect().toSeq
+    assert(surv == Seq(2L))
+    // a hard-fail policy string stays a hard failure
+    val err = intercept[RuntimeException] {
+      CorpusPrepare.filterPack(spark, sf, scores, dedup,
+        keepPolicy = "authroity").count()
+    }
+    assert(err.getMessage.contains("unknown keep_policy"))
   }
 
   test("quality_gate=classifier keeps exactly the baseline ∩ q96 keep set") {

@@ -114,4 +114,53 @@ class MultimodalSpec extends SparkSpec {
       assert(frames == (bytes + MultimodalQueries.FrameStep - 1) / MultimodalQueries.FrameStep)
     }
   }
+
+  test("q109 real frame sampling: actual animated GIFs, stride-sampled " +
+    "decoded frames, q41-compatible shape, corrupt container fails") {
+    import MultimodalQueries._
+    // the generated payloads are REAL animated GIFs: magic + trailer
+    val sample = realGifMedia(spark, sf).head(3)
+    sample.foreach { m =>
+      assert(new String(m.payload.take(6), "US-ASCII").startsWith("GIF8"))
+    }
+    // the stub (q41) and real (q109) samplers share the plumbing
+    // contract: rows keyed (doc_id, frame_idx) + a per-frame value,
+    // stride-bounded count per doc — swap-in-the-real-thing means the
+    // downstream schema shape survives the swap
+    assert(MultimodalQueries.q41(spark, sf).columns.take(2).toSeq ==
+      Seq("doc_id", "frame_idx"))
+    val out = MultimodalQueries.q109(spark, sf)
+    assert(out.columns.toSeq == Seq("doc_id", "n_frames", "frame_idx",
+      "delay_cs", "ts_cs", "gray"))
+    val rows = out
+      .select($"doc_id", $"n_frames", $"frame_idx", $"delay_cs", $"gray")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, f, delay, gray) =>
+      assert(nf == GifFramesBase + id % GifFramesMod) // count from container
+      assert(f % FrameStride == 0 && f < nf)
+      assert(delay == GifDelayBase + id % GifDelayMod) // metadata round-trip
+      assert(gray == (id + 7 * f) % 256) // raster round-trip, palette-exact
+    }
+    // per-doc sampled count is ceil(nf / stride) — the q41 stride law
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val nf = rs.head._2
+      assert(rs.length == (nf + FrameStride - 1) / FrameStride)
+    }
+    // truncating the container mid-stream must fail the decode loudly,
+    // not silently emit fewer frames as if the doc had them
+    val m0 = sample.head
+    val truncated = m0.payload.take(m0.payload.length / 2)
+    val quiet =
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(truncated))
+        val r = javax.imageio.ImageIO.getImageReaders(in).next()
+        r.setInput(in)
+        val nf = r.getNumImages(true)
+        (0 until nf).foreach(r.read)
+        nf.toLong == GifFramesBase + m0.doc_id % GifFramesMod
+      } catch { case _: Exception => false }
+    assert(!quiet, "truncated GIF decoded as if complete")
+  }
 }

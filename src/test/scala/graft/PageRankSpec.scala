@@ -12,25 +12,40 @@ import org.apache.spark.sql.functions._
 class PageRankSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Driver-side replay of the exact integer recurrence. */
-  private def replay(edges: Seq[(Long, Long)], iters: Int,
-                     scale: Long): Map[Long, Long] = {
+  /** Driver-side replay of the exact integer recurrence — the general
+    * (weighted, optionally dangling-redistributing) form; the
+    * unweighted overload below pins that weight-1 replay IS the
+    * original recurrence.
+    */
+  private def replayW(edges: Seq[(Long, Long, Long)], iters: Int,
+                      scale: Long,
+                      redistribute: Boolean = false): Map[Long, Long] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
-    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val pos = edges.filter(_._3 > 0L)
+    val out = pos.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val n = nodes.size.toLong
     val teleport =
       ((scale / n) * (PageRank.DampDen - PageRank.DampNum)) / PageRank.DampDen
     var r = nodes.map(_ -> scale / n).toMap
     (1 to iters).foreach { _ =>
-      val mass = edges
-        .map { case (s, d) =>
-          d -> ((r(s) * PageRank.DampNum) / PageRank.DampDen) / out(s)
+      val mass = pos
+        .map { case (s, d, w) =>
+          d -> (((r(s) * PageRank.DampNum) / PageRank.DampDen) * w) / out(s)
         }
         .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
-      r = nodes.map(v => v -> (teleport + mass.getOrElse(v, 0L))).toMap
+      val share =
+        if (!redistribute) 0L
+        else nodes.filterNot(out.contains)
+          .map(v => (r(v) * PageRank.DampNum) / PageRank.DampDen)
+          .sum / n
+      r = nodes.map(v => v -> (teleport + mass.getOrElse(v, 0L) + share)).toMap
     }
     r
   }
+
+  private def replay(edges: Seq[(Long, Long)], iters: Int,
+                     scale: Long): Map[Long, Long] =
+    replayW(edges.map(e => (e._1, e._2, 1L)), iters, scale)
 
   private def undirected(pairs: (Long, Long)*): Seq[(Long, Long)] =
     pairs.flatMap(p => Seq(p, p.swap))
@@ -73,6 +88,44 @@ class PageRankSpec extends SparkSpec {
     assert(total <= PageRank.DefaultScale)
     assert(total >= PageRank.DefaultScale - leakBound,
       s"leak ${PageRank.DefaultScale - total} exceeds bound $leakBound")
+  }
+
+  test("weighted ranks equal the weighted replay; heavier edge pulls " +
+    "more mass than the symmetric unweighted walk") {
+    // 1 feeds 2 (weight 9) and 3 (weight 1); 2 and 3 feed back equally
+    val es = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = PageRank.runWeighted(es.toDF("src", "dst", "weight"), iters = 5)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == replayW(es, 5, PageRank.DefaultScale))
+    assert(got(2L) > got(3L)) // the weight-9 target outranks the weight-1
+    // zero-weight edges are dropped but their endpoints stay nodes
+    val es0 = es :+ ((1L, 4L, 0L))
+    val got0 = PageRank.runWeighted(es0.toDF("src", "dst", "weight"), iters = 3)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got0 == replayW(es0, 3, PageRank.DefaultScale))
+    assert(got0.contains(4L))
+  }
+
+  test("dangling redistribution conserves mass on a sink graph and " +
+    "matches the closed form") {
+    // 1 -> 2 -> 3: node 3 is a sink; without redistribution its damped
+    // mass vanishes each round, with it every node gets dmass div N
+    val es = Seq((1L, 2L), (2L, 3L))
+    val scale = PageRank.DefaultScale
+    val got = PageRank.run(es.toDF("src", "dst"), iters = 4,
+        redistributeDangling = true)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    val exp = replayW(es.map(e => (e._1, e._2, 1L)), 4, scale,
+      redistribute = true)
+    assert(got == exp)
+    // conservation: leak is floor-only (init + iters*(3N+E+N_share))
+    val n = 3L
+    val leakBound = n + 4L * (3 * n + es.size + n)
+    assert(got.values.sum >= scale - leakBound && got.values.sum <= scale)
+    // and the leaking variant really does lose the sink's damped mass
+    val leaky = PageRank.run(es.toDF("src", "dst"), iters = 4)
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(leaky.values.sum < got.values.sum - scale / 10)
   }
 
   test("directed sink leaks its damped mass (documented variant)") {

@@ -139,4 +139,73 @@ class PropertySpec extends Properties("graft") {
         got == brute.toMap
       }
     }
+
+  // ---- negative-cents floor/rounding discipline (q102/q105) ----
+  // The r7 q102 bug was Spark `div` truncating where DuckDB `//`
+  // floors — visible only on NEGATIVE sums. These properties are the
+  // adversarial cases that would have caught it: the shipped
+  // expressions must floor/round exactly like the oracle (replayed
+  // here as Math.floorDiv / BigDecimal HALF_UP, the two semantics the
+  // oracle SQL and the streaming twin implement) on adversarially
+  // negative cents.
+
+  private val negCentsGen = Gen.choose(-1000000000L, 1000000000L)
+
+  property("q102 mean-centi expr floors negative sums like the oracle") =
+    Prop.forAll(Gen.listOfN(12, Gen.zip(negCentsGen, Gen.choose(1L, 999L)))) {
+      rows =>
+        rows.isEmpty || {
+          val got = rows.toDF("s1c", "n")
+            .selectExpr("s1c", "n", "(s1c - pmod(s1c, n)) div n AS m")
+            .as[(Long, Long, Long)].collect()
+          got.forall { case (s, n, m) => m == Math.floorDiv(s, n) }
+        }
+    }
+
+  private val negEventsGen: Gen[List[(Long, Long)]] =
+    // (half-hour slot, centi-value): slots span past both horizons,
+    // duplicates create RANGE-frame ties, values go properly negative
+    Gen.listOfN(14, Gen.zip(Gen.choose(0L, 99L), Gen.choose(-100000L, 100000L)))
+
+  property("q105 RANGE frames sum negative cents exactly (brute replay)") =
+    Prop.forAll(negEventsGen) { slots =>
+      slots.isEmpty || {
+        val h1 = graft.queries.TimeseriesQueries.FeatureHorizon1
+        val h2 = graft.queries.TimeseriesQueries.FeatureHorizon2
+        val evs = slots.zipWithIndex.map { case ((slot, vc), i) =>
+          (i.toLong, slot * (h1 / 2), vc) // half-hour grid
+        }
+        val w1 = org.apache.spark.sql.expressions.Window
+          .orderBy($"tus").rangeBetween(-h1, 0)
+        val w2 = org.apache.spark.sql.expressions.Window
+          .orderBy($"tus").rangeBetween(-h2, 0)
+        val got = evs.toDF("event_id", "tus", "vc")
+          .select($"event_id", $"tus",
+            count(lit(1)).over(w1).as("n1"), sum($"vc").over(w1).as("s1"),
+            count(lit(1)).over(w2).as("n2"), sum($"vc").over(w2).as("s2"))
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+        got.forall { case (_, t, n1, s1, n2, s2) =>
+          val in1 = evs.filter(e => e._2 >= t - h1 && e._2 <= t)
+          val in2 = evs.filter(e => e._2 >= t - h2 && e._2 <= t)
+          n1 == in1.size && s1 == in1.map(_._3).sum &&
+            n2 == in2.size && s2 == in2.map(_._3).sum
+        }
+      }
+    }
+
+  property("negative money rounds to cents identically in batch round() " +
+    "and the streaming twin's BigDecimal HALF_UP") =
+    Prop.forAll(Gen.listOfN(16, Gen.choose(-2000L, 2000L))) { millis =>
+      millis.isEmpty || {
+        // values on a 5-millicent grid hit the exact .5-cent boundary
+        // cases where truncation/floor/half-up all differ
+        val vs = millis.map(m => m * 5 / 1000.0)
+        val got = vs.toDF("value")
+          .selectExpr("CAST(round(value * 100) AS BIGINT) AS vc")
+          .as[Long].collect().toSeq
+        val expected = vs.map(v => BigDecimal.valueOf(v * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        got == expected
+      }
+    }
 }
