@@ -132,7 +132,9 @@ object MultimodalQueries {
   private[graft] def realPngMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // see realGifMedia
+        it.map { id =>
         val w = (16 + id % 32).toInt
         val h = (16 + (id * 7) % 32).toInt
         val img = new java.awt.image.BufferedImage(
@@ -149,7 +151,8 @@ object MultimodalQueries {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaIn(id, bos.toByteArray)
-      })
+        }
+      }
   }
 
   /** Decode a real image container's header with `javax.imageio` —
@@ -298,61 +301,83 @@ object MultimodalQueries {
   private[graft] def realGifMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val nf = (GifFramesBase + id % GifFramesMod).toInt
-        val delay = GifDelayBase + id % GifDelayMod
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      .mapPartitions { it =>
+        // ImageIO's default stream cache is a TEMP FILE per stream —
+        // per-container disk I/O that dwarfs the actual tiny-frame
+        // codec work; in-memory payloads want in-memory streams
+        // (JVM-global flag, idempotent per partition)
+        javax.imageio.ImageIO.setUseCache(false)
+        // codec state hoisted to ONE instance per partition: the
+        // ImageIO service lookup, the write-param object and the frame
+        // buffer are identical for every doc. The writer is safely
+        // reusable — setOutput resets its sequence state — and
+        // plain-Java GIF codec instances carry no native resources, so
+        // partition teardown (GC) is their dispose.
         val writer =
           javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        try {
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < nf) {
-            val g = ((id + 7L * f) % 256L).toInt
-            val img = new java.awt.image.BufferedImage(
-              GifW, GifW, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-            val raster = img.getRaster
-            var y = 0
-            while (y < GifW) {
-              var x = 0
-              while (x < GifW) { raster.setSample(x, y, 0, g); x += 1 }
-              y += 1
+        val param = writer.getDefaultWriteParam
+        val img = new java.awt.image.BufferedImage(
+          GifW, GifW, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val typeSpec = new javax.imageio.ImageTypeSpecifier(img)
+        val raster = img.getRaster
+        // the delay is per-DOC with only [[GifDelayMod]] distinct
+        // values, and the metadata tree is delay-pure — cache one
+        // configured IIOMetadata per delay instead of rebuilding the
+        // DOM 4.5×/doc (the metadata object is read synchronously by
+        // writeToSequence, so reuse across writes is safe)
+        val metaByDelay = scala.collection.mutable.LongMap
+          .empty[javax.imageio.metadata.IIOMetadata]
+        def metaFor(delay: Long) = metaByDelay.getOrElseUpdate(delay, {
+          val meta = writer.getDefaultImageMetadata(typeSpec, param)
+          val fmt = meta.getNativeMetadataFormatName
+          val root = meta.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          // set the per-frame delay on the (default-present or
+          // created) GraphicControlExtension node
+          val gces = root.getElementsByTagName("GraphicControlExtension")
+          val gce =
+            if (gces.getLength > 0)
+              gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            else {
+              val n = new javax.imageio.metadata.IIOMetadataNode(
+                "GraphicControlExtension")
+              n.setAttribute("disposalMethod", "none")
+              n.setAttribute("userInputFlag", "FALSE")
+              n.setAttribute("transparentColorFlag", "FALSE")
+              n.setAttribute("transparentColorIndex", "0")
+              root.appendChild(n)
+              n
             }
-            val meta = writer.getDefaultImageMetadata(
-              new javax.imageio.ImageTypeSpecifier(img),
-              writer.getDefaultWriteParam)
-            val fmt = meta.getNativeMetadataFormatName
-            val root = meta.getAsTree(fmt)
-              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-            // set the per-frame delay on the (default-present or
-            // created) GraphicControlExtension node
-            val gces = root.getElementsByTagName("GraphicControlExtension")
-            val gce =
-              if (gces.getLength > 0)
-                gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-              else {
-                val n = new javax.imageio.metadata.IIOMetadataNode(
-                  "GraphicControlExtension")
-                n.setAttribute("disposalMethod", "none")
-                n.setAttribute("userInputFlag", "FALSE")
-                n.setAttribute("transparentColorFlag", "FALSE")
-                n.setAttribute("transparentColorIndex", "0")
-                root.appendChild(n)
-                n
+          gce.setAttribute("delayTime", delay.toString)
+          meta.setFromTree(fmt, root)
+          meta
+        })
+        it.map { id =>
+          val nf = (GifFramesBase + id % GifFramesMod).toInt
+          val meta = metaFor(GifDelayBase + id % GifDelayMod)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nf) {
+              val g = ((id + 7L * f) % 256L).toInt
+              var y = 0
+              while (y < GifW) {
+                var x = 0
+                while (x < GifW) { raster.setSample(x, y, 0, g); x += 1 }
+                y += 1
               }
-            gce.setAttribute("delayTime", delay.toString)
-            meta.setFromTree(fmt, root)
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, meta),
-              writer.getDefaultWriteParam)
-            f += 1
-          }
-          writer.endWriteSequence()
-        } finally { writer.dispose(); ios.close() }
-        MediaIn(id, bos.toByteArray)
-      })
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, meta), param)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally ios.close()
+          MediaIn(id, bos.toByteArray)
+        }
+      }
   }
 
   /** q109 — REAL frame sampling over an animated container: decode the
@@ -375,13 +400,16 @@ object MultimodalQueries {
   def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     realGifMedia(s, dir)
-      .mapPartitions(_.flatMap { m =>
-        val in = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          require(readers.hasNext, s"no reader for doc ${m.doc_id}")
-          val r = readers.next()
+      .mapPartitions { it =>
+        // one reader per partition (the encode-side hoist, mirrored):
+        // setInput resets reader state per container; a non-GIF payload
+        // still fails loudly in getNumImages/read, which MultimodalSpec
+        // pins with a truncated container
+        javax.imageio.ImageIO.setUseCache(false) // see realGifMedia
+        val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { m =>
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
           try {
             r.setInput(in)
             val nf = r.getNumImages(true)
@@ -406,9 +434,9 @@ object MultimodalQueries {
               val delay = gce.getAttribute("delayTime").toLong
               (m.doc_id, nf.toLong, f.toLong, delay, f * delay, mean)
             }
-          } finally r.dispose()
-        } finally in.close()
-      })
+          } finally in.close()
+        }
+      }
       .toDF("doc_id", "n_frames", "frame_idx", "delay_cs", "ts_cs", "gray")
   }
 

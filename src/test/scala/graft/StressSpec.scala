@@ -132,6 +132,43 @@ class StressSpec extends SparkSpec {
     info(f"star(${starN}) $tStar%.1fs, path(50k) $tPath%.1fs")
   }
 
+  test("weighted pagerank: a skew-weighted 50k star funnels exactly like " +
+    "the uniform one; a 50k directed sink chain redistributes in bounds") {
+    import graft.operators.PageRank
+    // the hot-sink shape again, now with a weight spread (leaf i feeds
+    // the hub at weight 1 + i % 9): the per-edge (damped·w) div Σw
+    // split must ride the SAME map-side combine — weights change the
+    // arithmetic, not the shuffle shape
+    val starN = 50000
+    val star = StressData.pathPlusStarEdges(spark, pathN = 0, starN = starN)
+    val und = star.union(star.select($"dst".as("src"), $"src".as("dst")))
+      .withColumn("weight", lit(1L) + pmod($"src" + $"dst", lit(9L)))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val n = PageRank.runWeighted(und, iters = 5).count()
+    val tw = (System.nanoTime() - t0) / 1e9
+    assert(n == starN + 1L)
+    // 50k-edge directed chain ending in a sink, redistribution on:
+    // the dangling share is ONE broadcast scalar per round, so cost
+    // stays one partial-agg shuffle per iteration + a tiny agg
+    val chain = StressData.pathPlusStarEdges(spark, pathN = 50000, starN = 0)
+      .localCheckpoint() // directed: node 50000 is a true sink
+    val t1 = System.nanoTime()
+    val rd = PageRank.run(chain, iters = 5, redistributeDangling = true)
+      .agg(sum($"rank")).as[Long].head()
+    val td = (System.nanoTime() - t1) / 1e9
+    // redistribution conserves mass within the floor-leak budget even
+    // at 50k nodes (the leak bound scales as iters·(3N+E+N))
+    val nn = 50001L
+    val leak = nn + 5L * (3 * nn + 50000L + nn)
+    assert(rd >= PageRank.DefaultScale - leak && rd <= PageRank.DefaultScale,
+      s"mass $rd outside [scale-leak, scale]")
+    assert(tw < 120 && td < 120,
+      f"weighted/dangling stress too slow: $tw%.1fs / $td%.1fs")
+    info(f"weighted star(50k) $tw%.1fs; dangling chain(50k) $td%.1fs, " +
+      s"leak ${PageRank.DefaultScale - rd} of $leak budget")
+  }
+
   test("sequence packing: a key with 90% of tokens spans the range " +
     "partitions and still matches the window form bit-for-bit") {
     val rows = StressData.skewedPackingRows(spark, n = 100000, hotShare = 0.9)
