@@ -338,7 +338,95 @@ object TimeseriesQueries {
         sum(col("vc")).over(w2).as("sum_centi_24h"))
   }
 
+  /** Funnel step sequence for [[q110]] — interpolated into BOTH the
+    * typed pass and the oracle SQL, the shared-constant discipline.
+    */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q110 — FUNNEL analysis (ordered event-sequence matching): for
+    * every user, how far through view → click → purchase did they get,
+    * where each step must occur STRICTLY AFTER the previous step's
+    * time (`tus > prev` — a same-micros click does not "follow" its
+    * view, which also makes the result tie-order-independent:
+    * every step time is a min over a predicate on VALUES, never on
+    * row positions). The step times reported are the earliest
+    * consistent ones: t₁ = min view time, t₂ = min click time > t₁,
+    * t₃ = min purchase time > t₂ — the greedy earliest-first walk,
+    * which reaches the deepest step any assignment can reach (greedy
+    * minimizes every prefix deadline, so any feasible chain is
+    * feasible under it).
+    *
+    * Scale shape: ONE shuffle on user_id, then a single sorted typed
+    * pass per user (`mapGroups` — per-group state is the sorted event
+    * array, bounded by per-user activity, the q42/sessionize memory
+    * argument). The oracle replays the same semantics as chained
+    * min-aggregation JOINs (k aggregations + k joins) — correct but
+    * k+1 shuffles; the engine plan does all steps in one pass, the
+    * funnel-at-100-TB shape.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val steps = FunnelSteps.toArray
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isin(FunnelSteps: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(_._3)
+        val ts = Array.fill[Long](steps.length)(Long.MinValue)
+        var k = 0
+        var i = 0
+        while (i < evs.length && k < steps.length) {
+          val (_, tpe, tus) = evs(i)
+          if (tpe == steps(k) && (k == 0 || tus > ts(k - 1))) {
+            ts(k) = tus; k += 1
+          }
+          i += 1
+        }
+        def at(j: Int): Option[Long] = if (j < k) Some(ts(j)) else None
+        (uid, k.toLong, at(0), at(1), at(2))
+      }
+      .toDF("user_id", "steps_completed", "t_view", "t_click", "t_purchase")
+  }
+
+  /** Epoch-week micros for [[q111]]'s cohort grid. */
+  val WeekUs: Long = 7L * 86400L * 1000000L
+
+  /** q111 — COHORT RETENTION (the funnel's reporting companion): users
+    * are grouped into signup-week cohorts (`min` signup time, floored
+    * to epoch weeks — integer division both engines floor identically
+    * on non-negative micros), and each cohort's retention curve counts
+    * how many of its users were active (ANY event) in each subsequent
+    * week offset. Pre-signup activity is deliberately excluded
+    * (`wk ≥ cohort_wk`): a cohort table answers "of the users acquired
+    * in week W, how many came back k weeks later".
+    *
+    * Scale shape: the per-user cohort is one groupBy(user); activity
+    * is (user, week) DISTINCT — after which the per-cell count needs
+    * NO countDistinct (the pairs are already unique, so `count(*)`
+    * suffices: cheap partial-agg instead of a distinct-aggregate
+    * buffer); join on user_id broadcast-or-merge as stats dictate.
+    * Output is cohort-weeks × offsets — a report, never corpus-sized.
+    */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div ${WeekUs}L").as("wk"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    ev.select(col("user_id"), col("wk")).distinct()
+      .join(cohort, "user_id")
+      .filter(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_cohort_retention" -> (q111 _),
+    "q110_funnel" -> (q110 _),
     "q10_first_last_per_group" -> (q10 _),
     "q11_duration_watermark" -> (q11 _),
     "q12_band_join_nearest" -> (q12 _),
@@ -356,6 +444,41 @@ object TimeseriesQueries {
     "q105_rolling_features" -> (q105 _))
 
   val oracles: Map[String, String] = Map(
+    "q111_cohort_retention" ->
+      s"""WITH ev AS (
+         | SELECT user_id, event_type, epoch_us(ts) // $WeekUs AS wk
+         | FROM events WHERE ts IS NOT NULL),
+         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev
+         |      WHERE event_type = 'signup' GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, wk FROM ev)
+         |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+         | CAST(count(*) AS BIGINT) AS n_active
+         |FROM a JOIN c USING (user_id)
+         |WHERE a.wk >= c.cohort_wk
+         |GROUP BY 1, 2""".stripMargin,
+    "q110_funnel" -> {
+      val Seq(s1, s2, s3) = FunnelSteps
+      s"""WITH ev AS (
+         | SELECT user_id, event_type, epoch_us(ts) AS tus
+         | FROM events
+         | WHERE ts IS NOT NULL AND event_type IN ('$s1', '$s2', '$s3')),
+         |f1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+         |       WHERE event_type = '$s1' GROUP BY 1),
+         |f2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM ev e
+         |       JOIN f1 USING (user_id)
+         |       WHERE e.event_type = '$s2' AND e.tus > f1.t1 GROUP BY 1),
+         |f3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM ev e
+         |       JOIN f2 USING (user_id)
+         |       WHERE e.event_type = '$s3' AND e.tus > f2.t2 GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM ev)
+         |SELECT u.user_id,
+         | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |   AS steps_completed,
+         | f1.t1 AS t_view, f2.t2 AS t_click, f3.t3 AS t_purchase
+         |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+         | LEFT JOIN f3 USING (user_id)""".stripMargin
+    },
     "q10_first_last_per_group" ->
       """WITH r AS (
         | SELECT user_id, event_id, ts,

@@ -329,4 +329,65 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Per-user funnel progress: the micros of each completed step, in
+    * order (length = steps completed). Monotone — a funnel only ever
+    * advances — so state is at most `FunnelSteps.length` longs.
+    */
+  case class FunnelState(times: List[Long])
+
+  /** Emitted whenever a user ADVANCES at least one step in a
+    * micro-batch — the [[graft.queries.TimeseriesQueries.q110]] row
+    * shape, so the latest emission per user IS their current funnel
+    * row.
+    */
+  case class FunnelRow(user_id: Long, steps_completed: Long,
+                       t_view: Option[Long], t_click: Option[Long],
+                       t_purchase: Option[Long])
+
+  /** The STREAMING twin of q110: greedy earliest-first funnel
+    * progression tracked online per user. Same strict-after contract
+    * (`tus > previous step`, same-micros never advances) applied in
+    * (tus, event_id) order within each micro-batch; state is the
+    * completed-step times — bounded by the funnel length, the
+    * smallest state in this module. Emits only on advancement
+    * (funnel dashboards want transitions, not per-event echoes).
+    *
+    * Consistency caveat (the [[rollingFeatures]] family rule): the
+    * greedy walk is order-sensitive across batches — a LATE-arriving
+    * earlier step the batch backfill would have used (earlier view,
+    * earlier qualifying click) cannot retract an online advancement,
+    * so cross-batch out-of-order arrival can leave later step TIMES
+    * (never step ORDER) above the batch q110 backfill's minima; depth
+    * can only be recovered lower, not wrong. Batch is the source of
+    * truth wherever arrival order diverges from event order.
+    */
+  def funnelMonitor(events: Dataset[Ev]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val steps = graft.queries.TimeseriesQueries.FunnelSteps.toArray
+    events
+      .filter(e => e.ts != null && steps.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val evs = it.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val before = times.length
+          evs.foreach { e =>
+            val k = times.length
+            if (k < steps.length && e.event_type == steps(k)) {
+              val tus = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+              if (k == 0 || tus > times.last) times = times :+ tus
+            }
+          }
+          if (times.length > before) {
+            state.update(FunnelState(times))
+            def at(j: Int) = if (j < times.length) Some(times(j)) else None
+            Iterator.single(FunnelRow(userId, times.length.toLong,
+              at(0), at(1), at(2)))
+          } else Iterator.empty
+      }
+  }
 }

@@ -288,4 +288,35 @@ class OperatorsSpec extends SparkSpec {
       .select($"id", $"day", $"v").as[(Long, String, Long)].collect().toSet
     assert(back == Set((1L, "2024-01-01", 100L), (2L, "2024-01-02", 999L)))
   }
+
+  test("q110 funnel: strict-after step progression, same-micros ties do " +
+    "not advance, pre-step noise ignored, greedy earliest times") {
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+    Seq(
+      // user 1: click at the SAME micros as the view — not "after", so
+      // the funnel stalls at step 1 even though a purchase follows
+      (1L, 1L, "view", ts(0)), (2L, 1L, "click", ts(0)),
+      (3L, 1L, "purchase", ts(5)),
+      // user 2: clean 3-step funnel
+      (4L, 2L, "view", ts(0)), (5L, 2L, "click", ts(1)),
+      (6L, 2L, "purchase", ts(2)),
+      // user 3: a click BEFORE any view is noise; the later pair counts,
+      // and the earliest qualifying times are reported
+      (7L, 3L, "click", ts(0)), (8L, 3L, "view", ts(1)),
+      (9L, 3L, "click", ts(2)), (10L, 3L, "click", ts(3)),
+      (11L, 3L, "purchase", ts(4)),
+      // user 4: non-funnel types alone -> excluded entirely
+      (12L, 4L, "error", ts(0)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    def us(sec: Int) = Some(ts(sec).getTime * 1000L)
+    val got = graft.queries.TimeseriesQueries.q110(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, 1L, us(0), None, None)))
+    assert(got(2L) == ((2L, 3L, us(0), us(1), us(2))))
+    assert(got(3L) == ((3L, 3L, us(1), us(2), us(4))))
+  }
 }

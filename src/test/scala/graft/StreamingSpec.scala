@@ -407,6 +407,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelMonitor: latest streamed row per user equals batch q110 " +
+    "across a micro-batch split; emits only on advancement") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_funl").toString
+    val subset = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"ts".isNotNull && $"value".isNotNull && $"event_type".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    subset.coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.TimeseriesQueries.q110(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val evs = subset.as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[Ev]
+    val q = EventStreams.funnelMonitor(in.toDS())
+      .writeStream.format("memory").queryName("funl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(first.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(second.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("funl")
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect()
+      // per user keep the deepest (latest) emission
+      val last = streamed.groupBy(_._1).map { case (u, rs) =>
+        u -> rs.maxBy(_._2)
+      }
+      assert(last.nonEmpty)
+      // every streamed user matches batch exactly; batch-only users are
+      // those whose funnel events never advanced past emission (none —
+      // step 1 alone already emits), so key sets agree on users with
+      // at least one completed step
+      val batchStarted = batch.filter(_._2._2 > 0)
+      assert(last.toMap == batchStarted)
+      // emissions are transitions only: at most one per user per batch
+      assert(streamed.groupBy(_._1).forall(_._2.length <= 2))
+    } finally q.stop()
+  }
+
   test("classifierMonitor: streamed q96 verdicts equal the batch query's") {
     import graft.streaming.StreamingCorpus
     implicit val sqlCtx = spark.sqlContext
