@@ -366,4 +366,24 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.queries.CorpusQueries.q106(spark, sf))
     assert(!p.contains("Exchange"))
   }
+
+  test("q110: funnel is ONE user_id exchange + one sorted typed pass; " +
+    "the step-type filter reaches the parquet scan") {
+    val p = plan(TimeseriesQueries.q110(spark, sf))
+    // the whole k-step funnel costs one shuffle — the oracle's chained
+    // min-agg JOIN replay would cost k+1
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert(p.contains("MapGroups"))
+    // event_type IN (...) and ts IS NOT NULL push to the scan
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"))
+  }
+
+  test("q111: cohort cells aggregate with plain partial count — no " +
+    "distinct-aggregate buffer (the (user, week) pairs are pre-distinct)") {
+    val p = plan(TimeseriesQueries.q111(spark, sf))
+    assert(!p.toLowerCase.contains("count(distinct"))
+    assert(!p.contains("Expand")) // no distinct-agg rewrite
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || "HashAggregate".r.findAllIn(p).nonEmpty)
+  }
 }

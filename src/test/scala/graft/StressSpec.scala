@@ -273,6 +273,34 @@ class StressSpec extends SparkSpec {
       s"$exact/20000 docs exactly at the closed form")
   }
 
+  test("funnel: a 500k-event hot user is one in-memory sorted walk, " +
+    "closed-form result, bounded time") {
+    // per-user funnel state is the sorted event array — bounded by one
+    // user's activity; this pins that a pathological single-user log
+    // stays a single-task linear walk, not a quadratic or OOM path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stress-funnel").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val types = Array("purchase", "click", "view") // reversed: walk works
+    spark.range(500000)
+      .select($"id".as("event_id"), lit(1L).as("user_id"),
+        element_at(typedLit(types.toSeq), ($"id" % 3 + 1).cast("int"))
+          .as("event_type"),
+        to_timestamp(from_unixtime(lit(base / 1000) + $"id")).as("ts"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val t0 = System.nanoTime()
+    val rows = graft.queries.TimeseriesQueries.q110(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 1)
+    def us(sec: Long) = Some((base / 1000 + sec) * 1000000L)
+    // first view is event 2, first later click event 4, first later
+    // purchase event 6 — the greedy earliest-first closed form
+    assert(rows.head == ((1L, 3L, us(2), us(4), us(6))))
+    assert(secs < 60.0, f"hot-user funnel took $secs%.1fs")
+    info(f"500k-event single-user funnel in $secs%.1fs")
+  }
+
   test("streaming rollingFeatures: a 50k-event in-window hot user is linear " +
     "per batch, and a cross-batch late event honors its own [t-H, t] frame") {
     import graft.streaming.{EventStreams, Ev}
