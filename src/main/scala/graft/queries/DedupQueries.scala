@@ -1084,6 +1084,43 @@ object DedupQueries {
 
   def q104(s: SparkSession, dir: String): DataFrame = pageRankRanks(s, dir)
 
+  /** q112 — TRIANGLE COUNTING on the near-dup candidate graph (the
+    * third graph primitive beside CC and PageRank): a node's triangle
+    * count measures how CLIQUE-LIKE its dup family is — mutual
+    * near-dups (mirror sets) triangle densely, chain-shaped false-
+    * positive runs (A~B~C without A~C) do not, so the count separates
+    * "true mirror family" from "LSH chaining artifact" before anything
+    * is dropped. Exact integers, trivially hash-gateable.
+    *
+    * Algorithm: the ordered-edge (forward) join — candidates already
+    * arrive as `doc_a < doc_b`, so triangles a<b<c are exactly
+    * `ab ⋈ bc ⋈ ac` on the ordered edge set: each triangle counted
+    * once, no orientation pass needed. Work is bounded by
+    * Σ d⁺(v)² over the ID-ordered orientation, and the band cap
+    * already bounds degrees — the standard scale story for triangle
+    * enumeration, on a graph that is dup-family-sized to begin with.
+    */
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    val e = lshCandidates(checkpointedSignatures(s, dir))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint() // three self-join consumers of one band join
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ab.a") === col("ac.a") && col("bc.b") === col("ac.b"))
+      .select(col("ab.a").as("a"), col("ab.b").as("b"), col("bc.b").as("c"))
+      .localCheckpoint() // each triangle feeds three per-node counts
+    val perNode = tri.select(col("a").as("doc_id"))
+      .union(tri.select(col("b").as("doc_id")))
+      .union(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+    e.select(col("a").as("doc_id")).union(e.select(col("b").as("doc_id")))
+      .distinct()
+      .join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Fixed-point scale for q107's edge weights: verified Jaccard in
     * units of 10⁻⁶, floored at 1 so every LSH-verified candidate edge
     * keeps the graph connected (a hash-collision pair with zero true
@@ -1192,7 +1229,8 @@ object DedupQueries {
     "q97_repeated_spans" -> (q97 _),
     "q104_pagerank" -> (q104 _),
     "q107_weighted_pagerank" -> (q107 _),
-    "q108_authority_survivors" -> (q108 _))
+    "q108_authority_survivors" -> (q108 _),
+    "q112_triangle_count" -> (q112 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1621,7 +1659,26 @@ object DedupQueries {
          |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
     "q104_pagerank" -> q104OracleSql,
     "q107_weighted_pagerank" -> q107OracleSql,
-    "q108_authority_survivors" -> q108OracleSql)
+    "q108_authority_survivors" -> q108OracleSql,
+    "q112_triangle_count" ->
+      s"""$lshCteSql,
+         |tri AS (
+         | SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         | FROM cand ab
+         | JOIN cand bc ON ab.doc_b = bc.doc_a
+         | JOIN cand ac ON ab.doc_a = ac.doc_a AND bc.doc_b = ac.doc_b),
+         |pn AS (
+         | SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         | FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |       UNION ALL SELECT c FROM tri)
+         | GROUP BY 1),
+         |nd AS (
+         | SELECT DISTINCT v AS doc_id
+         | FROM (SELECT doc_a AS v FROM cand UNION ALL
+         |       SELECT doc_b FROM cand))
+         |SELECT nd.doc_id,
+         | CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM nd LEFT JOIN pn USING (doc_id)""".stripMargin)
 
   /** Unrolled [[PageRankIters]]-stage PageRank replay, generated from
     * the same constants the operator runs ([[graft.operators.PageRank]]

@@ -448,6 +448,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelMonitor state survives a checkpointed restart: step times " +
+    "from before the stop persist into the recovered query") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fout").toString
+    def t(sec: Int) = ts(f"2024-01-01 10:00:$sec%02d")
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.funnelMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: the user reaches step 1 (view) — then the query STOPS
+    val q1 = start()
+    try {
+      in.addData(Ev(1L, 7L, "view", t(0), 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: the recovered state must carry
+    // t_view, so a click alone completes step 2 with the ORIGINAL time
+    val q2 = start()
+    try {
+      in.addData(Ev(2L, 7L, "click", t(5), 1.0),
+        Ev(3L, 7L, "purchase", t(9), 1.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._2)
+    def us(sec: Int) = Some(t(sec).getTime * 1000L)
+    // one emission per advancing micro-batch: (1 step) then (3 steps)
+    assert(rows.map(_._2).toSeq == Seq(1L, 3L))
+    assert(rows.last == ((7L, 3L, us(0), us(5), us(9))))
+  }
+
   test("classifierMonitor: streamed q96 verdicts equal the batch query's") {
     import graft.streaming.StreamingCorpus
     implicit val sqlCtx = spark.sqlContext
