@@ -289,6 +289,19 @@ class OperatorsSpec extends SparkSpec {
     assert(back == Set((1L, "2024-01-01", 100L), (2L, "2024-01-02", 999L)))
   }
 
+  test("TriangleCount: shared-edge triangles counted once each, chains " +
+    "and isolated edges count zero") {
+    import graft.operators.TriangleCount
+    // triangles (1,2,3) and (1,2,4) share edge (1,2); 5-6-7 is a chain
+    // (6 has two neighbours but NO closing edge); (8,9) is isolated
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 9L)).toDF("a", "b")
+    val got = TriangleCount.perNode(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 0L))
+  }
+
   test("q110 funnel: strict-after step progression, same-micros ties do " +
     "not advance, pre-step noise ignored, greedy earliest times") {
     val dir = Files.createTempDirectory("graft_funnel").toString
