@@ -366,7 +366,6 @@ object TimeseriesQueries {
     */
   def q110(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val steps = FunnelSteps.toArray
     t(s, dir, "events")
       .filter(col("ts").isNotNull && col("event_type").isin(FunnelSteps: _*))
       .select(col("user_id"), col("event_type"),
@@ -374,19 +373,14 @@ object TimeseriesQueries {
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .mapGroups { (uid, it) =>
+        // the walk itself is the shared FunnelWalk definition — the
+        // streaming monitor resumes the SAME function from state
         val evs = it.toArray.sortBy(_._3)
-        val ts = Array.fill[Long](steps.length)(Long.MinValue)
-        var k = 0
-        var i = 0
-        while (i < evs.length && k < steps.length) {
-          val (_, tpe, tus) = evs(i)
-          if (tpe == steps(k) && (k == 0 || tus > ts(k - 1))) {
-            ts(k) = tus; k += 1
-          }
-          i += 1
-        }
-        def at(j: Int): Option[Long] = if (j < k) Some(ts(j)) else None
-        (uid, k.toLong, at(0), at(1), at(2))
+        val times = graft.operators.FunnelWalk.walk(
+          evs.map(e => (e._2, e._3)), FunnelSteps.toIndexedSeq)
+        def at(j: Int): Option[Long] =
+          if (j < times.length) Some(times(j)) else None
+        (uid, times.length.toLong, at(0), at(1), at(2))
       }
       .toDF("user_id", "steps_completed", "t_view", "t_click", "t_purchase")
   }

@@ -373,15 +373,15 @@ object EventStreams {
         (userId: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
           val evs = it.toVector
             .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var times = state.getOption.map(_.times).getOrElse(Nil)
-          val before = times.length
-          evs.foreach { e =>
-            val k = times.length
-            if (k < steps.length && e.event_type == steps(k)) {
-              val tus = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-              if (k == 0 || tus > times.last) times = times :+ tus
-            }
-          }
+          val init = state.getOption.map(_.times).getOrElse(Nil)
+          // the SAME walk as batch q110, resumed from state — split-
+          // consistency (walk(a++b) == walk(b, init=walk(a)), pinned
+          // by PropertySpec) is what makes this resumption exact
+          val times = graft.operators.FunnelWalk.walk(
+            evs.map(e => (e.event_type,
+              e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L)),
+            graft.queries.TimeseriesQueries.FunnelSteps.toIndexedSeq, init)
+          val before = init.length
           if (times.length > before) {
             state.update(FunnelState(times))
             def at(j: Int) = if (j < times.length) Some(times(j)) else None

@@ -193,6 +193,41 @@ class PropertySpec extends Properties("graft") {
       }
     }
 
+  private val funnelEvGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(12, Gen.zip(
+      Gen.oneOf("view", "click", "purchase", "error"), Gen.choose(0L, 20L)))
+
+  property("funnel greedy walk reaches brute-force maximal depth") =
+    Prop.forAll(funnelEvGen) { evs =>
+      val steps = graft.queries.TimeseriesQueries.FunnelSteps.toIndexedSeq
+      val sorted = evs.sortBy(_._2).toIndexedSeq
+      // exhaustive take-or-skip search for the deepest feasible chain
+      def best(i: Int, k: Int, last: Long): Int =
+        if (k == steps.length || i == sorted.length) k
+        else {
+          val (tpe, t) = sorted(i)
+          val skip = best(i + 1, k, last)
+          if (tpe == steps(k) && (k == 0 || t > last))
+            math.max(skip, best(i + 1, k + 1, t))
+          else skip
+        }
+      graft.operators.FunnelWalk.walk(sorted, steps).length ==
+        best(0, 0, Long.MinValue)
+    }
+
+  property("funnel walk is split-consistent: resuming from state equals " +
+    "the one-shot walk at every cut point") =
+    Prop.forAll(funnelEvGen) { evs =>
+      val steps = graft.queries.TimeseriesQueries.FunnelSteps.toIndexedSeq
+      val sorted = evs.sortBy(_._2)
+      val whole = graft.operators.FunnelWalk.walk(sorted, steps)
+      (0 to sorted.length).forall { cut =>
+        val resumed = graft.operators.FunnelWalk.walk(sorted.drop(cut), steps,
+          graft.operators.FunnelWalk.walk(sorted.take(cut), steps))
+        resumed == whole
+      }
+    }
+
   property("negative money rounds to cents identically in batch round() " +
     "and the streaming twin's BigDecimal HALF_UP") =
     Prop.forAll(Gen.listOfN(16, Gen.choose(-2000L, 2000L))) { millis =>
