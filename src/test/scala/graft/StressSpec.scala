@@ -273,6 +273,41 @@ class StressSpec extends SparkSpec {
       s"$exact/20000 docs exactly at the closed form")
   }
 
+  test("AQE skew join: a hot key's partition is split at runtime " +
+    "(skew=true in the final adaptive plan), not one straggler task") {
+    // the 100 TB skew story this suite otherwise only states: a
+    // sort-merge join where one key holds ~97% of the left side must
+    // be split by AQE's skew handling. Thresholds are lowered to make
+    // the 300k-row shape register as skewed at test scale; the
+    // MECHANISM under test (runtime re-plan) is scale-independent.
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // pad must depend on id or constant folding strips it from the
+      // shuffle and the hot partition stays beneath the threshold
+      val left = spark.range(300000)
+        .select((when($"id" % 100 =!= 0, lit(0L)).otherwise($"id") % 10000)
+          .as("k"), concat(lit("x" * 64), $"id").as("pad"))
+      val right = spark.range(10000).select($"id".as("k"), lit(1L).as("v"))
+      val joined = left.hint("merge").join(right, "k")
+      // execute THIS dataframe's plan (count()/write() would plan a
+      // separate query execution and leave this one un-finalized)
+      assert(joined.queryExecution.toRdd.count() == 300000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${finalPlan.take(2000)}")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("funnel: a 500k-event hot user is one in-memory sorted walk, " +
     "closed-form result, bounded time") {
     // per-user funnel state is the sorted event array — bounded by one
