@@ -320,6 +320,34 @@ object DedupQueries {
           (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
   }
 
+  /** q113 — shingle CONTAINMENT (asymmetric Jaccard) on the LSH
+    * candidate pairs: `|A∩B| / |A|` and `|A∩B| / |B|` separately,
+    * plus exact subset flags. Symmetric Jaccard (q31) under-scores
+    * the pair "short quote ⊂ long article" (small union overlap);
+    * containment is the standard signal for QUOTE / SUBSET detection
+    * — a training-data pipeline treats "B contains all of A" very
+    * differently from "A and B half-overlap" (drop the quote, keep
+    * the article vs near-dup arbitration). Same one-tokenization
+    * memoized pass and candidate-bounded verify join as q31; the
+    * subset flags are exact integer comparisons, the ratios the
+    * q31-precedent round-4 doubles.
+    */
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    val both = shingleSigs(s, dir)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    lshCandidates(both.select(col("doc_id"), col("sig")))
+      .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("long").as("n_shared"),
+        round(inter.cast("double") / size(col("sh_a")), 4)
+          .as("containment_a"),
+        round(inter.cast("double") / size(col("sh_b")), 4)
+          .as("containment_b"),
+        (inter === size(col("sh_a"))).as("a_in_b"),
+        (inter === size(col("sh_b"))).as("b_in_a"))
+  }
+
   /** q32 — embedding-cosine near-dup, blocked by `label` (coarse cluster)
     * so the pairwise compare is per-bucket, not corpus².
     */
@@ -1223,7 +1251,8 @@ object DedupQueries {
     "q104_pagerank" -> (q104 _),
     "q107_weighted_pagerank" -> (q107 _),
     "q108_authority_survivors" -> (q108 _),
-    "q112_triangle_count" -> (q112 _))
+    "q112_triangle_count" -> (q112 _),
+    "q113_containment" -> (q113 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1653,6 +1682,22 @@ object DedupQueries {
     "q104_pagerank" -> q104OracleSql,
     "q107_weighted_pagerank" -> q107OracleSql,
     "q108_authority_survivors" -> q108OracleSql,
+    "q113_containment" ->
+      s"""$lshCteSql,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(shingles) AS sh
+         |  FROM shingled WHERE len(shingles) > 0)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+         |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(sa.sh), 4) AS containment_a,
+         |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |    / len(sb.sh), 4) AS containment_b,
+         |  (len(list_intersect(sa.sh, sb.sh)) = len(sa.sh)) AS a_in_b,
+         |  (len(list_intersect(sa.sh, sb.sh)) = len(sb.sh)) AS b_in_a
+         |FROM cand
+         |JOIN sets sa ON doc_a = sa.doc_id
+         |JOIN sets sb ON doc_b = sb.doc_id""".stripMargin,
     "q112_triangle_count" ->
       s"""$lshCteSql,
          |tri AS (
