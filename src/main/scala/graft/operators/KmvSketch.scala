@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** K-minimum-values distinct-count sketch as a typed `Aggregator` —
+  * the DETERMINISTIC alternative to HLL (q46): state is the k
+  * smallest DISTINCT hash values seen, a pure function of the input
+  * SET, so the sketch (and its estimate) is bit-identical on any
+  * engine, any partitioning, any arrival order — it hash-gates
+  * exactly against a SQL replay (`ORDER BY hash LIMIT k` per group),
+  * where HLL's register encoding is implementation-private and can
+  * only ever be gated within an error bound.
+  *
+  * Estimator: with the hash space `[0, S)` and `U_k` the k-th
+  * smallest distinct hash, distinct ≈ `(k−1) · S / U_k` — the classic
+  * KMV/bottom-k estimate (Beyer et al.), floor-divided into a long so
+  * both engines compute the identical integer. Groups with fewer than
+  * k distinct hashes short-circuit to the EXACT count (the buffer
+  * holds every distinct value).
+  *
+  * Scale shape: this is a partial-aggregable, MERGEABLE sketch — the
+  * map side reduces every partition to ≤ k longs per group before the
+  * exchange, and merge unions two sorted distinct lists keeping the k
+  * smallest. Raw (possibly heavily duplicated) rows never shuffle,
+  * and no corpus-wide DISTINCT materializes — the property that makes
+  * distinct-counting 100 TB of tokens a k·groups-sized problem.
+  * Per-row cost is O(k) worst case but O(1) amortized on duplicate-
+  * heavy streams (the `h >= last` early exit rejects everything above
+  * the current k-th min without a search).
+  */
+object KmvSketch {
+
+  class KmvAggregator(k: Int, bufEnc: Encoder[List[Long]],
+                      outEnc: Encoder[Seq[Long]])
+      extends Aggregator[Long, List[Long], Seq[Long]] with Serializable {
+    require(k > 0, "k must be positive")
+
+    override def zero: List[Long] = Nil
+
+    // sorted-ascending DISTINCT insert into a ≤ k list
+    override def reduce(b: List[Long], h: Long): List[Long] = {
+      if (b.length >= k && h >= b.last) b
+      else {
+        val (lo, hi) = b.span(_ < h)
+        if (hi.headOption.contains(h)) b // already present
+        else (lo ::: h :: hi).take(k)
+      }
+    }
+
+    // merge two sorted distinct lists, keep the k smallest distinct
+    override def merge(x: List[Long], y: List[Long]): List[Long] = {
+      val out = List.newBuilder[Long]
+      var (a, b) = (x, y)
+      var n = 0
+      while (n < k && (a.nonEmpty || b.nonEmpty)) {
+        val takeA = b.isEmpty || (a.nonEmpty && a.head <= b.head)
+        val h = if (takeA) a.head else b.head
+        if (takeA) a = a.tail else b = b.tail
+        // drop the duplicate head on the other side, if any
+        if (takeA && b.headOption.contains(h)) b = b.tail
+        out += h
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(b: List[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[List[Long]] = bufEnc
+    override def outputEncoder: Encoder[Seq[Long]] = outEnc
+  }
+
+  def aggregator(k: Int, bufEnc: Encoder[List[Long]],
+                 outEnc: Encoder[Seq[Long]]): KmvAggregator =
+    new KmvAggregator(k, bufEnc, outEnc)
+
+  /** The KMV estimate from a sketch's min-list: exact below k, else
+    * `(k−1) · space div U_k` (floor — both engines' integer division
+    * on non-negatives). `U_k = 0` cannot occur for k > 1 distinct
+    * non-negative hashes but is guarded anyway.
+    */
+  def estimate(mins: Seq[Long], k: Int, space: Long): Long =
+    if (mins.length < k) mins.length.toLong
+    else ((k - 1).toLong * space) / math.max(mins.last, 1L)
+}

@@ -128,14 +128,91 @@ object SamplingQueries {
         (ok(1, "p50") && ok(2, "p90") && ok(3, "p99")).as("approx_ok"))
   }
 
+  /** KMV sketch size (q114) and the md5Hash32 value space. */
+  val KmvK = 256
+  val KmvSpace = 1L << 32
+
+  /** q114 — DETERMINISTIC distinct-count sketch (KMV / bottom-k) per
+    * source over token hashes: where q46's HLL can only gate within an
+    * error bound (register encodings are engine-private), the KMV
+    * state is the k smallest distinct hashes — a pure function of the
+    * input SET — so estimate AND sketch replay exactly in SQL
+    * (`ORDER BY h LIMIT k` per group) and the whole row hash-gates
+    * with no `approx_ok` hedge. The estimate is the classic
+    * `(k−1)·space div U_k` integer floor; sources with < k distinct
+    * hashes short-circuit to the exact count.
+    *
+    * Scale shape: [[graft.operators.KmvSketch]] is a mergeable typed
+    * aggregator — map-side partial aggregation reduces every partition
+    * to ≤ k longs per source BEFORE the exchange, so raw (heavily
+    * duplicated) token rows never shuffle and no corpus-wide DISTINCT
+    * materializes for the estimate. The exact count beside it is the
+    * deliberately-expensive oracle baseline (distinct pairs, q45/q46
+    * discipline) the sketch's error is judged against; at 100 TB a
+    * deployment runs the sketch alone.
+    */
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"), DedupFunctions.md5Hash32(col("w")).as("h"))
+    val sk = graft.operators.KmvSketch.aggregator(KmvK,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val est = hashes.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sk.toColumn.name("mins"))
+      .map { case (src, mins) =>
+        (src, graft.operators.KmvSketch.estimate(mins, KmvK, KmvSpace))
+      }
+      .toDF("source", "kmv_estimate")
+    val exact = hashes.distinct()
+      .groupBy("source").agg(count(lit(1)).as("exact_hashes"))
+    est.join(exact, "source")
+      .select(col("source"), col("kmv_estimate"), col("exact_hashes"),
+        round(abs(col("kmv_estimate") - col("exact_hashes")).cast("double") /
+          col("exact_hashes"), 4).as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
     "q45_percentiles" -> (q45 _),
     "q46_approx_distinct" -> (q46 _),
-    "q65_percentiles_approx" -> (q65 _))
+    "q65_percentiles_approx" -> (q65 _),
+    "q114_kmv_distinct" -> (q114 _))
 
   val oracles: Map[String, String] = Map(
+    "q114_kmv_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      w -> len(w) > 0)) AS w
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT DISTINCT source,
+         |    CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h
+         |  FROM toks),
+         |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_hashes
+         |       FROM pairs GROUP BY 1),
+         |rk AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM pairs),
+         |kv AS (SELECT source, CAST(max(h) AS BIGINT) AS kth,
+         |        CAST(count(*) AS BIGINT) AS nmin
+         |       FROM rk WHERE rn <= $KmvK GROUP BY 1),
+         |j AS (
+         | SELECT e.source,
+         |  CAST(CASE WHEN k.nmin < $KmvK THEN k.nmin
+         |   ELSE CAST(${(KmvK - 1).toLong * KmvSpace} AS BIGINT)
+         |     // greatest(k.kth, 1) END AS BIGINT) AS kmv_estimate,
+         |  e.exact_hashes
+         | FROM ex e JOIN kv k ON e.source = k.source)
+         |SELECT source, kmv_estimate, exact_hashes,
+         | round(abs(kmv_estimate - exact_hashes)
+         |   / CAST(exact_hashes AS DOUBLE), 4) AS rel_err
+         |FROM j""".stripMargin,
     "q46_approx_distinct" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

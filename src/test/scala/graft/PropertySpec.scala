@@ -228,6 +228,24 @@ class PropertySpec extends Properties("graft") {
       }
     }
 
+  private lazy val kmvAgg = graft.operators.KmvSketch.aggregator(8,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+
+  property("KMV sketch is mergeable and order-free: any split/order " +
+    "reduces to the k smallest distinct hashes") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.choose(0L, 40L)), Gen.choose(0, 30)) { (hs, cut0) =>
+      val cut = cut0 min hs.length
+      val (p1, p2) = hs.splitAt(cut)
+      def fold(part: Seq[Long]) = part.foldLeft(kmvAgg.zero)(kmvAgg.reduce)
+      val merged = kmvAgg.merge(fold(p1), fold(p2))
+      val direct = fold(hs)
+      val expected = hs.distinct.sorted.take(8)
+      merged == expected && direct == expected &&
+        kmvAgg.merge(fold(p2), fold(p1)) == expected // commutes
+    }
+
   property("negative money rounds to cents identically in batch round() " +
     "and the streaming twin's BigDecimal HALF_UP") =
     Prop.forAll(Gen.listOfN(16, Gen.choose(-2000L, 2000L))) { millis =>

@@ -30,4 +30,29 @@ class SamplingSpec extends SparkSpec {
       .select($"rel_err").as[Double].collect()
     assert(rows.nonEmpty && rows.forall(_ < 0.05)) // rsd 0.02, headroom 2.5x
   }
+
+  test("KMV estimate is accurate on a 50k-value deterministic universe " +
+    "and exact below k") {
+    import graft.functions.DedupFunctions
+    import graft.operators.KmvSketch
+    val k = SamplingQueries.KmvK
+    // md5 hashes are fixed, so this is a deterministic accuracy pin,
+    // not a statistical one: KMV's expected rel-err at k=256 is
+    // ~1/sqrt(k-2) ≈ 6%; 15% is ~2.4 sigma of fixed headroom
+    val hashes = (1 to 50000).map(i => DedupFunctions.md5Hash32Jvm(s"w$i"))
+    val distinct = hashes.distinct
+    val mins = distinct.sorted.take(k).toList
+    val est = KmvSketch.estimate(mins, k, SamplingQueries.KmvSpace)
+    val err = math.abs(est.toDouble - distinct.size) / distinct.size
+    assert(err < 0.15, s"KMV err $err (est $est vs ${distinct.size})")
+    // below k the sketch IS the exact set
+    val small = (1 to 100).map(i => DedupFunctions.md5Hash32Jvm(s"s$i"))
+      .distinct.sorted.toList
+    assert(KmvSketch.estimate(small, k, SamplingQueries.KmvSpace) ==
+      small.length.toLong)
+    // and the q114 row at sf0.001 carries a sub-15% error end-to-end
+    val rows = SamplingQueries.q114(spark, sf)
+      .select($"rel_err").as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(_ < 0.15))
+  }
 }
