@@ -175,15 +175,74 @@ object SamplingQueries {
           col("exact_hashes"), 4).as("rel_err"))
   }
 
+  /** Sketch size for q115's distinct-user KMV — small enough that the
+    * sf0.001 gate exercises the below-k EXACT short-circuit (15 users)
+    * while sf0.01 exercises the estimator path (150 users): both
+    * branches of the sketch are oracle-checked.
+    */
+  val KmvUserK = 64
+
+  /** q115 — distinct users per event type via the same KMV sketch,
+    * over the EVENTS stream table: the online-metrics shape ("unique
+    * actives per action type") whose streaming twin
+    * ([[graft.streaming.EventStreams.kmvUsersMonitor]]) carries the
+    * IDENTICAL sketch state — KMV is a pure function of the input set,
+    * so stream and batch agree exactly under any arrival order or
+    * micro-batch split (StreamingSpec pins it; contrast the
+    * order-caveated funnel/rolling twins).
+    */
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        DedupFunctions.md5Hash32(col("user_id").cast("string")).as("h"))
+    val sk = graft.operators.KmvSketch.aggregator(KmvUserK,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val est = hashes.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sk.toColumn.name("mins"))
+      .map { case (tpe, mins) =>
+        (tpe, graft.operators.KmvSketch.estimate(mins, KmvUserK, KmvSpace))
+      }
+      .toDF("event_type", "kmv_users")
+    val exact = hashes.distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("kmv_users"), col("exact_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
     "q45_percentiles" -> (q45 _),
     "q46_approx_distinct" -> (q46 _),
     "q65_percentiles_approx" -> (q65 _),
-    "q114_kmv_distinct" -> (q114 _))
+    "q114_kmv_distinct" -> (q114 _),
+    "q115_kmv_users" -> (q115 _))
 
   val oracles: Map[String, String] = Map(
+    "q115_kmv_users" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_users
+         |       FROM pairs GROUP BY 1),
+         |rk AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |       FROM pairs),
+         |kv AS (SELECT event_type, CAST(max(h) AS BIGINT) AS kth,
+         |        CAST(count(*) AS BIGINT) AS nmin
+         |       FROM rk WHERE rn <= $KmvUserK GROUP BY 1)
+         |SELECT e.event_type,
+         | CAST(CASE WHEN k.nmin < $KmvUserK THEN k.nmin
+         |  ELSE CAST(${(KmvUserK - 1).toLong * KmvSpace} AS BIGINT)
+         |    // greatest(k.kth, 1) END AS BIGINT) AS kmv_users,
+         | e.exact_users
+         |FROM ex e JOIN kv k ON e.event_type = k.event_type""".stripMargin,
     "q114_kmv_distinct" ->
       s"""WITH toks AS (
          |  SELECT source,

@@ -330,6 +330,50 @@ object EventStreams {
       }
   }
 
+  /** Per-event-type KMV state: the ≤ k smallest distinct user-id
+    * hashes, sorted ascending — identical to the batch aggregator's
+    * buffer.
+    */
+  case class KmvState(mins: List[Long])
+
+  /** Emitted per micro-batch per event type that received data. */
+  case class KmvRow(event_type: String, kmv_users: Long)
+
+  /** The STREAMING twin of
+    * [[graft.queries.SamplingQueries.q115]]: running distinct-user
+    * estimates per event type, carrying the SAME
+    * [[graft.operators.KmvSketch]] state the batch aggregator builds.
+    * Because the KMV sketch is a pure function of the input SET —
+    * order-free, duplicate-free, mergeable — the stream equals the
+    * batch query EXACTLY under any arrival order and any micro-batch
+    * split, with none of the cross-batch caveats the funnel/rolling
+    * twins must document. This is the sketch-based online-metrics
+    * pattern: per-key state is ≤ k longs forever, emission is one row
+    * per active key per batch.
+    */
+  def kmvUsersMonitor(events: Dataset[Ev]): Dataset[KmvRow] = {
+    import events.sparkSession.implicits._
+    val k = graft.queries.SamplingQueries.KmvUserK
+    val space = graft.queries.SamplingQueries.KmvSpace
+    val agg = graft.operators.KmvSketch.aggregator(k,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[KmvState, KmvRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[KmvState]) =>
+          val init = state.getOption.map(_.mins).getOrElse(Nil)
+          val mins = it.foldLeft(init) { (b, e) =>
+            agg.reduce(b,
+              graft.functions.DedupFunctions.md5Hash32Jvm(e.user_id.toString))
+          }
+          state.update(KmvState(mins))
+          Iterator.single(KmvRow(tpe,
+            graft.operators.KmvSketch.estimate(mins, k, space)))
+      }
+  }
+
   /** Per-user funnel progress: the micros of each completed step, in
     * order (length = steps completed). Monotone — a funnel only ever
     * advances — so state is at most `FunnelSteps.length` longs.

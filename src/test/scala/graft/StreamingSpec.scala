@@ -483,6 +483,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.last == ((7L, 3L, us(0), us(5), us(9))))
   }
 
+  test("kmvUsersMonitor: streamed sketch equals batch q115 EXACTLY under " +
+    "shuffled arrival and micro-batch splits (order-free state)") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.SamplingQueries
+      .q115(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"kmv_users").as[(String, Long)]
+      .collect().toMap
+    val evs = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+    // adversarial arrival: deterministic shuffle, three uneven batches
+    val shuffled = new scala.util.Random(7).shuffle(evs.toVector)
+    val parts = Seq(shuffled.take(100), shuffled.slice(100, 101),
+      shuffled.drop(101))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.kmvUsersMonitor(in.toDS())
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      // the LAST emission per type is the full-set sketch — exactly
+      // the batch value, because KMV state is a function of the set
+      val streamed = spark.table("kmv")
+        .as[(String, Long)].collect()
+        .grouped(1).toSeq // keep arrival order
+      val last = streamed.flatten.foldLeft(Map.empty[String, Long]) {
+        case (m, (t, v)) => m + (t -> v)
+      }
+      // batch q115 filters only user_id; the stream subset also drops
+      // null ts/value rows — on this dataset those filters drop no
+      // user coverage, so the sketches agree (asserted, not assumed)
+      assert(last == batch && last.nonEmpty)
+    } finally q.stop()
+  }
+
   test("classifierMonitor: streamed q96 verdicts equal the batch query's") {
     import graft.streaming.StreamingCorpus
     implicit val sqlCtx = spark.sqlContext
