@@ -239,11 +239,11 @@ class PropertySpec extends Properties("graft") {
       val cut = cut0 min hs.length
       val (p1, p2) = hs.splitAt(cut)
       def fold(part: Seq[Long]) = part.foldLeft(kmvAgg.zero)(kmvAgg.reduce)
-      val merged = kmvAgg.merge(fold(p1), fold(p2))
-      val direct = fold(hs)
+      val merged = kmvAgg.finish(kmvAgg.merge(fold(p1), fold(p2)))
+      val direct = kmvAgg.finish(fold(hs))
       val expected = hs.distinct.sorted.take(8)
       merged == expected && direct == expected &&
-        kmvAgg.merge(fold(p2), fold(p1)) == expected // commutes
+        kmvAgg.finish(kmvAgg.merge(fold(p2), fold(p1))) == expected // commutes
     }
 
   property("negative money rounds to cents identically in batch round() " +

@@ -273,6 +273,43 @@ class StressSpec extends SparkSpec {
       s"$exact/20000 docs exactly at the closed form")
   }
 
+  test("KMV sketch on 10M heavily-duplicated rows: k-bounded state end to " +
+    "end, estimate within the k=256 error band (exact distinct beside it " +
+    "for the honest local CPU comparison)") {
+    import graft.functions.DedupFunctions
+    import graft.operators.KmvSketch
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val k = 256
+    val trueDistinct = 200000L
+    // 10M rows over 200k distinct keys (50x duplication, skewed by
+    // construction of % — the duplicate-heavy shape the sketch's O(1)
+    // early-exit reduce is built for)
+    val hashes = spark.range(10000000L)
+      .select(lit("g").as("g"),
+        DedupFunctions.md5Hash32(($"id" % trueDistinct).cast("string")).as("h"))
+      .localCheckpoint() // generate once; both paths consume it
+    val agg = KmvSketch.aggregator(k,
+      ExpressionEncoder[List[Long]](), ExpressionEncoder[Seq[Long]]())
+    val t0 = System.nanoTime()
+    val mins = hashes.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("mins"))
+      .collect().head._2
+    val tSketch = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val exact = hashes.select($"h").distinct().count()
+    val tExact = (System.nanoTime() - t1) / 1e9
+    val est = KmvSketch.estimate(mins, k, 1L << 32)
+    // md5 collisions over 200k draws from 2^32 shave a few off exact
+    assert(exact > trueDistinct - 50 && exact <= trueDistinct)
+    val err = math.abs(est.toDouble - exact) / exact
+    // deterministic pin (fixed hashes): expected ~1/sqrt(k-2) ≈ 6%
+    assert(err < 0.2, s"KMV err $err (est $est vs exact $exact)")
+    assert(mins.length == k)
+    info(f"10M rows: sketch $tSketch%.1fs (k-bounded shuffle) vs exact " +
+      f"distinct $tExact%.1fs; est $est vs $exact (err ${err * 100}%.1f%%)")
+  }
+
   test("AQE skew join: a hot key's partition is split at runtime " +
     "(skew=true in the final adaptive plan), not one straggler task") {
     // the 100 TB skew story this suite otherwise only states: a
