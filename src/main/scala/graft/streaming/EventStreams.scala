@@ -406,32 +406,65 @@ object EventStreams {
     * can only be recovered lower, not wrong. Batch is the source of
     * truth wherever arrival order diverges from event order.
     */
-  def funnelMonitor(events: Dataset[Ev]): Dataset[FunnelRow] = {
+  /** State lifecycle: with `idleTimeoutHours = Some(h)` the stream is
+    * watermarked and a user whose funnel has seen no event for `h`
+    * hours of EVENT TIME has their state dropped — the per-user state
+    * population stays proportional to the ACTIVE user set instead of
+    * every user ever seen, which is what lets a year-running deployment
+    * hold state in memory. A returning user after expiry starts a
+    * fresh funnel (their next row carries new step times — pinned by
+    * StreamingSpec); `None` (default) keeps the NoTimeout behavior
+    * bit-for-bit.
+    */
+  def funnelMonitor(events: Dataset[Ev],
+                    idleTimeoutHours: Option[Int] = None): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
     val steps = graft.queries.TimeseriesQueries.FunnelSteps.toArray
-    events
+    val filtered = events
       .filter(e => e.ts != null && steps.contains(e.event_type))
+    val keyed = idleTimeoutHours
+      .fold(filtered)(h => filtered.withWatermark("ts", s"$h hours"))
       .groupByKey(_.user_id)
+    val timeoutConf = idleTimeoutHours
+      .fold(GroupStateTimeout.NoTimeout)(_ => GroupStateTimeout.EventTimeTimeout)
+    keyed
       .flatMapGroupsWithState[FunnelState, FunnelRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
-          val evs = it.toVector
-            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          val init = state.getOption.map(_.times).getOrElse(Nil)
-          // the SAME walk as batch q110, resumed from state — split-
-          // consistency (walk(a++b) == walk(b, init=walk(a)), pinned
-          // by PropertySpec) is what makes this resumption exact
-          val times = graft.operators.FunnelWalk.walk(
-            evs.map(e => (e.event_type,
-              e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L)),
-            graft.queries.TimeseriesQueries.FunnelSteps.toIndexedSeq, init)
-          val before = init.length
-          if (times.length > before) {
-            state.update(FunnelState(times))
-            def at(j: Int) = if (j < times.length) Some(times(j)) else None
-            Iterator.single(FunnelRow(userId, times.length.toLong,
-              at(0), at(1), at(2)))
-          } else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove() // idle past the TTL: forget the funnel
+            Iterator.empty
+          } else {
+            val evs = it.toVector
+              .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            val init = state.getOption.map(_.times).getOrElse(Nil)
+            // the SAME walk as batch q110, resumed from state — split-
+            // consistency (walk(a++b) == walk(b, init=walk(a)), pinned
+            // by PropertySpec) is what makes this resumption exact
+            val times = graft.operators.FunnelWalk.walk(
+              evs.map(e => (e.event_type,
+                e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L)),
+              graft.queries.TimeseriesQueries.FunnelSteps.toIndexedSeq, init)
+            val advanced = times.length > init.length
+            idleTimeoutHours match {
+              case Some(h) =>
+                // the timeout clock needs defined state, so under TTL
+                // mode the state is (re)written on every active batch;
+                // expiry is h event-time hours after the user's LATEST
+                // event
+                state.update(FunnelState(times))
+                val maxMs = evs.iterator.map(_.ts.getTime)
+                  .foldLeft(0L)(math.max)
+                if (maxMs > 0) state.setTimeoutTimestamp(maxMs + h * 3600000L)
+              case None =>
+                if (advanced) state.update(FunnelState(times))
+            }
+            if (advanced) {
+              def at(j: Int) = if (j < times.length) Some(times(j)) else None
+              Iterator.single(FunnelRow(userId, times.length.toLong,
+                at(0), at(1), at(2)))
+            } else Iterator.empty
+          }
       }
   }
 }

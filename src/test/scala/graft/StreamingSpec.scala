@@ -448,6 +448,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelMonitor idle TTL: an expired user's funnel is forgotten and " +
+    "restarts fresh; an active user within TTL keeps their step times") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.funnelMonitor(in.toDS(), idleTimeoutHours = Some(4))
+      .writeStream.format("memory").queryName("funlttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 and user 2 both reach step 1 at 08:00
+      in.addData(Ev(1L, 1L, "view", ts("2024-01-01 08:00:00"), 1.0),
+        Ev(2L, 2L, "view", ts("2024-01-01 08:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: user 2 stays active at 10:00 (inside their 4h TTL);
+      // the 10:00 watermark does not expire anyone yet
+      in.addData(Ev(3L, 2L, "click", ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 3: a 20:00 event pushes the watermark past user 1's
+      // 12:00 expiry (and user 2's 14:00) — both states drop
+      in.addData(Ev(4L, 3L, "view", ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 4: user 1 returns with a CLICK — with their view
+      // forgotten it cannot advance; then a fresh view restarts the
+      // funnel with the NEW time, not the 08:00 one
+      in.addData(Ev(5L, 1L, "click", ts("2024-01-01 20:30:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(6L, 1L, "view", ts("2024-01-01 20:40:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("funlttl")
+        .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect()
+      def us(s: String) = Some(ts(s).getTime * 1000L)
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._3)
+      // user 1: the 08:00 step-1 row, then the fresh 20:40 restart —
+      // and NO step-2 row from the post-expiry click
+      assert(u1.map(r => (r._2, r._3)).toSeq ==
+        Seq((1L, us("2024-01-01 08:00:00")), (1L, us("2024-01-01 20:40:00"))))
+      // user 2 advanced to step 2 while inside the TTL
+      assert(rows.filter(_._1 == 2L).map(_._2).max == 2L)
+    } finally q.stop()
+  }
+
   test("funnelMonitor state survives a checkpointed restart: step times " +
     "from before the stop persist into the recovered query") {
     import graft.streaming.{EventStreams, Ev}
