@@ -214,6 +214,50 @@ object StressBench {
     println(f"[stress] spans: ${spanAgg._1}%,d windows, ${spanAgg._2}%,d " +
       f"shared (closed form 500,000 + md5-32 collisions), " +
       f"${spanAgg._3}%,d/500,000 docs exactly at the closed form")
+
+    // 11. weighted PageRank on a 200k-leaf skew-weighted star and a
+    // 200k directed sink chain with dangling redistribution — the
+    // round-9 graph shapes, bigger (StressSpec runs 50k)
+    val star2 = StressData.pathPlusStarEdges(spark, pathN = 0, starN = 200000)
+    val und2 = star2
+      .union(star2.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(9L)))
+      .localCheckpoint()
+    timed("weighted pagerank: 200k-leaf skew-weighted star, 5 iters") {
+      graft.operators.PageRank.runWeighted(und2, iters = 5).count()
+    }
+    val chain2 = StressData.pathPlusStarEdges(spark, pathN = 200000, starN = 0)
+      .localCheckpoint()
+    val mass = timed("dangling redistribution: 200k directed chain, 5 iters") {
+      graft.operators.PageRank.run(chain2, iters = 5,
+          redistributeDangling = true)
+        .agg(sum(col("rank"))).as[Long].head()
+    }
+    println(f"[stress] dangling mass: $mass%,d of " +
+      f"${graft.operators.PageRank.DefaultScale}%,d retained")
+
+    // 12. KMV sketch: 50M rows, 1M distinct — exchange carries k longs
+    // per partition; exact distinct beside it for the honest CPU line
+    val kHashes = spark.range(50000000L)
+      .select(lit("g").as("g"),
+        graft.functions.DedupFunctions.md5Hash32(
+          (col("id") % 1000000L).cast("string")).as("h"))
+      .localCheckpoint()
+    val kAgg = graft.operators.KmvSketch.aggregator(256,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val kMins = timed("KMV sketch: 50M rows, 1M distinct, k=256") {
+      kHashes.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(kAgg.toColumn.name("mins")).collect().head._2
+    }
+    // compare against the constructed universe (1M keys, minus ~116
+    // expected md5-32 birthday collisions) — a 50M-row exact DISTINCT
+    // here would just re-time the 10M StressSpec case's honest CPU
+    // line while fighting this run's accumulated checkpoint memory
+    val kEst = graft.operators.KmvSketch.estimate(kMins, 256, 1L << 32)
+    val kTrue = 1000000.0
+    println(f"[stress] KMV: est $kEst%,d vs ~1,000,000 constructed " +
+      f"(err ${math.abs(kEst - kTrue) / kTrue * 100}%.1f%%)")
     spark.stop()
   }
 }
