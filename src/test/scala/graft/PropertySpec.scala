@@ -228,6 +228,34 @@ class PropertySpec extends Properties("graft") {
       }
     }
 
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      .map(_.collect { case (a, b) if a != b =>
+        if (a < b) (a, b) else (b, a)
+      }.distinct)
+
+  property("TriangleCount equals the brute-force closed-triple count on " +
+    "random graphs") =
+    Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.TriangleCount
+          .perNode(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        val es = edges.toSet
+        def adj(x: Long, y: Long) = es((x min y, x max y))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val brute = nodes.map { v =>
+          val tri = (for {
+            x <- nodes; y <- nodes
+            if x < y && adj(v, x) && adj(v, y) && adj(x, y) &&
+              v != x && v != y
+          } yield 1).size.toLong
+          v -> tri
+        }.toMap
+        got == brute
+      }
+    }
+
   private lazy val kmvAgg = graft.operators.KmvSketch.aggregator(8,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
