@@ -1229,6 +1229,50 @@ object DedupQueries {
         col("outdeg").as("w_degree"))
   }
 
+  /** Fixed synchronous round count for [[q117]] — part of the
+    * cross-engine contract (the oracle unrolls exactly this many
+    * rounds; see [[graft.operators.LabelPropagation]] for why LPA
+    * fixes rounds instead of running to convergence).
+    */
+  val LpaIters = 3
+
+  /** q117 — label-propagation COMMUNITIES over the near-dup candidate
+    * graph: the fourth graph primitive (CC q48, PageRank q104/q107,
+    * triangles q112). Where q48's components merge everything
+    * reachable — one LSH chaining edge fuses two unrelated mirror
+    * families into a single cluster — LPA's majority vote keeps
+    * densely-connected families apart: a vertex adopts the label most
+    * of ITS neighbors carry, so a single bridge edge loses the vote
+    * against a family's internal edges. Comparing q117 communities
+    * against q48 components is exactly the "is this cluster one family
+    * or a chaining artifact?" diagnostic q112's triangle density
+    * scores pointwise, now as an actual partition of the graph.
+    *
+    * Deterministic by construction (synchronous rounds, min-label
+    * tie-break, integer labels — see the operator scaladoc), so the
+    * [[LpaIters]]-round result hash-gates against the unrolled SQL
+    * replay. Output: each candidate-graph member, its community label,
+    * and the community size.
+    *
+    * Scale shape: per round one |E|-pair join + two partial-agg
+    * exchanges (the PageRank iteration cost), chained into one
+    * AQE-sized action; the size roll-up is one more partial agg plus a
+    * merge-hinted join (stats-blind memo input — the q77 lesson).
+    */
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val comm = graft.operators.LabelPropagation.run(edges, LpaIters)
+      .select(col("id").as("doc_id"), col("community"))
+      // two consumers (member rows + the size roll-up): materialize the
+      // fixed-round derivation once
+      .localCheckpoint()
+    val sizes = comm.groupBy("community").agg(count(lit(1)).as("n_members"))
+    comm.join(sizes.hint("merge"), Seq("community"))
+      .select(col("doc_id"), col("community"), col("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -1252,7 +1296,8 @@ object DedupQueries {
     "q107_weighted_pagerank" -> (q107 _),
     "q108_authority_survivors" -> (q108 _),
     "q112_triangle_count" -> (q112 _),
-    "q113_containment" -> (q113 _))
+    "q113_containment" -> (q113 _),
+    "q117_label_propagation" -> (q117 _))
 
   // ---- oracle SQL (DuckDB), generated from the same constants ----
 
@@ -1353,7 +1398,32 @@ object DedupQueries {
       s"CASE WHEN 2 * len(list_filter(hs, h -> (h & $mask) != 0)) >= len(hs) THEN $mask ELSE 0 END"
     }.mkString(" +\n    ")
 
+  /** One unrolled LPA round (neighbor-label counts → row_number
+    * argmax), generated per round index so the oracle replays exactly
+    * [[LpaIters]] synchronous rounds of [[q117]].
+    */
+  private def lpaRoundSql(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""i$i AS (SELECT e.dst AS v, l.lbl, count(*) AS c
+       |  FROM edges e JOIN $prev l ON l.v = e.src GROUP BY 1, 2),
+       |r$i AS (SELECT v, lbl, row_number() OVER (PARTITION BY v
+       |    ORDER BY c DESC, lbl ASC) AS rn FROM i$i),
+       |l$i AS (SELECT v, lbl FROM r$i WHERE rn = 1)""".stripMargin
+  }
+
+  private def q117OracleSql: String =
+    s"""$lshCteSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |l0 AS (SELECT DISTINCT dst AS v, dst AS lbl FROM edges),
+       |${(1 to LpaIters).map(lpaRoundSql).mkString(",\n")},
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+       |       FROM l$LpaIters GROUP BY 1)
+       |SELECT l.v AS doc_id, l.lbl AS community, sz.n_members
+       |FROM l$LpaIters l JOIN sz ON l.lbl = sz.lbl""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q117_label_propagation" -> q117OracleSql,
     "q28_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_doc_id,
         | CAST(count(*) AS BIGINT) AS n_copies

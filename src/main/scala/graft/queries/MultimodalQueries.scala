@@ -440,13 +440,118 @@ object MultimodalQueries {
       .toDF("doc_id", "n_frames", "frame_idx", "delay_cs", "ts_cs", "gray")
   }
 
+  /** WAV generation parameters (q118): sample rate, and per-doc pure
+    * functions for amplitude, half-period, and sample count — what
+    * lets the oracle predict every decoded feature in closed form.
+    */
+  val WavRate = 8000
+  val WavAmpBase = 1000L
+  val WavAmpMod = 10L
+  val WavAmpStep = 500L
+  val WavHalfPBase = 4L
+  val WavHalfPMod = 5L
+  val WavLenBase = 800L
+  val WavLenMod = 7L
+  val WavLenStep = 80L
+
+  /** Deterministic REAL WAV containers — the audio twin of
+    * [[realPngMedia]]/[[realGifMedia]]: per doc, a square wave
+    * (`amp = 1000 + 500·(id%10)`, half-period `4 + id%5` samples,
+    * `800 + 80·(id%7)` samples total) rendered to 16-bit signed
+    * little-endian mono PCM and wrapped in a genuine RIFF/WAVE
+    * container by the JDK's own `javax.sound.sampled` writer (zero
+    * extra dependencies — audio file I/O ships in the JDK the way
+    * ImageIO does for images).
+    */
+  private[graft] def realWavMedia(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val amp = (WavAmpBase + (id % WavAmpMod) * WavAmpStep).toInt
+        val halfP = (WavHalfPBase + id % WavHalfPMod).toInt
+        val n = (WavLenBase + (id % WavLenMod) * WavLenStep).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = if ((i / halfP) % 2 == 0) amp else -amp
+          pcm(2 * i) = (v & 0xff).toByte          // little-endian
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          WavRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaIn(id, bos.toByteArray)
+      })
+  }
+
+  /** q118 — REAL audio decode: parse the WAV container back with
+    * `AudioSystem.getAudioInputStream` (header → format fields, PCM
+    * frames → samples) and compute integer signal features — frame
+    * count, Σ|sample|, and sign-transition count. Completes the
+    * real-codec seam across all three media modalities (q71/q101
+    * still images, q109 multi-frame video-like containers, q118
+    * audio): the oracle predicts every feature in CLOSED FORM from the
+    * generator arithmetic (`sum_abs = n·amp`, `transitions =
+    * (n−1) div halfP`), so a hash match proves the decoder really
+    * parsed the RIFF header it was handed AND round-tripped the PCM
+    * payload bit-exactly — echoing input or mis-reading endianness
+    * breaks the gate (MultimodalSpec additionally pins that a
+    * truncated container fails loudly).
+    *
+    * Scale shape: identical to q40/q71/q109 — one narrow typed pass,
+    * payload bytes die in-executor, only (doc_id, 6×long) feature rows
+    * leave; no shuffle at all. The 100 TB cost model for media is
+    * embarrassingly-parallel decode scan work, and this keeps it that
+    * way.
+    */
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realWavMedia(s, dir)
+      .mapPartitions(_.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unexpected decoded format for doc ${m.doc_id}: $fmt")
+          val frames = ais.getFrameLength
+          val raw = ais.readAllBytes()
+          var sumAbs = 0L
+          var transitions = 0L
+          var prev = 0
+          var i = 0
+          val nb = raw.length
+          while (i + 1 < nb) {
+            val lo = raw(i) & 0xff
+            val hi = raw(i + 1).toInt // sign-extends the high byte
+            val v = (hi << 8) | lo
+            sumAbs += math.abs(v)
+            if (i > 0 && ((v > 0) != (prev > 0))) transitions += 1
+            prev = v
+            i += 2
+          }
+          (m.doc_id, frames, fmt.getSampleRate.toLong,
+            fmt.getSampleSizeInBits.toLong, fmt.getChannels.toLong,
+            sumAbs, transitions)
+        } finally ais.close()
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "bits", "channels",
+        "sum_abs", "n_transitions")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_media_metadata" -> (q40 _),
     "q41_frame_sample" -> (q41 _),
     "q55_media_features" -> (q55 _),
     "q71_real_png_decode" -> (q71 _),
     "q101_image_ahash_dedup" -> (q101 _),
-    "q109_gif_frame_sample" -> (q109 _))
+    "q109_gif_frame_sample" -> (q109 _),
+    "q118_wav_features" -> (q118 _))
 
   /** The q101 closed-form block mean as a DuckDB lambda body over
     * block index `b` and the dmn CTE's (doc_id, w, h): the block's
@@ -466,6 +571,21 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q118_wav_features" ->
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  $WavLenBase + (doc_id % $WavLenMod) * $WavLenStep AS n,
+         |  $WavAmpBase + (doc_id % $WavAmpMod) * $WavAmpStep AS amp,
+         |  $WavHalfPBase + doc_id % $WavHalfPMod AS halfp
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(n AS BIGINT) AS n_samples,
+         | CAST($WavRate AS BIGINT) AS sample_rate,
+         | CAST(16 AS BIGINT) AS bits,
+         | CAST(1 AS BIGINT) AS channels,
+         | CAST(n * amp AS BIGINT) AS sum_abs,
+         | CAST((n - 1) // halfp AS BIGINT) AS n_transitions
+         |FROM p""".stripMargin,
     "q109_gif_frame_sample" ->
       s"""WITH f AS (
          | SELECT doc_id,

@@ -213,6 +213,94 @@ object SamplingQueries {
       .select(col("event_type"), col("kmv_users"), col("exact_users"))
   }
 
+  /** Count-min sketch grid shape (q116): 4 depth rows × 256 counters.
+    * Width 256 is deliberately small for the gate corpus so collisions
+    * (and therefore visible positive `overcount`) actually occur —
+    * the sketch's defining behavior is exercised, not just its happy
+    * path. A production run sizes width = e/ε for the target error.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** How many exact heavy hitters q116 reports. */
+  val CmsTopK = 20
+
+  /** The depth-row bucket indices for a key, as a codegen'd Column:
+    * `bucket_d = md5("cms<d>-" + key) % width` — the engine-wide
+    * 32-bit md5 convention, replayed verbatim by the oracle.
+    */
+  private[graft] def cmsBuckets(key: org.apache.spark.sql.Column) =
+    array((0 until CmsDepth).map(d =>
+      (DedupFunctions.md5Hash32(concat(lit(s"cms$d-"), key)) % CmsWidth)
+        .cast("int")): _*)
+
+  /** q116 — count-min-sketch frequency estimates vs exact counts for
+    * the corpus's top-[[CmsTopK]] tokens: the mergeable POINT-FREQUENCY
+    * sketch beside q46/q114's distinct-count sketches and q44's exact
+    * heavy hitters. The grid ([[graft.operators.CountMinSketch]]) is a
+    * pure order-free function of the token multiset under public md5
+    * bucket hashes, so — unlike HLL — estimate rows hash-gate exactly
+    * against a full SQL replay (per-depth bucket sums, min across
+    * depths), including each token's `overcount` (est − exact ≥ 0, the
+    * sketch's one-sided error made visible).
+    *
+    * Scale shape: the sketch pass reduces every partition map-side to
+    * one depth×width long grid (~8 KiB) — token rows never shuffle for
+    * the estimate; the merged grid is a bounded driver artifact
+    * re-entering the plan as a literal array, and the estimate itself
+    * is codegen'd `least(element_at(...))` over broadcast-scalar state.
+    * The exact-count side (groupBy token) is the deliberately-expensive
+    * baseline the sketch is judged against, exactly q46/q65/q114's
+    * discipline; at 100 TB a deployment runs the grid pass alone and
+    * probes it with whatever keys arrive later. The streaming twin
+    * ([[graft.streaming.EventStreams]]) folds the same rows to the
+    * IDENTICAL grid in any arrival order — commutative addition, the
+    * KMV argument — which StreamingSpec pins.
+    */
+  /** The q116 token stream: one row per token occurrence. Shared with
+    * the streaming twin's spec so stream and batch fold the same rows.
+    */
+  private[graft] def docTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** Fold a token frame into the merged CMS grid — one global typed
+    * agg: partial grids merge map-side; the driver receives exactly
+    * one depth·width long array (bounded artifact).
+    */
+  private[graft] def cmsGrid(toks: DataFrame): Seq[Long] = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val cms = graft.operators.CountMinSketch.aggregator(CmsDepth, CmsWidth,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    toks.select(cmsBuckets(col("w")).as("bks"))
+      .as[Seq[Int]].select(cms.toColumn.name("grid")).head()
+  }
+
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(s, dir)
+    val grid: Seq[Long] = cmsGrid(toks)
+    val gridLit = typedLit(grid)
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    // global top-k: TakeOrderedAndProject (distributed sort-limit),
+    // never a single-partition window over the vocab-sized frame;
+    // the rank window runs over the already-limited K rows
+    val top = counts.orderBy(col("exact_cnt").desc, col("w").asc)
+      .limit(CmsTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("exact_cnt").desc, col("w").asc)).cast("long"))
+    val est = (0 until CmsDepth)
+      .map(d => element_at(gridLit,
+        (lit(d * CmsWidth) + element_at(cmsBuckets(col("w")), d + 1) + 1)
+          .cast("int")))
+      .reduceLeft(least(_, _))
+    top.select(col("w").as("token"), col("exact_cnt"),
+        est.as("cms_est"), (est - col("exact_cnt")).as("overcount"),
+        col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
@@ -220,9 +308,35 @@ object SamplingQueries {
     "q46_approx_distinct" -> (q46 _),
     "q65_percentiles_approx" -> (q65 _),
     "q114_kmv_distinct" -> (q114 _),
-    "q115_kmv_users" -> (q115 _))
+    "q115_kmv_users" -> (q115 _),
+    "q116_cms_heavy_hitters" -> (q116 _))
 
   val oracles: Map[String, String] = Map(
+    "q116_cms_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |    w -> len(w) > 0)) AS w
+         |  FROM documents),
+         |cnts AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+         |         FROM toks GROUP BY 1),
+         |bk AS (SELECT c.w, c.exact_cnt, d.d,
+         |   CAST(concat('0x', substr(md5(concat('cms', CAST(d.d AS VARCHAR),
+         |     '-', c.w)), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM cnts c CROSS JOIN
+         |    (SELECT unnest(range(0, $CmsDepth)) AS d) d),
+         |bs AS (SELECT d, bucket, CAST(sum(exact_cnt) AS BIGINT) AS bsum
+         |       FROM bk GROUP BY 1, 2),
+         |est AS (SELECT b.w, CAST(min(s.bsum) AS BIGINT) AS cms_est
+         |        FROM bk b JOIN bs s ON b.d = s.d AND b.bucket = s.bucket
+         |        GROUP BY 1),
+         |top AS (SELECT w, exact_cnt,
+         |         row_number() OVER (ORDER BY exact_cnt DESC, w ASC) AS rank
+         |        FROM cnts)
+         |SELECT t.w AS token, t.exact_cnt, e.cms_est,
+         | CAST(e.cms_est - t.exact_cnt AS BIGINT) AS overcount,
+         | CAST(t.rank AS BIGINT) AS rank
+         |FROM top t JOIN est e ON t.w = e.w
+         |WHERE t.rank <= $CmsTopK""".stripMargin,
     "q115_kmv_users" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT event_type,

@@ -163,4 +163,40 @@ class MultimodalSpec extends SparkSpec {
       } catch { case _: Exception => false }
     assert(!quiet, "truncated GIF decoded as if complete")
   }
+
+  test("q118 WAV: container is genuine RIFF/WAVE, features match the " +
+    "generator closed form, corrupt container fails loudly") {
+    import MultimodalQueries._
+    val sample = realWavMedia(spark, sf).take(8)
+    assert(sample.nonEmpty)
+    sample.foreach { m =>
+      // real container bytes: RIFF magic + WAVE form type
+      assert(new String(m.payload.take(4), "US-ASCII") == "RIFF")
+      assert(new String(m.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+    val rows = q118(spark, sf)
+      .select($"doc_id", $"n_samples", $"sample_rate", $"bits", $"channels",
+        $"sum_abs", $"n_transitions")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    rows.foreach { case (id, n, rate, bits, ch, sumAbs, trans) =>
+      val amp = WavAmpBase + (id % WavAmpMod) * WavAmpStep
+      val halfP = WavHalfPBase + id % WavHalfPMod
+      assert(n == WavLenBase + (id % WavLenMod) * WavLenStep)
+      assert(rate == WavRate && bits == 16L && ch == 1L)
+      assert(sumAbs == n * amp)     // PCM round-trip, sample-exact
+      assert(trans == (n - 1) / halfP) // endianness/sign preserved
+    }
+    // a truncated container must fail the header parse or the frame
+    // read, never echo plausible features
+    val m0 = sample.head
+    val truncated = m0.payload.take(20) // cuts inside the fmt chunk
+    val quiet =
+      try {
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(truncated)).readAllBytes()
+        true
+      } catch { case _: Exception => false }
+    assert(!quiet, "truncated WAV decoded as if complete")
+  }
 }

@@ -55,4 +55,46 @@ class SamplingSpec extends SparkSpec {
       .select($"rel_err").as[Double].collect()
     assert(rows.nonEmpty && rows.forall(_ < 0.15))
   }
+
+  test("CMS grid equals direct bucket counting, split-merge invariant, " +
+    "and estimates are one-sided (est >= exact, exact when collision-free)") {
+    import graft.operators.CountMinSketch
+    import graft.streaming.StreamingSketch.bucketJvm
+    val d = SamplingQueries.CmsDepth
+    val w = SamplingQueries.CmsWidth
+    def enc1 = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Array[Long]]()
+    def enc2 = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[Long]]()
+    // deterministic zipf-ish multiset: token t_i appears ~1000/i times
+    val toks = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"tok$i"))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // direct counting = the sketch definition applied naively
+    val direct = new Array[Long](d * w)
+    toks.foreach { t =>
+      (0 until d).foreach(dd => direct(dd * w + bucketJvm(dd, t)) += 1L)
+    }
+    // aggregator fold, split into three uneven partial grids + merge
+    val agg = CountMinSketch.aggregator(d, w, enc1, enc2)
+    val parts = Seq(toks.take(17), toks.slice(17, 18), toks.drop(18))
+    val merged = parts
+      .map(_.foldLeft(agg.zero) { (g, t) =>
+        agg.reduce(g, (0 until d).map(bucketJvm(_, t)))
+      })
+      .reduceLeft(agg.merge)
+    assert(agg.finish(merged) == direct.toSeq)
+    // one-sided error, and equality whenever some depth row is
+    // collision-free for the token
+    exact.foreach { case (t, c) =>
+      val est = CountMinSketch.estimate(direct.toSeq, w,
+        (0 until d).map(bucketJvm(_, t)))
+      assert(est >= c, s"CMS under-counted $t: $est < $c")
+    }
+    // the q116 rows at sf0.001: ranks 1..k, overcount >= 0 everywhere
+    val rows = SamplingQueries.q116(spark, sf)
+      .select($"rank", $"overcount").as[(Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq ==
+      (1L to math.min(SamplingQueries.CmsTopK, rows.length)))
+    assert(rows.forall(_._2 >= 0L))
+  }
 }

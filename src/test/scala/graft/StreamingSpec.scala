@@ -638,4 +638,34 @@ class StreamingSpec extends SparkSpec {
       assert(got(ts("2024-01-01 10:10:00"))._1 == 1L)
     } finally q.stop()
   }
+
+  test("cmsMonitor: sharded streaming grid sums to the batch q116 grid " +
+    "EXACTLY under shuffled arrival and micro-batch splits") {
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val toks = graft.queries.SamplingQueries.docTokens(spark, sf)
+    val batchGrid = graft.queries.SamplingQueries.cmsGrid(toks)
+    val words = toks.as[String].collect()
+    // adversarial arrival: deterministic shuffle, three uneven batches
+    val shuffled = new scala.util.Random(11).shuffle(words.toVector)
+    val parts = Seq(shuffled.take(500), shuffled.slice(500, 501),
+      shuffled.drop(501))
+    val in = MemoryStream[String]
+    val q = StreamingSketch.cmsMonitor(in.toDS(), shards = 5)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val emissions = spark.table("cms")
+        .as[StreamingSketch.CmsShardRow].collect().toSeq
+      // each shard's LAST emission is its cumulative grid; summing
+      // across shards reconstructs the full corpus grid exactly —
+      // addition over disjoint token shards commutes (order-free state)
+      assert(StreamingSketch.mergeShardGrids(emissions) == batchGrid)
+      assert(emissions.map(_.shard).distinct.size > 1) // sharding exercised
+    } finally q.stop()
+  }
 }
