@@ -52,9 +52,22 @@ object CorpusPrepare {
         col("feat_sum"))
   }
 
-  /** The dedup decision (q48): doc_id → canonical_doc_id. */
-  def dedupDecide(s: SparkSession, sfDir: String): DataFrame =
-    DedupQueries.clusterLabels(s, sfDir)
+  /** The dedup decision: doc_id → canonical_doc_id.
+    * `cluster_policy=cc` (default) clusters by connected components
+    * (the q48 contract — transitive reach); `cluster_policy=lpa` by
+    * label-propagation communities (q117 — majority vote, so an LSH
+    * chaining edge no longer fuses unrelated mirror families; the LPA
+    * partition refines CC's, so it only ever keeps MORE documents).
+    * Config, not code, like `keep_policy`; unknown values hard-fail.
+    */
+  def dedupDecide(s: SparkSession, sfDir: String,
+                  clusterPolicy: String = "cc"): DataFrame =
+    clusterPolicy match {
+      case "cc" => DedupQueries.clusterLabels(s, sfDir)
+      case "lpa" => DedupQueries.lpaClusterLabels(s, sfDir)
+      case other => sys.error(s"unknown cluster_policy '$other' " +
+        "(expected 'cc' or 'lpa')")
+    }
 
   /** The (doc_id, canonical_doc_id) dedup artifact from an INCREMENTAL
     * q58-policy decision frame — produced either by the batch path

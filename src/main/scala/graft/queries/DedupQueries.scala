@@ -1273,6 +1273,48 @@ object DedupQueries {
       .select(col("doc_id"), col("community"), col("n_members"))
   }
 
+  /** LPA-community cluster labels — the [[clusterLabels]] twin with
+    * [[graft.operators.LabelPropagation]] in place of connected
+    * components: same exact-dup collapse, same member→rep redirect,
+    * but the rep graph is partitioned by majority-vote communities
+    * instead of transitive reachability, so one LSH chaining edge no
+    * longer fuses two unrelated mirror families into a single cluster
+    * (the q117 rationale, as a DAG-consumable dedup artifact). The
+    * canonical is pinned to the MIN MEMBER of each community — an LPA
+    * label itself need not survive as a member, and
+    * `keep_policy=canonical` keeps `doc_id === canonical_doc_id` rows,
+    * so an absent-label canonical would silently drop whole
+    * communities (JobsSpec pins membership). Because labels only ever
+    * travel along edges, every community is contained in one CC
+    * component: the LPA partition REFINES q48's clustering —
+    * `cluster_policy=lpa` can only keep MORE documents, never fewer
+    * (JobsSpec pins the refinement).
+    *
+    * Memoized per dataset fingerprint like [[clusterLabels]]; same
+    * per-round cost anatomy as the CC pass it replaces.
+    */
+  private[graft] def lpaClusterLabels(s: SparkSession, dir: String): DataFrame =
+    QueryMemo.get(s, docsKey("dedup-lpa-labels", s, dir)) {
+      val (mapping, cand0) = collapsedLshInputs(s, dir)
+      val cand = cand0.localCheckpoint()
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val comm = graft.operators.LabelPropagation.run(edges, LpaIters)
+        .localCheckpoint() // two consumers: the canon agg + the member join
+      val canon = comm.groupBy("community").agg(min(col("id")).as("canon"))
+      val repCanon = comm.join(canon.hint("merge"), Seq("community"))
+        .select(col("id").as("rep_id"), col("canon"))
+      val redirect = mapping
+        .join(repCanon, Seq("rep_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon"), col("rep_id")).as("canon"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(redirect, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),

@@ -256,7 +256,55 @@ object RelationalQueries {
       .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
         count(lit(1)).as("n_rows"))
 
+  /** q121 — grouped closed-form OLS (least-squares trend per group):
+    * slope and intercept of extended-price-cents against quantity for
+    * each return flag, from the five sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy) — the FEATURE-ENGINEERING aggregation a
+    * training pipeline runs per entity ("per-user value trend",
+    * "per-source length drift") at any scale, because the statistics
+    * are one partial-agg shuffle and the model algebra happens on the
+    * k-group result.
+    *
+    * Exactness contract: x is integral quantity, y integer CENTS
+    * (`round(price·100)` — exact at the lake's 2-dp precision), sums
+    * accumulate in DECIMAL(38,0) (exact, order-free — a double
+    * Σxy would be partial-agg-order dependent and could never
+    * hash-gate), and slope/intercept are emitted in 10⁻⁶ fixed point
+    * via integral division — both engines TRUNCATE toward zero
+    * (Spark `div`, DuckDB `//` — measured on negative operands, not
+    * assumed; a negative intercept is the case that separates
+    * truncation from floor). A float regression would disagree across
+    * engines in the last ulp; this one is bit-exact by construction.
+    */
+  /** The q121 core over any (grpCol, x DECIMAL(38,0), y DECIMAL(38,0))
+    * frame — factored so PropertySpec can replay the fixed-point
+    * algebra against an exact BigInt reference on generated points
+    * (including negative-y / negative-slope cases, where truncating
+    * vs floor division actually differ).
+    */
+  private[graft] def trendOf(pts: DataFrame, grpCol: String): DataFrame =
+    pts.groupBy(grpCol)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col(grpCol), col("n").cast("long").as("n_rows"),
+        expr("""CAST(((n * sxy - sx * sy) * 1000000)
+            div (n * sxx - sx * sx) AS BIGINT)""").as("slope_1e6"),
+        expr("""CAST(((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+              * 1000000)
+            div (n * (n * sxx - sx * sx)) AS BIGINT)""").as("intercept_1e6"))
+
+  def q121(s: SparkSession, dir: String): DataFrame =
+    trendOf(
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)").as("y")),
+      "l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_group_trend" -> (q121 _),
     "q01_group_agg" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_like_prefix" -> (q03 _),
@@ -276,6 +324,21 @@ object RelationalQueries {
     "q21_minmax_window" -> (q21 _))
 
   val oracles: Map[String, String] = Map(
+    "q121_group_trend" ->
+      """WITH b AS (
+        | SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
+        |  CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        | FROM lineitem),
+        |a AS (
+        | SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |  sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        | FROM b GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        | CAST(((n * sxy - sx * sy) * 1000000)
+        |   // (n * sxx - sx * sx) AS BIGINT) AS slope_1e6,
+        | CAST(((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1000000)
+        |   // (n * (n * sxx - sx * sx)) AS BIGINT) AS intercept_1e6
+        |FROM a""".stripMargin,
     "q01_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,

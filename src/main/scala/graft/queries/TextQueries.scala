@@ -429,7 +429,122 @@ object TextQueries {
         round(col("n_subword_tokens").cast("double") /
           col("n_ws_tokens").cast("double"), 4).as("fertility"))
 
+  /** q119 perturbation depth: how many leading chars are uppercased
+    * (1 + doc_id % [[NormPrefixMod]]).
+    */
+  val NormPrefixMod = 5L
+
+  /** The q119 perturbation, JVM side: uppercase a doc_id-sized prefix,
+    * inject a double space and a DENORMALIZED accented word
+    * (`cafe` + COMBINING ACUTE U+0301 — two codepoints NFC composes
+    * to one `é`). The lake corpus is all-ASCII/lowercase/single-
+    * spaced, so normalization would be a no-op on it; the
+    * deterministic perturbation manufactures exactly the dirt a
+    * real-web corpus carries, the way the codec queries manufacture
+    * real containers (generated-corpus contract: char-indexed take/
+    * substr agree across engines because the BASE text is ASCII).
+    */
+  private[graft] def perturbJvm(id: Long, text: String): String = {
+    val k = (1L + id % NormPrefixMod).toInt
+    text.take(k).toUpperCase(java.util.Locale.ROOT) +
+      "  cafe\u0301 " + text.drop(k)
+  }
+
+  /** q119 — Unicode text canonicalization: NFC-normalize (compose
+    * combining sequences), lowercase, collapse whitespace runs, trim —
+    * the canonicalization every hash-based dedup pass needs BEFORE
+    * hashing (the same bytes in NFC vs NFD forms would otherwise never
+    * collide; q28's md5 and q29's shingles silently treat them as
+    * distinct documents). Runs the JDK's real normalizer
+    * (`java.text.Normalizer`, NFC) inside one narrow typed pass; the
+    * oracle replays with DuckDB's independent `nfc_normalize`, so the
+    * md5 gate proves both engines composed the combining sequence to
+    * the same bytes — a genuine cross-implementation Unicode contract,
+    * not an echo.
+    *
+    * Scale shape: zero shuffles — per-doc string work dies in-task;
+    * only (doc_id, 2×long, md5) rows leave. `len_raw > len_norm`
+    * everywhere by construction (the composed `é` and the collapsed
+    * double space each drop a codepoint).
+    */
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = perturbJvm(id, text)
+        val norm = java.text.Normalizer
+          .normalize(raw, java.text.Normalizer.Form.NFC)
+          .toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim
+        (id, raw.length.toLong, norm.length.toLong, norm)
+      }
+      .toDF("doc_id", "len_raw", "len_norm", "norm")
+      .select(col("doc_id"), col("len_raw"), col("len_norm"),
+        md5(col("norm")).as("norm_md5"))
+  }
+
+  /** q120 support floor and report size. */
+  val PmiMinSupport = 5L
+  val PmiTopK = 20
+
+  /** q120 — collocation mining by integer PMI lift: the top-
+    * [[PmiTopK]] adjacent word pairs ranked by how much more often
+    * they co-occur than their unigram frequencies predict —
+    * `lift = N·c(w1w2) / (c(w1)·c(w2))`, the exponential of pointwise
+    * mutual information, in 10⁻⁶ fixed point (exact integer floor
+    * arithmetic end-to-end: DECIMAL(38) products against DuckDB's
+    * HUGEINT replay, the q104 discipline applied to corpus
+    * statistics). Phrase mining is how a corpus pipeline discovers
+    * multi-word units worth protecting from tokenizer splits; q77
+    * scores DOCUMENTS by bigram commonness, this ranks the BIGRAMS
+    * themselves by association strength, with a [[PmiMinSupport]]
+    * floor so hapax pairs (lift = N/1 by definition) don't drown the
+    * signal.
+    *
+    * Scale shape: one bigram explode + partial-agg count (the
+    * q64/q77 shape), two merge-hinted joins against the vocab-sized
+    * unigram table (typed-source stats are blind — the q77 broadcast
+    * trap), a distributed TakeOrdered for the top-k, and a rank
+    * window over the already-limited K rows only.
+    */
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val words = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three consumers: N, the w1 join, the w2 join
+    val nTotal: Long = uni.agg(sum(col("c"))).as[Long].head()
+    val bg = docs.as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 2) Iterator.empty
+        else ws.iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p.last))
+      }
+      .toDF("w1", "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .filter(col("c_bg") >= PmiMinSupport)
+    val joined = bg
+      .join(uni.hint("merge").select(col("w").as("w1"), col("c").as("c1")),
+        Seq("w1"))
+      .join(uni.hint("merge").select(col("w").as("w2"), col("c").as("c2")),
+        Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_bg"),
+        expr(s"CAST((CAST(c_bg AS DECIMAL(38,0)) * ${nTotal}L * 1000000L)" +
+          " div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)").as("lift_1e6"))
+    joined
+      .orderBy(col("lift_1e6").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("lift_1e6").desc, col("w1").asc, col("w2").asc)).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_normalize" -> (q119 _),
+    "q120_pmi_collocations" -> (q120 _),
     "q33_langid" -> (q33 _),
     "q34_quality_score" -> (q34 _),
     "q35_token_stats" -> (q35 _),
@@ -502,6 +617,44 @@ object TextQueries {
        | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q119_normalize" ->
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  upper(substr(text, 1, CAST(1 + doc_id % $NormPrefixMod AS INT)))
+         |   || '  cafe' || chr(769) || ' '
+         |   || substr(text, CAST(1 + doc_id % $NormPrefixMod AS INT) + 1)
+         |   AS raw
+         | FROM documents),
+         |n AS (SELECT doc_id, raw,
+         |  trim(regexp_replace(lower(nfc_normalize(raw)), '\\s+', ' ', 'g'))
+         |    AS norm
+         | FROM p)
+         |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+         | CAST(length(norm) AS BIGINT) AS len_norm, md5(norm) AS norm_md5
+         |FROM n""".stripMargin,
+    "q120_pmi_collocations" ->
+      s"""WITH w AS (SELECT $wsSql AS ws FROM documents),
+         |toks AS (SELECT unnest(ws) AS w FROM w),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |nt AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM uni),
+         |bg AS (
+         | SELECT ws[i] AS w1, ws[i + 1] AS w2
+         | FROM w CROSS JOIN unnest(range(1, len(ws))) AS t(i)
+         | WHERE len(ws) >= 2),
+         |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bg
+         |        FROM bg GROUP BY 1, 2 HAVING count(*) >= $PmiMinSupport),
+         |l AS (
+         | SELECT b.w1, b.w2, b.c_bg,
+         |  CAST((CAST(b.c_bg AS HUGEINT) * n.n * 1000000)
+         |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_1e6
+         | FROM bgc b
+         | CROSS JOIN nt n
+         | JOIN uni u1 ON b.w1 = u1.w
+         | JOIN uni u2 ON b.w2 = u2.w),
+         |r AS (SELECT *, row_number() OVER (ORDER BY lift_1e6 DESC,
+         |        w1 ASC, w2 ASC) AS rank FROM l)
+         |SELECT w1, w2, c_bg, lift_1e6, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $PmiTopK""".stripMargin,
     "q33_langid" -> {
       val scoreCols = LangOrder.map(l =>
         s"len(list_filter($wsLowerSql, w -> list_contains(${markersSql(l)}, w))) AS s_$l")

@@ -161,10 +161,19 @@ object StrideDags {
       SiriLake.replace(s, d, "corpus_scores", CorpusPrepare.score(s, sf))
     },
 
+    // `cluster_policy=lpa` switches clustering from q48's connected
+    // components to q117's label-propagation communities (majority
+    // vote: a chaining edge no longer fuses unrelated families) —
+    // config, not code; unknown values hard-fail inside dedupDecide
     "corpus.dedup_decide" -> { (s, kw) =>
       val d = wd(kw)
       val sf = kw.getOrElse("sf_dir", sys.error("sf_dir kwarg required"))
-      SiriLake.replace(s, d, "corpus_dedup", CorpusPrepare.dedupDecide(s, sf))
+      val clusterPolicy = kw.get("cluster_policy") match {
+        case None | Some("") => "cc"
+        case Some(p) => p
+      }
+      SiriLake.replace(s, d, "corpus_dedup",
+        CorpusPrepare.dedupDecide(s, sf, clusterPolicy))
     },
 
     // `keep_policy=survivor` switches the dedup keep from the min-id

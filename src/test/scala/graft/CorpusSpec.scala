@@ -269,4 +269,32 @@ class CorpusSpec extends SparkSpec {
       .select(TextQueries.piiScrub(col("text")).as("s")).as[String].head()
     assert(got == "mail <EMAIL> ip <IP> tel <PHONE> end")
   }
+
+  test("q119 normalization really composes NFC and shrinks every doc; " +
+    "q120 collocations are ranked, supported, and positively associated") {
+    // NFC pin outside Spark first: the injected combining sequence
+    // must compose to one codepoint, not pass through
+    val composed = java.text.Normalizer.normalize("cafe\u0301",
+      java.text.Normalizer.Form.NFC)
+    assert(composed == "caf\u00e9" && composed.length == 4)
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextQueries.q119(spark, sf)
+      .select($"len_raw", $"len_norm").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the composed é and the collapsed double space each drop ≥ one
+    // char (a third collapse fires when the prefix cut lands on a
+    // word boundary and the re-joined text doubles a space)
+    rows.foreach { case (raw, norm) =>
+      assert(norm <= raw - 2 && norm >= raw - 3)
+    }
+    val cols = graft.queries.TextQueries.q120(spark, sf)
+      .select($"c_bg", $"lift_1e6", $"rank").as[(Long, Long, Long)].collect()
+    assert(cols.nonEmpty && cols.length <= graft.queries.TextQueries.PmiTopK)
+    assert(cols.map(_._3).sorted.toSeq == (1L to cols.length))
+    cols.foreach { case (c, lift, _) =>
+      assert(c >= graft.queries.TextQueries.PmiMinSupport)
+      // top collocations co-occur MORE than independence predicts
+      assert(lift > 1000000L)
+    }
+  }
 }

@@ -254,6 +254,49 @@ class JobsSpec extends SparkSpec {
     assert(err.getMessage.contains("unknown keep_policy"))
   }
 
+  test("cluster_policy=lpa: community labels refine CC clusters, canonicals " +
+    "are members, and the DAG keep only ever grows") {
+    import graft.jobs.CorpusPrepare
+    import graft.queries.DedupQueries
+    val cc = DedupQueries.clusterLabels(spark, sf)
+      .select($"doc_id", $"canonical_doc_id").as[(Long, Long)]
+      .collect().toMap
+    val lpa = CorpusPrepare.dedupDecide(spark, sf, clusterPolicy = "lpa")
+      .select($"doc_id", $"canonical_doc_id").as[(Long, Long)]
+      .collect().toMap
+    assert(lpa.keySet == cc.keySet) // every doc decided under both
+    // refinement: two docs sharing an LPA cluster share a CC cluster
+    // (labels only travel along edges), so LPA can split but never
+    // merge CC clusters
+    lpa.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(cc).toSet.size == 1)
+    }
+    // the canonical is an actual member of its own cluster — the
+    // keep_policy=canonical guard (an absent-label canonical would
+    // silently drop the whole community)
+    lpa.foreach { case (_, canon) => assert(lpa(canon) == canon) }
+    // refinement ⇒ at least as many clusters ⇒ at least as many kept
+    // docs under the same keep policy
+    val scores = CorpusPrepare.score(spark, sf)
+    val keptCc = CorpusPrepare
+      .filterPack(spark, sf, scores, CorpusPrepare.dedupDecide(spark, sf))
+      .select($"doc_id").as[Long].collect().toSet
+    val keptLpa = CorpusPrepare
+      .filterPack(spark, sf, scores,
+        CorpusPrepare.dedupDecide(spark, sf, clusterPolicy = "lpa"))
+      .select($"doc_id").as[Long].collect().toSet
+    // stronger than a count: a CC-kept doc is its CC cluster's min,
+    // hence its LPA sub-cluster's min, hence kept under lpa too
+    assert(keptCc.subsetOf(keptLpa) && keptLpa.nonEmpty)
+    // per-LPA-cluster invariant: never more than one keeper
+    assert(keptLpa.groupBy(lpa).forall(_._2.size == 1))
+    // a typo'd policy hard-fails like keep_policy does
+    val err = intercept[RuntimeException] {
+      CorpusPrepare.dedupDecide(spark, sf, clusterPolicy = "lp")
+    }
+    assert(err.getMessage.contains("unknown cluster_policy"))
+  }
+
   test("quality_gate=classifier keeps exactly the baseline ∩ q96 keep set") {
     import graft.jobs.CorpusPrepare
     val scores = CorpusPrepare.score(spark, sf)

@@ -289,4 +289,38 @@ class PropertySpec extends Properties("graft") {
         got == expected
       }
     }
+
+  property("q121 fixed-point OLS equals the exact BigInt replay and tracks " +
+    "double OLS, including negative slopes/intercepts") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 50L), Gen.choose(-5000L, 5000L)))
+    ) { pts0 =>
+      // ≥ 2 distinct x values or the variance denominator is zero
+      val pts = pts0.distinctBy(_._1)
+      pts.size < 2 || {
+        val df = pts.toDF("x0", "y0")
+          .selectExpr("'g' AS grp", "CAST(x0 AS DECIMAL(38,0)) AS x",
+            "CAST(y0 AS DECIMAL(38,0)) AS y")
+        val got = graft.queries.RelationalQueries.trendOf(df, "grp")
+          .selectExpr("n_rows", "slope_1e6", "intercept_1e6")
+          .as[(Long, Long, Long)].head()
+        // exact BigInt replay of the same truncating fixed-point algebra
+        val n = BigInt(pts.size)
+        val sx = pts.map(p => BigInt(p._1)).sum
+        val sy = pts.map(p => BigInt(p._2)).sum
+        val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+        val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+        val den = n * sxx - sx * sx
+        val slope = ((n * sxy - sx * sy) * 1000000) / den // BigInt / truncates
+        val icept = ((sy * den - (n * sxy - sx * sy) * sx) * 1000000) / (n * den)
+        val exactOk = got == ((pts.size.toLong, slope.toLong, icept.toLong))
+        // and the fixed point tracks the double-precision OLS within
+        // the 1e-6 quantization (+1 for the truncation step)
+        val dSlope = (n * sxy - sx * sy).toDouble / den.toDouble
+        val dIcept = (sy.toDouble - dSlope * sx.toDouble) / n.toDouble
+        exactOk &&
+          math.abs(slope.toLong / 1e6 - dSlope) <= 2e-6 &&
+          math.abs(icept.toLong / 1e6 - dIcept) <= 2e-6
+      }
+    }
 }

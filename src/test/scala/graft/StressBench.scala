@@ -258,6 +258,50 @@ object StressBench {
     val kTrue = 1000000.0
     println(f"[stress] KMV: est $kEst%,d vs ~1,000,000 constructed " +
       f"(err ${math.abs(kEst - kTrue) / kTrue * 100}%.1f%%)")
+
+    // 13. label propagation: 100k path + 100k-leaf star, undirected,
+    // 3 synchronous rounds. The hub is the adversarial key: round 1
+    // feeds it 100k DISTINCT neighbor labels — the (v,lbl) count agg
+    // cannot reduce them map-side, but the argmax stage collapses the
+    // 100k pairs into one O(1) max(struct) reducer row; leaves are the
+    // opposite shape (one pair each, fully map-side).
+    val lpaEdges = StressData.pathPlusStarEdges(spark, 100000, 100000)
+    val lpaUnd = lpaEdges
+      .union(lpaEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val nComm = timed("label propagation: 100k path + 100k star, 3 rounds") {
+      graft.operators.LabelPropagation.run(lpaUnd, iters = 3)
+        .select(col("community")).distinct().count()
+    }
+    println(s"[stress] LPA: $nComm distinct communities " +
+      "(star collapses to 1; the path fragments into synchronous-wave chunks)")
+
+    // 14. count-min sketch: 50M token occurrences over 1M distinct
+    // keys. The exchange carries one depth*width grid per partition
+    // (~8 KiB) — nothing row-shaped shuffles; the cost is the 4
+    // codegen'd md5 buckets per occurrence. Exact DISTINCT beside it
+    // would re-time §12's case; instead probe 5 keys against the
+    // constructed truth (uniform: every key appears 50 times).
+    val cmsW = graft.queries.SamplingQueries.CmsWidth
+    val cmsD = graft.queries.SamplingQueries.CmsDepth
+    val cmsToks = spark.range(50000000L)
+      .select(concat(lit("w"), (col("id") % 1000000L).cast("string")).as("w"))
+    val cmsAgg = graft.operators.CountMinSketch.aggregator(cmsD, cmsW,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    val grid = timed("CMS fold: 50M occurrences, 1M keys, 4x256 grid") {
+      cmsToks.select(graft.queries.SamplingQueries.cmsBuckets(col("w")).as("b"))
+        .as[Seq[Int]].select(cmsAgg.toColumn.name("g")).head()
+    }
+    val overs = (0 until 5).map { i =>
+      val buckets = (0 until cmsD).map(d =>
+        graft.streaming.StreamingSketch.bucketJvm(d, s"w$i"))
+      graft.operators.CountMinSketch.estimate(grid, cmsW, buckets) - 50L
+    }
+    println(f"[stress] CMS: grid sum ${grid.sum}%,d (= 50M x depth), " +
+      s"probe overcounts (true 50): ${overs.mkString(",")} — the 256-wide " +
+      "grid under 1M keys is saturated BY DESIGN; production sizes " +
+      "width=e/eps (the estimate stays one-sided either way)")
     spark.stop()
   }
 }
