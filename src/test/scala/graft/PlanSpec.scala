@@ -386,4 +386,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count")
       || "HashAggregate".r.findAllIn(p).nonEmpty)
   }
+
+  test("q116: top-k is TakeOrderedAndProject; the rank window runs over " +
+    "the already-limited K rows, never the vocab") {
+    val p = plan(graft.queries.SamplingQueries.q116(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    // the only Window input is the K-row limit output — pinned by the
+    // window appearing AFTER the take in the plan tree (child position)
+    val win = p.indexOf("Window")
+    val take = p.indexOf("TakeOrderedAndProject")
+    assert(win >= 0 && take > win,
+      "rank window must sit above the TakeOrdered, not over the vocab")
+  }
+
+  test("q118: WAV decode is one narrow typed pass, zero exchanges") {
+    val p = plan(graft.queries.MultimodalQueries.q118(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q119: normalization is one narrow typed pass, zero exchanges") {
+    val p = plan(graft.queries.TextQueries.q119(spark, sf))
+    assert(!p.contains("Exchange"))
+  }
+
+  test("q120: unigram joins stay sort-merge (stats-blind vocab is never " +
+    "broadcast), top-k is TakeOrdered") {
+    val p = plan(graft.queries.TextQueries.q120(spark, sf))
+    assert("SortMergeJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q121: OLS is ONE partial-agg exchange; the model algebra runs on " +
+    "the k-group result, not the data") {
+    val p = plan(RelationalQueries.q121(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    assert(!p.contains("Window"))
+  }
 }
