@@ -114,4 +114,25 @@ class RecallSpec extends SparkSpec {
     assert(ivfR(6) >= 0.60, f"IVF nprobe=6 recall collapsed: ${ivfR(6)}%.3f")
     assert(lshR(2) >= 0.15, f"LSH radius=2 recall collapsed: ${lshR(2)}%.3f")
   }
+
+  test("PQ-ADC recall@10 over the 20-query sweep, with exact-rerank ordering") {
+    val exact = queryIds
+      .map(q => q -> ids(VectorQueries.exactTopKDf(spark, sf, q))).toMap
+    val pqRecall = recallAt10(
+      q => ids(VectorQueries.pqTopKDf(spark, sf, q)), exact)
+    info(f"  pq (M=${VectorQueries.PqM}, Ks=${VectorQueries.PqKs}, " +
+      f"rerank ${VectorQueries.PqRerank}): recall@10 $pqRecall%.3f")
+    // 4x16 codes over near-isotropic synthetic vectors are a COARSE
+    // approximation by design; the floor pins the build didn't collapse
+    assert(pqRecall >= 0.15, f"PQ recall collapsed: $pqRecall%.3f")
+    // the rerank contract: emitted rows are ordered by EXACT cosine
+    // (rank ascending = cos_sim descending), adc is advisory
+    val rows = VectorQueries.q122(spark, sf)
+      .select($"rank", $"cos_sim").as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-_).toSeq)
+    // and every emitted candidate really came from the ADC cut: at
+    // most PqRerank candidates existed, TopK survive
+    assert(rows.length == VectorQueries.TopK)
+  }
 }
