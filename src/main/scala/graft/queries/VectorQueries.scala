@@ -888,9 +888,90 @@ object VectorQueries extends Serializable {
   def q122(s: SparkSession, dir: String): DataFrame =
     pqTopKDf(s, dir, QueryVecId)
 
+  /** Probe width for the IVF-PQ search — wider than q56's [[NProbe]]
+    * because ADC makes each probed vector ~free to score: the
+    * composition spends its budget on COVERAGE (more lists) instead of
+    * per-vector float math.
+    */
+  val IvfPqNProbe = 4
+
+  /** IVF-PQ search: the production ANN layout — the materialized IVF
+    * index prunes WHICH vectors are touched (partition-pruned scan of
+    * the probed lists), PQ codes cheapen HOW each is scored (M table
+    * lookups), and only the [[PqRerank]] finalists are re-scored in
+    * full precision.
+    *
+    * Tuning caveat RecallSpec measures: recall is NOT monotone in
+    * `nprobe` under a fixed rerank budget — a newly-probed list can
+    * contribute a high-ADC false positive that displaces a true
+    * neighbor from the [[PqRerank]]-sized rerank set (plain IVF is
+    * monotone because its candidates are ranked by true cosine).
+    * Widening `nprobe` should be paired with widening the rerank cut.
+    */
+  private[graft] def ivfPqTopKDf(s: SparkSession, dir: String, qid: Long,
+                                 nprobe: Int = IvfPqNProbe): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ix = ivfIndex(s, dir)
+    val books = pqCodebooks(s, dir)
+    val qEmb = t(s, dir, "embeddings").filter(col("vec_id") === qid)
+      .select(col("embedding")).as[Array[Float]].head()
+    val probeLists = ix.cents
+      .map { case (l, c) => (l, cosD(qEmb, c)) }
+      .sortBy { case (l, c) => (-c, l) }
+      .take(nprobe).map(_._1).toSeq
+    val lut: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+      books(m).sortBy(_._1).map { case (_, c) => dotSub(qEmb, m * PqSub, c) }
+    }
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcLut = s.sparkContext.broadcast(lut)
+    val adc = s.read.parquet(ix.listsPath)
+      .filter(col("list_id").isin(probeLists: _*) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("list_id").cast("int"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, lid, emb) =>
+        var sAdc = 0.0
+        var m = 0
+        while (m < PqM) {
+          sAdc += bcLut.value(m)(pqAssign(bcBooks.value(m), emb, m * PqSub))
+          m += 1
+        }
+        (id, lid, sAdc)
+      }
+      .toDF("vec_id", "list_id", "adc")
+    val cand = adc.orderBy(col("adc").desc, col("vec_id").asc).limit(PqRerank)
+    val qdf = t(s, dir, "embeddings").filter(col("vec_id") === qid)
+      .select(col("embedding").as("qv"))
+    cand
+      .join(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("cos",
+        graft.expressions.VectorExpressions.vecCosine(col("embedding"), col("qv")))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id"), col("list_id"), round(col("adc"), 6).as("adc_sim"),
+        round(col("cos"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** q123 — IVF-PQ ANN for the vec_id-0 query: the composition the
+    * q122 scaladoc promises — coarse lists bound the SCAN SET
+    * (partition-pruned read of [[IvfPqNProbe]] of [[KLists]] lists),
+    * PQ codes bound the PER-VECTOR COST, exact rerank bounds the
+    * error of both. At 1B vectors this is the memory/latency shape
+    * every production vector store (FAISS IVFPQ et al.) converges on;
+    * here the whole thing — both trainings included — is
+    * deterministic and hash-gates against one lock-step SQL replay.
+    */
+  def q123(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopKDf(s, dir, QueryVecId)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q122_pq_adc" -> (q122 _),
+    "q123_ivf_pq" -> (q123 _),
     "q38_ann_lsh" -> (q38 _),
     "q54_label_centroids" -> (q54 _),
     "q56_ann_ivf" -> (q56 _),
@@ -969,12 +1050,13 @@ object VectorQueries extends Serializable {
        |  ON c.cid = l.cid)""".stripMargin
   }
 
-  /** The q122 oracle: replay all [[PqM]] seeded subspace trainings,
-    * encode the corpus, score by the summed LUT dots in the same
-    * m-order, rerank the ADC cut with exact cosine.
+  /** The PQ training + encode + LUT CTE chain (assumes a `samp` CTE is
+    * already in scope — the same hash-sample the IVF chain defines):
+    * `pseeds` → per-subspace `pc*_m` trainings → `code_m` (corpus
+    * codes) and `lut_m` (query subspace dots). Shared by the q122 and
+    * q123 oracles.
     */
-  private def q122OracleSql: String = {
-    val sampleHex = SampleHexDigits.map(d => s"'$d'").mkString(", ")
+  private def pqCtesSql: String = {
     val fin = (m: Int) => s"pc${PqIters}_$m"
     val perSub = (0 until PqM).map { m =>
       val lo = m * PqSub
@@ -998,24 +1080,37 @@ object VectorQueries extends Serializable {
            | FROM ${fin(m)} c CROSS JOIN qv q)""".stripMargin
       s"$c0,\n$iters,\n$code,\n$lut"
     }.mkString(",\n")
-    val adcSum = (0 until PqM).map(m => s"l$m.v").mkString(" + ")
-    val codeJoins = (1 until PqM).map(m =>
-      s" JOIN code_$m c$m ON c$m.vec_id = c0.vec_id" +
-        s" JOIN lut_$m l$m ON c$m.cid = l$m.cid").mkString("\n")
-    s"""WITH samp AS (
-       | SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
-       | FROM embeddings
-       | WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ($sampleHex)),
-       |pseeds AS (
+    s"""pseeds AS (
        | SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, embedding
        | FROM (SELECT h, vec_id, embedding FROM samp
        |       ORDER BY h, vec_id LIMIT $PqKs) t),
        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
-       |$perSub,
+       |$perSub""".stripMargin
+  }
+
+  private def adcSumSql: String = (0 until PqM).map(m => s"l$m.v").mkString(" + ")
+
+  private def codeJoinsSql(anchor: String): String =
+    s" JOIN code_0 c0 ON c0.vec_id = $anchor JOIN lut_0 l0 ON c0.cid = l0.cid\n" +
+      (1 until PqM).map(m =>
+        s" JOIN code_$m c$m ON c$m.vec_id = $anchor" +
+          s" JOIN lut_$m l$m ON c$m.cid = l$m.cid").mkString("\n")
+
+  /** The q122 oracle: replay all [[PqM]] seeded subspace trainings,
+    * encode the corpus, score by the summed LUT dots in the same
+    * m-order, rerank the ADC cut with exact cosine.
+    */
+  private def q122OracleSql: String = {
+    val sampleHex = SampleHexDigits.map(d => s"'$d'").mkString(", ")
+    s"""WITH samp AS (
+       | SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+       | FROM embeddings
+       | WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ($sampleHex)),
+       |$pqCtesSql,
        |adc AS (
-       | SELECT c0.vec_id, $adcSum AS adc
-       | FROM code_0 c0 JOIN lut_0 l0 ON c0.cid = l0.cid
-       |$codeJoins
+       | SELECT c0.vec_id, $adcSumSql AS adc
+       | FROM embeddings e0
+       |${codeJoinsSql("e0.vec_id")}
        | WHERE c0.vec_id <> $QueryVecId),
        |cand AS (SELECT vec_id, adc,
        |  row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rn FROM adc),
@@ -1032,8 +1127,39 @@ object VectorQueries extends Serializable {
        |FROM fin WHERE rank <= $TopK""".stripMargin
   }
 
+  /** The q123 oracle: the q56 IVF replay (coarse lists) composed with
+    * the PQ replay — ADC-score ONLY vectors inside the probed lists,
+    * then exact-rerank. `scored`/`asg` come from [[ivfAssignCtesSql]];
+    * the PQ chain shares its `samp`.
+    */
+  private def q123OracleSql: String =
+    s"""WITH $ivfAssignCtesSql,
+       |$pqCtesSql,
+       |probes AS (SELECT cid FROM scored
+       |           WHERE vec_id = $QueryVecId AND rn <= $IvfPqNProbe),
+       |adc AS (
+       | SELECT a.vec_id, a.list_id, $adcSumSql AS adc
+       | FROM asg a
+       |${codeJoinsSql("a.vec_id")}
+       | WHERE a.vec_id <> $QueryVecId
+       |   AND a.list_id IN (SELECT cid FROM probes)),
+       |cand AS (SELECT vec_id, list_id, adc,
+       |  row_number() OVER (ORDER BY adc DESC, vec_id ASC) AS rn FROM adc),
+       |rr AS (
+       | SELECT c.vec_id, c.list_id, c.adc,
+       |  ${DedupQueries.cosineSql("e.embedding", "q.qv")} AS cs
+       | FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+       | CROSS JOIN qv q
+       | WHERE c.rn <= $PqRerank),
+       |fin AS (SELECT vec_id, list_id, adc, cs,
+       |  row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank FROM rr)
+       |SELECT vec_id, list_id, round(adc, 6) AS adc_sim,
+       | round(cs, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM fin WHERE rank <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q122_pq_adc" -> q122OracleSql,
+    "q123_ivf_pq" -> q123OracleSql,
     "q37_ann_bruteforce" ->
       s"""SELECT e.vec_id,
          | round(${DedupQueries.cosineSql("e.embedding", "q.qv")}, 6) AS cos_sim
