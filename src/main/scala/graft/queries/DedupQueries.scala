@@ -1315,7 +1315,37 @@ object DedupQueries {
         .localCheckpoint()
     }
 
+  /** q124 — local clustering coefficient per candidate-graph node:
+    * `cc = 2·T / (d·(d−1))` — the triangle count (q112) normalized by
+    * the node's possible wedge count, in 10⁻⁶ fixed point (exact
+    * integers end-to-end; NULL for degree < 2, where the coefficient
+    * is undefined). This is the per-node DENSITY SCORE the q112
+    * scaladoc motivates, made scale-free: a 3-clique member and a
+    * 50-clique member both score 1.0, while a chain vertex scores 0 —
+    * the direct "is my dup family a mirror set or an LSH chaining
+    * artifact?" number, comparable across family sizes.
+    *
+    * Scale shape: q112's bounded forward-join plus one degree
+    * aggregation over the same checkpointed candidate frame and a
+    * merge-hinted id join — no new shuffle class.
+    */
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+      .localCheckpoint() // two consumers: the triangle pass + degrees
+    val tri = graft.operators.TriangleCount.perNode(
+      cand.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val deg = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    tri.join(deg.hint("merge"), Seq("id"))
+      .select(col("id").as("doc_id"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2L,
+          expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+          .as("cc_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_clustering_coeff" -> (q124 _),
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
     "q30_simhash" -> (q30 _),
@@ -1828,7 +1858,34 @@ object DedupQueries {
          |       SELECT doc_b FROM cand))
          |SELECT nd.doc_id,
          | CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
-         |FROM nd LEFT JOIN pn USING (doc_id)""".stripMargin)
+         |FROM nd LEFT JOIN pn USING (doc_id)""".stripMargin,
+    "q124_clustering_coeff" ->
+      s"""$lshCteSql,
+         |tri AS (
+         | SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+         | FROM cand ab
+         | JOIN cand bc ON ab.doc_b = bc.doc_a
+         | JOIN cand ac ON ab.doc_a = ac.doc_a AND bc.doc_b = ac.doc_b),
+         |pn AS (
+         | SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         | FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |       UNION ALL SELECT c FROM tri)
+         | GROUP BY 1),
+         |dg AS (
+         | SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS degree
+         | FROM (SELECT doc_a AS v FROM cand UNION ALL
+         |       SELECT doc_b FROM cand)
+         | GROUP BY 1),
+         |j AS (
+         | SELECT dg.doc_id, dg.degree,
+         |  CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+         | FROM dg LEFT JOIN pn USING (doc_id))
+         |SELECT doc_id, degree, n_triangles,
+         | CASE WHEN degree >= 2
+         |  THEN CAST((2 * n_triangles * 1000000) // (degree * (degree - 1))
+         |    AS BIGINT)
+         |  ELSE NULL END AS cc_1e6
+         |FROM j""".stripMargin)
 
   /** Unrolled [[PageRankIters]]-stage PageRank replay, generated from
     * the same constants the operator runs ([[graft.operators.PageRank]]

@@ -668,4 +668,35 @@ class StreamingSpec extends SparkSpec {
       assert(emissions.map(_.shard).distinct.size > 1) // sharding exercised
     } finally q.stop()
   }
+
+  test("cmsMonitor grids survive a checkpointed restart: counts folded " +
+    "before the stop persist, and the merged grid still equals batch") {
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val toks = graft.queries.SamplingQueries.docTokens(spark, sf)
+    val batchGrid = graft.queries.SamplingQueries.cmsGrid(toks)
+    val words = toks.as[String].collect()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmsck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cmsout").toString
+    val in = MemoryStream[String]
+    def start() = StreamingSketch.cmsMonitor(in.toDS(), shards = 3)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val (h1, h2) = words.splitAt(words.length / 2)
+    val q1 = start()
+    try { in.addData(h1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart from the checkpoint: the recovered per-shard grids must
+    // carry every first-half increment
+    val q2 = start()
+    try { in.addData(h2: _*); q2.processAllAvailable() } finally q2.stop()
+    val emissions = spark.read.parquet(outDir)
+      .as[StreamingSketch.CmsShardRow].collect().toSeq
+    // take each shard's LARGEST emission (grids only ever grow;
+    // parquet read order is not arrival order)
+    val latest = emissions.groupBy(_.shard).values.map(
+      _.maxBy(_.grid.sum)).toSeq
+    assert(StreamingSketch.mergeShardGrids(latest) == batchGrid)
+  }
 }
