@@ -749,7 +749,7 @@ object VectorQueries extends Serializable {
   /** Nearest codeword by squared L2 — strict `<` keeps the smaller cid
     * on ties, mirroring the oracle's `ORDER BY dist ASC, cid ASC`.
     */
-  private def pqAssign(cs: Array[(Int, Array[Double])],
+  private[graft] def pqAssign(cs: Array[(Int, Array[Double])],
                        a: Array[Float], lo: Int): Int = {
     var best = cs(0)._1; var bestD = l2Sub(a, lo, cs(0)._2)
     var i = 1

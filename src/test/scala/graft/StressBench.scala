@@ -302,6 +302,64 @@ object StressBench {
       s"probe overcounts (true 50): ${overs.mkString(",")} — the 256-wide " +
       "grid under 1M keys is saturated BY DESIGN; production sizes " +
       "width=e/eps (the estimate stays one-sided either way)")
+
+    // 15. PQ on the §4 100k-vector corpus: train codebooks, ENCODE ONCE
+    // (the production shape — codes are index state like IVF lists,
+    // not per-query work), then compare the ADC scan over codes with
+    // the exact float-cosine scan. Honest local-vs-cluster note, KMV
+    // style: the win to measure is bytes-touched (4 code bytes vs 256
+    // float bytes per vector), which is what matters when the corpus
+    // doesn't fit in RAM.
+    // own 64-dim corpus: the engine's PQ geometry is Dims-derived
+    // (4 x 16-dim subspaces) — the §4 corpus is deliberately 32-dim
+    val pqDir = java.nio.file.Files.createTempDirectory("stressb-pq").toString
+    StressData.writeSkewedEmbeddings(spark, pqDir, 100000,
+      dims = graft.queries.VectorQueries.Dims, gClusters = 10)
+    import graft.queries.VectorQueries
+    val books = timed("PQ codebook training (4 subspaces x 16, 100k corpus)") {
+      VectorQueries.pqCodebooks(spark, pqDir)
+    }
+    val bcBk = spark.sparkContext.broadcast(books)
+    val sub = VectorQueries.PqSub
+    val codes = timed("PQ encode: 100k vectors -> 4 codes each") {
+      val c = Tables.load(spark, pqDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          val cs = new Array[Int](VectorQueries.PqM)
+          var m = 0
+          while (m < VectorQueries.PqM) {
+            cs(m) = VectorQueries.pqAssign(bcBk.value(m), emb, m * sub)
+            m += 1
+          }
+          (id, cs.toSeq)
+        }.toDF("vec_id", "codes").localCheckpoint()
+      c.count(); c
+    }
+    val qv = Tables.load(spark, pqDir, "embeddings")
+      .filter(col("vec_id") === 0L).select(col("embedding"))
+      .as[Array[Float]].head()
+    val lut = Array.tabulate(VectorQueries.PqM) { m =>
+      books(m).sortBy(_._1).map { case (_, c) =>
+        var s = 0.0; var i = 0
+        while (i < sub) { s += qv(m * sub + i).toDouble * c(i); i += 1 }
+        s
+      }
+    }
+    val bcLut = spark.sparkContext.broadcast(lut)
+    timed("ADC scan: 100k code rows, top-20") {
+      codes.as[(Long, Seq[Int])]
+        .map { case (id, cs) =>
+          var s = 0.0; var m = 0
+          while (m < VectorQueries.PqM) { s += bcLut.value(m)(cs(m)); m += 1 }
+          (id, s)
+        }.toDF("vec_id", "adc")
+        .orderBy(col("adc").desc, col("vec_id").asc).limit(20)
+        .collect()
+    }
+    timed("exact float-cosine scan: 100k vectors, top-10") {
+      VectorQueries.exactTopKDf(spark, pqDir, 0L).collect()
+    }
     spark.stop()
   }
 }
