@@ -159,4 +159,62 @@ object PageRank {
     }
     ranks.join(base0.select(col("id"), col("outdeg")), "id")
   }
+
+  /** PERSONALIZED PageRank: teleport mass returns to a SEED SET
+    * instead of uniformly — the random surfer restarts at the seeds,
+    * so ranks measure graph PROXIMITY TO THE SEEDS rather than global
+    * authority ("documents most connected to this document through
+    * the near-dup graph"). Same integer discipline as [[run]]:
+    * seeds start with `scale div nS` each (others 0), every round each
+    * seed receives `((scale div nS) · (1−d)) div 1` teleport units and
+    * non-seeds receive none; walk mass flows exactly as in the
+    * unweighted walk. Seeds outside the graph are ignored; `nS` is the
+    * count of seeds that intersect it (hard-fails at zero — a PPR of
+    * nothing is a bug, not an empty frame).
+    *
+    * Scale shape: identical to [[run]] (one partial-agg shuffle per
+    * round), plus one broadcast-sized seed marker join at setup.
+    * Returns `(id, rank, outdeg, is_seed)`.
+    */
+  def runPersonalized(edges: DataFrame, iters: Int, seeds: DataFrame,
+                      scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val seedIds = seeds.select(col("id").cast("long")).distinct()
+      .withColumn("is_seed", lit(true))
+    val base0 = nodes.join(outdeg, Seq("id"), "left")
+      .join(seedIds, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nS = base0.filter(col("is_seed")).count()
+    require(nS > 0, "no seed intersects the graph")
+    val init = scale / nS
+    val tele = ((scale / nS) * (DampDen - DampNum)) / DampDen
+    var ranks = base0.select(col("id"),
+      when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          expr(s"((rank * $DampNum) div $DampDen) div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("in_mass"))
+      ranks = base0.select(col("id"), col("is_seed"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(tele)).otherwise(lit(0L)) +
+            coalesce(col("in_mass"), lit(0L))).as("rank"))
+      i += 1
+      if (i % CheckpointInterval == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.join(base0.select(col("id"), col("outdeg"), col("is_seed")), "id")
+  }
 }

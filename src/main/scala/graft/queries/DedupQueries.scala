@@ -1344,7 +1344,37 @@ object DedupQueries {
           .as("cc_1e6"))
   }
 
+  /** q125 — PERSONALIZED PageRank from a seed document: rank every
+    * candidate-graph member by graph proximity to the seed (the
+    * random surfer restarts at the seed, so mass concentrates in ITS
+    * dup family and decays with distance) — "what else is effectively
+    * this document?" asked of the graph rather than of pairwise
+    * similarity, and the query-side twin of the global authority rank
+    * (q104 ranks the whole graph; PPR ranks around one point). Seed =
+    * the smallest doc_id in the candidate graph (deterministic; any
+    * doc_id works the same way). Exact integer fixed point like the
+    * whole PageRank family — the [[LpaIters]]-style unrolled SQL
+    * replay hash-gates every rank.
+    *
+    * Scale shape: identical per-round cost to q104 (one partial-agg
+    * shuffle), one broadcast seed-marker join at setup; at 100 TB a
+    * deployment batches many seeds through
+    * [[graft.operators.PageRank.runPersonalized]] by widening the
+    * seed frame — the plan is seed-count-free.
+    */
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // the seed agg + every rank round consume it
+    val seeds = edges.agg(min(col("src")).as("id"))
+    graft.operators.PageRank.runPersonalized(edges, PageRankIters, seeds)
+      .select(col("id").as("doc_id"), col("rank").as("ppr_rank"),
+        col("outdeg").as("degree"), col("is_seed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_personalized_pagerank" -> (q125 _),
     "q124_clustering_coeff" -> (q124 _),
     "q28_dedup_exact" -> (q28 _),
     "q29_minhash_lsh" -> (q29 _),
@@ -1822,6 +1852,7 @@ object DedupQueries {
          | END AS shared_ratio
          |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
     "q104_pagerank" -> q104OracleSql,
+    "q125_personalized_pagerank" -> q125OracleSql,
     "q107_weighted_pagerank" -> q107OracleSql,
     "q108_authority_survivors" -> q108OracleSql,
     "q113_containment" ->
@@ -1935,6 +1966,43 @@ object DedupQueries {
        |       FROM nn),
        |r0 AS (SELECT id, CAST($scale // n AS BIGINT) AS rank
        |       FROM nd CROSS JOIN nn)""".stripMargin
+  }
+
+  /** The q125 PPR replay: seed = min graph id, seed-only teleport,
+    * same damped walk as [[prIterCtesSql]] (unweighted).
+    */
+  private def q125OracleSql: String = {
+    val dn = graft.operators.PageRank.DampNum
+    val dd = graft.operators.PageRank.DampDen
+    val scale = graft.operators.PageRank.DefaultScale
+    val iters = (1 to PageRankIters).map { k =>
+      s"""p$k AS (
+         | SELECT b.id,
+         |  CAST((CASE WHEN b.id = s.sid THEN ${(scale * (dd - dn)) / dd}
+         |        ELSE 0 END) + coalesce(m.mass, 0) AS BIGINT) AS rank
+         | FROM nd b CROSS JOIN sd s LEFT JOIN (
+         |  SELECT u.dst AS id,
+         |   CAST(sum(((r.rank * $dn) // $dd) // d.outdeg) AS BIGINT) AS mass
+         |  FROM und u JOIN p${k - 1} r ON u.src = r.id
+         |  JOIN deg d ON u.src = d.id
+         |  GROUP BY 1) m ON b.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$lshCteSql,
+       |und AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM cand
+       | UNION ALL
+       | SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |nd AS (SELECT DISTINCT src AS id FROM und),
+       |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg
+       |        FROM und GROUP BY 1),
+       |sd AS (SELECT CAST(min(src) AS BIGINT) AS sid FROM und),
+       |p0 AS (SELECT id, CAST(CASE WHEN id = sd.sid THEN $scale ELSE 0 END
+       |         AS BIGINT) AS rank
+       |       FROM nd CROSS JOIN sd),
+       |$iters
+       |SELECT r.id AS doc_id, r.rank AS ppr_rank, d.outdeg AS degree,
+       | (r.id = s.sid) AS is_seed
+       |FROM p$PageRankIters r JOIN deg d ON r.id = d.id CROSS JOIN sd s""".stripMargin
   }
 
   private def q104OracleSql: String =

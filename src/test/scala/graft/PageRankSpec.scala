@@ -139,4 +139,56 @@ class PageRankSpec extends SparkSpec {
       case (id, rk) => id -> ((rk, if (id == 1L) 1L else 0L))
     })
   }
+
+  /** Driver replay of the personalized recurrence: seed-only init and
+    * teleport, same damped walk.
+    */
+  private def replayP(edges: Seq[(Long, Long)], iters: Int,
+                      seeds: Set[Long], scale: Long): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inGraph = seeds.filter(nodes.contains)
+    val nS = inGraph.size.toLong
+    val init = scale / nS
+    val tele = ((scale / nS) * (PageRank.DampDen - PageRank.DampNum)) /
+      PageRank.DampDen
+    var r = nodes.map(v => v -> (if (inGraph(v)) init else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val mass = edges
+        .map { case (s, d) => d -> ((r(s) * PageRank.DampNum) /
+          PageRank.DampDen) / out(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v =>
+        v -> ((if (inGraph(v)) tele else 0L) + mass.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalized ranks equal the seed-teleport replay; mass decays " +
+    "with distance from the seed and unreachable components get zero") {
+    // path 1-2-3-4 plus a disconnected pair 10-11; seed = 1
+    val es = undirected((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val got = PageRank.runPersonalized(es.toDF("src", "dst"), iters = 5,
+        seeds = Seq(1L).toDF("id"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(got == replayP(es, 5, Set(1L), PageRank.DefaultScale))
+    // per-node ordering at fixed k=5 is parity-fragile on a path (the
+    // concentrated start propagates as a wave; node 4 can transiently
+    // outrank node 3 — measured), so the robust proximity claim is
+    // aggregate: the seed's near half holds most of the mass, and
+    // every reachable node got some
+    assert(got(1L) + got(2L) > got(3L) + got(4L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) > 0L))
+    // the walk cannot reach the other component: exactly zero mass
+    assert(got(10L) == 0L && got(11L) == 0L)
+    // a seed outside the graph is ignored; an all-outside seed set fails
+    val withGhost = PageRank.runPersonalized(es.toDF("src", "dst"), 5,
+        Seq(1L, 999L).toDF("id"))
+      .select($"id", $"rank").as[(Long, Long)].collect().toMap
+    assert(withGhost == got)
+    intercept[IllegalArgumentException] {
+      PageRank.runPersonalized(es.toDF("src", "dst"), 5,
+        Seq(999L).toDF("id"))
+    }
+  }
 }
