@@ -418,7 +418,74 @@ object TimeseriesQueries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** z²/t² significance bar for [[q126]] in 10⁻⁶ fixed point:
+    * 1.96² = 3.8416 (two-sided 95%, large-sample).
+    */
+  val AbT2Bar1e6 = 3841600L
+
+  /** q126 — deterministic A/B comparison (Welch-style t² per event
+    * type): hash-split users into two arms (`md5("ab-" + user_id) % 2`
+    * — the q43/q60 reproducible-assignment discipline, so the SAME
+    * users land in the SAME arms on any engine, any run, any cluster),
+    * aggregate each user's total value to integer cents (unit of
+    * analysis = unit of randomization), and compute the squared
+    * t-statistic from the five per-arm sufficient statistics — the
+    * experiment-readout aggregation an event pipeline runs at 100 TB.
+    *
+    * Exactness contract: sums accumulate in DECIMAL(38,0); means,
+    * variances (`(n·Q − S²) div (n·(n−1))` cents²), standard-error²
+    * and `t²·10⁶` are each ONE truncating integral division — the
+    * same truncation on both engines (the q121 measurement), so the
+    * readout hash-gates despite being a ratio of big rationals. The
+    * stepwise truncation costs ≤ 1 unit per step — immaterial against
+    * the 3.84 significance bar and identical cross-engine, which is
+    * the property that matters. `significant` compares `t²·10⁶`
+    * against [[AbT2Bar1e6]]; degenerate arms (n < 2 or zero variance)
+    * yield NULL t² and false.
+    *
+    * Scale shape: one partial-agg exchange to per-(type, user) totals,
+    * one conditional-aggregation exchange to per-type arm statistics
+    * (no pivot, no self-join), then pure row algebra on the k-type
+    * result.
+    */
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("cents")).cast("decimal(38,0)").as("x"))
+      .withColumn("arm",
+        graft.functions.DedupFunctions.md5Hash32(
+          concat(lit("ab-"), col("user_id").cast("string"))) % 2)
+    def armAgg(a: Int, e: org.apache.spark.sql.Column) =
+      sum(when(col("arm") === a, e).otherwise(lit(0).cast("decimal(38,0)")))
+    val stats = perUser.groupBy("event_type")
+      .agg(
+        armAgg(0, lit(1).cast("decimal(38,0)")).as("na"),
+        armAgg(0, col("x")).as("sa"),
+        armAgg(0, col("x") * col("x")).as("qa"),
+        armAgg(1, lit(1).cast("decimal(38,0)")).as("nb"),
+        armAgg(1, col("x")).as("sb"),
+        armAgg(1, col("x") * col("x")).as("qb"))
+    stats.select(col("event_type"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      expr("CAST(sa div na AS BIGINT)").as("mean_a_cents"),
+      expr("CAST(sb div nb AS BIGINT)").as("mean_b_cents"),
+      expr(s"""CAST(CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE (
+          CASE WHEN ((na * qa - sa * sa) div (na * (na - 1))) div na
+                  + ((nb * qb - sb * sb) div (nb * (nb - 1))) div nb = 0
+               THEN NULL
+          ELSE ((sa div na - sb div nb) * (sa div na - sb div nb) * 1000000)
+            div ( ((na * qa - sa * sa) div (na * (na - 1))) div na
+                + ((nb * qb - sb * sb) div (nb * (nb - 1))) div nb )
+          END) END AS BIGINT)""").as("t2_1e6"))
+      .withColumn("significant",
+        coalesce(col("t2_1e6") >= AbT2Bar1e6, lit(false)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_ab_welch" -> (q126 _),
     "q111_cohort_retention" -> (q111 _),
     "q110_funnel" -> (q110 _),
     "q10_first_last_per_group" -> (q10 _),
@@ -438,6 +505,41 @@ object TimeseriesQueries {
     "q105_rolling_features" -> (q105 _))
 
   val oracles: Map[String, String] = Map(
+    "q126_ab_welch" ->
+      s"""WITH pu AS (
+         | SELECT event_type, user_id,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x,
+         |  CAST(concat('0x', substr(md5(concat('ab-',
+         |    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm
+         | FROM events
+         | WHERE user_id IS NOT NULL AND value IS NOT NULL
+         | GROUP BY event_type, user_id),
+         |st AS (
+         | SELECT event_type,
+         |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         |  sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sa,
+         |  sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS qa,
+         |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+         |  sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sb,
+         |  sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS qb
+         | FROM pu GROUP BY 1),
+         |r AS (
+         | SELECT event_type,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CAST(sa // na AS BIGINT) AS mean_a_cents,
+         |  CAST(sb // nb AS BIGINT) AS mean_b_cents,
+         |  CAST(CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE (
+         |    CASE WHEN ((na * qa - sa * sa) // (na * (na - 1))) // na
+         |            + ((nb * qb - sb * sb) // (nb * (nb - 1))) // nb = 0
+         |         THEN NULL
+         |    ELSE ((sa // na - sb // nb) * (sa // na - sb // nb) * 1000000)
+         |      // ( ((na * qa - sa * sa) // (na * (na - 1))) // na
+         |         + ((nb * qb - sb * sb) // (nb * (nb - 1))) // nb )
+         |    END) END AS BIGINT) AS t2_1e6
+         | FROM st)
+         |SELECT event_type, n_a, n_b, mean_a_cents, mean_b_cents, t2_1e6,
+         | coalesce(t2_1e6 >= $AbT2Bar1e6, FALSE) AS significant
+         |FROM r""".stripMargin,
     "q111_cohort_retention" ->
       s"""WITH ev AS (
          | SELECT user_id, event_type, epoch_us(ts) // $WeekUs AS wk
