@@ -467,4 +467,78 @@ object EventStreams {
           }
       }
   }
+
+  /** Per-event-type experiment state: every observed user's running
+    * integer-cents total plus their (fixed, hash-derived) arm. State
+    * is bounded by the USER BASE per event type — the inherent floor
+    * for an experiment readout, whose variance term needs per-unit
+    * totals (x² is not additive across a unit's increments); compare
+    * the funnel/rolling monitors, whose state is O(steps)/O(window)
+    * per user.
+    */
+  case class AbState(users: Map[Long, (Int, Long)])
+
+  /** Emitted per micro-batch per event type that received data — the
+    * q126 row shape, so the latest emission per type IS the current
+    * experiment readout.
+    */
+  case class AbRow(event_type: String, n_a: Long, n_b: Long,
+                   mean_a_cents: Long, mean_b_cents: Long,
+                   t2_1e6: Option[Long], significant: Boolean)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q126]]: a live experiment
+    * readout per event type. Arms are a pure function of user_id
+    * (same md5 split as batch), per-user totals are exact integer
+    * cents, and the Welch algebra replays batch's DECIMAL(38,0)
+    * truncating divisions in BigInt — so after any prefix of events,
+    * in any arrival order and any micro-batch split, the emitted row
+    * EQUALS the batch query over the same events (order-free integer
+    * state, the KMV/CMS argument — StreamingSpec pins it).
+    */
+  def abMonitor(events: Dataset[Ev]): Dataset[AbRow] = {
+    import events.sparkSession.implicits._
+    val bar = graft.queries.TimeseriesQueries.AbT2Bar1e6
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AbState, AbRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[AbState]) =>
+          var users = state.getOption.map(_.users).getOrElse(Map.empty)
+          it.foreach { e =>
+            val cents = BigDecimal.valueOf(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val arm = (graft.functions.DedupFunctions
+              .md5Hash32Jvm("ab-" + e.user_id) % 2).toInt
+            val cur = users.getOrElse(e.user_id, (arm, 0L))
+            users += e.user_id -> ((arm, cur._2 + cents))
+          }
+          state.update(AbState(users))
+          // exact BigInt replay of q126's DECIMAL(38,0) algebra —
+          // truncating division per step, identical results
+          def stats(arm: Int): (BigInt, BigInt, BigInt) = {
+            val xs = users.valuesIterator.filter(_._1 == arm).map(_._2)
+            var n = BigInt(0); var s = BigInt(0); var q = BigInt(0)
+            xs.foreach { x => n += 1; s += x; q += BigInt(x) * x }
+            (n, s, q)
+          }
+          val (na, sa, qa) = stats(0)
+          val (nb, sb, qb) = stats(1)
+          if (na == 0 || nb == 0) Iterator.empty // readout undefined
+          else {
+            val ma = sa / na
+            val mb = sb / nb
+            val t2: Option[Long] =
+              if (na < 2 || nb < 2) None
+              else {
+                val se2 = ((na * qa - sa * sa) / (na * (na - 1))) / na +
+                  ((nb * qb - sb * sb) / (nb * (nb - 1))) / nb
+                if (se2 == 0) None
+                else Some((((ma - mb) * (ma - mb) * 1000000) / se2).toLong)
+              }
+            Iterator.single(AbRow(tpe, na.toLong, nb.toLong,
+              ma.toLong, mb.toLong, t2, t2.exists(_ >= bar)))
+          }
+      }
+  }
 }

@@ -699,4 +699,47 @@ class StreamingSpec extends SparkSpec {
       _.maxBy(_.grid.sum)).toSeq
     assert(StreamingSketch.mergeShardGrids(latest) == batchGrid)
   }
+
+  test("abMonitor: the live experiment readout equals batch q126 EXACTLY " +
+    "under shuffled arrival and micro-batch splits") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q126(spark, sf)
+      .select($"event_type", $"n_a", $"n_b", $"mean_a_cents",
+        $"mean_b_cents", $"t2_1e6", $"significant")
+      .as[(String, Long, Long, Long, Long, Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+    val shuffled = new scala.util.Random(23).shuffle(evs.toVector)
+    val parts = Seq(shuffled.take(333), shuffled.slice(333, 334),
+      shuffled.drop(334))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.abMonitor(in.toDS())
+      .writeStream.format("memory").queryName("abm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      // the LAST emission per type is the full-prefix readout — equal
+      // to batch because the state is order-free integer totals and
+      // the algebra is an exact BigInt replay of the decimal plan
+      val streamed = spark.table("abm")
+        .as[(String, Long, Long, Long, Long, Option[Long], Boolean)]
+        .collect()
+      val last = streamed.foldLeft(
+        Map.empty[String, (String, Long, Long, Long, Long, Option[Long], Boolean)]) {
+        (m, r) => m + (r._1 -> r)
+      }
+      // batch q126 filters only null user/value; the stream subset also
+      // drops null ts — on this dataset that drops no coverage
+      // (asserted by the equality itself)
+      assert(last == batch && last.size == batch.size && last.nonEmpty)
+    } finally q.stop()
+  }
 }
