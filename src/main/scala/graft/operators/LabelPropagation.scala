@@ -42,16 +42,33 @@ object LabelPropagation {
     * neighbor by construction, so no keep-own-label fallback row is
     * needed. Returns (`id`, `community`).
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int): DataFrame =
+    runWeighted(edges.select(col("src"), col("dst"))
+      .withColumn("weight", lit(1L)), iters)
+
+  /** Weighted majority vote: a neighbor's label counts with its edge
+    * WEIGHT (positive longs — e.g. verified Jaccard in fixed point),
+    * so a 0.95-similarity neighbor outvotes three 0.01 hash-collision
+    * neighbors — the similarity-strength refinement [[graft.operators.PageRank.runWeighted]]
+    * applies to ranking, applied to community membership. `run` IS
+    * this at weight 1 (`count ≡ sum(1)` term-for-term), so the
+    * unweighted path keeps its replay contract while sharing one
+    * implementation. Ties still break to the minimum label; integer
+    * weight sums keep every round order-free and SQL-replayable.
+    */
+  def runWeighted(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, "iters must be positive")
-    var labels = edges.select(col("dst").as("v")).distinct()
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("long"))
+      .filter(col("weight") > 0L)
+    var labels = e.select(col("dst").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     var i = 0
     while (i < iters) {
-      val nbr = edges
+      val nbr = e
         .join(labels.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v"), col("lbl"))
-      labels = nbr.groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        .select(col("dst").as("v"), col("lbl"), col("weight"))
+      labels = nbr.groupBy("v", "lbl").agg(sum(col("weight")).as("c"))
         .groupBy("v")
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("b"))
         .select(col("v"), (-col("b.neg")).as("lbl"))

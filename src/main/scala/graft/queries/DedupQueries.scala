@@ -1208,9 +1208,15 @@ object DedupQueries {
       q107Cold(s, dir).localCheckpoint()
     }
 
-  private def q107Cold(s: SparkSession, dir: String): DataFrame = {
+  /** The Jaccard-weighted candidate edge list (doc_a, doc_b, weight)
+    * q107 and q127 share: LSH candidates verified against the true
+    * shingle sets, similarity in [[JaccardWeightScale]] fixed point,
+    * floored at 1 so hash-collision pairs degrade instead of
+    * vanishing.
+    */
+  private def weightedCandidates(s: SparkSession, dir: String): DataFrame = {
     val both = shingleSigs(s, dir)
-    val wcand = lshCandidates(both.select(col("doc_id"), col("sig")))
+    lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -1220,6 +1226,10 @@ object DedupQueries {
         greatest(lit(1L),
           expr(s"(inter * ${JaccardWeightScale}L) div (szsum - inter)"))
           .as("weight"))
+  }
+
+  private def q107Cold(s: SparkSession, dir: String): DataFrame = {
+    val wcand = weightedCandidates(s, dir)
     val edges = wcand
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("weight"))
       .union(wcand
@@ -1227,6 +1237,32 @@ object DedupQueries {
     graft.operators.PageRank.runWeighted(edges, PageRankIters)
       .select(col("id").as("doc_id"), col("rank").as("pr_rank"),
         col("outdeg").as("w_degree"))
+  }
+
+  /** q127 — WEIGHTED label-propagation communities: q117's majority
+    * vote with each neighbor's vote weighted by its q31-verified
+    * Jaccard (1e-6 fixed point, floor 1) — a 0.95-similarity twin
+    * outvotes a pile of minimum-weight hash-collision edges, so
+    * communities track similarity STRENGTH, not just adjacency (the
+    * q107-vs-q104 refinement applied to partitioning instead of
+    * ranking). Same determinism contract (synchronous rounds, integer
+    * weight sums, min-label ties), same unrolled-SQL replay.
+    *
+    * Scale shape: q117's per-round cost plus q107's verify join,
+    * which only touches candidate pairs.
+    */
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val wcand = weightedCandidates(s, dir)
+    val edges = wcand
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("weight"))
+      .union(wcand
+        .select(col("doc_b").as("src"), col("doc_a").as("dst"), col("weight")))
+    val comm = graft.operators.LabelPropagation.runWeighted(edges, LpaIters)
+      .select(col("id").as("doc_id"), col("community"))
+      .localCheckpoint() // two consumers: member rows + the size roll-up
+    val sizes = comm.groupBy("community").agg(count(lit(1)).as("n_members"))
+    comm.join(sizes.hint("merge"), Seq("community"))
+      .select(col("doc_id"), col("community"), col("n_members"))
   }
 
   /** Fixed synchronous round count for [[q117]] — part of the
@@ -1374,6 +1410,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_weighted_communities" -> (q127 _),
     "q125_personalized_pagerank" -> (q125 _),
     "q124_clustering_coeff" -> (q124 _),
     "q28_dedup_exact" -> (q28 _),
@@ -1853,6 +1890,7 @@ object DedupQueries {
          |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
     "q104_pagerank" -> q104OracleSql,
     "q125_personalized_pagerank" -> q125OracleSql,
+    "q127_weighted_communities" -> q127OracleSql,
     "q107_weighted_pagerank" -> q107OracleSql,
     "q108_authority_survivors" -> q108OracleSql,
     "q113_containment" ->
@@ -2004,6 +2042,41 @@ object DedupQueries {
        | (r.id = s.sid) AS is_seed
        |FROM p$PageRankIters r JOIN deg d ON r.id = d.id CROSS JOIN sd s""".stripMargin
   }
+
+  /** One unrolled WEIGHTED LPA round — [[lpaRoundSql]] with
+    * `sum(e.w)` votes instead of `count(*)`.
+    */
+  private def lpaWRoundSql(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""i$i AS (SELECT e.dst AS v, l.lbl, CAST(sum(e.w) AS BIGINT) AS c
+       |  FROM edges e JOIN $prev l ON l.v = e.src GROUP BY 1, 2),
+       |r$i AS (SELECT v, lbl, row_number() OVER (PARTITION BY v
+       |    ORDER BY c DESC, lbl ASC) AS rn FROM i$i),
+       |l$i AS (SELECT v, lbl FROM r$i WHERE rn = 1)""".stripMargin
+  }
+
+  private def q127OracleSql: String =
+    s"""$lshCteSql,
+       |sets AS (
+       | SELECT doc_id, list_distinct(shingles) AS sh
+       | FROM shingled WHERE len(shingles) > 0),
+       |wc AS (
+       | SELECT doc_a, doc_b,
+       |  greatest(CAST(1 AS BIGINT),
+       |   (CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * $JaccardWeightScale)
+       |    // CAST(len(sa.sh) + len(sb.sh)
+       |         - len(list_intersect(sa.sh, sb.sh)) AS BIGINT)) AS w
+       | FROM cand
+       | JOIN sets sa ON doc_a = sa.doc_id
+       | JOIN sets sb ON doc_b = sb.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM wc
+       |          UNION ALL SELECT doc_b, doc_a, w FROM wc),
+       |l0 AS (SELECT DISTINCT dst AS v, dst AS lbl FROM edges),
+       |${(1 to LpaIters).map(lpaWRoundSql).mkString(",\n")},
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+       |       FROM l$LpaIters GROUP BY 1)
+       |SELECT l.v AS doc_id, l.lbl AS community, sz.n_members
+       |FROM l$LpaIters l JOIN sz ON l.lbl = sz.lbl""".stripMargin
 
   private def q104OracleSql: String =
     s"""$lshCteSql,

@@ -74,6 +74,54 @@ class LabelPropagationSpec extends SparkSpec {
     }
   }
 
+  test("ring of 12 bridged 5-cliques: LPA recovers every clique as its " +
+    "own community; CC sees one blob") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val k = 12; val sz = 5
+    val cliques = (0 until k).map(c =>
+      ((c * sz + 1).toLong to ((c + 1) * sz).toLong).toSeq)
+    val bridges = (0 until k).map { c =>
+      (cliques(c).last, cliques((c + 1) % k).head) // one edge to the next
+    }
+    val edges = sym(cliques.flatMap(clique) ++ bridges)
+    val lpa = runOp(edges, 3)
+    // every clique collapses to one label, and no two cliques share one
+    val labelsPerClique = cliques.map(_.map(lpa).toSet)
+    assert(labelsPerClique.forall(_.size == 1),
+      s"clique not uniform: $labelsPerClique")
+    assert(labelsPerClique.flatten.toSet.size == k,
+      s"cliques merged: ${labelsPerClique.flatten.toSet.size} of $k labels")
+    val cc = ConnectedComponents
+      .run(edges.filter(e => e._1 < e._2).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1) // the ring is one component
+  }
+
+  test("weighted vote: one high-similarity edge outvotes several " +
+    "minimum-weight collision edges; weight 1 degenerates to unweighted") {
+    import graft.operators.LabelPropagation
+    // vertex 5: two weight-1 edges into {1,2} vs one weight-10 edge to 9
+    val base = Seq((1L, 5L, 1L), (2L, 5L, 1L), (9L, 5L, 10L), (1L, 2L, 1L))
+    val wEdges = (base ++ base.map(e => (e._2, e._1, e._3)))
+      .toDF("src", "dst", "weight")
+    val w1 = LabelPropagation.runWeighted(wEdges, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(w1(5L) == 9L, s"heavy edge should win the vote: $w1")
+    // unweighted: three tied single votes -> min label 1
+    val u1 = LabelPropagation.run(
+        wEdges.select($"src", $"dst"), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(u1(5L) == 1L)
+    // weight-1 weighted run IS the unweighted run
+    val allOnes = LabelPropagation.runWeighted(
+        wEdges.withColumn("weight", org.apache.spark.sql.functions.lit(1L)), 3)
+      .as[(Long, Long)].collect().toMap
+    val plain = LabelPropagation.run(wEdges.select($"src", $"dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(allOnes == plain)
+  }
+
   test("LPA equals the replay on seeded random graphs (property sweep)") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { trial =>
