@@ -484,7 +484,121 @@ object TimeseriesQueries {
         coalesce(col("t2_1e6") >= AbT2Bar1e6, lit(false)))
   }
 
+  /** The shared q128 algebra, generated once for both engines (`d` is
+    * the truncating integer-division operator: Spark `div`, DuckDB
+    * `//` — measured identical on negatives, q121). Input columns:
+    * per-arm joint moments `n{a,b}, sx*, sy*, sxx*, sxy*, syy*`.
+    * Emits (expression, alias) pairs.
+    *
+    * The one-pass trick: the CUPED-adjusted metric per user is
+    * `y″ = 10⁶·y − θ·x` with θ the TRUNCATED fixed-point slope — an
+    * integer identity, so the adjusted arm moments expand EXACTLY
+    * from the joint moments (`Σy″ = 10⁶·Sy − θ·Sx`,
+    * `Σy″² = 10¹²·Syy − 2·10⁶·θ·Sxy + θ²·Sxx`) and no second pass
+    * over users is needed.
+    */
+  private def cupedExprs(d: String): Seq[(String, String)] = {
+    // Integral division that STAYS wide: Spark's `div` returns LONG
+    // even on decimals, and this algebra's intermediate quotients
+    // (arm variances of 10⁶-scaled metrics, ~10²⁰) overflow it —
+    // caught live as a silent mod-2⁶⁴ wrap at sf0.01. Spark side uses
+    // the exact remainder identity `(a − a % b) / b`: decimal `%`
+    // truncates toward zero like DuckDB's `//`, `(a − r)` is exactly
+    // divisible, and decimal division of an exact integer is lossless
+    // at any result scale — so the value is the same truncating
+    // division, in DECIMAL(38,0). DuckDB side keeps native HUGEINT
+    // `//`.
+    def idiv(a: String, b: String) =
+      if (d == "div")
+        s"CAST((($a) - (($a) % ($b))) / ($b) AS DECIMAL(38,0))"
+      else s"CAST(($a) // ($b) AS HUGEINT)"
+    val theta =
+      s"""CASE WHEN ((na + nb) * (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb)) = 0
+         | THEN NULL
+         | ELSE ${idiv(
+        "((na + nb) * (sxya + sxyb) - (sxa + sxb) * (sya + syb)) * 1000000",
+        "(na + nb) * (sxxa + sxxb) - (sxa + sxb) * (sxa + sxb)")}
+         | END""".stripMargin
+    // Welch t²·10⁶ from per-arm (n, S, Q) fragments
+    def welch(sA: String, qA: String, sB: String, qB: String): String = {
+      val varA = idiv(s"na * ($qA) - ($sA) * ($sA)", "na * (na - 1)")
+      val varB = idiv(s"nb * ($qB) - ($sB) * ($sB)", "nb * (nb - 1)")
+      val se2 = s"(${idiv(varA, "na")} + ${idiv(varB, "nb")})"
+      val dm = s"(${idiv(sA, "na")} - ${idiv(sB, "nb")})"
+      s"""CASE WHEN na < 2 OR nb < 2 THEN NULL
+         | WHEN $se2 = 0 THEN NULL
+         | ELSE ${idiv(s"$dm * $dm * 1000000", se2)} END""".stripMargin
+    }
+    val rawT2 = welch("1000000 * sya", "1000000000000 * syya",
+      "1000000 * syb", "1000000000000 * syyb")
+    def adjS(arm: String) = s"(1000000 * sy$arm - th * sx$arm)"
+    def adjQ(arm: String) =
+      s"(1000000000000 * syy$arm - 2000000 * th * sxy$arm + th * th * sxx$arm)"
+    val cupedT2 =
+      s"""CASE WHEN th IS NULL THEN NULL ELSE
+         | ${welch(adjS("a"), adjQ("a"), adjS("b"), adjQ("b"))} END""".stripMargin
+    Seq(theta -> "theta_1e6", rawT2 -> "t2_raw_1e6", cupedT2 -> "t2_cuped_1e6")
+  }
+
+  /** q128 — CUPED variance-reduced experiment readout: q126's Welch
+    * comparison with each user's PRE-EXPOSURE activity regressed out
+    * (Deng et al. 2013 — the standard industrial variance-reduction
+    * device). Covariate x = the user's cents on even epoch-days,
+    * metric y = cents on odd epoch-days (a deterministic pre/post
+    * stand-in whose premise — per-user activity level drives both —
+    * is exactly CUPED's); θ is the pooled regression slope in 10⁻⁶
+    * fixed point, and the readout reports t²·10⁶ both raw and
+    * adjusted. Every quantity derives from ONE conditional-agg pass
+    * of 12 DECIMAL(38,0) joint moments per event type (see
+    * [[cupedExprs]] for the exactness trick) with truncating division
+    * only — the whole thing hash-gates cross-engine.
+    *
+    * Scale shape: one exchange to per-(type, user) x/y totals, one
+    * conditional-aggregation exchange to the 12 moments, pure row
+    * algebra after; adding CUPED to the q126 readout costs ZERO extra
+    * passes over the data.
+    */
+  def q128(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perUser = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (expr("unix_micros(ts) div 86400000000") % 2 === 0).as("pre"))
+      .groupBy("event_type", "user_id")
+      .agg(
+        sum(when(col("pre"), col("cents")).otherwise(0L))
+          .cast(dec).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L))
+          .cast(dec).as("y"))
+      .withColumn("arm",
+        graft.functions.DedupFunctions.md5Hash32(
+          concat(lit("ab-"), col("user_id").cast("string"))) % 2)
+    def armAgg(a: Int, e: org.apache.spark.sql.Column) =
+      sum(when(col("arm") === a, e).otherwise(lit(0).cast(dec)))
+    def moments(a: Int, suffix: String) = Seq(
+      armAgg(a, lit(1).cast(dec)).as(s"n$suffix"),
+      armAgg(a, col("x")).as(s"sx$suffix"),
+      armAgg(a, col("y")).as(s"sy$suffix"),
+      armAgg(a, col("x") * col("x")).as(s"sxx$suffix"),
+      armAgg(a, col("x") * col("y")).as(s"sxy$suffix"),
+      armAgg(a, col("y") * col("y")).as(s"syy$suffix"))
+    val ms = moments(0, "a") ++ moments(1, "b")
+    val stats = perUser.groupBy("event_type").agg(ms.head, ms.tail: _*)
+    val exprs = cupedExprs("div")
+    stats
+      .withColumn("th", expr(s"CAST((${exprs.head._1}) AS ${dec})"))
+      .select(Seq(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("th").cast("long").as("theta_1e6")) ++
+        exprs.tail.map { case (e, alias) =>
+          expr(s"CAST(($e) AS BIGINT)").as(alias)
+        }: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_cuped" -> (q128 _),
     "q126_ab_welch" -> (q126 _),
     "q111_cohort_retention" -> (q111 _),
     "q110_funnel" -> (q110 _),
@@ -504,7 +618,46 @@ object TimeseriesQueries {
     "q102_running_anomaly" -> (q102 _),
     "q105_rolling_features" -> (q105 _))
 
+  private def q128OracleSql: String = {
+    val exprs = cupedExprs("//")
+    s"""WITH pu AS (
+       | SELECT event_type, user_id,
+       |  CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 = 0
+       |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+       |  CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000) % 2 <> 0
+       |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y,
+       |  CAST(concat('0x', substr(md5(concat('ab-',
+       |    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm
+       | FROM events
+       | WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+       | GROUP BY event_type, user_id),
+       |st AS (
+       | SELECT event_type,
+       |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+       |  sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+       |  sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+       |  sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS sxxa,
+       |  sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS sxya,
+       |  sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS syya,
+       |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+       |  sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+       |  sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb,
+       |  sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS sxxb,
+       |  sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS sxyb,
+       |  sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS syyb
+       | FROM pu GROUP BY 1),
+       |tht AS (
+       | SELECT *, CAST((${exprs.head._1}) AS HUGEINT) AS th FROM st)
+       |SELECT event_type,
+       | CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       | CAST(th AS BIGINT) AS theta_1e6,
+       | CAST((${exprs(1)._1}) AS BIGINT) AS ${exprs(1)._2},
+       | CAST((${exprs(2)._1}) AS BIGINT) AS ${exprs(2)._2}
+       |FROM tht""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q128_cuped" -> q128OracleSql,
     "q126_ab_welch" ->
       s"""WITH pu AS (
          | SELECT event_type, user_id,
