@@ -575,6 +575,17 @@ object TimeseriesQueries {
       .withColumn("arm",
         graft.functions.DedupFunctions.md5Hash32(
           concat(lit("ab-"), col("user_id").cast("string"))) % 2)
+    cupedReadout(perUser)
+  }
+
+  /** The q128 readout over any (event_type, x DECIMAL(38,0),
+    * y DECIMAL(38,0), arm) frame — factored so PropertySpec can replay
+    * the generated algebra against an exact BigInt reference on
+    * constructed units (negative thetas, degenerate arms, zero
+    * variance included).
+    */
+  private[graft] def cupedReadout(perUser: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     def armAgg(a: Int, e: org.apache.spark.sql.Column) =
       sum(when(col("arm") === a, e).otherwise(lit(0).cast(dec)))
     def moments(a: Int, suffix: String) = Seq(

@@ -424,4 +424,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
     assert(!p.contains("Window"))
   }
+
+  test("q126/q128: experiment readouts are two partial-agg exchanges " +
+    "(per-user rollup + arm moments), no pivot, no self-join, no window") {
+    Seq(TimeseriesQueries.q126(spark, sf),
+        TimeseriesQueries.q128(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).size == 2, p.linesIterator.take(30).mkString("\n"))
+      assert(!p.contains("Window"))
+      assert(!p.contains("Join"))
+      assert("Scan parquet".r.findAllIn(p).size == 1)
+    }
+  }
 }

@@ -323,4 +323,61 @@ class PropertySpec extends Properties("graft") {
           math.abs(icept.toLong / 1e6 - dIcept) <= 2e-6
       }
     }
+
+  property("q128 CUPED algebra equals the exact BigInt replay on generated " +
+    "units (negative thetas, degenerate arms, zero variance included)") =
+    Prop.forAll(
+      Gen.listOfN(10,
+        Gen.zip(Gen.choose(0L, 5000L), Gen.choose(-5000L, 5000L),
+          Gen.oneOf(0, 1)))
+    ) { units0 =>
+      val units = units0.zipWithIndex
+        .map { case ((x, y, arm), i) => (i.toLong, x, y, arm) };
+      {
+        val df = units.toDF("uid", "x0", "y0", "arm")
+          .selectExpr("'g' AS event_type", "CAST(x0 AS DECIMAL(38,0)) AS x",
+            "CAST(y0 AS DECIMAL(38,0)) AS y", "arm")
+        val got = graft.queries.TimeseriesQueries.cupedReadout(df)
+          .selectExpr("n_a", "n_b", "theta_1e6", "t2_raw_1e6", "t2_cuped_1e6")
+          .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+          .head()
+        // exact BigInt replay of the engine-generated algebra
+        def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates
+        val all = units.map(u => (BigInt(u._2), BigInt(u._3), u._4))
+        def m(arm: Int) = {
+          val xs = all.filter(_._3 == arm)
+          (BigInt(xs.size), xs.map(_._1).sum, xs.map(_._2).sum,
+            xs.map(v => v._1 * v._1).sum, xs.map(v => v._1 * v._2).sum,
+            xs.map(v => v._2 * v._2).sum)
+        }
+        val (na, sxa, sya, sxxa, sxya, syya) = m(0)
+        val (nb, sxb, syb, sxxb, sxyb, syyb) = m(1)
+        val n = na + nb; val sx = sxa + sxb; val sy = sya + syb
+        val dvx = n * (sxxa + sxxb) - sx * sx
+        val th: Option[BigInt] =
+          if (dvx == 0) None
+          else Some(tdiv((n * (sxya + sxyb) - sx * sy) * 1000000, dvx))
+        def welch(sA: BigInt, qA: BigInt, sB: BigInt, qB: BigInt) =
+          if (na < 2 || nb < 2) None
+          else {
+            val se2 = tdiv(tdiv(na * qA - sA * sA, na * (na - 1)), na) +
+              tdiv(tdiv(nb * qB - sB * sB, nb * (nb - 1)), nb)
+            if (se2 == 0) None
+            else {
+              val dm = tdiv(sA, na) - tdiv(sB, nb)
+              Some(tdiv(dm * dm * 1000000, se2).toLong)
+            }
+          }
+        val raw = welch(BigInt(1000000) * sya, BigInt("1000000000000") * syya,
+          BigInt(1000000) * syb, BigInt("1000000000000") * syyb)
+        val cuped = th.flatMap { t =>
+          def s2(sY: BigInt, sX: BigInt) = BigInt(1000000) * sY - t * sX
+          def q2(qY: BigInt, xy: BigInt, xx: BigInt) =
+            BigInt("1000000000000") * qY - BigInt(2000000) * t * xy + t * t * xx
+          welch(s2(sya, sxa), q2(syya, sxya, sxxa),
+            s2(syb, sxb), q2(syyb, sxyb, sxxb))
+        }
+        got == ((na.toLong, nb.toLong, th.map(_.toLong), raw, cuped))
+      }
+    }
 }
