@@ -968,10 +968,53 @@ object VectorQueries extends Serializable {
   def q123(s: SparkSession, dir: String): DataFrame =
     ivfPqTopKDf(s, dir, QueryVecId)
 
+  /** q129 — CLUSTER-balanced resampling: the q59/q73 mixture rebalance
+    * applied to SEMANTIC clusters instead of metadata columns — keep
+    * rates per learned IVF list (`min(1, target/n_list)`, uniform
+    * target, md5 coin), so over-represented embedding regions
+    * down-sample toward topic balance. Source/language mixtures can't
+    * see that half of "web" is the same boilerplate topic; the
+    * geometry the corpus itself taught the quantizer can — this is
+    * the cluster-balanced sampling step of semantic-diversity corpus
+    * curation, reusing the MATERIALIZED [[ivfIndex]] a third time
+    * (ANN probes, q74's dedup sweep, and now the mixture).
+    *
+    * Scale shape: the rate table is a ≤ K-row aggregate broadcast
+    * back onto the assignment; the corpus is touched in one narrow
+    * filter pass over the already-partitioned index layout (the q59
+    * plan over list_id instead of lang).
+    */
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ix = ivfIndex(s, dir)
+    val asg = s.read.parquet(ix.listsPath)
+      .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
+    val counts = asg.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+    val win = Window.partitionBy()
+    val rates = counts
+      .withColumn("target",
+        sum(col("n_vecs")).over(win).cast("double") /
+          count(lit(1)).over(win).cast("double"))
+      .withColumn("keep_bps",
+        round(least(lit(1.0), col("target") / col("n_vecs").cast("double"))
+          * CorpusQueries.MixBps, 0).cast("long"))
+      .select(col("list_id"), col("n_vecs"), col("keep_bps"))
+    val kept = asg
+      .join(broadcast(rates.select(col("list_id"), col("keep_bps"))), "list_id")
+      .filter(graft.functions.DedupFunctions.md5Hash32(
+        concat(lit("cbal-"), col("vec_id").cast("string")))
+        % CorpusQueries.MixBps < col("keep_bps"))
+      .groupBy("list_id").agg(count(lit(1)).as("kept_vecs"))
+    rates.join(kept, Seq("list_id"), "left")
+      .select(col("list_id"), col("n_vecs"), col("keep_bps"),
+        coalesce(col("kept_vecs"), lit(0L)).as("kept_vecs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_ann_bruteforce" -> (q37 _),
     "q122_pq_adc" -> (q122 _),
     "q123_ivf_pq" -> (q123 _),
+    "q129_cluster_balance" -> (q129 _),
     "q38_ann_lsh" -> (q38 _),
     "q54_label_centroids" -> (q54 _),
     "q56_ann_ivf" -> (q56 _),
@@ -1157,9 +1200,33 @@ object VectorQueries extends Serializable {
        | round(cs, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
        |FROM fin WHERE rank <= $TopK""".stripMargin
 
+  private def q129OracleSql: String = {
+    val bps = CorpusQueries.MixBps
+    s"""WITH $ivfAssignCtesSql,
+       |cnt AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+       |        FROM asg GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS t,
+       |               CAST(count(*) AS BIGINT) AS k FROM cnt),
+       |rates AS (
+       | SELECT c.list_id, c.n_vecs,
+       |  CAST(round(least(1.0, (CAST(t.t AS DOUBLE) / t.k) / c.n_vecs)
+       |    * $bps) AS BIGINT) AS keep_bps
+       | FROM cnt c CROSS JOIN tot t),
+       |kept AS (
+       | SELECT a.list_id, CAST(count(*) AS BIGINT) AS kept_vecs
+       | FROM asg a JOIN rates r ON a.list_id = r.list_id
+       | WHERE CAST(concat('0x', substr(md5(concat('cbal-',
+       |   CAST(a.vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % $bps < r.keep_bps
+       | GROUP BY 1)
+       |SELECT r.list_id, r.n_vecs, r.keep_bps,
+       | coalesce(k.kept_vecs, 0) AS kept_vecs
+       |FROM rates r LEFT JOIN kept k USING (list_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q122_pq_adc" -> q122OracleSql,
     "q123_ivf_pq" -> q123OracleSql,
+    "q129_cluster_balance" -> q129OracleSql,
     "q37_ann_bruteforce" ->
       s"""SELECT e.vec_id,
          | round(${DedupQueries.cosineSql("e.embedding", "q.qv")}, 6) AS cos_sim
