@@ -544,7 +544,72 @@ object MultimodalQueries {
         "sum_abs", "n_transitions")
   }
 
+  /** Windows per clip for the q130 audio fingerprint. */
+  val FpWindows = 8
+
+  /** q130 — audio fingerprint dedup: the q101 perceptual-dedup story
+    * for the audio modality. Each real WAV clip is decoded
+    * (the q118 PCM round-trip) and summarized into [[FpWindows]]
+    * time-windows of (Σ|sample|, sign-transitions); the md5 of the
+    * joined feature string is the clip's fingerprint, and clips
+    * sharing one are perceptual duplicates (the generated corpus
+    * makes this observable: clips agree iff their (amp, halfP, len)
+    * params coincide — families of doc_ids congruent mod 70). The
+    * oracle rebuilds every window feature in CLOSED FORM from the
+    * generator params — boundaries `(w·n) div 8`, `Σ|x| = (e−s)·amp`,
+    * `transitions = (e−1) div halfP − s div halfP` — so a fingerprint
+    * match proves the decoded PCM was sample-exact in every window.
+    *
+    * Scale shape: one narrow decode pass (payload dies in-executor;
+    * only (doc_id, md5) leaves), then the q28 exact-dedup plan on the
+    * fingerprint key — merge-hinted join back like q101.
+    */
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = realWavMedia(s, dir)
+      .mapPartitions(_.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val xs = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            xs(i) = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
+            i += 1
+          }
+          val feats = (0 until FpWindows).map { w =>
+            val a = w * n / FpWindows
+            val b = (w + 1) * n / FpWindows
+            var sumAbs = 0L
+            var j = a
+            while (j < b) { sumAbs += math.abs(xs(j)); j += 1 }
+            // window-LOCAL transitions: compare within [a+1, b) only —
+            // the a-vs-(a−1) boundary change belongs to no window, so
+            // the closed form is (b−1) div halfP − a div halfP
+            var trans = 0L
+            j = a + 1
+            while (j < b) {
+              if ((xs(j) > 0) != (xs(j - 1) > 0)) trans += 1
+              j += 1
+            }
+            s"$sumAbs-$trans"
+          }
+          (m.doc_id, feats.mkString(","))
+        } finally ais.close()
+      })
+      .toDF("doc_id", "feat_str")
+      .select(col("doc_id"), md5(col("feat_str")).as("audio_fp"))
+      .localCheckpoint() // two consumers: the count + the join back
+    val counts = fps.groupBy("audio_fp").agg(count(lit(1)).as("n_same"))
+    fps.join(counts.hint("merge"), Seq("audio_fp"))
+      .select(col("doc_id"), col("audio_fp"), col("n_same"),
+        (col("n_same") > 1L).as("has_audio_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_audio_fingerprint" -> (q130 _),
     "q40_media_metadata" -> (q40 _),
     "q41_frame_sample" -> (q41 _),
     "q55_media_features" -> (q55 _),
@@ -571,6 +636,28 @@ object MultimodalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q130_audio_fingerprint" ->
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  $WavLenBase + (doc_id % $WavLenMod) * $WavLenStep AS n,
+         |  $WavAmpBase + (doc_id % $WavAmpMod) * $WavAmpStep AS amp,
+         |  $WavHalfPBase + doc_id % $WavHalfPMod AS halfp
+         | FROM documents),
+         |f AS (
+         | SELECT doc_id,
+         |  md5(array_to_string(list_transform(range(0, $FpWindows), w ->
+         |    concat(
+         |      CAST((((w + 1) * n) // $FpWindows - (w * n) // $FpWindows)
+         |        * amp AS VARCHAR),
+         |      '-',
+         |      CAST((((w + 1) * n) // $FpWindows - 1) // halfp
+         |        - ((w * n) // $FpWindows) // halfp AS VARCHAR))),
+         |    ',')) AS audio_fp
+         | FROM p)
+         |SELECT doc_id, audio_fp,
+         | CAST(count(*) OVER (PARTITION BY audio_fp) AS BIGINT) AS n_same,
+         | (count(*) OVER (PARTITION BY audio_fp)) > 1 AS has_audio_dup
+         |FROM f""".stripMargin,
     "q118_wav_features" ->
       s"""WITH p AS (
          | SELECT doc_id,
