@@ -1409,7 +1409,46 @@ object DedupQueries {
         col("outdeg").as("degree"), col("is_seed"))
   }
 
+  /** k-core threshold and fixed synchronous round count for [[q131]] —
+    * like [[LpaIters]], part of the cross-engine contract (the oracle
+    * unrolls exactly [[KCoreRounds]] peels; see
+    * [[graft.operators.KCore]] for why fixed rounds, not fixpoint).
+    */
+  val KCoreK = 2
+  val KCoreRounds = 4
+
+  /** q131 — fixed-round k-core peel of the near-dup candidate graph:
+    * the fifth graph primitive (CC q48, PageRank q104/q107, triangles
+    * q112, LPA q117). The 2-core strips pendants and chains — every
+    * vertex LSH banding attached by a single collision edge — leaving
+    * only members with ≥2 independent near-dup witnesses, and the peel
+    * round is each vertex's onion depth (round-1 casualties are
+    * pendants; survivors sit inside mutually-supporting families).
+    * Where q124's clustering coefficient scores density POINTWISE,
+    * the k-core answers it as a subgraph: the support-floor complement
+    * to LPA's partition and the triangle census.
+    *
+    * Exact integers and set membership end-to-end — the
+    * [[KCoreRounds]]-round peel hash-gates against the unrolled SQL
+    * replay. Output: every candidate-graph member, its initial degree,
+    * its peel round (NULL = survived), and the in-core flag.
+    *
+    * Scale shape: per round one |E|-pair equi-join + partial-agg
+    * degree count + semi/anti pair, on an alive set that only shrinks;
+    * fixed rounds chain into one AQE-sized action (the q117 anatomy).
+    */
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // every peel round consumes it
+    graft.operators.KCore.peel(edges, KCoreK, KCoreRounds)
+      .select(col("id").as("doc_id"), col("degree"), col("peel_round"),
+        col("in_core"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_kcore" -> (q131 _),
     "q127_weighted_communities" -> (q127 _),
     "q125_personalized_pagerank" -> (q125 _),
     "q124_clustering_coeff" -> (q124 _),
@@ -1550,6 +1589,37 @@ object DedupQueries {
        |l$i AS (SELECT v, lbl FROM r$i WHERE rn = 1)""".stripMargin
   }
 
+  /** One unrolled k-core peel round (alive-filtered degree count →
+    * threshold), generated per round index so the oracle replays
+    * exactly [[KCoreRounds]] synchronous peels of [[q131]].
+    */
+  private def kcoreRoundSql(i: Int): String = {
+    val prev = s"a${i - 1}"
+    s"""d$i AS (SELECT e.dst AS v, count(*) AS d
+       |  FROM edges e JOIN $prev s ON e.src = s.v JOIN $prev t ON e.dst = t.v
+       |  GROUP BY 1),
+       |a$i AS (SELECT v FROM d$i WHERE d >= $KCoreK)""".stripMargin
+  }
+
+  private def q131OracleSql: String = {
+    val joins = (1 to KCoreRounds)
+      .map(i => s"LEFT JOIN a$i ON g.v = a$i.v").mkString("\n")
+    val cases = (1 to KCoreRounds)
+      .map(i => s"WHEN a$i.v IS NULL THEN $i").mkString(" ")
+    s"""$lshCteSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |deg0 AS (SELECT dst AS v, CAST(count(*) AS BIGINT) AS degree
+       |         FROM edges GROUP BY 1),
+       |a1 AS (SELECT v FROM deg0 WHERE degree >= $KCoreK),
+       |${(2 to KCoreRounds).map(kcoreRoundSql).mkString(",\n")}
+       |SELECT g.v AS doc_id, g.degree,
+       | CAST(CASE $cases ELSE NULL END AS BIGINT) AS peel_round,
+       | (a$KCoreRounds.v IS NOT NULL) AS in_core
+       |FROM deg0 g
+       |$joins""".stripMargin
+  }
+
   private def q117OracleSql: String =
     s"""$lshCteSql,
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
@@ -1562,6 +1632,7 @@ object DedupQueries {
        |FROM l$LpaIters l JOIN sz ON l.lbl = sz.lbl""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q131_kcore" -> q131OracleSql,
     "q117_label_propagation" -> q117OracleSql,
     "q28_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_doc_id,
