@@ -298,7 +298,55 @@ object SearchQueries {
           .otherwise(lit(0.0)).as("mrr"))
   }
 
+  /** RRF constants (Cormack/Clarke/Buettcher 2009's k=60, fixed-point
+    * scale 10⁹): contribution of a rank-r hit is `RrfScale div (RrfC + r)`
+    * — exact positive-integer floor division on both engines, so the
+    * fused score hash-gates (a float 1/(k+r) sum would be fold-order
+    * bait for nothing: the quantized contributions preserve the exact
+    * RRF ordering for every list shorter than 10⁹ − 60 entries).
+    */
+  val RrfC = 60L
+  val RrfScale = 1000000000L
+
+  /** q132 — RECIPROCAL-RANK-FUSION hybrid retrieval: fuse the lexical
+    * BM25 top-[[TopK]] (q94) with the dense exact-cosine top-10 (q37 —
+    * the `documents`/`embeddings` lakes share one id space) by RRF:
+    * `score(d) = Σ_lists RrfScale div (RrfC + rank_list(d))`. The
+    * standard two-tower retrieval pattern (sparse + dense, fused
+    * rank-side so neither scorer's scale dominates) that RAG and
+    * curation pipelines run as their first stage; documents found by
+    * BOTH towers float to the top, single-tower hits keep their
+    * reciprocal weight.
+    *
+    * Scale shape: both input rankings are top-k lists — bounded driver
+    * collects re-emitted as literal rank tables (the q103 pattern; at
+    * 100 TB each tower's candidate generation is the distributed part,
+    * already bucket-pruned/TakeOrdered — fusion itself is k+k rows).
+    * The fused order is exact integer arithmetic with a doc_id
+    * tie-break, so the full frame hash-gates cross-engine.
+    */
+  def q132(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lexIds: Array[Long] =
+      q94(s, dir).select(col("doc_id")).as[Long].collect()
+    val denseIds: Array[Long] =
+      VectorQueries.q37(s, dir).select(col("vec_id")).as[Long].collect()
+    def rankTable(ids: Array[Long], rankCol: String): DataFrame =
+      ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }.toSeq
+        .toDF("doc_id", rankCol)
+    val fused = rankTable(lexIds, "lex_rank")
+      .join(rankTable(denseIds, "dense_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (coalesce(expr(s"$RrfScale div ($RrfC + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfC + dense_rank)"), lit(0L)))
+          .as("rrf_score"))
+    fused.withColumn("fused_rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_rrf_fusion" -> (q132 _),
     "q94_bm25_topk" -> (q94 _),
     "q96_classifier_gate" -> (q96 _),
     "q100_fuzzy_join" -> (q100 _),
@@ -344,7 +392,35 @@ object SearchQueries {
        | FROM t CROSS JOIN s)""".stripMargin
   }
 
+  private def q132OracleSql: String = {
+    val vq = VectorQueries.QueryVecId
+    val cos = DedupQueries.cosineSql("e.embedding", "q.qv")
+    val rrf = s"""coalesce($RrfScale // ($RrfC + f.lex_rank), 0)
+                 | + coalesce($RrfScale // ($RrfC + f.dense_rank), 0)""".stripMargin
+    s"""WITH $bm25CtesSql,
+       |lex AS (
+       | SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       | FROM scored WHERE n_hits > 0
+       | ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT $TopK),
+       |dense AS (
+       | SELECT e.vec_id AS doc_id,
+       |  CAST(row_number() OVER (ORDER BY $cos DESC, e.vec_id ASC) AS BIGINT) AS dense_rank
+       | FROM embeddings e
+       | CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = $vq) q
+       | WHERE e.vec_id <> $vq
+       | ORDER BY $cos DESC, e.vec_id ASC LIMIT ${VectorQueries.TopK}),
+       |f AS (
+       | SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank
+       | FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+       |SELECT f.doc_id, f.lex_rank, f.dense_rank,
+       | CAST($rrf AS BIGINT) AS rrf_score,
+       | CAST(row_number() OVER (ORDER BY ($rrf) DESC, f.doc_id ASC) AS BIGINT) AS fused_rank
+       |FROM f""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q132_rrf_fusion" -> q132OracleSql,
     "q94_bm25_topk" ->
       s"""WITH $bm25CtesSql
          |SELECT doc_id, dl, n_hits, round(raw, 6) AS score

@@ -163,4 +163,35 @@ class SearchSpec extends SparkSpec {
     }
     assert(rows.map(r => r.getLong(langCols.last + 1)).sum == nDocs)
   }
+
+  test("q132: RRF fuses both towers — union coverage, exact scores, dual hits first") {
+    val rows = SearchQueries.q132(spark, sf)
+      .select($"doc_id", $"lex_rank", $"dense_rank", $"rrf_score", $"fused_rank")
+      .as[(Long, Option[Long], Option[Long], Long, Long)].collect()
+    val lex = SearchQueries.q94(spark, sf).select($"doc_id").as[Long].collect()
+    val dense = graft.queries.VectorQueries.q37(spark, sf)
+      .select($"vec_id").as[Long].collect()
+    // coverage: exactly the union of the two lists, each rank faithful
+    assert(rows.map(_._1).toSet == (lex ++ dense).toSet)
+    rows.foreach { case (id, lr, dr, score, _) =>
+      assert(lr == lex.zipWithIndex.find(_._1 == id).map(_._2 + 1L))
+      assert(dr == dense.zipWithIndex.find(_._1 == id).map(_._2 + 1L))
+      // score is exactly the quantized reciprocal-rank sum
+      def c(r: Option[Long]) =
+        r.map(x => SearchQueries.RrfScale / (SearchQueries.RrfC + x)).getOrElse(0L)
+      assert(score == c(lr) + c(dr))
+    }
+    // fused_rank is a permutation ordered by (score desc, doc_id asc)
+    val byRank = rows.sortBy(_._5)
+    assert(byRank.map(_._5).toSeq == (1L to rows.length.toLong))
+    assert(byRank.map(r => (-r._4, r._1)).toSeq ==
+      rows.map(r => (-r._4, r._1)).sortBy(identity).toSeq)
+    // any doc in BOTH lists outranks any doc whose best single rank is
+    // no better than its worst (RRF's monotonicity on this data)
+    val dualMin = rows.filter(r => r._2.isDefined && r._3.isDefined)
+      .map(_._4).minOption
+    val singleMax = rows.filter(r => r._2.isEmpty || r._3.isEmpty)
+      .map(_._4).maxOption
+    for (d <- dualMin; s <- singleMax) assert(d > s)
+  }
 }
