@@ -303,7 +303,53 @@ object RelationalQueries {
           round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)").as("y")),
       "l_returnflag")
 
+  /** Minimum basket co-occurrence count for a q133 pair — the standard
+    * association-mining support cut, shared with the oracle.
+    */
+  val CoocMinSupport = 2L
+
+  /** q133 — basket CO-OCCURRENCE with LIFT: for every part pair bought
+    * together in ≥ [[CoocMinSupport]] orders, the co-order count and
+    * `lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)` in 10⁻⁶ fixed
+    * point — the association-rule statistic behind "users who bought X"
+    * and, in a training-data pipeline, source/tag affinity mining
+    * (which domains co-occur in the same crawl record beyond chance).
+    * All-positive integer floor division — hash-gates cross-engine
+    * (the q121 discipline).
+    *
+    * Plan: distinct (order, part) items once (one shuffle, then
+    * checkpointed for its three consumers); pair generation is an
+    * order-key self-join whose fanout is per-basket QUADRATIC BUT
+    * BASKET-BOUNDED — TPC-H baskets hold ≤ 7 lines, and at 100 TB a
+    * deployment caps basket size (`slice(sort_array(...), 1, K)`)
+    * before pairing, the standard guard against degenerate carts; the
+    * pair count is one partial-agg shuffle on (part_a, part_b) and the
+    * support cut prunes the long tail BEFORE the stats joins. Basket
+    * total N rides a broadcast one-row frame (scalar, never data).
+    */
+  def q133(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // three consumers: self-join, item counts, N
+    val totals = items.agg(countDistinct(col("o")).as("n_baskets"))
+    val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairCnt = items.toDF("o", "part_a")
+      .join(items.toDF("o", "part_b"), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CoocMinSupport)
+    pairCnt
+      .join(itemCnt.toDF("part_a", "n_a"), Seq("part_a"))
+      .join(itemCnt.toDF("part_b", "n_b"), Seq("part_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").as("lift_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cooccurrence" -> (q133 _),
     "q121_group_trend" -> (q121 _),
     "q01_group_agg" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -324,6 +370,22 @@ object RelationalQueries {
     "q21_minmax_window" -> (q21 _))
 
   val oracles: Map[String, String] = Map(
+    "q133_cooccurrence" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM items),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+        |pc AS (
+        | SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        | GROUP BY 1, 2 HAVING count(*) >= $CoocMinSupport)
+        |SELECT pc.part_a, pc.part_b, pc.n_ab, ia.n AS n_a, ib.n AS n_b,
+        | t.n_baskets,
+        | CAST((pc.n_ab * t.n_baskets * 1000000) // (ia.n * ib.n) AS BIGINT)
+        |   AS lift_1e6
+        |FROM pc
+        |JOIN ic ia ON pc.part_a = ia.p
+        |JOIN ic ib ON pc.part_b = ib.p
+        |CROSS JOIN tot t""".stripMargin,
     "q121_group_trend" ->
       """WITH b AS (
         | SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS x,
