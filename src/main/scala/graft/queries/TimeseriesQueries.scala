@@ -608,7 +608,55 @@ object TimeseriesQueries {
         }: _*)
   }
 
+  /** Bits per dimension of the q134 Z-order key (2·[[ZBits]]-bit keys,
+    * 1024×1024 grid) and the low-bit shift that coarsens keys into
+    * layout cells (256 keys per cell) — shared with the oracle.
+    */
+  val ZBits = 10
+  val ZCellShift = 8
+
+  /** q134 — Z-ORDER LAYOUT KEYS + locality histogram: give every event
+    * a Morton-interleaved key over (user bucket, day bucket) — the
+    * SAME [[graft.sources.Lake.interleaveBits]] the z-clustered writer
+    * sorts files by (day bits at odd positions, user bits at even) —
+    * and roll the corpus up by coarse z-cell (key div
+    * 2^[[ZCellShift]]), counting events and the distinct user/day
+    * buckets each cell spans. This is the write-side data-layout
+    * operator for a multi-dimensionally-queried lake, surfaced as a
+    * query: `Lake.writeZOrdered` range-partitions files on this key so
+    * file-level min/max stats prune BOTH per-user and per-day probes —
+    * the space-filling-curve trade (each cell spans few user buckets
+    * AND few day buckets, the histogram this query emits) that
+    * single-key day-partitioning cannot make (LakeSpec measures the
+    * per-file range tightness; the same technique lakehouse OPTIMIZE
+    * ZORDER implements). 20 shifted-mask terms of pure integer column
+    * math, exact on both engines.
+    *
+    * Scale shape: the key is a projection (no shuffle, whole-stage
+    * codegen); the histogram is one partial-agg shuffle on z-cell.
+    * At 100 TB the roll-up is diagnostics — the product is the key
+    * column feeding the writer's range partitioner.
+    */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    val grid = lit((1L << ZBits))
+    val keyed = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(
+        pmod(col("user_id"), grid).as("xb"),
+        pmod(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long"), grid).as("yb"))
+      .withColumn("zval",
+        graft.sources.Lake.interleaveBits(col("yb"), col("xb"), ZBits))
+    keyed
+      .groupBy(expr(s"zval div ${1L << ZCellShift}").as("zcell"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("xb")).as("n_user_buckets"),
+        countDistinct(col("yb")).as("n_day_buckets"),
+        min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_zorder" -> (q134 _),
     "q128_cuped" -> (q128 _),
     "q126_ab_welch" -> (q126 _),
     "q111_cohort_retention" -> (q111 _),
@@ -667,7 +715,26 @@ object TimeseriesQueries {
        |FROM tht""".stripMargin
   }
 
+  private def q134OracleSql: String = {
+    val terms = (0 until ZBits).map { b =>
+      s"(((xb >> $b) & 1) << ${2 * b}) + (((yb >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       | SELECT user_id % ${1L << ZBits} AS xb,
+       |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % ${1L << ZBits} AS yb
+       | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |z AS (SELECT xb, yb, ($terms) AS zval FROM e)
+       |SELECT CAST(zval // ${1L << ZCellShift} AS BIGINT) AS zcell,
+       | CAST(count(*) AS BIGINT) AS n_events,
+       | CAST(count(DISTINCT xb) AS BIGINT) AS n_user_buckets,
+       | CAST(count(DISTINCT yb) AS BIGINT) AS n_day_buckets,
+       | CAST(min(zval) AS BIGINT) AS z_min,
+       | CAST(max(zval) AS BIGINT) AS z_max
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q134_zorder" -> q134OracleSql,
     "q128_cuped" -> q128OracleSql,
     "q126_ab_welch" ->
       s"""WITH pu AS (
