@@ -348,7 +348,47 @@ object RelationalQueries {
         expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").as("lift_1e6"))
   }
 
+  /** q135's compaction target and the per-row size proxy (a fixed-width
+    * row estimate — a real deployment reads footer byte counts; the
+    * PLAN is identical either way). Shared with the oracle.
+    */
+  val CompactTargetBytes = 16384L
+  val CompactRowBytes = 64L
+
+  /** q135 — LAKE COMPACTION PLAN: the metadata-scale half of small-file
+    * compaction ([[graft.sources.Lake.compact]] is the executor half —
+    * it rewrites one directory; this PLANS a whole lake). Model each
+    * (month partition, ship-day) as one ingest file with
+    * `rows · CompactRowBytes` bytes, then greedily pack files in day
+    * order into ~[[CompactTargetBytes]] output groups, restarting per
+    * partition — exactly Delta/Iceberg OPTIMIZE's bin-packing step,
+    * and exactly [[graft.operators.SequencePacking.withBins]] with
+    * bytes as the token count (one operator, two first-class uses:
+    * training-shard packing and lake maintenance). `bin_id =
+    * (cum − bytes) div target`: oversized files keep their own bin,
+    * every other bin fills to the target.
+    *
+    * Scale shape: file stats are one partial-agg shuffle over the
+    * fact table (a real deployment reads the file LISTING — metadata,
+    * not data); the packing is withBins' two-pass distributed prefix
+    * sum — parallelism = range partitions regardless of how many
+    * files one month holds, no per-partition window task (the
+    * operator's scaladoc proves why that matters at 100 TB).
+    */
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "lineitem")
+      .groupBy(to_date(date_trunc("MONTH", col("l_shipdate"))).as("p_month"),
+        to_date(col("l_shipdate")).as("file_day"))
+      .agg((count(lit(1)) * CompactRowBytes).as("bytes"))
+    graft.operators.SequencePacking
+      .withBins(files, Seq("p_month"), "file_day", "bytes",
+        CompactTargetBytes)
+      .select(col("p_month"), col("file_day"), col("bytes"),
+        col("cum_tokens").as("cum_bytes"), col("bin_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_compaction_plan" -> (q135 _),
     "q133_cooccurrence" -> (q133 _),
     "q121_group_trend" -> (q121 _),
     "q01_group_agg" -> (q01 _),
@@ -370,6 +410,20 @@ object RelationalQueries {
     "q21_minmax_window" -> (q21 _))
 
   val oracles: Map[String, String] = Map(
+    "q135_compaction_plan" ->
+      s"""WITH f AS (
+        | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS p_month,
+        |  CAST(l_shipdate AS DATE) AS file_day,
+        |  CAST(count(*) * $CompactRowBytes AS BIGINT) AS bytes
+        | FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        | SELECT p_month, file_day, bytes,
+        |  CAST(sum(bytes) OVER (PARTITION BY p_month ORDER BY file_day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+        | FROM f)
+        |SELECT p_month, file_day, bytes, cum_bytes,
+        | CAST((cum_bytes - bytes) // $CompactTargetBytes AS BIGINT) AS bin_id
+        |FROM c""".stripMargin,
     "q133_cooccurrence" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM items),
