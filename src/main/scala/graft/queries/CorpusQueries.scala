@@ -657,7 +657,53 @@ object CorpusQueries {
     "q91_weighted_sample" -> (q91 _),
     "q95_corpus_rollup" -> (q95 _),
     "q98_lang_pivot" -> (q98 _),
-    "q106_overlap_chunks" -> (q106 _))
+    "q106_overlap_chunks" -> (q106 _),
+    "q136_chi2_independence" -> (q136 _))
+
+  /** q136 — CHI-SQUARED INDEPENDENCE audit of the (source, language)
+    * contingency table: `χ² = Σ_cells (O·N − R·C)² / (N·R·C)` over the
+    * FULL source×language grid (absent combinations enter as O = 0 —
+    * dropping them biases the statistic low), in 10⁻⁶ fixed point with
+    * per-cell floor division (each cell's term is deterministic, the
+    * sum is order-free — the q121/q128 exactness discipline; a float
+    * χ² would be fold-order bait). The corpus-composition drift
+    * monitor: a large χ² says language mix DEPENDS on source — the
+    * mixture/curriculum stages (q59/q73) cannot treat source and
+    * language as independent knobs, and a shift between snapshots
+    * flags ingest drift. Emits the statistic with its degrees of
+    * freedom `(n_sources−1)·(n_langs−1)` for the caller's p-value
+    * lookup.
+    *
+    * Scale shape: ONE partial-agg shuffle over the corpus (the cell
+    * counts); everything after — marginals, the full grid
+    * (sources × langs, dozens of rows), the term sum — is
+    * cell-table-sized arithmetic. Sums ride DECIMAL(38,0)/HUGEINT:
+    * O·N at web scale exceeds 2⁶³ (the q121 overflow lesson).
+    */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = t(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).cast(dec).as("o"))
+      .localCheckpoint() // consumers: both marginals, N, the term join
+    val rTot = cells.groupBy("source").agg(sum(col("o")).cast(dec).as("r"))
+    val cTot = cells.groupBy("lang").agg(sum(col("o")).cast(dec).as("c"))
+    val nTot = cells.agg(sum(col("o")).cast(dec).as("n"))
+    rTot.crossJoin(cTot) // the full grid — marginal-sized, never corpus-sized
+      .join(cells, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("lang"), col("r"), col("c"), col("n"),
+        coalesce(col("o"), lit(0L).cast(dec)).as("o"))
+      .agg(
+        max(col("n")).cast("long").as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(expr("((o * n - r * c) * (o * n - r * c) * 1000000) div (n * r * c)"))
+          .cast("long").as("chi2_1e6"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        ((col("n_sources") - 1L) * (col("n_langs") - 1L)).as("dof"),
+        col("chi2_1e6"))
+  }
 
   // ---- oracle SQL ----
 
@@ -665,6 +711,24 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q136_chi2_independence" ->
+      """WITH cells AS (
+        | SELECT source, lang, CAST(count(*) AS HUGEINT) AS o
+        | FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT source, CAST(sum(o) AS HUGEINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT lang, CAST(sum(o) AS HUGEINT) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS HUGEINT) AS n FROM cells),
+        |grid AS (
+        | SELECT rt.source, ct.lang, rt.r, ct.c, nt.n,
+        |  CAST(coalesce(cl.o, 0) AS HUGEINT) AS o
+        | FROM rt CROSS JOIN ct CROSS JOIN nt
+        | LEFT JOIN cells cl ON cl.source = rt.source AND cl.lang = ct.lang)
+        |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1) AS BIGINT) AS dof,
+        | CAST(sum(((o * n - r * c) * (o * n - r * c) * 1000000) // (n * r * c)) AS BIGINT) AS chi2_1e6
+        |FROM grid""".stripMargin,
     "q59_mixture_resample" ->
       s"""WITH c AS (
          | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -655,7 +655,42 @@ object TimeseriesQueries {
         min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
   }
 
+  /** q137 — EVENT-TYPE TRANSITION MATRIX (first-order Markov
+    * estimate): per-user event streams in (ts, event_id) order, each
+    * consecutive pair is one `from_type → to_type` transition; the
+    * matrix holds transition counts, the from-state marginal, and the
+    * row-normalized probability in 10⁻⁶ fixed point (floor division —
+    * exact cross-engine; rows sum to ≤ 1.0 with the remainder being
+    * quantization, never float noise). The behavioral-model primitive
+    * under next-event prediction features, funnel hypothesis mining
+    * (which q110 then tests as an ordered funnel), and anomaly
+    * detection on broken flows (a transition whose probability
+    * collapses between snapshots).
+    *
+    * Scale shape: ONE window pass partitioned by user (bounded
+    * per-user state — the q42 sessionize shape, never an unpartitioned
+    * window) feeding a types×types partial agg; the marginal join is
+    * matrix-sized. (ts, event_id) ordering is collision-free at
+    * microsecond grain in this lake — measured, all three SFs.
+    */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTot = trans.groupBy("from_type")
+      .agg(sum(col("n_trans")).as("n_from"))
+    trans.join(fromTot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        expr("(n_trans * 1000000) div n_from").as("p_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_event_transitions" -> (q137 _),
     "q134_zorder" -> (q134 _),
     "q128_cuped" -> (q128 _),
     "q126_ab_welch" -> (q126 _),
@@ -734,6 +769,21 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q137_event_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS from_type
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |tr AS (
+        | SELECT from_type, event_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n_trans
+        | FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |       FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n_trans, ft.n_from,
+        | CAST((tr.n_trans * 1000000) // ft.n_from AS BIGINT) AS p_1e6
+        |FROM tr JOIN ft ON tr.from_type = ft.from_type""".stripMargin,
     "q134_zorder" -> q134OracleSql,
     "q128_cuped" -> q128OracleSql,
     "q126_ab_welch" ->
