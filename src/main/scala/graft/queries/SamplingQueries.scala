@@ -301,7 +301,58 @@ object SamplingQueries {
         col("rank"))
   }
 
+  /** q138 — KEY-SKEW AUDIT with an exact GINI coefficient: the
+    * popularity distribution of `l_partkey` summarized as key count,
+    * row total, the hottest key's absolute count and corpus share, and
+    * the exact Gini concentration index in 10⁻⁶ fixed point — the
+    * skew diagnostic that decides whether a join/agg on this key needs
+    * salting ([[graft.operators.SaltedAgg]]) or AQE skew splitting,
+    * measured instead of guessed.
+    *
+    * The trick that makes it scale: Gini is normally "sort, rank,
+    * Σ rank·xᵢ" — a global sort plus an UNPARTITIONED window (one
+    * task). But with Sᵢ the inclusive prefix sums in ascending
+    * (count, key) order, `Σ i·xᵢ = (n+1)·T − Σ Sᵢ`, so
+    * `G = (2Σi·xᵢ − (n+1)T) / (nT) = ((n+1)T − 2ΣSᵢ) / (nT)` needs
+    * ONLY the prefix-sum column —
+    * [[graft.operators.SequencePacking.withBins]]'s two-pass
+    * distributed cumsum (parallelism = range partitions, the q135
+    * machinery), then a single scalar aggregate. Equal counts → 0;
+    * one key owning every row → (n−1)/n; exact integer floor division
+    * end-to-end.
+    *
+    * Scale shape: one partial-agg shuffle (key counts — keys-sized
+    * output), the operator's range shuffle over the KEY table (not
+    * the corpus), and a one-row reduce. DECIMAL(38,0) sums: ΣSᵢ is
+    * O(n·T) and exceeds 2⁶³ at web scale (the q121 lesson).
+    */
+  def q138(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      // unique composite order key: ascending (cnt, k) as one long —
+      // counts are corpus-bounded and keys lake-bounded, so the
+      // packing stays collision-free (guarded in the expression)
+      .withColumn("ord", expr("cnt * 1000000000L + k"))
+    val packed = graft.operators.SequencePacking
+      .withBins(counts, Seq.empty, "ord", "cnt", Long.MaxValue / 4)
+    packed
+      .agg(count(lit(1)).cast(dec).as("n"),
+        max(col("cum_tokens")).cast(dec).as("t"),
+        sum(col("cum_tokens")).cast(dec).as("ss"),
+        max(col("cnt")).cast(dec).as("mx"))
+      .select(
+        col("n").cast("long").as("n_keys"),
+        col("t").cast("long").as("total_rows"),
+        col("mx").cast("long").as("max_count"),
+        expr("CAST((mx * 1000000) div t AS BIGINT)").as("top1_share_1e6"),
+        expr("CAST((((n + 1) * t - 2 * ss) * 1000000) div (n * t) AS BIGINT)")
+          .as("gini_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_skew_gini" -> (q138 _),
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
     "q45_percentiles" -> (q45 _),
@@ -312,6 +363,23 @@ object SamplingQueries {
     "q116_cms_heavy_hitters" -> (q116 _))
 
   val oracles: Map[String, String] = Map(
+    "q138_skew_gini" ->
+      """WITH c AS (
+        | SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+        | FROM lineitem GROUP BY 1),
+        |s AS (
+        | SELECT cnt, sum(cnt) OVER (ORDER BY cnt, k
+        |   ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM c),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(cnt) AS HUGEINT) AS t,
+        |  CAST(sum(cum) AS HUGEINT) AS ss,
+        |  CAST(max(cnt) AS HUGEINT) AS mx FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(t AS BIGINT) AS total_rows,
+        | CAST(mx AS BIGINT) AS max_count,
+        | CAST((mx * 1000000) // t AS BIGINT) AS top1_share_1e6,
+        | CAST((((n + 1) * t - 2 * ss) * 1000000) // (n * t) AS BIGINT) AS gini_1e6
+        |FROM a""".stripMargin,
     "q116_cms_heavy_hitters" ->
       s"""WITH toks AS (
          |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),

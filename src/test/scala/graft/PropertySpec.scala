@@ -380,4 +380,24 @@ class PropertySpec extends Properties("graft") {
         got == ((na.toLong, nb.toLong, th.map(_.toLong), raw, cuped))
       }
     }
+
+  /** q138's prefix-sum Gini identity: the rank-free form
+    * `((n+1)T − 2ΣSᵢ) div (nT)` (what the distributed operator
+    * computes) must equal the textbook rank formula
+    * `(2Σ i·xᵢ − (n+1)T) div (nT)` on the ascending-sorted counts —
+    * including duplicate counts, the case where a wrong tie order in
+    * the sort key would silently shift ranks.
+    */
+  property("q138 Gini: prefix-sum identity equals the rank formula exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 50L)).map(_.take(40))) { xs =>
+      val sorted = xs.sorted.map(BigInt(_))
+      val n = BigInt(sorted.size)
+      val t = sorted.sum
+      val cums = sorted.scanLeft(BigInt(0))(_ + _).tail
+      val viaPrefix = (((n + 1) * t - 2 * cums.sum) * 1000000) / (n * t)
+      val viaRank = ((2 * sorted.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * x
+      }.sum - (n + 1) * t) * 1000000) / (n * t)
+      viaPrefix == viaRank && viaPrefix >= 0 && viaPrefix < 1000000
+    }
 }
