@@ -345,7 +345,52 @@ object SearchQueries {
         .orderBy(col("rrf_score").desc, col("doc_id").asc)).cast("long"))
   }
 
+  /** q139's index geometry: terms below [[PostingMinDf]] documents are
+    * left to the scan path (a rare term's postings are cheaper to
+    * re-derive than to store), and posting lists are split into
+    * [[PostingBlock]]-doc-id blocks so no output array is ever
+    * corpus-sized. Shared with the oracle.
+    */
+  val PostingMinDf = 20L
+  val PostingBlock = 1000L
+
+  /** q139 — BLOCKED INVERTED-INDEX build: materialize, for every term
+    * with document frequency ≥ [[PostingMinDf]], its sorted posting
+    * lists split by doc-id block — the index the q94 scaladoc points
+    * at for repeated ad-hoc retrieval (one scan amortized over every
+    * future query), in the BLOCKED layout real engines ship
+    * (block-max WAND): per (term, block) the in-block postings plus
+    * the term-level df, so a scorer skips whole blocks and no single
+    * row ever carries a corpus-sized array — the stopword posting
+    * list that would otherwise be one multi-GB cell at 100 TB arrives
+    * as bounded ≤ [[PostingBlock]]-entry chunks instead.
+    *
+    * Scale shape: one explode+distinct shuffle on (term, doc) — the
+    * classic index-build exchange — then a (term, block) partial agg
+    * whose arrays are block-bounded by construction; the df roll-up
+    * and its join-back run on the index-sized frame, not the corpus.
+    * Sorted arrays + exact counts: fully hash-gated cross-engine.
+    */
+  def q139(s: SparkSession, dir: String): DataFrame = {
+    val docTerms = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+      .distinct()
+    val blocks = docTerms
+      .groupBy(col("term"), expr(s"doc_id div $PostingBlock").as("block"))
+      .agg(count(lit(1)).as("n_in_block"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+      .localCheckpoint() // two consumers: the df roll-up + the join-back
+    val df = blocks.groupBy("term")
+      .agg(sum(col("n_in_block")).as("df"))
+      .filter(col("df") >= PostingMinDf)
+    blocks.join(df.hint("merge"), Seq("term"))
+      .select(col("term"), col("block"), col("df"), col("n_in_block"),
+        col("postings"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_inverted_index" -> (q139 _),
     "q132_rrf_fusion" -> (q132 _),
     "q94_bm25_topk" -> (q94 _),
     "q96_classifier_gate" -> (q96 _),
@@ -420,6 +465,21 @@ object SearchQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q139_inverted_index" ->
+      s"""WITH dt AS (
+         | SELECT DISTINCT doc_id, unnest(${TextQueries.wsSql}) AS term
+         | FROM documents),
+         |blk AS (
+         | SELECT term, doc_id // $PostingBlock AS block,
+         |  CAST(count(*) AS BIGINT) AS n_in_block,
+         |  list_sort(list(doc_id)) AS postings
+         | FROM dt GROUP BY 1, 2),
+         |dfreq AS (
+         | SELECT term, CAST(sum(n_in_block) AS BIGINT) AS df
+         | FROM blk GROUP BY 1 HAVING sum(n_in_block) >= $PostingMinDf)
+         |SELECT b.term, CAST(b.block AS BIGINT) AS block, d.df,
+         | b.n_in_block, b.postings
+         |FROM blk b JOIN dfreq d ON b.term = d.term""".stripMargin,
     "q132_rrf_fusion" -> q132OracleSql,
     "q94_bm25_topk" ->
       s"""WITH $bm25CtesSql
