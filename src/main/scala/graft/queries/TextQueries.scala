@@ -542,7 +542,55 @@ object TextQueries {
         col("lift_1e6").desc, col("w1").asc, col("w2").asc)).cast("long"))
   }
 
+  /** q140's fit width: the head of the rank-frequency curve the slope
+    * is fit over (the tail bends away from the power law and a head
+    * cut is the standard Zipf-fit practice). Shared with the oracle.
+    */
+  val ZipfTopV = 100
+
+  /** q140 — ZIPF-LAW FIT of the vocabulary: OLS slope of
+    * ln(frequency) against ln(rank) over the [[ZipfTopV]] most
+    * frequent terms — the one-number power-law health check of a text
+    * corpus (natural language sits near slope −1; synthetic spam,
+    * boilerplate floods, or template storms bend it, so the slope is
+    * a cheap corpus-drift monitor next to q136's χ²).
+    *
+    * Float discipline: each term's ln(rank)/ln(freq) is QUANTIZED to
+    * 10⁻⁶ fixed point FIRST (one deterministic double op per term —
+    * the q61/q94 carried 1-ulp class), and only the quantized longs
+    * enter the sufficient-statistic sums — so the sums are order-free
+    * integer arithmetic and the whole fit replays exactly through
+    * [[RelationalQueries.trendOf]]'s truncating fixed-point algebra
+    * (a double Σxy would be partial-agg-order bait; quantize-then-sum
+    * is how float features earn hash-gating).
+    *
+    * Scale shape: vocab count is one partial-agg shuffle; the head
+    * cut is TakeOrderedAndProject (top-k heap, never a global sort);
+    * the rank window orders [[ZipfTopV]] rows — bounded by the
+    * constant, not the vocabulary.
+    */
+  def q140(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val top = t(s, dir, "documents")
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc).limit(ZipfTopV)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("w").asc)).cast("long"))
+    val pts = top.select(lit("corpus").as("scope"),
+      round(log(col("rank").cast("double")) * 1000000, 0).cast(dec).as("x"),
+      round(log(col("freq").cast("double")) * 1000000, 0).cast(dec).as("y"))
+    // trendOf emits another 1e6 of fixed-point scale on top of the
+    // already-1e6-scaled ln inputs: the slope is a ratio (scale
+    // cancels), the intercept is not — renormalize it back to ln·1e6
+    RelationalQueries.trendOf(pts, "scope")
+      .select(col("scope"), col("n_rows"), col("slope_1e6"),
+        expr("intercept_1e6 div 1000000").as("intercept_ln_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_zipf_fit" -> (q140 _),
     "q119_normalize" -> (q119 _),
     "q120_pmi_collocations" -> (q120 _),
     "q33_langid" -> (q33 _),
@@ -617,6 +665,26 @@ object TextQueries {
        | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q140_zipf_fit" ->
+      s"""WITH v AS (
+         | SELECT w, CAST(count(*) AS BIGINT) AS freq
+         | FROM (SELECT unnest($wsSql) AS w FROM documents) GROUP BY 1),
+         |r AS (
+         | SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, w ASC)
+         |   AS BIGINT) AS rank
+         | FROM v ORDER BY freq DESC, w ASC LIMIT $ZipfTopV),
+         |b AS (
+         | SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS HUGEINT) AS x,
+         |  CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS HUGEINT) AS y
+         | FROM r),
+         |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * x) AS sxx, sum(x * y) AS sxy FROM b)
+         |SELECT 'corpus' AS scope, CAST(n AS BIGINT) AS n_rows,
+         | CAST(((n * sxy - sx * sy) * 1000000)
+         |   // (n * sxx - sx * sx) AS BIGINT) AS slope_1e6,
+         | CAST((((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) * 1000000)
+         |   // (n * (n * sxx - sx * sx))) // 1000000 AS BIGINT) AS intercept_ln_1e6
+         |FROM a""".stripMargin,
     "q119_normalize" ->
       s"""WITH p AS (
          | SELECT doc_id,
