@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs & authorities (Kleinberg 1999) in exact integer fixed
+  * point — the BIPARTITE ranking primitive beside PageRank's
+  * random-surfer rank: on a left→right edge set (customers→parts,
+  * queries→documents, crawl-hosts→pages), a right node's AUTHORITY is
+  * the sum of its left neighbors' hub scores and a left node's HUB
+  * score is the sum of its right neighbors' authorities — mutual
+  * reinforcement that surfaces "the parts bought by heavy buyers" /
+  * "the documents retrieved by well-targeted queries", which plain
+  * degree counting cannot separate from bulk popularity.
+  *
+  * Determinism contract (the [[PageRank]] discipline): scores are
+  * longs in [[Scale]] fixed point; each half-step is an order-free
+  * integer sum followed by max-normalization `s · Scale div max(s)`
+  * (the standard HITS normalization with the L2 norm replaced by the
+  * max norm — same fixed points up to scaling, and exact in integer
+  * arithmetic where an L2 norm never is); ties need no breaking
+  * because normalization is a pure scalar map. A fixed-round run is a
+  * pure function of the edge set and replays as unrolled SQL (per
+  * round: join-sum-groupBy, scalar max, scale).
+  *
+  * Scale shape: each half-step is one partitioned equi-join of scores
+  * onto the edge list plus one partial-agg shuffle (the PageRank
+  * iteration cost on a bipartite edge set); the max is a one-row
+  * aggregate broadcast back (model-sized, never data). Fixed small
+  * round count → ONE declarative action, AQE-sized end-to-end (see
+  * [[PageRank.CheckpointInterval]] for why bounded loops skip the
+  * unbounded-CC checkpoint discipline).
+  */
+object Hits {
+
+  /** Fixed-point scale of hub/authority scores (10⁻⁶). */
+  val Scale = 1000000L
+
+  /** Run `iters` full hub→authority→hub rounds over a LEFT→RIGHT edge
+    * list (`src`, `dst`), starting from uniform hubs. Returns one row
+    * per node: (`side` — 'hub' for left nodes, 'auth' for right,
+    * `id`, `score` in [[Scale]] fixed point; the max node on each
+    * side scores exactly [[Scale]]).
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    def normalized(scores: DataFrame): DataFrame = {
+      val mx = scores.agg(max(col("s")).as("mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("v"), expr(s"(s * $Scale) div mx").as("s"))
+    }
+    var hubs = e.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(Scale).as("s"))
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      auths = normalized(
+        e.join(hubs.withColumnRenamed("v", "src"), Seq("src"))
+          .groupBy(col("dst").as("v")).agg(sum(col("s")).as("s")))
+      hubs = normalized(
+        e.join(auths.withColumnRenamed("v", "dst"), Seq("dst"))
+          .groupBy(col("src").as("v")).agg(sum(col("s")).as("s")))
+      i += 1
+    }
+    hubs.select(lit("hub").as("side"), col("v").as("id"), col("s").as("score"))
+      .union(auths.select(lit("auth").as("side"), col("v").as("id"),
+        col("s").as("score")))
+  }
+}

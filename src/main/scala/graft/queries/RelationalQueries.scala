@@ -304,9 +304,16 @@ object RelationalQueries {
       "l_returnflag")
 
   /** Minimum basket co-occurrence count for a q133 pair — the standard
-    * association-mining support cut, shared with the oracle.
+    * association-mining support cut — and the degenerate-basket guard:
+    * baskets with more than [[CoocMaxBasket]] distinct items are
+    * DROPPED before pairing (a 10k-item cart contributes ~5×10⁷ pairs
+    * of zero analytical value — the classic co-occurrence scale
+    * killer; StressBench measures the guard under exactly that
+    * basket). TPC-H baskets hold ≤ 7 lines, so the cut is inert on
+    * this lake and the oracle replays it identically.
     */
   val CoocMinSupport = 2L
+  val CoocMaxBasket = 100L
 
   /** q133 — basket CO-OCCURRENCE with LIFT: for every part pair bought
     * together in ≥ [[CoocMinSupport]] orders, the co-order count and
@@ -327,6 +334,23 @@ object RelationalQueries {
     * support cut prunes the long tail BEFORE the stats joins. Basket
     * total N rides a broadcast one-row frame (scalar, never data).
     */
+  /** The guarded pair generator q133 and the stress bench share:
+    * distinct items, degenerate baskets (> maxBasket items) dropped,
+    * ordered within-basket pairs counted with the support cut applied
+    * BEFORE any join-back.
+    */
+  private[graft] def basketPairs(itemsIn: DataFrame,
+                                 maxBasket: Long): DataFrame = {
+    val sizes = itemsIn.groupBy("o").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBasket).select(col("o"))
+    val items = itemsIn.join(sizes, Seq("o"), "left_semi")
+    items.toDF("o", "part_a")
+      .join(items.toDF("o", "part_b"), Seq("o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= CoocMinSupport)
+  }
+
   def q133(s: SparkSession, dir: String): DataFrame = {
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -334,11 +358,7 @@ object RelationalQueries {
       .localCheckpoint() // three consumers: self-join, item counts, N
     val totals = items.agg(countDistinct(col("o")).as("n_baskets"))
     val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairCnt = items.toDF("o", "part_a")
-      .join(items.toDF("o", "part_b"), Seq("o"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= CoocMinSupport)
+    val pairCnt = basketPairs(items, CoocMaxBasket)
     pairCnt
       .join(itemCnt.toDF("part_a", "n_a"), Seq("part_a"))
       .join(itemCnt.toDF("part_b", "n_b"), Seq("part_b"))
@@ -428,9 +448,11 @@ object RelationalQueries {
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM items),
         |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+        |ok AS (SELECT o FROM items GROUP BY o HAVING count(*) <= $CoocMaxBasket),
+        |kept AS (SELECT i.o, i.p FROM items i JOIN ok ON i.o = ok.o),
         |pc AS (
         | SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
-        | FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        | FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
         | GROUP BY 1, 2 HAVING count(*) >= $CoocMinSupport)
         |SELECT pc.part_a, pc.part_b, pc.n_ab, ia.n AS n_a, ib.n AS n_b,
         | t.n_baskets,

@@ -326,17 +326,17 @@ object SamplingQueries {
     * the corpus), and a one-row reduce. DECIMAL(38,0) sums: ΣSᵢ is
     * O(n·T) and exceeds 2⁶³ at web scale (the q121 lesson).
     */
-  def q138(s: SparkSession, dir: String): DataFrame = {
+  /** The q138 core over any (k, cnt) frame — factored so StressBench
+    * can drive the distributed-prefix-sum Gini at adversarial key
+    * counts. `cnt · 10⁹ + k` must stay collision-free and
+    * monotone in (cnt, k): counts are corpus-bounded and keys
+    * lake-bounded, both < 10⁹ here (guarded by the expression).
+    */
+  private[graft] def giniOf(counts: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val counts = t(s, dir, "lineitem")
-      .groupBy(col("l_partkey").as("k"))
-      .agg(count(lit(1)).as("cnt"))
-      // unique composite order key: ascending (cnt, k) as one long —
-      // counts are corpus-bounded and keys lake-bounded, so the
-      // packing stays collision-free (guarded in the expression)
-      .withColumn("ord", expr("cnt * 1000000000L + k"))
     val packed = graft.operators.SequencePacking
-      .withBins(counts, Seq.empty, "ord", "cnt", Long.MaxValue / 4)
+      .withBins(counts.withColumn("ord", expr("cnt * 1000000000L + k")),
+        Seq.empty, "ord", "cnt", Long.MaxValue / 4)
     packed
       .agg(count(lit(1)).cast(dec).as("n"),
         max(col("cum_tokens")).cast(dec).as("t"),
@@ -350,6 +350,11 @@ object SamplingQueries {
         expr("CAST((((n + 1) * t - 2 * ss) * 1000000) div (n * t) AS BIGINT)")
           .as("gini_1e6"))
   }
+
+  def q138(s: SparkSession, dir: String): DataFrame =
+    giniOf(t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("cnt")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_skew_gini" -> (q138 _),

@@ -360,6 +360,67 @@ object StressBench {
     timed("exact float-cosine scan: 100k vectors, top-10") {
       VectorQueries.exactTopKDf(spark, pqDir, 0L).collect()
     }
+
+    // 16. k-core peel: 100k path + 100k-leaf star, undirected, k=2,
+    // 4 synchronous rounds. The star is the hot-reducer case (one
+    // degree-count key holding 100k edge rows — partial agg collapses
+    // it map-side); the path is the cascade case (each round only the
+    // current endpoints die, alive-set shrinks by 4 per round of the
+    // 100k — the fixed-round bound is what keeps the loop from
+    // becoming a 50k-round peel-to-fixpoint).
+    val kcEdges = StressData.pathPlusStarEdges(spark, 100000, 100000)
+    val kcUnd = kcEdges
+      .union(kcEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val kc = timed("k-core peel: 100k path + 100k star, k=2, 4 rounds") {
+      graft.operators.KCore.peel(kcUnd, k = 2, rounds = 4)
+        .groupBy("peel_round").agg(count(lit(1)).as("n"))
+        .as[(Option[Long], Long)].collect().toMap
+    }
+    println(s"[stress] k-core: peel-round counts " +
+      s"r1=${kc.get(Some(1L))} r2=${kc.get(Some(2L))} " +
+      s"r3=${kc.get(Some(3L))} r4=${kc.get(Some(4L))} " +
+      s"survivors=${kc.get(None)} (star: 100k leaves r1 + hub r2; " +
+      "path: 2 endpoints per round; middle survives the bounded peel)")
+
+    // 17. exact Gini over 2M keys with a Zipf-ish count law — the
+    // rank-free prefix-sum form: no unpartitioned window anywhere,
+    // parallelism = 32 range partitions. A window row_number
+    // formulation would drag 2M rows through ONE task.
+    val skewCounts = spark.range(2000000L)
+      .select(col("id").as("k"),
+        (lit(2000000L) / (col("id") + 1L) + 1L).cast("long").as("cnt"))
+      .localCheckpoint()
+    val g = timed("gini: 2M keys, zipf counts, distributed prefix sum") {
+      graft.queries.SamplingQueries.giniOf(skewCounts)
+        .as[(Long, Long, Long, Long, Long)].head()
+    }
+    println(f"[stress] gini: n=${g._1}%,d total=${g._2}%,d max=${g._3}%,d " +
+      f"top1=${g._4 / 10000.0}%.2f%% gini=${g._5 / 1e6}%.4f")
+
+    // 18. co-occurrence degenerate-basket guard: 300k 3-item baskets
+    // plus ONE 10k-item cart. Uncapped, the cart alone contributes
+    // ~5x10^7 ordered pairs (half the work of the whole run); the
+    // basket-size cut drops it before the self-join fans out.
+    val normal = spark.range(900000L)
+      .select((col("id") / 3L).cast("long").as("o"),
+        pmod(org.apache.spark.sql.functions.hash(col("id")), lit(5000L))
+          .cast("long").as("p"))
+    val cart = spark.range(10000L)
+      .select(lit(999999999L).as("o"), (col("id") + 100000L).as("p"))
+    val baskets = normal.unionAll(cart).distinct().localCheckpoint()
+    val nPairs = timed("co-occurrence: 300k baskets + one 10k-item cart, capped") {
+      graft.queries.RelationalQueries
+        .basketPairs(baskets, graft.queries.RelationalQueries.CoocMaxBasket)
+        .count()
+    }
+    val cartPairs = timed("same frame, cap raised above the cart (the bad plan)") {
+      graft.queries.RelationalQueries.basketPairs(baskets, 20000L).count()
+    }
+    println(f"[stress] co-occurrence: $nPairs%,d supported pairs with the " +
+      f"guard vs $cartPairs%,d rows through the agg without it " +
+      "(the cart's ~5e7 pairs are sub-support noise either way — the " +
+      "guard saves the join fanout, not the output)")
     spark.stop()
   }
 }
