@@ -407,7 +407,39 @@ object RelationalQueries {
         col("cum_tokens").as("cum_bytes"), col("bin_id"))
   }
 
+  /** Fixed round count for [[q141]] — part of the cross-engine
+    * contract (the oracle unrolls exactly this many hub→auth→hub
+    * rounds; see [[graft.operators.Hits]]).
+    */
+  val HitsIters = 3
+
+  /** q141 — HITS hubs & authorities over the customer→part purchase
+    * bipartite graph: a part's AUTHORITY is reinforced by the hub
+    * weight of the customers who buy it, a customer's HUB score by
+    * the authority of the parts they buy — the mutual-reinforcement
+    * ranking (Kleinberg) that separates "bought by heavy,
+    * wide-ranging buyers" from raw popularity, and the bipartite
+    * complement to the PageRank family (q104/q107/q125) on the
+    * dedup graphs. Exact integer fixed point with max-normalization
+    * each half-step — every score hash-gates against the unrolled
+    * SQL replay.
+    *
+    * Scale shape: the edge build is one distinct over the fact join
+    * (FK-chain, both sides shuffled once); each half-step is one
+    * |E|-pair equi-join + partial-agg sum + a one-row max broadcast —
+    * the PageRank iteration anatomy on a bipartite edge set, chained
+    * into one AQE-sized action.
+    */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    graft.operators.Hits.run(edges, HitsIters)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_hits" -> (q141 _),
     "q135_compaction_plan" -> (q135 _),
     "q133_cooccurrence" -> (q133 _),
     "q121_group_trend" -> (q121 _),
@@ -429,7 +461,32 @@ object RelationalQueries {
     "q20_union_distinct" -> (q20 _),
     "q21_minmax_window" -> (q21 _))
 
+  /** One unrolled HITS round (auth half-step then hub half-step, each
+    * a join-sum plus scalar-max normalization), generated per round
+    * index so the oracle replays exactly [[HitsIters]] rounds.
+    */
+  private def hitsRoundSql(i: Int): String = {
+    val sc = graft.operators.Hits.Scale
+    s"""a${i}r AS (SELECT p, CAST(sum(s) AS BIGINT) AS s
+       |  FROM e JOIN h${i - 1} USING (c) GROUP BY p),
+       |a$i AS (SELECT p, (s * $sc) // (SELECT max(s) FROM a${i}r) AS s FROM a${i}r),
+       |h${i}r AS (SELECT c, CAST(sum(s) AS BIGINT) AS s
+       |  FROM e JOIN a$i USING (p) GROUP BY c),
+       |h$i AS (SELECT c, (s * $sc) // (SELECT max(s) FROM h${i}r) AS s FROM h${i}r)""".stripMargin
+  }
+
+  private def q141OracleSql: String =
+    s"""WITH e AS (
+       | SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(${graft.operators.Hits.Scale} AS BIGINT) AS s FROM e),
+       |${(1 to HitsIters).map(hitsRoundSql).mkString(",\n")}
+       |SELECT 'hub' AS side, c AS id, CAST(s AS BIGINT) AS score FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q141_hits" -> q141OracleSql,
     "q135_compaction_plan" ->
       s"""WITH f AS (
         | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS p_month,
