@@ -438,7 +438,46 @@ object RelationalQueries {
     graft.operators.Hits.run(edges, HitsIters)
   }
 
+  /** q142's decay geometry: weights halve every [[HalfLifeDays]] days
+    * of age relative to [[DecayRef]], in 2⁻²⁰ fixed point
+    * ([[DecayScale]]); the shift is clamped to [0, 62] because a JVM
+    * long shift is mod-64 — an unclamped 64-day-half-life pathology
+    * would silently wrap to weight = full scale. Shared with the
+    * oracle.
+    */
+  val DecayScale = 1L << 20
+  val HalfLifeDays = 365
+  val DecayRef = "1998-12-01"
+
+  /** q142 — TIME-DECAYED POPULARITY: per part, the count of orders and
+    * the half-life-decayed order mass `Σ DecayScale >> (age div
+    * halfLife)` — the freshness-weighted popularity every feature
+    * store and trending ranker maintains, here EXACT: quantizing the
+    * exponential to power-of-two steps turns the weight into an
+    * integer bit shift, so the sum is order-free long arithmetic and
+    * hash-gates cross-engine (a float `exp(-λ·age)` sum never could —
+    * the q121 argument applied to decay curves). Continuous-decay
+    * deployments trade this exactness back for smoothness; the
+    * pipeline shape is identical.
+    *
+    * Scale shape: one distinct over the fact join (a part counted
+    * once per order), one partial-agg shuffle on part; the decay
+    * weight is a codegen'd projection.
+    */
+  def q142(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_orderkey").as("o"),
+        to_date(col("o_orderdate")).as("d"))
+      .distinct()
+      .withColumn("wt", expr(
+        s"""shiftright(${DecayScale}L, CAST(least(greatest(
+           |  datediff(DATE '$DecayRef', d) div $HalfLifeDays, 0), 62) AS INT))""".stripMargin))
+      .groupBy(col("p").as("part"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("wt")).as("decayed_2p20"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_decayed_popularity" -> (q142 _),
     "q141_hits" -> (q141 _),
     "q135_compaction_plan" -> (q135 _),
     "q133_cooccurrence" -> (q133 _),
@@ -486,6 +525,18 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q142_decayed_popularity" ->
+      s"""WITH po AS (
+        | SELECT DISTINCT l_partkey AS p, o_orderkey AS o,
+        |  CAST(o_orderdate AS DATE) AS d
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (
+        | SELECT p, ($DecayScale >> least(greatest(
+        |   date_diff('day', d, DATE '$DecayRef') // $HalfLifeDays, 0), 62)) AS wt
+        | FROM po)
+        |SELECT p AS part, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(wt) AS BIGINT) AS decayed_2p20
+        |FROM w GROUP BY 1""".stripMargin,
     "q141_hits" -> q141OracleSql,
     "q135_compaction_plan" ->
       s"""WITH f AS (
