@@ -430,13 +430,25 @@ object RelationalQueries {
     * the PageRank iteration anatomy on a bipartite edge set, chained
     * into one AQE-sized action.
     */
-  def q141(s: SparkSession, dir: String): DataFrame = {
-    val edges = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
-      .distinct()
-    graft.operators.Hits.run(edges, HitsIters)
-  }
+  /** The distinct customer→part purchase edge list — a per-dataset
+    * INDEX artifact (the [[graft.queries.DedupQueries]]
+    * `checkpointedSignatures` discipline): one fact-join + distinct,
+    * memoized on the lake fingerprint so the six HITS half-step
+    * passes and any other bipartite consumer reread the
+    * materialization, not the fact table.
+    */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    QueryMemo.get(s, "purchase-edges:" + dir + ":" +
+        graft.sources.DatasetFingerprint.ofTable(s, dir, "lineitem")) {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  def q141(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hits.run(purchaseEdges(s, dir), HitsIters)
 
   /** q142's decay geometry: weights halve every [[HalfLifeDays]] days
     * of age relative to [[DecayRef]], in 2⁻²⁰ fixed point
