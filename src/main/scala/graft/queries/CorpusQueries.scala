@@ -658,7 +658,57 @@ object CorpusQueries {
     "q95_corpus_rollup" -> (q95 _),
     "q98_lang_pivot" -> (q98 _),
     "q106_overlap_chunks" -> (q106 _),
-    "q136_chi2_independence" -> (q136 _))
+    "q136_chi2_independence" -> (q136 _),
+    "q143_ks_drift" -> (q143 _))
+
+  /** The q143 comparison arms — two corpus sources whose document-
+    * length distributions are tested for drift. Shared with the
+    * oracle.
+    */
+  val KsSourceA = "src0"
+  val KsSourceB = "src1"
+
+  /** q143 — two-sample KOLMOGOROV–SMIRNOV drift statistic between
+    * [[KsSourceA]] and [[KsSourceB]]'s document-length distributions:
+    * `D = max_x |F_A(x) − F_B(x)|`, computed EXACTLY as
+    * `max |cumA(x)·N_B − cumB(x)·N_A| · 10⁶ div (N_A·N_B)` over the
+    * distinct length values — all integer counts, so the statistic
+    * hash-gates where a float-CDF max never would. The
+    * distribution-shape drift monitor beside q136's categorical χ²:
+    * χ² flags composition shifts, KS flags SHAPE shifts (truncation,
+    * padding, a new boilerplate floor) that leave category counts
+    * untouched. Emits D with both sample sizes for the caller's
+    * critical-value lookup.
+    *
+    * Scale shape: one filtered partial agg over the corpus → a
+    * VALUE-DOMAIN-sized cell table (distinct lengths — bounded by max
+    * document length, not corpus size), one bounded ordered window
+    * for the two running CDFs (the q51/q62 bounded-window class), one
+    * scalar max. The arm totals ride the same cell table.
+    */
+  def q143(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cells = t(s, dir, "documents")
+      .filter(col("source").isin(KsSourceA, KsSourceB))
+      .groupBy(length(col("text")).cast("long").as("len"))
+      .agg(
+        sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // two consumers: arm totals + the CDF scan
+    val totals = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_values"))
+    cells
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("n_values")).as("n_values"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          .as("dnum"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        expr("(dnum * 1000000) div (n_a * n_b)").as("ks_1e6"))
+  }
 
   /** q136 — CHI-SQUARED INDEPENDENCE audit of the (source, language)
     * contingency table: `χ² = Σ_cells (O·N − R·C)² / (N·R·C)` over the
@@ -711,6 +761,25 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q143_ks_drift" ->
+      s"""WITH cells AS (
+        | SELECT CAST(len(text) AS BIGINT) AS l,
+        |  CAST(sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM documents WHERE source IN ('$KsSourceA', '$KsSourceB')
+        | GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |  CAST(sum(cb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_values FROM cells),
+        |cdf AS (
+        | SELECT CAST(sum(ca) OVER (ORDER BY l ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER (ORDER BY l ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        | FROM cells)
+        |SELECT t.n_a, t.n_b, t.n_values,
+        | CAST((max(abs(c.cuma * t.n_b - c.cumb * t.n_a)) * 1000000)
+        |   // (t.n_a * t.n_b) AS BIGINT) AS ks_1e6
+        |FROM cdf c CROSS JOIN tot t
+        |GROUP BY t.n_a, t.n_b, t.n_values""".stripMargin,
     "q136_chi2_independence" ->
       """WITH cells AS (
         | SELECT source, lang, CAST(count(*) AS HUGEINT) AS o
