@@ -496,6 +496,62 @@ object EventStreams {
     * EQUALS the batch query over the same events (order-free integer
     * state, the KMV/CMS argument — StreamingSpec pins it).
     */
+  /** Per-user "last event" marker kept in stream state for the
+    * transition feed (event-time micros + id tiebreak + type) — one
+    * tiny tuple per user, O(users) total, never history-sized.
+    */
+  case class TransState(tus: Long, eventId: Long, tpe: String)
+
+  /** One observed `from → to` transition, emitted at arrival. */
+  case class TransRow(user_id: Long, from_type: String, to_type: String,
+                      ts: Timestamp)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q137]]'s transition extraction:
+    * per user, each arriving event paired with that user's previous
+    * event in (micros, event_id) order emits one `from → to`
+    * transition — the online feed whose (from, to) counts are exactly
+    * q137's `n_trans` matrix (StreamingSpec pins the aggregate
+    * equality, including across micro-batch splits; the matrix
+    * roll-up itself is the consumer's one-line groupBy, batch or
+    * windowed).
+    *
+    * Ordering contract: within a batch, events sort by
+    * (micros, event_id) — in-batch disorder is invisible; a
+    * CROSS-batch late event (at or below the user's stored marker)
+    * is DROPPED, because the transition it would claim was already
+    * emitted against a different predecessor and an append stream
+    * never revises (the [[rollingFeatures]] caveat: the batch
+    * backfill is the source of truth wherever arrival order diverges
+    * from event order).
+    */
+  def transitionEvents(events: Dataset[Ev]): Dataset[TransRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
+          def tusOf(e: Ev): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val evs = it.toVector.sortBy(e => (tusOf(e), e.event_id))
+          val out = Vector.newBuilder[TransRow]
+          var last = state.getOption
+          evs.foreach { e =>
+            val tus = tusOf(e)
+            val inOrder = last.forall(p =>
+              tus > p.tus || (tus == p.tus && e.event_id > p.eventId))
+            if (inOrder) {
+              last.foreach(p =>
+                out += TransRow(userId, p.tpe, e.event_type, e.ts))
+              last = Some(TransState(tus, e.event_id, e.event_type))
+            } // else: cross-batch late arrival — dropped, see scaladoc
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def abMonitor(events: Dataset[Ev]): Dataset[AbRow] = {
     import events.sparkSession.implicits._
     val bar = graft.queries.TimeseriesQueries.AbT2Bar1e6

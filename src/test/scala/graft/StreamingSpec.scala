@@ -742,4 +742,49 @@ class StreamingSpec extends SparkSpec {
       assert(last == batch && last.size == batch.size && last.nonEmpty)
     } finally q.stop()
   }
+
+  test("transitionEvents: streamed transitions aggregate to the batch q137 " +
+    "matrix EXACTLY across micro-batch splits; cross-batch late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q137(spark, sf)
+      .select($"from_type", $"to_type", $"n_trans")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.coalesce($"value",
+          org.apache.spark.sql.functions.lit(0.0)).as("value"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    // event-time-ordered delivery over three uneven batches (the
+    // contract under which the stream equals the batch extraction)
+    val parts = Seq(evs.take(400), evs.slice(400, 401), evs.drop(401))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.transitionEvents(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.table("trans")
+        .as[(Long, String, String, Timestamp)].collect()
+      val counts = streamed.groupBy(r => (r._2, r._3))
+        .map { case (k, rs) => k -> rs.length.toLong }
+      assert(counts == batch && counts.nonEmpty)
+      // replay a multi-event user's FIRST event as a late arrival: its
+      // micros sit strictly below that user's marker, so the stream
+      // emits NOTHING for it (append never revises — the scaladoc's
+      // batch-is-source-of-truth caveat, asserted)
+      val n0 = spark.table("trans").count()
+      val multi = evs.groupBy(_.user_id).values
+        .find(g => g.map(e => (e.ts.getTime, e.ts.getNanos)).distinct.size >= 2)
+        .get.minBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      in.addData(multi.copy(event_id = 99999999L))
+      q.processAllAvailable()
+      assert(spark.table("trans").count() == n0)
+    } finally q.stop()
+  }
 }
