@@ -689,7 +689,34 @@ object TimeseriesQueries {
         expr("(n_trans * 1000000) div n_from").as("p_1e6"))
   }
 
+  /** q144 — FORWARD FILL (last observation carried forward): repair
+    * null telemetry values with each user's most recent non-null
+    * reading in (ts, event_id) order — the gap-repair transform every
+    * sensor/telemetry ETL runs before feature extraction (the
+    * reference's normalizer coalesces absent fields the same way,
+    * row-at-a-time; `packagers/siri.py:70-80`). No arithmetic touches
+    * the carried value — bytes pass through — so the frame hash-gates
+    * trivially; rows before a user's first reading stay NULL (no
+    * backfill — LOCF only, stated contract).
+    *
+    * Scale shape: ONE window pass partitioned by user (bounded
+    * per-user state, the q137 anatomy); `last(value, ignoreNulls)`
+    * over the running frame is O(1) per row.
+    */
+  def q144(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("filled_value", last(col("value"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("filled_value"),
+        (col("value").isNull && col("filled_value").isNotNull).as("was_filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_forward_fill" -> (q144 _),
     "q137_event_transitions" -> (q137 _),
     "q134_zorder" -> (q134 _),
     "q128_cuped" -> (q128 _),
@@ -769,6 +796,16 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q144_forward_fill" ->
+      """SELECT event_id, user_id, value,
+        | last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        | (value IS NULL AND last_value(value IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL)
+        |   AS was_filled
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
     "q137_event_transitions" ->
       """WITH seq AS (
         | SELECT user_id, event_type,
