@@ -105,7 +105,9 @@ object CorpusPrepare {
                      keepPolicy: String = "canonical",
                      classifierGate: Boolean = false,
                      authorityRanks: () => DataFrame = () =>
-                       sys.error("keep_policy=authority needs ranks")): DataFrame = {
+                       sys.error("keep_policy=authority needs ranks"),
+                     corePeels: () => DataFrame = () =>
+                       sys.error("keep_policy=core needs peels")): DataFrame = {
     val h = graft.functions.DedupFunctions.md5Hash32(
       concat(lit("split-"), col("doc_id").cast("string"))) % 100
     // keep_policy=canonical: each cluster keeps its min-id member (the
@@ -136,10 +138,19 @@ object CorpusPrepare {
             dedup.filter(col("canonical_doc_id").isNotNull),
             authorityRanks())
           .filter(col("is_survivor")).select("doc_id")
+      // keep_policy=core: the cluster keeps its deepest-k-core member
+      // (q131's onion depth — best-SUPPORTED where authority is
+      // most-LINKED; peels arrive lazily so the peel pass only runs
+      // under this policy)
+      case "core" =>
+        DedupQueries.coreSurvivors(
+            dedup.filter(col("canonical_doc_id").isNotNull),
+            corePeels())
+          .filter(col("is_survivor")).select("doc_id")
       // a typo'd policy must fail loudly, not silently ship the
       // min-id corpus (same hard-fail discipline as a missing sf_dir)
       case other => sys.error(s"unknown keep_policy '$other' " +
-        "(expected 'canonical', 'survivor' or 'authority')")
+        "(expected 'canonical', 'survivor', 'authority' or 'core')")
     }
     docs
       .join(keptIds, Seq("doc_id"), "left_semi")
@@ -190,9 +201,11 @@ object CorpusPrepare {
       Tables.load(s, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text")),
       scores, dedup, keepPolicy, classifierGate,
-      // lazily bound: the q104 rank pass runs only under authority
+      // lazily bound: the q104 rank / q131 peel passes run only under
+      // their policies
       () => DedupQueries.q104(s, sfDir)
-        .select(col("doc_id"), col("pr_rank"))), tokensCol)
+        .select(col("doc_id"), col("pr_rank")),
+      () => DedupQueries.q131(s, sfDir)), tokensCol)
 
   /** Bucket count for the corpus exchange tables — the SAME count on
     * every side of the doc_id joins, or the exchange comes back.

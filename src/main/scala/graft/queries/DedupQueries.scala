@@ -1188,6 +1188,40 @@ object DedupQueries {
         (col("doc_id") === col("survivor_id")).as("is_survivor"))
   }
 
+  /** Core-depth survivor selection over precomputed cluster labels and
+    * [[q131]] peel results — `keep_policy=core`'s frame-level op: per
+    * cluster keep the member with the greatest k-core ONION DEPTH
+    * (in-core = ∞, peel round otherwise; ties → max degree, then min
+    * doc_id). Where authority ([[authoritySurvivors]]) keeps the
+    * most-LINKED member, core depth keeps the best-SUPPORTED one —
+    * the member whose near-dup attestations survive the most rounds
+    * of pendant-stripping, i.e. the least likely to be an LSH
+    * chaining artifact. Members outside the candidate graph carry
+    * depth −1 and lose to any graph-attested member (the
+    * authority-policy precedent). Same groupBy-argmax shape: bounded
+    * agg state, no per-cluster window, merge-hinted join back.
+    */
+  private[graft] def coreSurvivors(labels: DataFrame,
+                                   peels: DataFrame): DataFrame = {
+    val labeled = labels
+      .select(col("doc_id"), col("canonical_doc_id").as("cluster_id"))
+      .join(peels.select(col("doc_id"),
+        when(col("in_core"), Long.MaxValue).otherwise(col("peel_round"))
+          .as("depth0"),
+        col("degree").as("degree0")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("depth0"), lit(-1L)).as("depth"),
+        coalesce(col("degree0"), lit(0L)).as("degree"))
+    val best = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("depth"), col("degree"), (-col("doc_id")).as("neg")))
+        .as("b"))
+      .select(col("cluster_id"), (-col("b.neg")).as("survivor_id"))
+    labeled.join(best.hint("merge"), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("depth"), col("degree"),
+        col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+  }
+
   /** q108 — authority survivor selection: q81 keeps each near-dup
     * cluster's highest-QUALITY member; here the cluster keeps its
     * highest-AUTHORITY member by q104's integer PageRank (the

@@ -254,6 +254,52 @@ class JobsSpec extends SparkSpec {
     assert(err.getMessage.contains("unknown keep_policy"))
   }
 
+  test("keep_policy=core keeps exactly the deepest-peel cluster members") {
+    import graft.jobs.CorpusPrepare
+    import graft.queries.DedupQueries
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    val kept = CorpusPrepare
+      .filterPack(spark, sf, scores, dedup, keepPolicy = "core")
+      .select($"doc_id").as[Long].collect().toSet
+    // the DAG's core keep must equal the selector ∩ quality bar
+    val expected = DedupQueries.coreSurvivors(
+        CorpusPrepare.dedupDecide(spark, sf)
+          .filter($"canonical_doc_id".isNotNull),
+        DedupQueries.q131(spark, sf))
+      .filter($"is_survivor")
+      .join(scores.filter($"quality" >= CorpusPrepare.MinQuality), "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == expected && kept.nonEmpty)
+    // per-cluster invariant: never more than one keeper
+    val labels = DedupQueries.clusterLabels(spark, sf)
+      .select($"doc_id", $"canonical_doc_id").as[(Long, Long)]
+      .collect().toMap
+    assert(kept.groupBy(labels).forall(_._2.size == 1))
+    // the policy's BITE on a constructed asymmetric cluster: the
+    // in-core member beats a later-peeled one regardless of id order,
+    // depth ties fall to degree, and a graph-absent member (depth −1,
+    // an exact-dup collapsee) loses to any attested member
+    val labs = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "canonical_doc_id")
+    val peels = Seq(
+      (1L, 3L, Some(1L), false), // pendant, peeled round 1
+      (2L, 5L, None, true),      // in-core — must win
+      (3L, 9L, Some(2L), false)) // deeper than 1, shallower than core
+      .toDF("doc_id", "degree", "peel_round", "in_core")
+    // doc 4 absent from the graph entirely
+    val surv = DedupQueries.coreSurvivors(labs, peels)
+      .filter($"is_survivor").select($"doc_id").as[Long].collect().toSeq
+    assert(surv == Seq(2L))
+    // degree tiebreak at equal depth
+    val peels2 = Seq((1L, 3L, Some(1L), false), (2L, 7L, Some(1L), false))
+      .toDF("doc_id", "degree", "peel_round", "in_core")
+    val surv2 = DedupQueries.coreSurvivors(
+        Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_doc_id"), peels2)
+      .filter($"is_survivor").select($"doc_id").as[Long].collect().toSeq
+    assert(surv2 == Seq(2L))
+  }
+
   test("cluster_policy=lpa: community labels refine CC clusters, canonicals " +
     "are members, and the DAG keep only ever grows") {
     import graft.jobs.CorpusPrepare
