@@ -715,7 +715,47 @@ object TimeseriesQueries {
         (col("value").isNull && col("filled_value").isNotNull).as("was_filled"))
   }
 
+  /** q145 — ROLLING 7-DAY ACTIVE USERS: per observed day, the distinct
+    * users active that day (DAU), in the trailing 7-day window (WAU),
+    * and the DAU/WAU stickiness ratio in 10⁻⁶ fixed point — the
+    * engagement rollup every telemetry deployment maintains (and the
+    * batch twin of q115's streaming KMV distinct-users monitor: exact
+    * here, sketched there).
+    *
+    * Distinct-over-a-sliding-window does not compose as a window
+    * function (COUNT(DISTINCT) OVER RANGE is unsupported everywhere
+    * for good reason — the state is a set, not a scalar); the
+    * scale-correct batch formulation is the ×W EXPANSION of the
+    * per-day activity table: each (user, day) pair votes into the 7
+    * windows that contain it (`explode(sequence(...))` — codegen'd),
+    * then one distinct count per window day. The expansion is
+    * W × |user-days| — activity-table-sized times a small constant,
+    * never event-sized — and it shuffles once on the window day.
+    * Trailing windows are emitted only for OBSERVED days (left-semi
+    * against the day list), so the frame has no partial ghost days
+    * after the data ends.
+    */
+  def q145(s: SparkSession, dir: String): DataFrame = {
+    val au = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // three consumers: days, DAU, the expansion
+    val days = au.select(col("d")).distinct()
+    val dau = au.groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = au
+      .select(explode(expr("sequence(d, date_add(d, 6))")).as("wd"),
+        col("user_id"))
+      .join(days.withColumnRenamed("d", "wd"), Seq("wd"), "left_semi")
+      .groupBy(col("wd").as("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_rolling_wau" -> (q145 _),
     "q144_forward_fill" -> (q144 _),
     "q137_event_transitions" -> (q137 _),
     "q134_zorder" -> (q134 _),
@@ -796,6 +836,21 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q145_rolling_wau" ->
+      """WITH au AS (
+        | SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |days AS (SELECT DISTINCT d FROM au),
+        |wau AS (
+        | SELECT dy.d, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+        | FROM days dy JOIN au a ON a.d BETWEEN dy.d - 6 AND dy.d
+        | GROUP BY 1),
+        |dau AS (
+        | SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        | FROM au GROUP BY 1)
+        |SELECT dau.d AS day, dau.dau, wau.wau,
+        | CAST((dau.dau * 1000000) // wau.wau AS BIGINT) AS stickiness_1e6
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
     "q144_forward_fill" ->
       """SELECT event_id, user_id, value,
         | last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
