@@ -158,4 +158,50 @@ class RecallSpec extends SparkSpec {
     assert(math.abs(full - pqRecall) < 1e-9,
       f"full-coverage IVF-PQ $full%.3f != plain PQ $pqRecall%.3f")
   }
+
+  test("MinHash banding recall vs exact all-pairs Jaccard ground truth — " +
+    "the s-curve floors the q29 pipeline's candidate generation promises") {
+    import graft.queries.DedupQueries
+    // exact ground truth: every doc pair's true shingle Jaccard,
+    // computed brute-force on the driver (500 docs — an EVAL-scale
+    // pass; the distributed path must never do this, which is exactly
+    // why its recall needs measuring)
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(DedupQueries.ShingleN)
+        .filter(_.size == DedupQueries.ShingleN)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    val cand = DedupQueries.q29(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = a.intersect(b).size
+      if (i == 0) 0.0 else i.toDouble / (a.size + b.size - i)
+    }
+    val pairs = for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      s = jac(sets(i)._2, sets(j)._2) if s > 0.0
+    } yield (math.min(sets(i)._1, sets(j)._1),
+      math.max(sets(i)._1, sets(j)._1), s)
+    def recallAtOrAbove(tau: Double): (Int, Double) = {
+      val truePairs = pairs.filter(_._3 >= tau)
+      (truePairs.size,
+        if (truePairs.isEmpty) 1.0
+        else truePairs.count(p => cand((p._1, p._2))).toDouble / truePairs.size)
+    }
+    // theoretical s-curve for 8 bands x 2 rows: P = 1-(1-s^2)^8 →
+    // 1.000 at s=0.9, 0.995 at 0.7, 0.900 at 0.5; floors sit below
+    val (n90, r90) = recallAtOrAbove(0.9)
+    val (n70, r70) = recallAtOrAbove(0.7)
+    val (n50, r50) = recallAtOrAbove(0.5)
+    assert(n90 > 0, "corpus lost its high-similarity pairs — recall floor untestable")
+    assert(r90 >= 0.95, f"recall@J>=0.9 collapsed: $r90%.3f over $n90 pairs")
+    if (n70 > 0) assert(r70 >= 0.85, f"recall@J>=0.7: $r70%.3f over $n70 pairs")
+    if (n50 > 0) assert(r50 >= 0.60, f"recall@J>=0.5: $r50%.3f over $n50 pairs")
+    // and the curve is monotone in similarity, as banding theory says
+    assert(r90 >= r70 - 1e-9 || n70 == 0)
+  }
 }

@@ -421,6 +421,30 @@ object StressBench {
       f"guard vs $cartPairs%,d rows through the agg without it " +
       "(the cart's ~5e7 pairs are sub-support noise either way — the " +
       "guard saves the join fanout, not the output)")
+
+    // 19. HITS on a 1M-edge skewed bipartite graph: 100k customers x
+    // ~10 parts each, plus one mega-customer touching every part and
+    // one mega-part touched by everyone — both one-key partial-agg
+    // hot spots. Linearized half-steps (the q141 fix) keep the 3-round
+    // cost 6x one edge pass; the pre-fix exponential lineage would
+    // re-evaluate this subtree ~64x.
+    val bip = spark.range(1000000L)
+      .select((col("id") % 100000L).as("src"),
+        pmod(org.apache.spark.sql.functions.hash(col("id")), lit(20000L))
+          .cast("long").as("dst"))
+      .unionAll(spark.range(20000L)
+        .select(lit(999999L).as("src"), col("id").as("dst")))
+      .unionAll(spark.range(100000L)
+        .select(col("id").as("src"), lit(999999L).as("dst")))
+      .distinct().localCheckpoint()
+    val hitsTop = timed("HITS: 1M-edge skewed bipartite, 3 rounds") {
+      graft.operators.Hits.run(bip, iters = 3)
+        .filter(col("score") === graft.operators.Hits.Scale)
+        .select(col("side"), col("id"))
+        .as[(String, Long)].collect().toSet
+    }
+    println(s"[stress] HITS max-score nodes: $hitsTop (the mega-customer " +
+      "and mega-part must top their sides)")
     spark.stop()
   }
 }
