@@ -1481,7 +1481,50 @@ object DedupQueries {
         col("in_core"))
   }
 
+  /** q147 — MINHASH ESTIMATOR CALIBRATION: for every LSH candidate
+    * pair, the matched-signature-slot count (the q29 estimate, kept as
+    * an exact INTEGER 0..[[NPerms]] instead of its rounded ratio)
+    * against the exact verified Jaccard, rolled up per estimate value
+    * — the calibration table that says how biased the 16-permutation
+    * estimator is at each similarity level (MinHash is unbiased in
+    * expectation; at k=16 the per-pair quantization is ±0.0625 and
+    * candidate selection CONDITIONS on banding collisions, so the
+    * observed conditional bias is exactly what a dedup-threshold
+    * tuner needs to see). All integer fixed point — mean true Jaccard
+    * is a floored 10⁻⁶ ratio — so the table hash-gates.
+    *
+    * Scale shape: the one memoized tokenization pass (q31's
+    * discipline), the candidate-bounded verify join, and a ≤ 17-row
+    * roll-up. Nothing corpus-quadratic anywhere.
+    */
+  def q147(s: SparkSession, dir: String): DataFrame = {
+    val both = shingleSigs(s, dir)
+    val matched = (0 until NPerms)
+      .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    lshCandidates(both.select(col("doc_id"), col("sig")))
+      .join(both.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(both.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .select(matched.as("est_sixteenths"),
+        expr("size(sh_a)").cast("long").as("na"),
+        expr("size(sh_b)").cast("long").as("nb"), inter.as("inter"))
+      .select(col("est_sixteenths"),
+        expr("(inter * 1000000) div (na + nb - inter)").as("tj"))
+      .groupBy("est_sixteenths")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("tj")).as("stj"))
+      .select(col("est_sixteenths"), col("n_pairs"),
+        expr("stj div n_pairs").as("mean_true_j_1e6"),
+        expr(s"(est_sixteenths * 1000000) div $NPerms").as("est_1e6"),
+        expr(s"(est_sixteenths * 1000000) div $NPerms - stj div n_pairs")
+          .as("bias_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_minhash_calibration" -> (q147 _),
     "q131_kcore" -> (q131 _),
     "q127_weighted_communities" -> (q127 _),
     "q125_personalized_pagerank" -> (q125 _),
@@ -1665,7 +1708,34 @@ object DedupQueries {
        |SELECT l.v AS doc_id, l.lbl AS community, sz.n_members
        |FROM l$LpaIters l JOIN sz ON l.lbl = sz.lbl""".stripMargin
 
+  private def q147OracleSql: String =
+    s"""$lshCteSql,
+       |ver AS (
+       | SELECT
+       |  CAST(len(list_filter(range(1, ${NPerms + 1}),
+       |    i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS m,
+       |  CAST(len(list_filter(list_distinct(sha.shingles),
+       |    x -> list_contains(list_distinct(shb.shingles), x))) AS BIGINT) AS inter,
+       |  CAST(len(list_distinct(sha.shingles)) AS BIGINT) AS na,
+       |  CAST(len(list_distinct(shb.shingles)) AS BIGINT) AS nb
+       | FROM cand c
+       | JOIN sig sa ON c.doc_a = sa.doc_id
+       | JOIN sig sb ON c.doc_b = sb.doc_id
+       | JOIN shingled sha ON c.doc_a = sha.doc_id
+       | JOIN shingled shb ON c.doc_b = shb.doc_id),
+       |b AS (
+       | SELECT m AS est_sixteenths, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum((inter * 1000000) // (na + nb - inter)) AS BIGINT) AS stj
+       | FROM ver GROUP BY 1)
+       |SELECT est_sixteenths, n_pairs,
+       | CAST(stj // n_pairs AS BIGINT) AS mean_true_j_1e6,
+       | CAST((est_sixteenths * 1000000) // $NPerms AS BIGINT) AS est_1e6,
+       | CAST((est_sixteenths * 1000000) // $NPerms - stj // n_pairs AS BIGINT)
+       |   AS bias_1e6
+       |FROM b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q147_minhash_calibration" -> q147OracleSql,
     "q131_kcore" -> q131OracleSql,
     "q117_label_propagation" -> q117OracleSql,
     "q28_dedup_exact" ->

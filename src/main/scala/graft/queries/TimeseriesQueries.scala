@@ -754,7 +754,40 @@ object TimeseriesQueries {
         expr("(dau * 1000000) div wau").as("stickiness_1e6"))
   }
 
+  /** q146 — INTER-ARRIVAL GAP percentiles per event type: each event's
+    * gap to the SAME USER's previous event (any type — the user's
+    * activity clock), summarized as median/p90 seconds per arriving
+    * type — the cadence profile behind session-gap tuning (q42's
+    * 30-minute threshold stops being folklore when this table says
+    * where the gap distribution's knee is), engagement monitoring,
+    * and hazard-style churn features. Gaps are exact integer micros;
+    * only the final percentile interpolation is float, rounded to the
+    * engine-agreed 4 decimals (the q45 contract).
+    *
+    * Scale shape: one window pass partitioned by user (the q137/q144
+    * anatomy), one partial-agg percentile per type — exact percentile
+    * over per-type gap multisets, beside which q65's sketch path
+    * stands for the quantile-at-scale trade (the q45/q65 gate pair).
+    */
+  def q146(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev_us", lag(col("tus"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("tus") - col("prev_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, array(0.5D, 0.9D))").as("p"))
+      .select(col("event_type"), col("n_gaps"),
+        round(element_at(col("p"), 1) / 1000000.0, 4).as("p50_gap_s"),
+        round(element_at(col("p"), 2) / 1000000.0, 4).as("p90_gap_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_interarrival" -> (q146 _),
     "q145_rolling_wau" -> (q145 _),
     "q144_forward_fill" -> (q144 _),
     "q137_event_transitions" -> (q137 _),
@@ -836,6 +869,22 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q146_interarrival" ->
+      """WITH seq AS (
+        | SELECT event_type, epoch_us(ts) AS tus,
+        |  lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_us
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT event_type, tus - prev_us AS gap_us FROM seq
+        |      WHERE prev_us IS NOT NULL),
+        |q AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(quantile_cont(gap_us, [0.5, 0.9]) AS DOUBLE[]) AS p
+        | FROM g GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        | round(p[1] / 1000000.0, 4) AS p50_gap_s,
+        | round(p[2] / 1000000.0, 4) AS p90_gap_s
+        |FROM q""".stripMargin,
     "q145_rolling_wau" ->
       """WITH au AS (
         | SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
