@@ -659,7 +659,44 @@ object CorpusQueries {
     "q98_lang_pivot" -> (q98 _),
     "q106_overlap_chunks" -> (q106 _),
     "q136_chi2_independence" -> (q136 _),
-    "q143_ks_drift" -> (q143 _))
+    "q143_ks_drift" -> (q143 _),
+    "q149_fair_topk" -> (q149 _))
+
+  /** q149's geometry: the global cut and the per-source diversity cap.
+    * Shared with the oracle.
+    */
+  val FairTopK = 20
+  val FairPerSource = 2
+
+  /** q149 — DIVERSITY-CAPPED FAIR TOP-K: the global top-[[FairTopK]]
+    * documents by size with AT MOST [[FairPerSource]] per source — the
+    * diversity-constrained ranking every curation / retrieval surface
+    * applies so one prolific source cannot monopolize a shortlist
+    * (search result diversification, seed-set selection, eval-set
+    * sampling). Score is the exact integer `n_chars` with doc_id
+    * tie-break — fully deterministic, trivially hash-gated.
+    *
+    * Scale shape: the per-source rank is a window PARTITIONED by
+    * source (bounded state per partition), the cap cuts the corpus to
+    * ≤ sources·cap rows BEFORE the global cut, and the global cut is
+    * TakeOrderedAndProject over that bounded frame; the final rank
+    * window orders [[FairTopK]] rows. No global sort anywhere.
+    */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    val bySize = Seq(col("n_chars").desc, col("doc_id").asc)
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(bySize: _*)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(bySize: _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .filter(col("src_rank") <= FairPerSource)
+      .orderBy(bySize: _*)
+      .limit(FairTopK)
+      .withColumn("rank", row_number().over(wAll).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"))
+  }
 
   /** The q143 comparison arms — two corpus sources whose document-
     * length distributions are tested for drift. Shared with the
@@ -761,6 +798,19 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q149_fair_topk" ->
+      s"""WITH ranked AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS src_rank
+        | FROM documents),
+        |capped AS (
+        | SELECT * FROM ranked WHERE src_rank <= $FairPerSource
+        | ORDER BY n_chars DESC, doc_id ASC LIMIT $FairTopK)
+        |SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+        |   AS BIGINT) AS rank,
+        | doc_id, source, n_chars, src_rank
+        |FROM capped""".stripMargin,
     "q143_ks_drift" ->
       s"""WITH cells AS (
         | SELECT CAST(len(text) AS BIGINT) AS l,

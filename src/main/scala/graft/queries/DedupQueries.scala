@@ -1523,7 +1523,38 @@ object DedupQueries {
           .as("bias_1e6"))
   }
 
+  /** q148 — DEDUP SAVINGS report: per multi-member cluster, how many
+    * members and characters the canonical-only keep policy removes —
+    * the ROI table a data-engineering review reads BEFORE running a
+    * destructive dedup ("this family is 40% of the corpus bytes; that
+    * one is noise"), and the per-cluster breakdown behind the q49
+    * end-to-end filter's aggregate effect. Character counts ride the
+    * lake's exact `n_chars` column — all integer, hash-gated.
+    *
+    * Scale shape: the memoized clustering (q48) joined once against
+    * the (doc_id, n_chars) projection, one partial-agg shuffle on
+    * cluster id; the `n_members ≥ 2` cut bounds output to actual dup
+    * families. The conditional canonical-chars sum rides the same
+    * aggregation — no second join.
+    */
+  def q148(s: SparkSession, dir: String): DataFrame =
+    q48(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("canonical_doc_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("doc_id") === col("canonical_doc_id"), col("n_chars"))
+          .otherwise(0L)).as("canonical_chars"))
+      .filter(col("n_members") >= 2L)
+      .select(col("cluster_id"), col("n_members"), col("total_chars"),
+        col("canonical_chars"),
+        (col("total_chars") - col("canonical_chars")).as("saved_chars"),
+        expr("((total_chars - canonical_chars) * 1000000) div total_chars")
+          .as("saved_share_1e6"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_dedup_savings" -> (q148 _),
     "q147_minhash_calibration" -> (q147 _),
     "q131_kcore" -> (q131 _),
     "q127_weighted_communities" -> (q127 _),
@@ -1735,6 +1766,23 @@ object DedupQueries {
        |FROM b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q148_dedup_savings" ->
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ccCompCte,
+         |lab AS (
+         | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cid, d.n_chars
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+         |agg AS (
+         | SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(CASE WHEN doc_id = cid THEN n_chars ELSE 0 END) AS BIGINT)
+         |    AS canonical_chars
+         | FROM lab GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT cluster_id, n_members, total_chars, canonical_chars,
+         | total_chars - canonical_chars AS saved_chars,
+         | CAST(((total_chars - canonical_chars) * 1000000) // total_chars
+         |   AS BIGINT) AS saved_share_1e6
+         |FROM agg""".stripMargin,
     "q147_minhash_calibration" -> q147OracleSql,
     "q131_kcore" -> q131OracleSql,
     "q117_label_propagation" -> q117OracleSql,
