@@ -1678,6 +1678,12 @@ object DedupQueries {
   private[queries] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** L2 norm in SQL — the `sqrt(dot(a,a))` twin of
+    * [[graft.functions.VectorFunctions.normUnrolled]]'s fold.
+    */
+  private[queries] def normSql(a: String): String =
+    s"sqrt(${dotSql(a, a)})"
+
   private val simhashTermsSql: String =
     (0 until 32).map { b =>
       val mask = 1L << b

@@ -1010,7 +1010,34 @@ object VectorQueries extends Serializable {
         coalesce(col("kept_vecs"), lit(0L)).as("kept_vecs"))
   }
 
+  /** q150 — EMBEDDING NORM AUDIT per label: count, mean, min and max
+    * L2 norm in 10⁻⁶ fixed point — the vector-health monitor an ANN
+    * deployment runs on every embedding refresh (norm collapse or
+    * explosion in one label silently wrecks cosine rankings and IVF
+    * assignment long before recall metrics notice; the audit catches
+    * the drift at ingest). Per-vector norms are one deterministic
+    * sqrt each (the q61/q94 carried 1-ulp class), QUANTIZED to 10⁻⁶
+    * BEFORE aggregation so the sums are order-free longs — the q140
+    * quantize-then-sum discipline that lets float-derived statistics
+    * hash-gate.
+    *
+    * Scale shape: one projection (codegen'd unrolled dot) + one
+    * partial-agg shuffle on label. Nothing pairwise, nothing
+    * collected.
+    */
+  def q150(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        round(VectorFunctions.normUnrolled(col("embedding"), Dims) * 1000000,
+          0).cast("long").as("norm_1e6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(norm_1e6) div count(1)").as("mean_norm_1e6"),
+        min(col("norm_1e6")).as("min_norm_1e6"),
+        max(col("norm_1e6")).as("max_norm_1e6"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_embedding_norms" -> (q150 _),
     "q37_ann_bruteforce" -> (q37 _),
     "q122_pq_adc" -> (q122 _),
     "q123_ivf_pq" -> (q123 _),
@@ -1224,6 +1251,17 @@ object VectorQueries extends Serializable {
   }
 
   val oracles: Map[String, String] = Map(
+    "q150_embedding_norms" ->
+      s"""WITH n AS (
+         | SELECT label,
+         |  CAST(round(${DedupQueries.normSql("embedding")} * 1000000)
+         |    AS BIGINT) AS norm_1e6
+         | FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         | CAST(sum(norm_1e6) // count(*) AS BIGINT) AS mean_norm_1e6,
+         | CAST(min(norm_1e6) AS BIGINT) AS min_norm_1e6,
+         | CAST(max(norm_1e6) AS BIGINT) AS max_norm_1e6
+         |FROM n GROUP BY label""".stripMargin,
     "q122_pq_adc" -> q122OracleSql,
     "q123_ivf_pq" -> q123OracleSql,
     "q129_cluster_balance" -> q129OracleSql,
