@@ -1553,7 +1553,56 @@ object DedupQueries {
         expr("((total_chars - canonical_chars) * 1000000) div total_chars")
           .as("saved_share_1e6"))
 
+  /** Fixed walk length for [[q151]] — like [[LpaIters]], part of the
+    * cross-engine contract (the oracle unrolls exactly this many
+    * hops).
+    */
+  val WalkLen = 3
+
+  /** q151 — DETERMINISTIC RANDOM WALKS over the near-dup candidate
+    * graph: one [[WalkLen]]-hop walk from every node, next hop chosen
+    * by `md5('walk-' ++ cur ++ '-' ++ step) mod degree` over the
+    * node's SORTED neighbor list — the DeepWalk/node2vec walk-corpus
+    * generator (walks are the training data graph-embedding models
+    * consume), made hash-gateable: hash-driven choice over a sorted
+    * adjacency is a pure function of the edge set, so both engines
+    * produce bit-identical walks where a seeded RNG never could
+    * across runtimes (the q43/q60 hash-sampling discipline applied to
+    * graph traversal — and per-(node, step) hashing is exactly how a
+    * distributed walker avoids coordinating RNG state across
+    * executors at 100 TB).
+    *
+    * Scale shape: adjacency build is one partial agg over the
+    * candidate edges (neighbor arrays band-cap-bounded); each hop is
+    * one equi-join against the checkpointed adjacency — [[WalkLen]]
+    * joins chained into one AQE-sized action, the fixed-k loop shape.
+    */
+  def q151(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val adj = edges.groupBy("src")
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      .localCheckpoint() // one consumer per hop
+    var walk = adj.select(col("src").as("start_id"), col("src").as("cur"))
+    (1 to WalkLen).foreach { t =>
+      val h = DedupFunctions.md5Hash32(
+        concat(lit("walk-"), col("cur").cast("string"), lit(s"-$t")))
+      val kept = (Seq(col("start_id")) ++
+        (1 until t).map(i => col(s"s$i"))) :+
+        col("nxt").as(s"s$t") :+ col("nxt").as("cur")
+      walk = walk
+        .join(adj.withColumnRenamed("src", "cur"), Seq("cur"))
+        .withColumn("nxt", element_at(col("nbrs"),
+          (pmod(h, size(col("nbrs"))) + 1).cast("int")))
+        .select(kept: _*)
+    }
+    walk.select(col("start_id") +:
+      (1 to WalkLen).map(i => col(s"s$i")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_random_walks" -> (q151 _),
     "q148_dedup_savings" -> (q148 _),
     "q147_minhash_calibration" -> (q147 _),
     "q131_kcore" -> (q131 _),
@@ -1771,7 +1820,35 @@ object DedupQueries {
        |   AS bias_1e6
        |FROM b""".stripMargin
 
+  /** One unrolled walk hop: hash-mod-degree pick over the sorted
+    * adjacency, generated per step so the oracle replays exactly
+    * [[WalkLen]] hops.
+    */
+  private def walkHopSql(t: Int): String = {
+    val prev = if (t == 1) "w0" else s"w${t - 1}"
+    val curCol = if (t == 1) "cur" else s"s${t - 1}"
+    val carried = (1 until t).map(i => s"w.s$i, ").mkString
+    s"""w$t AS (
+       | SELECT w.start_id, $carried
+       |  a.nbrs[CAST((CAST(concat('0x', substr(md5(concat('walk-',
+       |    CAST(w.$curCol AS VARCHAR), '-$t')), 1, 8)) AS BIGINT)
+       |    % len(a.nbrs)) AS INT) + 1] AS s$t
+       | FROM $prev w JOIN adj a ON w.$curCol = a.src)""".stripMargin
+  }
+
+  private def q151OracleSql: String =
+    s"""$lshCteSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs
+       |        FROM edges GROUP BY 1),
+       |w0 AS (SELECT src AS start_id, src AS cur FROM adj),
+       |${(1 to WalkLen).map(walkHopSql).mkString(",\n")}
+       |SELECT start_id, ${(1 to WalkLen).map(i => s"s$i").mkString(", ")}
+       |FROM w$WalkLen""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q151_random_walks" -> q151OracleSql,
     "q148_dedup_savings" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$ccCompCte,
