@@ -703,10 +703,15 @@ object TimeseriesQueries {
     * per-user state, the q137 anatomy); `last(value, ignoreNulls)`
     * over the running frame is O(1) per row.
     */
-  def q144(s: SparkSession, dir: String): DataFrame = {
+  /** The q144 core over any (event_id, user_id, ts, value) frame —
+    * factored so StreamingSpec can pin the online imputer against the
+    * batch expression on a null-injected corpus (the shipped lake has
+    * no null values, so the fill path needs constructed gaps).
+    */
+  private[graft] def fillOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    t(s, dir, "events")
+    events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("filled_value", last(col("value"), ignoreNulls = true).over(w))
@@ -714,6 +719,9 @@ object TimeseriesQueries {
         col("filled_value"),
         (col("value").isNull && col("filled_value").isNotNull).as("was_filled"))
   }
+
+  def q144(s: SparkSession, dir: String): DataFrame =
+    fillOf(t(s, dir, "events"))
 
   /** q145 — ROLLING 7-DAY ACTIVE USERS: per observed day, the distinct
     * users active that day (DAU), in the trailing 7-day window (WAU),

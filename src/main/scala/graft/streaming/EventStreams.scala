@@ -552,6 +552,56 @@ object EventStreams {
       }
   }
 
+  /** Per-user last-known-value marker for the online forward fill. */
+  case class FillState(tus: Long, eventId: Long, value: Double)
+
+  /** One imputed event — the q144 row shape. */
+  case class FilledEv(event_id: Long, user_id: Long,
+                      value: Option[Double], filled_value: Option[Double],
+                      was_filled: Boolean)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q144]]'s forward fill: each
+    * arriving event is emitted with its null `value` repaired from
+    * the user's most recent non-null reading — online feature
+    * imputation from O(1) state per user (one (micros, id, value)
+    * marker — the serving-path complement of the batch backfill,
+    * train/serve consistency pinned by StreamingSpec under ordered
+    * delivery across micro-batch splits).
+    *
+    * Ordering contract (the [[transitionEvents]] discipline): within
+    * a batch events sort by (micros, event_id); a CROSS-batch late
+    * event is filled from the CURRENT marker — the only value an
+    * online imputer has — which may postdate the late row; the batch
+    * backfill is the source of truth wherever arrival order diverges
+    * from event order.
+    */
+  def forwardFill(events: Dataset[Ev]): Dataset[FilledEv] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FilledEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[FillState]) =>
+          def tusOf(e: Ev): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val evs = it.toVector.sortBy(e => (tusOf(e), e.event_id))
+          var last = state.getOption
+          val out = evs.map { e =>
+            val v = Option(e.value).filterNot(_.isNaN)
+            val filled = v.orElse(last.map(_.value))
+            val tus = tusOf(e)
+            if (v.isDefined && last.forall(p =>
+                tus > p.tus || (tus == p.tus && e.event_id > p.eventId)))
+              last = Some(FillState(tus, e.event_id, e.value))
+            FilledEv(e.event_id, userId, v, filled,
+              v.isEmpty && filled.isDefined)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def abMonitor(events: Dataset[Ev]): Dataset[AbRow] = {
     import events.sparkSession.implicits._
     val bar = graft.queries.TimeseriesQueries.AbT2Bar1e6

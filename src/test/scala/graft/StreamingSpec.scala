@@ -787,4 +787,44 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("trans").count() == n0)
     } finally q.stop()
   }
+
+  test("forwardFill: online imputation equals batch q144 row-for-row " +
+    "across micro-batch splits (NaN carries the stream's null)") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the lake ships no null values — inject gaps (every 7th event)
+    // so the fill path actually fires, and run the SAME null-injected
+    // frame through the batch expression and the stream
+    val gapped = graft.Tables.load(spark, sf, "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.when($"event_id" % 7 === 0, null)
+          .otherwise($"value").as("value"))
+    val batch = graft.queries.TimeseriesQueries.fillOf(gapped)
+      .as[(Long, Long, Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // Ev.value is a primitive double — null rides as NaN on the wire
+    val evs = gapped
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.coalesce($"value",
+          org.apache.spark.sql.functions.lit(Double.NaN)).as("value"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    assert(evs.exists(_.value.isNaN))
+    val parts = Seq(evs.take(300), evs.slice(300, 301), evs.drop(301))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.forwardFill(in.toDS())
+      .writeStream.format("memory").queryName("ffill")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.table("ffill")
+        .as[(Long, Long, Option[Double], Option[Double], Boolean)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.values.exists(_._5), "no row was actually filled")
+    } finally q.stop()
+  }
 }
