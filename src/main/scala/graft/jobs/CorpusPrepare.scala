@@ -256,6 +256,25 @@ object CorpusPrepare {
                          tokensCol: String = "n_tokens"): DataFrame =
     packKept(keptBucketed(s, prefix), tokensCol)
 
+  /** Publish the packed corpus as ANALYTICS parquet Z-ORDERED on
+    * (n_tokens, quality) — the layout for the ad-hoc corpus-analytics
+    * side of the lake (the trainer-facing exports stay JSONL below).
+    * Curriculum stages scan token-length BANDS (q62's buckets) and
+    * quality audits scan score bands; a single-key sort prunes only
+    * one of those, the Morton layout ([[graft.sources.Lake
+    * .writeZOrdered]], q134's key) keeps every file a compact
+    * rectangle in BOTH dimensions so either band predicate skips most
+    * files on min/max stats alone. LakeSpec measures the per-file
+    * range tightness for the writer; JobsSpec pins this publication's
+    * row fidelity and file geometry.
+    */
+  def publishAnalyticsZOrdered(packed: DataFrame, path: String,
+                               numFiles: Int = 8): Unit =
+    graft.sources.Lake.writeZOrdered(
+      packed.select("doc_id", "source", "lang", "split", "n_tokens",
+        "n_subword", "quality", "bin_id"),
+      "n_tokens", "quality", path, numFiles)
+
   /** Export the train split as JSONL shards laid out one directory per
     * (source, bin) — the bin boundary is PHYSICAL, so a trainer
     * streaming a shard directory reads one token-bounded bin, not an

@@ -300,6 +300,37 @@ class JobsSpec extends SparkSpec {
     assert(surv2 == Seq(2L))
   }
 
+  test("publishAnalyticsZOrdered: packed corpus lands z-clustered with " +
+    "row fidelity and tight n_tokens extents per file") {
+    import graft.jobs.CorpusPrepare
+    val scores = CorpusPrepare.score(spark, sf)
+    val dedup = CorpusPrepare.dedupDecide(spark, sf)
+    val packed = CorpusPrepare.filterPack(spark, sf, scores, dedup)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcorpus")
+      .toString + "/corpus_z"
+    CorpusPrepare.publishAnalyticsZOrdered(packed, dir, numFiles = 8)
+    val back = spark.read.parquet(dir)
+    // row fidelity: same doc set, no text column in the analytics layout
+    assert(back.count() == packed.count())
+    assert(back.select($"doc_id").as[Long].collect().toSet ==
+      packed.select($"doc_id").as[Long].collect().toSet)
+    assert(!back.columns.contains("text"))
+    // geometry: the requested file count, each a compact token band —
+    // average per-file n_tokens extent well under the global range
+    // (the LakeSpec tightness claim, asserted on the corpus publisher)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.toString)
+    assert(files.length == 8)
+    val whole = packed.agg(max($"n_tokens") - min($"n_tokens")).head()
+      .getLong(0).toDouble
+    val avgExtent = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"n_tokens"), max($"n_tokens")).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }.sum / files.length
+    assert(avgExtent / whole < 0.7, s"token extent ${avgExtent / whole}")
+  }
+
   test("cluster_policy=lpa: community labels refine CC clusters, canonicals " +
     "are members, and the DAG keep only ever grows") {
     import graft.jobs.CorpusPrepare
