@@ -552,6 +552,45 @@ object EventStreams {
       }
   }
 
+  /** One (source, lang) contingency cell emitted by the drift
+    * monitor — the monitor's output IS the live contingency table.
+    */
+  case class CellRow(source: String, lang: String, n: Long)
+
+  /** The STREAMING twin of
+    * [[graft.queries.CorpusQueries.q136]]'s contingency table: per
+    * source, a running language histogram in
+    * `flatMapGroupsWithState`; every micro-batch re-emits the
+    * source's full current histogram (bounded by the language space —
+    * rows, not corpus). The χ² assembly stays a consumer-side fold
+    * over the LATEST cells (counts only grow, so "latest" is max) —
+    * the [[transitionEvents]] pattern of emitting the scalable feed
+    * and leaving the matrix-sized reduction to the reader;
+    * StreamingSpec pins the assembled statistic EXACTLY equal to
+    * batch q136 under shuffled arrival and micro-batch splits
+    * (order-free integer state — arrival order cannot matter).
+    *
+    * Scale shape: state is one lang→count map per source (category-
+    * space bounded); sources shard across tasks, so no global
+    * single-key bottleneck. The online drift alarm a corpus-intake
+    * deployment runs continuously where the batch q136 audits
+    * snapshots.
+    */
+  def langMixMonitor(docs: Dataset[(Long, String, String)]): Dataset[CellRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[String, Long], CellRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(Long, String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          it.foreach { d => m += d._3 -> (m.getOrElse(d._3, 0L) + 1L) }
+          state.update(m)
+          m.iterator.map { case (l, n) => CellRow(src, l, n) }
+      }
+  }
+
   /** Per-user last-known-value marker for the online forward fill. */
   case class FillState(tus: Long, eventId: Long, value: Double)
 

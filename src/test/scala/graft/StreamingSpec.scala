@@ -827,4 +827,48 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.values.exists(_._5), "no row was actually filled")
     } finally q.stop()
   }
+
+  test("langMixMonitor: the live contingency table assembles to batch " +
+    "q136's chi-squared EXACTLY under shuffled arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batchRow = graft.queries.CorpusQueries.q136(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"source", $"lang")
+      .as[(Long, String, String)].collect()
+    val shuffled = new scala.util.Random(31).shuffle(docs.toVector)
+    val parts = Seq(shuffled.take(170), shuffled.slice(170, 171),
+      shuffled.drop(171))
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.langMixMonitor(in.toDS())
+      .writeStream.format("memory").queryName("mix")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      // latest cell per (source, lang) = its max (counts only grow)
+      val cells = spark.table("mix")
+        .as[(String, String, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> rs.map(_._3).max }
+      // assemble chi-squared over the FULL grid with the q136 integer
+      // algebra (BigInt floor division per cell, order-free sum)
+      val sources = cells.keys.map(_._1).toSeq.distinct
+      val langs = cells.keys.map(_._2).toSeq.distinct
+      val rTot = sources.map(s => s ->
+        BigInt(cells.collect { case ((`s`, _), n) => n }.sum)).toMap
+      val cTot = langs.map(l => l ->
+        BigInt(cells.collect { case ((_, `l`), n) => n }.sum)).toMap
+      val n = rTot.values.sum
+      val chi2 = (for { s <- sources; l <- langs } yield {
+        val o = BigInt(cells.getOrElse((s, l), 0L))
+        val d = o * n - rTot(s) * cTot(l)
+        (d * d * 1000000) / (n * rTot(s) * cTot(l))
+      }).sum
+      assert((n.toLong, sources.size.toLong, langs.size.toLong,
+        (sources.size - 1L) * (langs.size - 1L), chi2.toLong) == batchRow)
+    } finally q.stop()
+  }
 }
