@@ -660,7 +660,50 @@ object CorpusQueries {
     "q106_overlap_chunks" -> (q106 _),
     "q136_chi2_independence" -> (q136 _),
     "q143_ks_drift" -> (q143 _),
-    "q149_fair_topk" -> (q149 _))
+    "q149_fair_topk" -> (q149 _),
+    "q152_psi_drift" -> (q152 _))
+
+  /** q152 — POPULATION STABILITY INDEX between [[KsSourceA]] and
+    * [[KsSourceB]]'s document-length distributions over log₂ size
+    * buckets: `PSI = Σ_b (p_A − p_B)·ln(p_A / p_B)` — the third leg
+    * of the drift triad (q136 χ² for categorical composition, q143
+    * KS for exact distribution shape, PSI for the industry-standard
+    * bucketed severity score with its conventional 0.1/0.25 alarm
+    * thresholds). Buckets are EXACT integer `floor(log₂ n_chars)`
+    * (power-of-2 boundaries are exact in IEEE — no edge-of-bucket
+    * float hazard); each bucket's term is computed from exact integer
+    * counts, QUANTIZED to 10⁻⁶, then summed as longs (the q140
+    * quantize-then-sum discipline). Buckets empty on either side are
+    * SKIPPED and counted (the standard finite-PSI convention —
+    * epsilon-padding trades one bias for another; surfacing the skip
+    * count lets the reader judge).
+    *
+    * Scale shape: one filtered partial agg over the corpus into a
+    * ≤ 64-row bucket table; everything after is bucket-table-sized.
+    */
+  def q152(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .filter(col("source").isin(KsSourceA, KsSourceB) && col("n_chars") > 0L)
+      .groupBy(expr("CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS BIGINT)")
+        .as("bucket"))
+      .agg(
+        sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // two consumers: totals + the term sum
+    val totals = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("ca"), col("cb"), col("na"), col("nb"),
+        when(col("ca") > 0L && col("cb") > 0L,
+          round((col("ca").cast("double") / col("na") -
+            col("cb").cast("double") / col("nb")) *
+            log((col("ca").cast("double") * col("nb")) /
+              (col("cb").cast("double") * col("na"))) * 1000000.0, 0)
+            .cast("long")).as("term"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("term").isNull, 1L).otherwise(0L)).as("n_skipped"),
+        coalesce(sum(col("term")), lit(0L)).as("psi_1e6"))
+  }
 
   /** q149's geometry: the global cut and the per-source diversity cap.
     * Shared with the oracle.
@@ -798,6 +841,29 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q152_psi_drift" ->
+      s"""WITH cells AS (
+        | SELECT CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket,
+        |  CAST(sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN source = '$KsSourceB' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM documents
+        | WHERE source IN ('$KsSourceA', '$KsSourceB') AND n_chars > 0
+        | GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM cells),
+        |terms AS (
+        | SELECT c.ca, c.cb, t.na, t.nb,
+        |  CASE WHEN c.ca > 0 AND c.cb > 0 THEN
+        |   CAST(round((CAST(c.ca AS DOUBLE) / t.na - CAST(c.cb AS DOUBLE) / t.nb)
+        |     * ln((CAST(c.ca AS DOUBLE) * t.nb) / (CAST(c.cb AS DOUBLE) * t.na))
+        |     * 1000000.0) AS BIGINT)
+        |  END AS term
+        | FROM cells c CROSS JOIN tot t)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        | CAST(count(*) AS BIGINT) AS n_buckets,
+        | CAST(sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        | CAST(coalesce(sum(term), 0) AS BIGINT) AS psi_1e6
+        |FROM terms""".stripMargin,
     "q149_fair_topk" ->
       s"""WITH ranked AS (
         | SELECT doc_id, source, n_chars,
