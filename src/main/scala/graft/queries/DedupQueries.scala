@@ -1601,7 +1601,31 @@ object DedupQueries {
       (1 to WalkLen).map(i => col(s"s$i")): _*)
   }
 
+  /** q153 — per-source PIPELINE FUNNEL card: how many documents each
+    * source contributes at every curation stage — raw → quality pass
+    * (q34/q49's bar) → dedup canonical (q48) → kept (both) → train
+    * split (q60's hash) — the observability table a 100 TB intake
+    * review reads to see WHERE each source's documents die ("src7
+    * loses 60% to dedup: it's a mirror; src3 loses everything to
+    * quality: it's spam"). Pure exact counts over the shared memoized
+    * derivations; one row per source, one partial-agg shuffle.
+    */
+  def q153(s: SparkSession, dir: String): DataFrame =
+    q49(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("split", splitCol(col("doc_id")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("quality") >= KeepQuality, 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept") && col("split") === "train", 1L).otherwise(0L))
+          .as("n_train"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_pipeline_funnel" -> (q153 _),
     "q151_random_walks" -> (q151 _),
     "q148_dedup_savings" -> (q148 _),
     "q147_minhash_calibration" -> (q147 _),
@@ -1848,6 +1872,32 @@ object DedupQueries {
        |FROM w$WalkLen""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q153_pipeline_funnel" ->
+      s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ccCompCte,
+         |q AS (
+         | SELECT doc_id,
+         |  round(least(CAST(len(${TextQueries.wsSql}) AS DOUBLE) / 100.0, 1.0)
+         |    * greatest(0.0, 1.0 - (${TextQueries.punctRatioSql}) * 5.0), 4) AS quality
+         | FROM documents),
+         |st AS (
+         | SELECT d.source, q.quality,
+         |  (d.doc_id = coalesce(c.comp, d.doc_id)) AS is_canonical,
+         |  (q.quality >= $KeepQuality
+         |    AND d.doc_id = coalesce(c.comp, d.doc_id)) AS kept,
+         |  ${splitCaseSql("d.doc_id")} AS split
+         | FROM documents d
+         | JOIN q ON d.doc_id = q.doc_id
+         | LEFT JOIN comp c ON d.doc_id = c.v)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+         | CAST(sum(CASE WHEN quality >= $KeepQuality THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_quality,
+         | CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_canonical,
+         | CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN kept AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_train
+         |FROM st GROUP BY source""".stripMargin,
     "q151_random_walks" -> q151OracleSql,
     "q148_dedup_savings" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
