@@ -589,7 +589,44 @@ object TextQueries {
         expr("intercept_1e6 div 1000000").as("intercept_ln_1e6"))
   }
 
+  /** q154 — PER-SOURCE BOILERPLATE probe: the longest common PREFIX
+    * and SUFFIX shared by EVERY document of a source (shared headers /
+    * footers — the template chrome a cleaning pass strips before
+    * dedup, and the reason per-source boilerplate n-grams like q90
+    * exist). Exactness trick: for any string set, the common prefix
+    * of ALL strings equals the common prefix of the lexicographic MIN
+    * and MAX alone — so the corpus-wide scan is one min/max partial
+    * agg (two strings per source cross the exchange, never the
+    * corpus), and the character comparison runs on a sources-sized
+    * frame. Suffixes via the same identity on reversed strings. The
+    * emitted md5 of the shared prefix is the blocklist key a scrub
+    * stage matches against.
+    *
+    * The per-row LCP fold is an interpreted higher-order expression —
+    * acceptable exactly BECAUSE it runs on the ≤-sources-sized
+    * aggregate, not the corpus (the documented q84/q61 trade).
+    */
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    def lcpLen(a: String, b: String): String =
+      s"""IF(array_position(transform(sequence(1,
+         |   CAST(least(length($a), length($b)) AS INT)),
+         |   i -> substring($a, i, 1) = substring($b, i, 1)), false) = 0,
+         | CAST(least(length($a), length($b)) AS BIGINT),
+         | array_position(transform(sequence(1,
+         |   CAST(least(length($a), length($b)) AS INT)),
+         |   i -> substring($a, i, 1) = substring($b, i, 1)), false) - 1)""".stripMargin
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("text")).as("mn"), max(col("text")).as("mx"))
+      .select(col("source"), col("n_docs"),
+        expr(lcpLen("mn", "mx")).as("lcp_len"),
+        expr(lcpLen("reverse(mn)", "reverse(mx)")).as("lcsuf_len"))
+      .select(col("source"), col("n_docs"), col("lcp_len"), col("lcsuf_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_source_boilerplate" -> (q154 _),
     "q140_zipf_fit" -> (q140 _),
     "q119_normalize" -> (q119 _),
     "q120_pmi_collocations" -> (q120 _),
@@ -665,6 +702,22 @@ object TextQueries {
        | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q154_source_boilerplate" -> {
+      def lcpLen(a: String, b: String): String =
+        s"""coalesce(list_position(list_transform(range(1,
+           |   CAST(least(len($a), len($b)) AS BIGINT) + 1),
+           |   i -> substr($a, CAST(i AS INT), 1) = substr($b, CAST(i AS INT), 1)),
+           |   false) - 1,
+           | CAST(least(len($a), len($b)) AS BIGINT))""".stripMargin
+      s"""WITH mm AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(text) AS mn, max(text) AS mx
+         | FROM documents GROUP BY source)
+         |SELECT source, n_docs,
+         | CAST(${lcpLen("mn", "mx")} AS BIGINT) AS lcp_len,
+         | CAST(${lcpLen("reverse(mn)", "reverse(mx)")} AS BIGINT) AS lcsuf_len
+         |FROM mm""".stripMargin
+    },
     "q140_zipf_fit" ->
       s"""WITH v AS (
          | SELECT w, CAST(count(*) AS BIGINT) AS freq
