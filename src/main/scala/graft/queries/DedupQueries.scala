@@ -1624,7 +1624,47 @@ object DedupQueries {
         sum(when(col("kept") && col("split") === "train", 1L).otherwise(0L))
           .as("n_train"))
 
+  /** Fixed hop budget for [[q155]] — the oracle unrolls exactly this
+    * many frontier expansions.
+    */
+  val ReachHops = 3
+
+  /** q155 — K-HOP REACH (hop-bounded BFS) from the seed document:
+    * every candidate-graph member within [[ReachHops]] hops of the
+    * q125 seed (min doc_id), labeled with its exact hop distance —
+    * the hop-count complement to q125's personalized PageRank (PPR
+    * ranks proximity by random-walk mass; BFS answers the sharper
+    * "HOW FAR is this near-dup, transitively?" that a contamination
+    * investigation walks: doc → its dups → THEIR dups). Frontier
+    * expansion with min-hop retention is exact integers — unrolled
+    * SQL replay, hash-gated.
+    *
+    * Scale shape: per hop one frontier⋈edges equi-join + a min-hop
+    * partial agg against the visited set — frontier-sized, not
+    * graph-sized; [[ReachHops]] hops chain into one AQE-sized action
+    * (the fixed-k loop shape). At 100 TB a deployment widens the
+    * seed frame exactly like PPR's batched seeds.
+    */
+  def q155(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // the seed agg + every hop consume it
+    val seed = edges.agg(min(col("src")).as("id"))
+    var reach = seed.select(col("id"), lit(0L).as("hop"))
+    (1 to ReachHops).foreach { h =>
+      val frontier = reach.filter(col("hop") === (h - 1).toLong)
+        .select(col("id").as("src"))
+      val next = edges.join(frontier, Seq("src"))
+        .select(col("dst").as("id"), lit(h.toLong).as("hop"))
+      reach = reach.union(next)
+        .groupBy("id").agg(min(col("hop")).as("hop"))
+    }
+    reach.select(col("id").as("doc_id"), col("hop"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_khop_reach" -> (q155 _),
     "q153_pipeline_funnel" -> (q153 _),
     "q151_random_walks" -> (q151 _),
     "q148_dedup_savings" -> (q148 _),
@@ -1871,7 +1911,28 @@ object DedupQueries {
        |SELECT start_id, ${(1 to WalkLen).map(i => s"s$i").mkString(", ")}
        |FROM w$WalkLen""".stripMargin
 
+  /** One unrolled BFS hop (frontier join → min-hop merge), generated
+    * per hop so the oracle replays exactly [[ReachHops]] expansions.
+    */
+  private def reachHopSql(h: Int): String =
+    s"""f$h AS (
+       | SELECT e.dst AS id, CAST($h AS BIGINT) AS hop
+       | FROM edges e JOIN r${h - 1} r ON e.src = r.id AND r.hop = ${h - 1}),
+       |r$h AS (
+       | SELECT id, CAST(min(hop) AS BIGINT) AS hop
+       | FROM (SELECT * FROM r${h - 1} UNION ALL SELECT * FROM f$h)
+       | GROUP BY id)""".stripMargin
+
+  private def q155OracleSql: String =
+    s"""$lshCteSql,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION ALL SELECT doc_b, doc_a FROM cand),
+       |r0 AS (SELECT min(src) AS id, CAST(0 AS BIGINT) AS hop FROM edges),
+       |${(1 to ReachHops).map(reachHopSql).mkString(",\n")}
+       |SELECT id AS doc_id, hop FROM r$ReachHops""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q155_khop_reach" -> q155OracleSql,
     "q153_pipeline_funnel" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$ccCompCte,

@@ -625,7 +625,41 @@ object TextQueries {
       .select(col("source"), col("n_docs"), col("lcp_len"), col("lcsuf_len"))
   }
 
+  /** q156 — CHARSET PROFILE per source: exact character-class counts
+    * (uppercase, digits, whitespace, non-ASCII) as corpus totals and
+    * 10⁻⁶ fixed-point ratios — the ingest-time encoding/casing audit
+    * that catches mojibake floods, ALL-CAPS spam feeds, and
+    * numeric-table dumps before any model-side quality score sees
+    * them (the profile q34's composite score summarizes, itemized).
+    * Counts come from `regexp_replace` complements — exact integers,
+    * so the whole profile hash-gates; ratios floor-divide (the q121
+    * discipline).
+    *
+    * Scale shape: one projection of four regexp counts (codegen'd)
+    * + one partial-agg shuffle on source.
+    */
+  def q156(s: SparkSession, dir: String): DataFrame = {
+    def cnt(pattern: String): org.apache.spark.sql.Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    t(s, dir, "documents")
+      .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+        cnt("[A-Z]").as("n_upper"), cnt("[0-9]").as("n_digit"),
+        cnt("\\s").as("n_space"), cnt("[^\\x00-\\x7F]").as("n_nonascii"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_upper")).as("n_upper"), sum(col("n_digit")).as("n_digit"),
+        sum(col("n_space")).as("n_space"),
+        sum(col("n_nonascii")).as("n_nonascii"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("(n_upper * 1000000) div n_chars").as("upper_1e6"),
+        expr("(n_digit * 1000000) div n_chars").as("digit_1e6"),
+        expr("(n_space * 1000000) div n_chars").as("space_1e6"),
+        expr("(n_nonascii * 1000000) div n_chars").as("nonascii_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_charset_profile" -> (q156 _),
     "q154_source_boilerplate" -> (q154 _),
     "q140_zipf_fit" -> (q140 _),
     "q119_normalize" -> (q119 _),
@@ -702,6 +736,31 @@ object TextQueries {
        | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q156_charset_profile" -> {
+      def cnt(pattern: String): String =
+        s"len(text) - len(regexp_replace(text, '$pattern', '', 'g'))"
+      s"""WITH c AS (
+        | SELECT source, CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(${cnt("[A-Z]")} AS BIGINT) AS n_upper,
+        |  CAST(${cnt("[0-9]")} AS BIGINT) AS n_digit,
+        |  CAST(${cnt("\\s")} AS BIGINT) AS n_space,
+        |  CAST(${cnt("[^\\x00-\\x7F]")} AS BIGINT) AS n_nonascii
+        | FROM documents),
+        |a AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_upper) AS BIGINT) AS n_upper,
+        |  CAST(sum(n_digit) AS BIGINT) AS n_digit,
+        |  CAST(sum(n_space) AS BIGINT) AS n_space,
+        |  CAST(sum(n_nonascii) AS BIGINT) AS n_nonascii
+        | FROM c GROUP BY source)
+        |SELECT source, n_docs, n_chars,
+        | CAST((n_upper * 1000000) // n_chars AS BIGINT) AS upper_1e6,
+        | CAST((n_digit * 1000000) // n_chars AS BIGINT) AS digit_1e6,
+        | CAST((n_space * 1000000) // n_chars AS BIGINT) AS space_1e6,
+        | CAST((n_nonascii * 1000000) // n_chars AS BIGINT) AS nonascii_1e6
+        |FROM a""".stripMargin
+    },
     "q154_source_boilerplate" -> {
       def lcpLen(a: String, b: String): String =
         s"""coalesce(list_position(list_transform(range(1,
