@@ -503,7 +503,39 @@ object RelationalQueries {
       .groupBy(col("p").as("part"))
       .agg(count(lit(1)).as("n_orders"), sum(col("wt")).as("decayed_2p20"))
 
+  /** q157 — JOIN-FANOUT STATISTICS: for each candidate join key of
+    * the fact table, the exact self-join output size `Σ_k c_k²`, the
+    * hottest key's count, and the key cardinality — the
+    * cost-based-optimizer primitive a 100 TB deployment computes
+    * BEFORE committing to a join (`Σ c_k²` IS the self-join row
+    * count; `Σ cA·cB` the general case), and the measured
+    * justification for q133's basket guard and the salting/AQE-skew
+    * decisions ([[graft.operators.SaltedAgg]], q138's Gini). Exact
+    * integers in DECIMAL(38,0): Σc² at web scale exceeds 2⁶³ — which
+    * is precisely the warning the table exists to give.
+    *
+    * Scale shape: one partial-agg count per key choice over the same
+    * scan, each reduced to a one-row summary; the per-key count
+    * tables never leave the executors.
+    */
+  def q157(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def statsFor(keyCol: String): DataFrame =
+      t(s, dir, "lineitem")
+        .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(expr(s"CAST(c AS $dec) * CAST(c AS $dec)")).cast("long")
+            .as("self_join_rows"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(keyCol).as("join_key"), col("n_keys"),
+          col("self_join_rows"), col("max_key_rows"))
+    statsFor("l_orderkey")
+      .unionAll(statsFor("l_partkey"))
+      .unionAll(statsFor("l_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_join_fanout" -> (q157 _),
     "q142_decayed_popularity" -> (q142 _),
     "q141_hits" -> (q141 _),
     "q135_compaction_plan" -> (q135 _),
@@ -552,6 +584,16 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q157_join_fanout" -> {
+      def statsFor(k: String): String =
+        s"""SELECT '$k' AS join_key, CAST(count(*) AS BIGINT) AS n_keys,
+           | CAST(sum(c * c) AS BIGINT) AS self_join_rows,
+           | CAST(max(c) AS BIGINT) AS max_key_rows
+           |FROM (SELECT CAST(count(*) AS HUGEINT) AS c
+           |      FROM lineitem GROUP BY $k)""".stripMargin
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map(statsFor)
+        .mkString("\nUNION ALL\n")
+    },
     "q142_decayed_popularity" ->
       s"""WITH po AS (
         | SELECT DISTINCT l_partkey AS p, o_orderkey AS o,

@@ -794,7 +794,50 @@ object TimeseriesQueries {
         round(element_at(col("p"), 2) / 1000000.0, 4).as("p90_gap_s"))
   }
 
+  /** q158's interval hold: each event occupies [t, t + 5 min) — the
+    * exclusive end is encoded in the sweep ordering (ends sort before
+    * starts at the same instant). Shared with the oracle.
+    */
+  val ConcurrencyHoldUs = 300L * 1000000L
+
+  /** q158 — PEAK CONCURRENCY per event type: treat each event as a
+    * [t, t+5min) interval and find the maximum number simultaneously
+    * open — the classic sweep-line statistic (server load peaks,
+    * fleet occupancy, concurrent-session capacity planning). The
+    * sweep is exact integers: ±1 deltas at `2·tus + {1,0}` sweep
+    * keys (ends even, starts odd — exclusive-end tie order encoded
+    * in the key), a running sum, and a max.
+    *
+    * Scale shape: the running sum is
+    * [[graft.operators.SequencePacking]]'s two-pass distributed
+    * prefix sum (its FOURTH consumer: shard packing, compaction
+    * planning, the windowless Gini, now the sweep line) — a per-type
+    * window would drag each type's entire sweep through one task;
+    * the prefix sum keeps parallelism at the range-partition count.
+    * Equal sweep keys (same-microsecond same-kind endpoints) permute
+    * only WITHIN a tie group, and a tie group's running-sum multiset
+    * is order-invariant, so max(cum) is deterministic even though
+    * per-row cums under ties are not (why this query may share sweep
+    * keys while the packing callers require unique order keys).
+    */
+  def q158(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+    val sweep = ev.select(col("event_type"),
+        (col("tus") * 2L + 1L).as("ord"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_type"),
+        ((col("tus") + ConcurrencyHoldUs) * 2L).as("ord"),
+        lit(-1L).as("delta")))
+    graft.operators.SequencePacking
+      .withBins(sweep, Seq("event_type"), "ord", "delta", Long.MaxValue / 4)
+      .groupBy("event_type")
+      .agg(expr("count(1) div 2").as("n_events"),
+        max(col("cum_tokens")).as("max_concurrent"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_peak_concurrency" -> (q158 _),
     "q146_interarrival" -> (q146 _),
     "q145_rolling_wau" -> (q145 _),
     "q144_forward_fill" -> (q144 _),
@@ -877,6 +920,22 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q158_peak_concurrency" ->
+      s"""WITH ev AS (
+        | SELECT event_type, epoch_us(ts) AS tus FROM events
+        | WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |sweep AS (
+        | SELECT event_type, tus * 2 + 1 AS ord, 1 AS delta FROM ev
+        | UNION ALL
+        | SELECT event_type, (tus + $ConcurrencyHoldUs) * 2, -1 FROM ev),
+        |c AS (
+        | SELECT event_type,
+        |  CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY ord
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM sweep)
+        |SELECT event_type, CAST(count(*) // 2 AS BIGINT) AS n_events,
+        | CAST(max(cum) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY 1""".stripMargin,
     "q146_interarrival" ->
       """WITH seq AS (
         | SELECT event_type, epoch_us(ts) AS tus,
