@@ -534,7 +534,42 @@ object RelationalQueries {
       .unionAll(statsFor("l_suppkey"))
   }
 
+  /** q160 — REFERENTIAL-INTEGRITY AUDIT: for each FK relationship of
+    * the star schema, the exact count of child rows whose parent is
+    * missing (orphans) and parent rows no child references
+    * (childless) — the ingest-contract check every lake runs before
+    * trusting joins (an orphan silently vanishes from every inner
+    * join; the reference's pipelines assume these invariants, this
+    * table PROVES them). Both directions are anti-join counts — no
+    * payload moves, just keys.
+    *
+    * Scale shape: per relationship one distinct-key projection per
+    * side and two anti semi-joins reduced to one-row counts; the
+    * three relationship rows union driver-free.
+    */
+  def q160(s: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val ck = child.select(col(childKey).as("k")).distinct()
+      val pk = parent.select(col(parentKey).as("k")).distinct()
+      val orphans = ck.join(pk, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"))
+      val childless = pk.join(ck, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_childless_parents"))
+      orphans.crossJoin(childless)
+        .select(lit(rel).as("relationship"), col("n_orphan_keys"),
+          col("n_childless_parents"))
+    }
+    audit("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey")
+      .unionAll(audit("orders->customer", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .unionAll(audit("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_referential_audit" -> (q160 _),
     "q157_join_fanout" -> (q157 _),
     "q142_decayed_popularity" -> (q142 _),
     "q141_hits" -> (q141 _),
@@ -584,6 +619,23 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q160_referential_audit" -> {
+      def audit(rel: String, child: String, ck: String,
+                parent: String, pk: String): String =
+        s"""SELECT '$rel' AS relationship,
+           | CAST((SELECT count(*) FROM (SELECT DISTINCT $ck AS k FROM $child) c
+           |   WHERE c.k NOT IN (SELECT $pk FROM $parent)) AS BIGINT)
+           |   AS n_orphan_keys,
+           | CAST((SELECT count(*) FROM (SELECT DISTINCT $pk AS k FROM $parent) p
+           |   WHERE p.k NOT IN (SELECT $ck FROM $child)) AS BIGINT)
+           |   AS n_childless_parents""".stripMargin
+      Seq(audit("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        audit("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        audit("lineitem->part", "lineitem", "l_partkey",
+          "part", "p_partkey")).mkString("\nUNION ALL\n")
+    },
     "q157_join_fanout" -> {
       def statsFor(k: String): String =
         s"""SELECT '$k' AS join_key, CAST(count(*) AS BIGINT) AS n_keys,

@@ -836,7 +836,47 @@ object TimeseriesQueries {
         max(col("cum_tokens")).as("max_concurrent"))
   }
 
+  /** q159 — TEMPORAL EVENT-TYPE CO-OCCURRENCE: which event types
+    * happen in the SAME user-hour, with lift — q133's basket analysis
+    * with (user, hour) as the basket and event types as the items:
+    * the behavioral-affinity table ("errors co-occur with retries,
+    * purchases with views") that complements q137's SEQUENTIAL
+    * transitions with an order-free within-window view. Baskets hold
+    * ≤ |event types| items by construction, so the within-basket
+    * pairing needs no guard; all counts and the 10⁻⁶ lift are exact
+    * integers.
+    *
+    * Scale shape: one distinct over (user-hour, type) — the activity
+    * table; pair counts via ordered within-basket self-join bounded
+    * by the type space; marginals and N ride the same distinct frame
+    * (the q133 anatomy with a provably tiny basket).
+    */
+  def q159(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(concat(col("user_id").cast("string"), lit("@"),
+          date_trunc("HOUR", col("ts")).cast("string")).as("o"),
+        col("event_type").as("p"))
+      .distinct()
+      .localCheckpoint() // three consumers: pairs, marginals, N
+    val totals = items.agg(countDistinct(col("o")).as("n_baskets"))
+    val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val pairs = items.toDF("o", "type_a")
+      .join(items.toDF("o", "type_b"), Seq("o"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(itemCnt.toDF("type_a", "n_a"), Seq("type_a"))
+      .join(itemCnt.toDF("type_b", "n_b"), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").as("lift_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_type_cooccurrence" -> (q159 _),
     "q158_peak_concurrency" -> (q158 _),
     "q146_interarrival" -> (q146 _),
     "q145_rolling_wau" -> (q145 _),
@@ -920,6 +960,29 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q159_type_cooccurrence" ->
+      """WITH items AS (
+        | SELECT DISTINCT
+        |  concat(CAST(user_id AS VARCHAR), '@',
+        |    CAST(date_trunc('hour', ts) AS TIMESTAMP)::VARCHAR) AS o,
+        |  event_type AS p
+        | FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |   AND event_type IS NOT NULL),
+        |tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM items),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+        |pc AS (
+        | SELECT a.p AS type_a, b.p AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        | GROUP BY 1, 2)
+        |SELECT pc.type_a, pc.type_b, pc.n_ab, ia.n AS n_a, ib.n AS n_b,
+        | t.n_baskets,
+        | CAST((pc.n_ab * t.n_baskets * 1000000) // (ia.n * ib.n) AS BIGINT)
+        |   AS lift_1e6
+        |FROM pc
+        |JOIN ic ia ON pc.type_a = ia.p
+        |JOIN ic ib ON pc.type_b = ib.p
+        |CROSS JOIN tot t""".stripMargin,
     "q158_peak_concurrency" ->
       s"""WITH ev AS (
         | SELECT event_type, epoch_us(ts) AS tus FROM events
