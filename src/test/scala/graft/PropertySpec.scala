@@ -381,6 +381,56 @@ class PropertySpec extends Properties("graft") {
       }
     }
 
+  /** q143's KS formulation: `max |cumA·N_B − cumB·N_A| / (N_A·N_B)`
+    * over the merged distinct-value grid must equal the textbook
+    * two-sample statistic `max_x |F_A(x) − F_B(x)|` evaluated at
+    * every pooled sample point — including duplicated values and
+    * values present in only one arm, the cases where a naive
+    * per-arm-grid evaluation goes wrong.
+    */
+  property("q143 KS: integer cross-multiplied CDF max equals the textbook statistic") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 30)).map(_.take(30)),
+      Gen.nonEmptyListOf(Gen.choose(1, 30)).map(_.take(30))) { (xs, ys) =>
+      val na = BigInt(xs.size); val nb = BigInt(ys.size)
+      val grid = (xs ++ ys).distinct.sorted
+      val dInt = grid.map { v =>
+        val ca = BigInt(xs.count(_ <= v)); val cb = BigInt(ys.count(_ <= v))
+        (ca * nb - cb * na).abs
+      }.max
+      val dDouble = grid.map { v =>
+        math.abs(xs.count(_ <= v).toDouble / xs.size -
+          ys.count(_ <= v).toDouble / ys.size)
+      }.max
+      // the integer form is the exact rational; the double form agrees
+      // to float precision
+      math.abs(dInt.toDouble / (na * nb).toDouble - dDouble) < 1e-9
+    }
+
+  /** q152's PSI in 10⁻⁶ quantize-then-sum fixed point: exactly zero
+    * on identical distributions, symmetric up to ONE quantization
+    * unit per bucket (the difference factor negates exactly, but the
+    * log factor is `log(u)` vs `log(fl(1/u))` — a last-ulp pair, so
+    * a rounded term may shift by one only when it lands within an
+    * ulp of a half-unit), and non-negative always (each term's
+    * factors share a sign). The bound is the honest one — asserting
+    * bit-exact symmetry would be a latent one-in-a-billion flake.
+    */
+  property("q152 PSI: zero at identity, symmetric within quantization, never negative") =
+    Prop.forAll(Gen.listOfN(6, Gen.choose(1L, 50L)),
+      Gen.listOfN(6, Gen.choose(1L, 50L))) { (as, bs) =>
+      def psi(a: Seq[Long], b: Seq[Long]): Long = {
+        val na = a.sum.toDouble; val nb = b.sum.toDouble
+        a.indices.collect {
+          case i if a(i) > 0 && b(i) > 0 =>
+            math.round((a(i) / na - b(i) / nb) *
+              math.log((a(i) * nb) / (b(i) * na)) * 1e6)
+        }.sum
+      }
+      psi(as, as) == 0L &&
+        math.abs(psi(as, bs) - psi(bs, as)) <= as.size.toLong &&
+        psi(as, bs) >= 0L
+    }
+
   /** q138's prefix-sum Gini identity: the rank-free form
     * `((n+1)T − 2ΣSᵢ) div (nT)` (what the distributed operator
     * computes) must equal the textbook rank formula
