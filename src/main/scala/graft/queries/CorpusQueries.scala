@@ -661,7 +661,48 @@ object CorpusQueries {
     "q136_chi2_independence" -> (q136 _),
     "q143_ks_drift" -> (q143 _),
     "q149_fair_topk" -> (q149 _),
-    "q152_psi_drift" -> (q152 _))
+    "q152_psi_drift" -> (q152 _),
+    "q161_weighted_reservoir" -> (q161 _))
+
+  /** q161's sample size. */
+  val AesK = 50
+
+  /** q161 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–
+    * Spirakis A-ES): keep the [[AesK]] documents with the largest
+    * `u^(1/w)` keys — equivalently the largest `ln(u)/w` (u ∈ (0,1],
+    * so both are ≤ 0 and the transform is monotone) — which is
+    * EXACTLY a w-weighted uniform sample without replacement, as one
+    * distributed top-k. Weights are `n_chars` (sample proportional to
+    * size — the training-data use: longer documents carry more
+    * tokens, a char-weighted doc sample IS an approximately
+    * token-uniform sample). The uniform u is hash-derived
+    * (`md5('aes-' ++ doc_id)`, the q43/q151 discipline), so the
+    * sample is reproducible and engine-portable where a seeded RNG
+    * is neither; q91's Bernoulli sampler answers "keep each row with
+    * probability ∝ w", this answers "give me exactly k, weighted" —
+    * the two standard weighted-sampling contracts.
+    *
+    * Scale shape: one projection + TakeOrderedAndProject (per-
+    * partition k-heaps, driver merges k·partitions rows); the rank
+    * window orders [[AesK]] rows.
+    */
+  def q161(s: SparkSession, dir: String): DataFrame = {
+    val u = (graft.functions.DedupFunctions.md5Hash32(
+      concat(lit("aes-"), col("doc_id").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val ranked = t(s, dir, "documents")
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(AesK)
+    ranked
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("skey").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"),
+        round(col("skey"), 9).as("skey"))
+  }
 
   /** q152 — POPULATION STABILITY INDEX between [[KsSourceA]] and
     * [[KsSourceB]]'s document-length distributions over log₂ size
@@ -841,6 +882,19 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q161_weighted_reservoir" ->
+      s"""WITH s AS (
+        | SELECT doc_id, n_chars,
+        |  ln((CAST(concat('0x', substr(md5(concat('aes-',
+        |    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1) / 4294967296.0)
+        |   / CAST(n_chars AS DOUBLE) AS skey
+        | FROM documents WHERE n_chars > 0),
+        |topk AS (
+        | SELECT * FROM s ORDER BY skey DESC, doc_id ASC LIMIT $AesK)
+        |SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id ASC)
+        |   AS BIGINT) AS rank,
+        | doc_id, n_chars, round(skey, 9) AS skey
+        |FROM topk""".stripMargin,
     "q152_psi_drift" ->
       s"""WITH cells AS (
         | SELECT CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket,
