@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage over the star-schema lake, one query per
@@ -534,6 +534,50 @@ object RelationalQueries {
       .unionAll(statsFor("l_suppkey"))
   }
 
+  /** q162 — SINGLE-TABLE COLUMN PROFILE (the deequ/"dataset card"
+    * statistics pass): for every column of `orders` — row count, null
+    * count, EXACT distinct count, and canonical min/max — the data-
+    * quality card a lake computes on ingest before q160's cross-table
+    * audit trusts the keys (completeness = n_rows−n_nulls,
+    * uniqueness = n_distinct/n_rows, range sanity = min/max; the
+    * deequ Profile/Check primitives re-expressed as one query).
+    * Min/max are computed in the column's NATIVE type (numeric order,
+    * not lexicographic) and canonicalized to strings only at the end
+    * — bigints/doubles via cast, timestamps via an explicit
+    * `yyyy-MM-dd HH:mm:ss` format pin so both engines render
+    * identically.
+    *
+    * Scale shape: one branch per column, each a column-PRUNED scan
+    * (parquet reads exactly one column per branch — the profile of a
+    * 400-column table reads 400 columns once, not 400 full-table
+    * passes) into a (value, count) partial agg; the shuffle carries
+    * distinct values only, and the second-level agg reduces to one
+    * row per branch before the driver-free union. No multi-
+    * countDistinct Expand (which would multiply the scan ×columns
+    * through one shuffle).
+    */
+  def q162(s: SparkSession, dir: String): DataFrame = {
+    def profile(c: String, canon: Column => Column): DataFrame =
+      t(s, dir, "orders")
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_nulls"),
+          count(col("v")).as("n_distinct"),
+          canon(min(col("v"))).as("min_value"),
+          canon(max(col("v"))).as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    val str = (v: Column) => v.cast("string")
+    val ts = (v: Column) => date_format(v, "yyyy-MM-dd HH:mm:ss")
+    profile("o_orderkey", str)
+      .unionAll(profile("o_custkey", str))
+      .unionAll(profile("o_orderstatus", str))
+      .unionAll(profile("o_totalprice", str))
+      .unionAll(profile("o_orderdate", ts))
+      .unionAll(profile("o_orderpriority", str))
+  }
+
   /** q160 — REFERENTIAL-INTEGRITY AUDIT: for each FK relationship of
     * the star schema, the exact count of child rows whose parent is
     * missing (orphans) and parent rows no child references
@@ -569,6 +613,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_column_profile" -> (q162 _),
     "q160_referential_audit" -> (q160 _),
     "q157_join_fanout" -> (q157 _),
     "q142_decayed_popularity" -> (q142 _),
@@ -619,6 +664,23 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q162_column_profile" -> {
+      def profile(c: String, canon: String => String): String =
+        s"""SELECT '$c' AS column_name,
+           | CAST(sum(cnt) AS BIGINT) AS n_rows,
+           | CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)
+           |   AS BIGINT) AS n_nulls,
+           | CAST(count(v) AS BIGINT) AS n_distinct,
+           | ${canon("min(v)")} AS min_value,
+           | ${canon("max(v)")} AS max_value
+           |FROM (SELECT $c AS v, count(*) AS cnt FROM orders GROUP BY 1)""".stripMargin
+      val str = (e: String) => s"CAST($e AS VARCHAR)"
+      val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      Seq(profile("o_orderkey", str), profile("o_custkey", str),
+        profile("o_orderstatus", str), profile("o_totalprice", str),
+        profile("o_orderdate", ts), profile("o_orderpriority", str))
+        .mkString("\nUNION ALL\n")
+    },
     "q160_referential_audit" -> {
       def audit(rel: String, child: String, ck: String,
                 parent: String, pk: String): String =

@@ -875,7 +875,143 @@ object TimeseriesQueries {
         expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").as("lift_1e6"))
   }
 
+  /** One skyline (Pareto-frontier) pruning pass: drop every row of
+    * `df` dominated by another row in the same `parts` group —
+    * A dominates B iff `A.x ≥ B.x ∧ A.y ≥ B.y` with at least one
+    * strict. Two windows encode the exact rule: a row survives iff
+    * its `y` strictly beats every strictly-greater-`x` row's best `y`
+    * (RANGE frame to `-1` on the integer sort key ⇔ `x' > x`) and it
+    * holds the max `y` within its own `x` (equal-(x,y) duplicates all
+    * survive — neither dominates). Requires integer `x`, `y`.
+    */
+  private def skylinePrune(df: DataFrame, parts: Seq[String]): DataFrame = {
+    val pc = parts.map(col)
+    val byX = Window.partitionBy(pc: _*).orderBy(col("x").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameX = Window.partitionBy(pc :+ col("x"): _*)
+    df.withColumn("mxy", max(col("y")).over(byX))
+      .withColumn("mys", max(col("y")).over(sameX))
+      .filter((col("mxy").isNull || col("mxy") < col("y")) &&
+        col("mys") === col("y"))
+      .drop("mxy", "mys")
+  }
+
+  /** q163 — SKYLINE (Pareto frontier) of users over (activity,
+    * spend): the users no other user beats on BOTH event count and
+    * total value — the multi-criteria shortlist operator (best
+    * docs by quality×length, cheapest-fastest suppliers, frontier
+    * model checkpoints) that no single ORDER BY can express. Spend is
+    * exact integer cents (the q128 discipline) so dominance never
+    * rides a float ulp.
+    *
+    * Scale shape: the classic two-phase distributed skyline — a
+    * LOCAL prune inside each of 32 hash-salted partitions first
+    * (dominance is transitive, so a locally-dominated row is
+    * globally dominated: local pruning is lossless), then the exact
+    * two-window pass over the ~|skyline|·32 survivors. The global
+    * window is single-partition by construction but sees only the
+    * pruned set (expected O(log n) skyline per partition for
+    * independent dims), never the full aggregate table — the
+    * difference between sorting 10M users in one task and sorting a
+    * few hundred.
+    */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        coalesce(expr("sum(CAST(round(value * 100) AS BIGINT))"), lit(0L))
+          .as("y"))
+      .withColumn("salt", pmod(xxhash64(col("user_id")), lit(32)))
+    val local = skylinePrune(users, Seq("salt"))
+    skylinePrune(local, Seq.empty)
+      .select(col("user_id"), col("x").as("n_events"),
+        round(col("y").cast("double") / 100.0, 2).as("total_value"))
+  }
+
+  /** q164 — ROBUST OUTLIER COUNTS per event type via median/MAD: the
+    * median, the median absolute deviation, and the count of values
+    * beyond the conventional `3·1.4826·MAD` fence — the outlier
+    * detector that (unlike q102's mean/stddev z-score) a single
+    * 10⁹-valued corruption cannot recruit into hiding itself
+    * (breakdown point ½ vs 0). Both medians are EXACT interpolated
+    * percentiles (`percentile` ↔ DuckDB `quantile_cont`, the same
+    * `(n−1)·p` definition — q45's proven pairing); the fence compare
+    * runs on bit-identical doubles in both engines.
+    *
+    * Scale shape: two grouped exact-percentile passes plus a counting
+    * pass, with the per-type medians BROADCAST back (group cardinality
+    * = |event types|, never a shuffle). Exact grouped percentiles
+    * buffer a group's values in the agg state — fine while a single
+    * type fits one executor (q45's documented bound); beyond that,
+    * q65's approx-percentile path is the same query with one line
+    * swapped.
+    */
+  def q164(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = withDev.groupBy("event_type")
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** q165's lookback: a touch converts only within 7 days. */
+  val AttributionWindowUs = 7L * 86400L * 1000000L
+
+  /** q165 — LAST-TOUCH ATTRIBUTION: credit each purchase to the most
+    * recent prior click/view by the same user within
+    * [[AttributionWindowUs]] — the marketing-attribution /
+    * cause-assignment join ("which exposure preceded this
+    * conversion") that is an AS-OF join from purchases into touches,
+    * here expressed WITHOUT a join at all: one interleaved pass over
+    * the merged stream carries the latest touch forward
+    * (`last(..., ignoreNulls)` over rows strictly before — the (ts,
+    * event_id) house order makes "prior" total), and purchases just
+    * read it. Expired or absent touches attribute to 'none'; revenue
+    * is exact cents.
+    *
+    * Scale shape: ONE shuffle by user and a linear sorted-window scan
+    * — no purchase×touch fanout join, no per-purchase subquery; the
+    * final rollup is |touch types|+1 rows. The asymmetric-cardinality
+    * trap (hot users with thousands of touches) costs this plan
+    * nothing beyond the sort it already does.
+    */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("tus"))
+    val ev = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"), col("value"))
+      .select(col("*"), last(touch, ignoreNulls = true).over(w).as("t_ts"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w).as("t_type"))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(when(col("t_ts").isNotNull &&
+          col("t_ts") >= col("tus") - lit(AttributionWindowUs), col("t_type"))
+        .otherwise("none").as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(coalesce(expr("sum(CAST(round(value * 100) AS BIGINT))"),
+          lit(0L)).cast("double") / 100.0, 2).as("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_attribution" -> (q165 _),
+    "q164_mad_outliers" -> (q164 _),
+    "q163_skyline" -> (q163 _),
     "q159_type_cooccurrence" -> (q159 _),
     "q158_peak_concurrency" -> (q158 _),
     "q146_interarrival" -> (q146 _),
@@ -960,6 +1096,59 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q163_skyline" ->
+      """WITH u AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |    AS BIGINT) AS y
+        | FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT a.user_id, a.x AS n_events,
+        | round(a.y / 100.0, 2) AS total_value
+        |FROM u a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM u b
+        | WHERE b.x >= a.x AND b.y >= a.y
+        |   AND (b.x > a.x OR b.y > a.y))""".stripMargin,
+    "q164_mad_outliers" ->
+      """WITH ev AS (
+        | SELECT event_type, value FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |m1 AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |       FROM ev GROUP BY 1),
+        |d AS (SELECT ev.event_type, ev.value, m1.med,
+        |       abs(ev.value - m1.med) AS ad
+        |      FROM ev JOIN m1 USING (event_type)),
+        |m2 AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(max(d.med), 6) AS med, round(max(m2.mad), 6) AS mad,
+        | CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m2.mad THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (event_type) GROUP BY 1""".stripMargin,
+    "q165_attribution" ->
+      s"""WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id, event_type, value
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IN ('click', 'view', 'purchase')),
+        |w AS (
+        | SELECT *,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN tus END
+        |    IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+        | FROM ev)
+        |SELECT CASE WHEN t_ts IS NOT NULL
+        |   AND t_ts >= tus - $AttributionWindowUs THEN t_type
+        |  ELSE 'none' END AS touch_type,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | round(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+        |   / 100.0, 2) AS total_value
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q159_type_cooccurrence" ->
       """WITH items AS (
         | SELECT DISTINCT

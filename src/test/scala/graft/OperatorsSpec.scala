@@ -332,4 +332,53 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 3L, us(0), us(1), us(2))))
     assert(got(3L) == ((3L, 3L, us(1), us(2), us(4))))
   }
+
+  test("q163 skyline: exactly the non-dominated users (brute force), " +
+    "salt pruning lossless") {
+    val sfd = "/root/testdata/sf0.001"
+    val users = Tables.events(spark, sfd).filter($"user_id".isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        coalesce(expr("sum(CAST(round(value * 100) AS BIGINT))"), lit(0L))
+          .as("y"))
+      .as[(Long, Long, Long)].collect()
+    val sky = users.filter { case (_, x, y) =>
+      !users.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y)
+      }
+    }.map(_._1).toSet
+    val got = graft.queries.TimeseriesQueries.q163(spark, sfd)
+      .select("user_id").as[Long].collect().toSet
+    assert(got == sky && got.nonEmpty)
+  }
+
+  test("q165 attribution: equals a per-purchase brute-force latest-touch " +
+    "scan (window honored, ties on event_id, absent touch -> none)") {
+    val sfd = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sfd)
+      .filter($"ts".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isin("click", "view", "purchase"))
+      .select($"user_id", expr("unix_micros(ts)").as("tus"), $"event_id",
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Option[Double])].collect()
+    val credit = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((_, us) <- evs.groupBy(_._1)) {
+      val sorted = us.sortBy(e => (e._2, e._3))
+      for (i <- sorted.indices if sorted(i)._4 == "purchase") {
+        val p = sorted(i)
+        val t = sorted.take(i).reverse.find(_._4 != "purchase") match {
+          case Some(tc) if tc._2 >= p._2 -
+            graft.queries.TimeseriesQueries.AttributionWindowUs => tc._4
+          case _ => "none"
+        }
+        val cents = p._5.map(v => math.round(v * 100)).getOrElse(0L)
+        val (n, c) = credit.getOrElse(t, (0L, 0L))
+        credit(t) = (n + 1, c + cents)
+      }
+    }
+    val got = graft.queries.TimeseriesQueries.q165(spark, sfd)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, math.round(r._3 * 100)))).toMap
+    assert(got == credit.toMap && got.contains("none"))
+  }
 }

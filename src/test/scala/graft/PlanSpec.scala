@@ -425,6 +425,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("q162: six column-pruned scans (one per profiled column), no " +
+    "distinct-aggregate Expand") {
+    val p = plan(RelationalQueries.q162(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 6)
+    assert(!p.contains("Expand"))
+    assert(!p.toLowerCase.contains("count(distinct"))
+  }
+
+  test("q163: the heavy skyline prune runs salt-partitioned; only the " +
+    "survivor pass is a global window") {
+    val p = plan(TimeseriesQueries.q163(spark, sf))
+    assert("Window \\[".r.findAllIn(p).size == 4)
+    // the deepest two windows (local prune) partition by salt — the
+    // global two run above a Filter over the pruned survivors
+    assert(p.contains("windowspecdefinition(salt"))
+    assert(p.contains("Exchange hashpartitioning(salt"))
+  }
+
+  test("q164: both median joins broadcast the per-type medians back, " +
+    "never a shuffle join") {
+    val p = plan(TimeseriesQueries.q164(spark, sf))
+    // 3 = deviations⋈med for the MAD agg, deviations⋈med again for the
+    // counting pass (lineage recompute — scans are column-pruned and
+    // cheaper than materializing the deviation table), final ⋈mad
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q165: attribution is one user-window exchange plus the rollup — " +
+    "no join, no purchase-touch fanout; the type filter pushes to the scan") {
+    val p = plan(TimeseriesQueries.q165(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 2)
+    assert(!p.contains("Join"))
+    assert(p.contains("In(event_type"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),

@@ -18,6 +18,53 @@ class StatsSpec extends SparkSpec {
     assert(byEntity("orders") == Tables.orders(spark, sf).count())
   }
 
+  test("q162 column profile: counts, distincts, and min/max match direct " +
+    "aggregates") {
+    val got = graft.queries.RelationalQueries.q162(spark, sf)
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    assert(got.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    got.values.foreach { r => assert(r._2 == n && r._3 == 0L) }
+    assert(got("o_orderkey")._4 == n) // the key is unique
+    assert(got("o_custkey")._4 ==
+      o.select(countDistinct($"o_custkey")).as[Long].head())
+    val (mn, mx) = o.agg(min($"o_totalprice"), max($"o_totalprice"))
+      .as[(Double, Double)].head()
+    // native-type min/max canonicalized at the end — NOT lexicographic
+    assert(got("o_totalprice")._5 == mn.toString)
+    assert(got("o_totalprice")._6 == mx.toString)
+  }
+
+  test("q164 MAD outliers: matches a brute-force median/MAD fence per type") {
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * 0.5
+      val lo = s(idx.toInt)
+      val hi = s(math.ceil(idx).toInt)
+      lo + (hi - lo) * (idx - idx.toInt) // the (n-1)·p interpolation
+    }
+    val evs = Tables.events(spark, sf)
+      .filter($"event_type".isNotNull && $"value".isNotNull)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+    val got = graft.queries.TimeseriesQueries.q164(spark, sf)
+      .as[(String, Long, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val groups = evs.groupBy(_._1)
+    assert(got.keySet == groups.keySet)
+    for ((t, g) <- groups) {
+      val vs = g.map(_._2)
+      val med = medianOf(vs)
+      val ads = vs.map(v => math.abs(v - med))
+      val mad = medianOf(ads)
+      assert(got(t)._2 == vs.length)
+      assert(math.abs(got(t)._3 - med) < 1e-6)
+      assert(got(t)._5 == ads.count(_ > 3 * 1.4826 * mad))
+    }
+  }
+
   test("freshness gate passes near the data epoch and fails far after") {
     val (fresh, newest) = StatsCollect.validateFreshness(
       spark, sf, "2024-02-01 00:00:00", maxAgeHours = 72)
