@@ -578,6 +578,70 @@ object RelationalQueries {
       .unionAll(profile("o_orderpriority", str))
   }
 
+  /** q167's replica count and the 95% order-statistic ranks: with
+    * B=200 sorted replica means, the CI is the 5th and 196th
+    * (`floor(0.025·B)` from each end — the percentile-bootstrap
+    * convention with EXACT order statistics, no interpolated quantile
+    * whose float could differ between engines).
+    */
+  val BootB = 200
+  val BootLoRank: Int = BootB * 25 / 1000
+  val BootHiRank: Int = BootB - BootLoRank + 1
+
+  /** q167 — BAYESIAN CLUSTER BOOTSTRAP: a 95% confidence interval on
+    * mean customer lifetime value per market segment, resampling
+    * CUSTOMERS (the exchangeable unit — resampling orders would fake
+    * independence inside a customer) with Rubin's Bayesian bootstrap:
+    * replica b reweights each customer by an Exp(1) draw, here
+    * `-ln(u)` from the hash-uniform `md5('bb-'++custkey++'-'++b)`
+    * (the q43/q161 discipline) so all [[BootB]] replicas are
+    * deterministic and engine-portable where seeded RNG is neither.
+    * Weights are quantized to 10⁻⁴ longs; each replica mean is an
+    * exact integer division of integer sums, and the CI is exact
+    * order statistics at [[BootLoRank]]/[[BootHiRank]] — no float
+    * ever crosses an engine boundary.
+    *
+    * Scale shape: the LTV rollup is one partial-agg shuffle; the
+    * ×[[BootB]] explode happens MAP-SIDE and collapses to
+    * |segments|·B partial groups inside each task before its shuffle
+    * — resampling 10M customers 200 times moves 200·|segments| rows
+    * per task, not 2×10⁹. The rank window orders B rows per segment.
+    * (Weighted-product sums fit longs here: w₄ < 2.3·10⁵ and cents <
+    * 2⁶³/(2.3·10⁵·n_segment) — the q157-style DECIMAL(38,0) upgrade
+    * is one cast away when a segment's mass outgrows that.)
+    */
+  def q167(s: SparkSession, dir: String): DataFrame = {
+    val ltv = t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))")
+          .as("ocents")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        coalesce(col("ocents"), lit(0L)).as("cents"))
+      .localCheckpoint() // two consumers: point estimate + replicas
+    val u = (graft.functions.DedupFunctions.md5Hash32(
+      concat(lit("bb-"), col("c_custkey").cast("string"), lit("-"),
+        col("b").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val rep = ltv
+      .withColumn("b", explode(expr(s"sequence(0, ${BootB - 1})")))
+      .withColumn("w4", round(-log(u) * lit(10000.0), 0).cast("long"))
+      .groupBy(col("c_mktsegment"), col("b"))
+      .agg(sum(col("w4") * col("cents")).as("num"), sum(col("w4")).as("den"))
+      .withColumn("mean_cents", expr("num div den"))
+    val rk = rep.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("mean_cents"), col("b"))))
+    val ci = rk.groupBy("c_mktsegment").agg(
+      max(when(col("rn") === BootLoRank, col("mean_cents"))).as("lo_cents"),
+      max(when(col("rn") === BootHiRank, col("mean_cents"))).as("hi_cents"))
+    ltv.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+      .join(ci, Seq("c_mktsegment"))
+  }
+
   /** q160 — REFERENTIAL-INTEGRITY AUDIT: for each FK relationship of
     * the star schema, the exact count of child rows whose parent is
     * missing (orphans) and parent rows no child references
@@ -613,6 +677,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_bootstrap_ci" -> (q167 _),
     "q162_column_profile" -> (q162 _),
     "q160_referential_audit" -> (q160 _),
     "q157_join_fanout" -> (q157 _),
@@ -664,6 +729,45 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q167_bootstrap_ci" ->
+      s"""WITH ltv AS (
+        | SELECT c.c_mktsegment, c.c_custkey,
+        |  CAST(coalesce(o.cents, 0) AS BIGINT) AS cents
+        | FROM customer c LEFT JOIN (
+        |  SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey),
+        |rep AS (
+        | SELECT c_mktsegment, b,
+        |  CAST(sum(w4 * cents) AS BIGINT) // CAST(sum(w4) AS BIGINT)
+        |   AS mean_cents
+        | FROM (
+        |  SELECT l.c_mktsegment, l.cents, t.i AS b,
+        |   CAST(round(-ln((CAST(concat('0x', substr(md5(concat('bb-',
+        |     CAST(l.c_custkey AS VARCHAR), '-', CAST(t.i AS VARCHAR))),
+        |     1, 8)) AS BIGINT) + 1) / 4294967296.0) * 10000) AS BIGINT) AS w4
+        |  FROM ltv l CROSS JOIN unnest(range(0, $BootB)) AS t(i))
+        | GROUP BY 1, 2),
+        |rk AS (
+        | SELECT c_mktsegment, b, mean_cents,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY mean_cents, b) AS rn
+        | FROM rep),
+        |ci AS (
+        | SELECT c_mktsegment,
+        |  CAST(max(CASE WHEN rn = $BootLoRank THEN mean_cents END) AS BIGINT)
+        |    AS lo_cents,
+        |  CAST(max(CASE WHEN rn = $BootHiRank THEN mean_cents END) AS BIGINT)
+        |    AS hi_cents
+        | FROM rk GROUP BY 1),
+        |pt AS (
+        | SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT) AS mean_cents
+        | FROM ltv GROUP BY 1)
+        |SELECT pt.c_mktsegment, pt.n_customers, pt.mean_cents,
+        | ci.lo_cents, ci.hi_cents
+        |FROM pt JOIN ci USING (c_mktsegment)""".stripMargin,
     "q162_column_profile" -> {
       def profile(c: String, canon: String => String): String =
         s"""SELECT '$c' AS column_name,

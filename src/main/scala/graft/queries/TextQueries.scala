@@ -658,7 +658,52 @@ object TextQueries {
         expr("(n_nonascii * 1000000) div n_chars").as("nonascii_1e6"))
   }
 
+  /** q166 — SELF-TRAINED CHARACTER-BIGRAM LM CROSS-ENTROPY: score
+    * every document by its average negative log-probability (nats/
+    * bigram) under a bigram model fitted on THIS corpus — the
+    * perplexity-style quality signal (KenLM-filter family) that
+    * flags gibberish and boilerplate as statistical outliers where
+    * q61's entropy sees only the doc's OWN distribution and q34's
+    * ratios see only surface features. `P(c₂|c₁) = n(c₁c₂)/n(c₁·)`
+    * with no smoothing needed — every scored bigram was counted, so
+    * probabilities are never zero. Per-bigram `ln` terms are
+    * QUANTIZED to 10⁻⁶ longs and summed as integers (the q140/q152
+    * discipline), so the doc score never depends on float summation
+    * order.
+    *
+    * Scale shape: one explode→partial-agg pass builds the model
+    * (vocabulary ≤ |charset|² — driver-sized even for CJK), which
+    * BROADCASTS back onto a second explode pass; the only wide
+    * shuffle carries (doc_id, partial-sum) pairs. Fitting and
+    * scoring on 100 TB are the same two corpus scans.
+    */
+  def q166(s: SparkSession, dir: String): DataFrame = {
+    def bigrams = t(s, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+        .as("bg"))
+    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .localCheckpoint() // vocab-sized; two consumers (ctx + model join)
+    val ctxCounts = bgCounts
+      .groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum(col("cbg")).as("cctx"))
+    val model = bgCounts
+      .join(ctxCounts, substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("bg"), col("cbg"), col("cctx"))
+    bigrams.join(broadcast(model), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(
+          "CAST(round(ln(CAST(cbg AS DOUBLE) / cctx) * 1000000) AS BIGINT)"))
+          .as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast("double") / col("n_bigrams") / 1000000.0, 6)
+          .as("h_nats"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_bigram_lm" -> (q166 _),
     "q156_charset_profile" -> (q156 _),
     "q154_source_boilerplate" -> (q154 _),
     "q140_zipf_fit" -> (q140 _),
@@ -736,6 +781,22 @@ object TextQueries {
        | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q166_bigram_lm" ->
+      """WITH bg AS (
+        | SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+        | FROM documents CROSS JOIN unnest(range(1, length(text))) AS t(i)
+        | WHERE length(text) >= 2),
+        |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cbg FROM bg GROUP BY 1),
+        |cx AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(cbg) AS BIGINT) AS cctx
+        |       FROM cb GROUP BY 1),
+        |m AS (SELECT bg, cbg, cctx FROM cb JOIN cx ON substr(bg, 1, 1) = c1),
+        |term AS (
+        | SELECT doc_id,
+        |  CAST(round(ln(CAST(cbg AS DOUBLE) / cctx) * 1000000) AS BIGINT) AS v
+        | FROM bg JOIN m USING (bg))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(-CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0, 6) AS h_nats
+        |FROM term GROUP BY 1""".stripMargin,
     "q156_charset_profile" -> {
       def cnt(pattern: String): String =
         s"len(text) - len(regexp_replace(text, '$pattern', '', 'g'))"

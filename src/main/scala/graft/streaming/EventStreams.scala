@@ -686,4 +686,68 @@ object EventStreams {
           }
       }
   }
+
+  /** Per-type concurrency at an arrival: the open-interval count the
+    * moment this event starts, plus the running high-water mark.
+    */
+  case class ConcRow(event_type: String, ts: Timestamp,
+                     concurrent: Long, max_concurrent: Long)
+
+  /** [[concurrencyMonitor]]'s state: the in-order marker, the open
+    * intervals' end-times, and the high-water mark. `ends` holds only
+    * intervals still open at the last arrival — state is proportional
+    * to INSTANTANEOUS concurrency (rate × hold window), never to
+    * history.
+    */
+  case class ConcState(tus: Long, eventId: Long,
+                       ends: List[Long], maxC: Long)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q158]]'s sweep-line peak
+    * concurrency: each arriving event opens a
+    * [t, t+[[graft.queries.TimeseriesQueries.ConcurrencyHoldUs]])
+    * interval; the monitor counts the still-open intervals at each
+    * start (exclusive end — an interval ending exactly AT the new
+    * start is closed first, the batch sweep's ends-before-starts tie
+    * key) and carries the high-water mark. The final per-type
+    * `max_concurrent` equals batch q158 exactly (StreamingSpec pins
+    * it across micro-batch splits); the per-arrival `concurrent`
+    * column is the live capacity signal the batch sweep can only
+    * reconstruct after the fact.
+    *
+    * Ordering contract: the [[transitionEvents]] discipline — in-batch
+    * rows sort by (micros, event_id); a cross-batch late arrival at or
+    * below the marker is dropped (its sweep position is already
+    * history, and an append stream never revises).
+    */
+  def concurrencyMonitor(events: Dataset[Ev]): Dataset[ConcRow] = {
+    import events.sparkSession.implicits._
+    val holdUs = graft.queries.TimeseriesQueries.ConcurrencyHoldUs
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ConcState, ConcRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[ConcState]) =>
+          def tusOf(e: Ev): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val evs = it.toVector.sortBy(e => (tusOf(e), e.event_id))
+          val out = Vector.newBuilder[ConcRow]
+          var st = state.getOption
+            .getOrElse(ConcState(Long.MinValue, Long.MinValue, Nil, 0L))
+          evs.foreach { e =>
+            val tus = tusOf(e)
+            val inOrder = tus > st.tus ||
+              (tus == st.tus && e.event_id > st.eventId)
+            if (inOrder) {
+              val open = st.ends.filter(_ > tus) // exclusive-end evict
+              val conc = open.length + 1L
+              val maxC = math.max(st.maxC, conc)
+              st = ConcState(tus, e.event_id, (tus + holdUs) :: open, maxC)
+              out += ConcRow(tpe, e.ts, conc, maxC)
+            } // else: cross-batch late arrival — dropped, see scaladoc
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

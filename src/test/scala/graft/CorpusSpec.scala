@@ -297,4 +297,33 @@ class CorpusSpec extends SparkSpec {
       assert(lift > 1000000L)
     }
   }
+
+  test("q166 bigram LM: scores equal a brute-force corpus-fit model " +
+    "(quantized terms, exact fixed-point sums)") {
+    val sfd = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfd)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._2.length >= 2)
+    val bgs = docs.flatMap { case (id, t) =>
+      (0 until t.length - 1).map(i => (id, t.substring(i, i + 2))) }
+    val cbg = bgs.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val cctx = cbg.groupBy(_._1.substring(0, 1))
+      .map { case (c, xs) => c -> xs.values.sum }
+    val exp = bgs.groupBy(_._1).map { case (id, xs) =>
+      val s = xs.map { case (_, b) =>
+        // HALF_UP on BigDecimal = away-from-zero, matching Spark/DuckDB
+        // round() on these NEGATIVE ln terms (math.round would differ
+        // at exact .5 boundaries)
+        BigDecimal(math.log(cbg(b).toDouble / cctx(b.substring(0, 1)))
+          * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      val h = BigDecimal(-s.toDouble / xs.length / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((xs.length.toLong, h))
+    }
+    val got = graft.queries.TextQueries.q166(spark, sfd)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == exp && got.nonEmpty)
+  }
 }

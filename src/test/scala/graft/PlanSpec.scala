@@ -461,6 +461,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(event_type"))
   }
 
+  test("q166: exactly two corpus explode passes (model fit + scoring); " +
+    "the model broadcasts onto the scoring pass") {
+    val p = plan(graft.queries.TextQueries.q166(spark, sf))
+    // the model-fit explode ran once at the bigram-count checkpoint;
+    // the final plan scans that RDD (twice: ctx + join build) plus ONE
+    // corpus scan for scoring — without the checkpoint the ctx rollup
+    // would re-run the model explode as a third corpus pass
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(p.contains("Scan ExistingRDD"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q167: the x200 replica explode collapses map-side (partial agg " +
+    "before its exchange); the rank window partitions by segment") {
+    val p = plan(RelationalQueries.q167(spark, sf))
+    assert(p.contains("Generate explode"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4) // partial+final x2
+    assert(p.contains("windowspecdefinition(c_mktsegment"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),

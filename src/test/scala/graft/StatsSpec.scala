@@ -65,6 +65,42 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q167 bootstrap: replica means, order-statistic CI, and point " +
+    "estimate all match a JVM-side replay of the hash weights") {
+    import graft.queries.RelationalQueries.{BootB, BootLoRank, BootHiRank}
+    val ltv = {
+      val orders = Tables.orders(spark, sf)
+        .select($"o_custkey", expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("cents")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment")
+        .as[(Long, String)].collect()
+        .map { case (k, seg) => (seg, k, orders.getOrElse(k, 0L)) }
+    }
+    val exp = ltv.groupBy(_._1).map { case (seg, cs) =>
+      val means = (0 until BootB).map { b =>
+        val ws = cs.map { case (_, k, cents) =>
+          val u = (graft.functions.DedupFunctions.md5Hash32Jvm(s"bb-$k-$b")
+            + 1L).toDouble / 4294967296.0
+          val w4 = BigDecimal(-math.log(u) * 10000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          (w4, w4 * cents)
+        }
+        (b.toLong, ws.map(_._2).sum / ws.map(_._1).sum)
+      }
+      val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+      seg -> ((cs.length.toLong, cs.map(_._3).sum / cs.length,
+        sorted(BootLoRank - 1), sorted(BootHiRank - 1)))
+    }
+    val got = graft.queries.RelationalQueries.q167(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == exp)
+    got.values.foreach { case (_, mean, lo, hi) =>
+      assert(lo <= hi && lo <= mean && mean <= hi)
+    }
+  }
+
   test("freshness gate passes near the data epoch and fails far after") {
     val (fresh, newest) = StatsCollect.validateFreshness(
       spark, sf, "2024-02-01 00:00:00", maxAgeHours = 72)

@@ -871,4 +871,44 @@ class StreamingSpec extends SparkSpec {
         (sources.size - 1L) * (langs.size - 1L), chi2.toLong) == batchRow)
     } finally q.stop()
   }
+
+  test("concurrencyMonitor: the live high-water mark lands exactly on " +
+    "batch q158 across micro-batch splits; late arrivals drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q158(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.coalesce($"value",
+          org.apache.spark.sql.functions.lit(0.0)).as("value"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val parts = Seq(evs.take(350), evs.slice(350, 351), evs.drop(351))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.concurrencyMonitor(in.toDS())
+      .writeStream.format("memory").queryName("conc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.table("conc")
+        .as[(String, Timestamp, Long, Long)].collect()
+      val got = streamed.groupBy(_._1).map { case (t, rs) =>
+        t -> ((rs.length.toLong, rs.map(_._4).max)) }
+      assert(got == batch && got.nonEmpty)
+      // the live column never exceeds the mark, and hits it
+      streamed.groupBy(_._1).foreach { case (t, rs) =>
+        assert(rs.forall(r => r._3 >= 1 && r._3 <= batch(t)._2))
+        assert(rs.map(_._3).max == batch(t)._2)
+      }
+      // a replayed first event sits below its type's marker: dropped
+      val n0 = spark.table("conc").count()
+      in.addData(evs.head.copy(event_id = 99999999L))
+      q.processAllAvailable()
+      assert(spark.table("conc").count() == n0)
+    } finally q.stop()
+  }
 }
