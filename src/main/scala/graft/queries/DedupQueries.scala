@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication pipelines over the `documents` / `embeddings` corpus —
@@ -1663,7 +1663,129 @@ object DedupQueries {
     reach.select(col("id").as("doc_id"), col("hop"))
   }
 
+  /** q168's neighborhood width (records ahead compared per pass) and
+    * edit-distance verification ceiling. Shared with the oracle.
+    */
+  val SnWindow = 2
+  val SnMaxEdit = 2
+
+  /** q168 — MULTI-PASS SORTED-NEIGHBORHOOD blocking (Hernández–
+    * Stolfo): find near-miss name pairs by sorting the name DICTIONARY
+    * on two keys (the name, and its reversal — a prefix typo sorts far
+    * apart on pass 1 but adjacent on pass 2), comparing each entry
+    * only with its [[SnWindow]] successors inside a first-character
+    * block, and verifying survivors with exact edit distance ≤
+    * [[SnMaxEdit]] — the classic O(n·w) entity-resolution candidate
+    * generator where all-pairs would be O(n²), and the string-typo
+    * complement to q100's numeric fuzzy join and q29's set-similarity
+    * LSH. Dedup to the dictionary FIRST: neighbors are computed over
+    * distinct names (with record counts carried), so a million rows of
+    * "blue bolt" cost one dictionary entry, not a million window rows.
+    *
+    * Scale shape: one partial-agg rollup to the dictionary, two
+    * block-partitioned windows over it (blocks keep every sort
+    * task-local — no global sort), a distinct on oriented pairs, and
+    * the edit-distance verify runs ONLY on 2·w·|dict| candidates.
+    */
+  def q168(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // dictionary-sized; two sort passes + 2 joins
+    def pass(key: Column): DataFrame = {
+      val w = Window.partitionBy(substring(key, 1, 1))
+        .orderBy(key.asc, col("name").asc)
+      names.select(col("name") +: (1 to SnWindow).map(k =>
+          lead(col("name"), k).over(w).as(s"c$k")): _*)
+        .select(col("name"), explode(array((1 to SnWindow).map(k =>
+          col(s"c$k")): _*)).as("cand"))
+        .filter(col("cand").isNotNull && col("cand") =!= col("name"))
+    }
+    val pairs = pass(col("name")).unionAll(pass(reverse(col("name"))))
+      .select(least(col("name"), col("cand")).as("name_a"),
+        greatest(col("name"), col("cand")).as("name_b"))
+      .distinct()
+    pairs
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= SnMaxEdit)
+      .join(names.select(col("name").as("name_a"), col("cnt").as("n_a")),
+        Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("cnt").as("n_b")),
+        Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist").cast("long")
+        .as("dist"), col("n_a"), col("n_b"))
+  }
+
+  /** q169's rolling-hash geometry: a boundary fires where the
+    * [[CdcWindow]]-char gear hash ≡ 0 (mod [[CdcMask]]) — expected
+    * chunk ≈ [[CdcMask]] chars. Shared with the oracle.
+    */
+  val CdcWindow = 6
+  val CdcMask = 64L
+
+  /** q169 — CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/FastCDC
+    * primitive): cut every document where a rolling gear hash of the
+    * last [[CdcWindow]] chars hits 0 mod [[CdcMask]], hash the
+    * chunks, and report the corpus-wide duplicated-chunk mass — the
+    * shift-robust sub-document dedup that fixed-grid chunking (q69)
+    * cannot do: insert one char and a fixed grid re-cuts EVERY
+    * downstream chunk, while CDC boundaries (a pure function of local
+    * content) re-align after one chunk. The classic sequential
+    * formulation (`h = 2h + gear(c)` carried char-to-char) looks
+    * unparallelizable — but `2^(i-j) ≡ 0 (mod 2^m)` for `i-j ≥ m`, so
+    * the boundary test at position i depends on ONLY the trailing
+    * log₂(mask) chars: the scan is embarrassingly parallel and fully
+    * declarative in both engines. No min-chunk floor (that clause IS
+    * sequential — each cut's acceptance would depend on the previous
+    * accepted cut); the mask sets expected chunk size instead, and
+    * tiny chunks just dilute savings slightly.
+    *
+    * Scale shape: one explode over boundary candidates collapses to a
+    * cuts-list per doc (≈ len/mask longs); chunks re-substring from
+    * the original text (chars shuffle once as chunk strings, not as
+    * per-char rows); the dedup rollup is a (chunk-hash, n) partial
+    * agg; the report is one row.
+    */
+  def q169(s: SparkSession, dir: String): DataFrame = {
+    val gearSum = (0 until CdcWindow).map { k =>
+      s"(((ascii(substring(text, i - $k, 1)) * 2654435761L) % 4294967296L)" +
+        s" * ${1L << k}L)"
+    }.mkString("(", " + ", s") % $CdcMask")
+    val cuts = t(s, dir, "documents")
+      .filter(length(col("text")) >= CdcWindow)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(CAST($CdcWindow AS BIGINT), " +
+          "CAST(length(text) AS BIGINT))")).as("i"))
+      .filter(expr(gearSum) === 0L)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("i"))).as("cs"))
+    val chunks = t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        expr("array_distinct(array_sort(concat(array(CAST(0 AS BIGINT)), " +
+          "coalesce(cs, array()), array(CAST(length(text) AS BIGINT)))))")
+          .as("bs"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bs) - 1),
+          |  j -> substring(text, CAST(bs[j - 1] + 1 AS INT),
+          |       CAST(bs[j] - bs[j - 1] AS INT)))""".stripMargin)).as("chunk"))
+    val perChunk = chunks
+      .groupBy(md5(col("chunk").cast("binary")).as("h"),
+        length(col("chunk")).as("l"))
+      .agg(count(lit(1)).as("n"))
+    perChunk.agg(
+      sum(col("n")).as("n_chunks"),
+      count(lit(1)).as("n_distinct"),
+      (sum(col("n")) - count(lit(1))).as("dup_instances"),
+      sum(col("l").cast("bigint") * col("n")).as("bytes_total"),
+      sum(col("l").cast("bigint")).as("bytes_distinct"))
+      .withColumn("savings_1e6",
+        expr("((bytes_total - bytes_distinct) * 1000000) div bytes_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_sorted_neighborhood" -> (q168 _),
+    "q169_cdc_dedup" -> (q169 _),
     "q155_khop_reach" -> (q155 _),
     "q153_pipeline_funnel" -> (q153 _),
     "q151_random_walks" -> (q151 _),
@@ -1932,6 +2054,70 @@ object DedupQueries {
        |SELECT id AS doc_id, hop FROM r$ReachHops""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q168_sorted_neighborhood" -> {
+      def pass(key: String): String =
+        (1 to SnWindow).map { k =>
+          s"""SELECT name, lead(name, $k) OVER
+             |  (PARTITION BY substr($key, 1, 1)
+             |   ORDER BY $key ASC, name ASC) AS cand
+             |FROM names""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH names AS (
+        | SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+        | FROM part GROUP BY 1),
+        |cand AS (
+        | SELECT DISTINCT least(name, cand) AS name_a,
+        |  greatest(name, cand) AS name_b
+        | FROM (
+        |${pass("name")}
+        |UNION ALL
+        |${pass("reverse(name)")}
+        | ) WHERE cand IS NOT NULL AND cand <> name),
+        |v AS (
+        | SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        | FROM cand WHERE levenshtein(name_a, name_b) <= $SnMaxEdit)
+        |SELECT v.name_a, v.name_b, v.dist, a.cnt AS n_a, b.cnt AS n_b
+        |FROM v JOIN names a ON v.name_a = a.name
+        |       JOIN names b ON v.name_b = b.name""".stripMargin
+    },
+    "q169_cdc_dedup" -> {
+      val gearSum = (0 until CdcWindow).map { k =>
+        s"(((ascii(substr(text, CAST(i - $k AS INT), 1)) * 2654435761)" +
+          s" % 4294967296) * ${1L << k})"
+      }.mkString("(", " + ", s") % $CdcMask")
+      s"""WITH pos AS (
+        | SELECT doc_id, text, CAST(i AS BIGINT) AS i
+        | FROM documents
+        |  CROSS JOIN unnest(range($CdcWindow, length(text) + 1)) AS t(i)
+        | WHERE length(text) >= $CdcWindow),
+        |b AS (SELECT doc_id, i FROM pos WHERE $gearSum = 0),
+        |cuts AS (SELECT doc_id, list_sort(list(i)) AS cs FROM b GROUP BY 1),
+        |bounds AS (
+        | SELECT d.doc_id, d.text,
+        |  list_sort(list_distinct(list_concat(list_concat(
+        |    [CAST(0 AS BIGINT)], coalesce(c.cs, [])),
+        |    [CAST(length(d.text) AS BIGINT)]))) AS bs
+        | FROM documents d LEFT JOIN cuts c USING (doc_id)
+        | WHERE length(d.text) > 0),
+        |chunks AS (
+        | SELECT doc_id, substr(text, CAST(bs[j] + 1 AS INT),
+        |   CAST(bs[j + 1] - bs[j] AS INT)) AS chunk
+        | FROM bounds CROSS JOIN unnest(range(1, len(bs))) AS t(j)),
+        |agg AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT chunk) AS BIGINT) AS dup_instances,
+        |  CAST(sum(length(chunk)) AS BIGINT) AS bytes_total
+        | FROM chunks),
+        |dis AS (
+        | SELECT CAST(sum(length(chunk)) AS BIGINT) AS bytes_distinct
+        | FROM (SELECT DISTINCT chunk FROM chunks))
+        |SELECT agg.*, dis.bytes_distinct,
+        | CAST((agg.bytes_total - dis.bytes_distinct) * 1000000
+        |   // agg.bytes_total AS BIGINT) AS savings_1e6
+        |FROM agg, dis""".stripMargin
+    },
     "q155_khop_reach" -> q155OracleSql,
     "q153_pipeline_funnel" ->
       s"""${lshCteSql.replaceFirst("WITH ", "WITH RECURSIVE ")},

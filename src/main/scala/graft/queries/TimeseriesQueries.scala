@@ -1008,7 +1008,110 @@ object TimeseriesQueries {
           lit(0L)).cast("double") / 100.0, 2).as("total_value"))
   }
 
+  /** q170's geometry: the path keeps a session's first [[PathLen]]
+    * events; the report keeps the top [[PathTopK]] paths.
+    */
+  val PathLen = 5
+  val PathTopK = 20
+
+  /** q170 — TOP SESSION PATHS: the [[PathTopK]] most common event-type
+    * sequences (first [[PathLen]] steps, `a>b>c`) across q42-style
+    * gap sessions — the "how do users actually move" path-mining
+    * table behind funnel DESIGN (q110 checks a funnel someone already
+    * hypothesized; this surfaces the paths worth hypothesizing),
+    * plus each path's exact share in 10⁻⁶. Path assembly is
+    * order-pinned end to end: the in-session rank and the final
+    * string both order by (micros, event_id), so the path is a pure
+    * function of the data, not of partitioning.
+    *
+    * Scale shape: sessionization and ranking share ONE user_id
+    * exchange (three window specs over the same sort); the path
+    * rollup is a partial agg on path strings ≤ [[PathLen]] types
+    * long, and the top-k is TakeOrdered over the path dictionary —
+    * the corpus is never globally sorted.
+    */
+  def q170(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = SessionGapHours * 3600L * 1000000L
+    val sessioned = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("new_s",
+        when(lag("tus", 1).over(w).isNull ||
+          col("tus") - lag("tus", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_s").over(run))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "session_seq")
+        .orderBy(col("tus"), col("event_id"))))
+      .filter(col("rn") <= PathLen)
+    val paths = sessioned
+      .groupBy("user_id", "session_seq")
+      .agg(expr("""array_join(transform(
+          |  array_sort(collect_list(struct(tus, event_id, event_type))),
+          |  x -> x.event_type), '>')""".stripMargin).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .localCheckpoint() // dictionary-sized; two consumers (total + top-k)
+    val total = paths.agg(sum(col("n_sessions")).as("total"))
+    paths.orderBy(col("n_sessions").desc, col("path").asc).limit(PathTopK)
+      .crossJoin(broadcast(total))
+      .select(col("path"), col("n_sessions"),
+        expr("(n_sessions * 1000000) div total").as("share_1e6"))
+  }
+
+  /** q171's point-in-time split: features from strictly before
+    * [[TrainCutoff]], the label from the [[LabelDays]]-day window at
+    * and after it. Shared with the oracle.
+    */
+  val TrainCutoff = "2024-01-22 00:00:00"
+  val LabelDays = 7
+
+  /** q171 — LEAKAGE-SAFE TRAINING-SET ASSEMBLY: one row per user with
+    * behavioral features computed ONLY from events strictly before
+    * [[TrainCutoff]] and a purchase label from the [[LabelDays]]-day
+    * window starting at it — the point-in-time-correct feature/label
+    * extraction every churn/propensity model needs, where the
+    * classic silent failure is a feature that peeks past the cutoff
+    * (q92's split-leakage audit is the post-hoc check; this operator
+    * is the constructive fix: the cutoff is IN the aggregation
+    * predicates, so leakage is structurally impossible). Users with
+    * no pre-cutoff history are excluded — they have no feature row to
+    * train on. All features are exact integers (counts, cents, days).
+    *
+    * Scale shape: ONE scan and one partial-agg shuffle on user_id —
+    * features and label are conditional aggregates over the same
+    * pass, never a features⋈labels self-join.
+    */
+  def q171(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(TrainCutoff).cast("timestamp")
+    val labelEnd = expr(s"timestamp'$TrainCutoff' + INTERVAL $LabelDays DAYS")
+    val pre = col("ts") < cut
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n_events"),
+        sum(when(pre && col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        coalesce(sum(when(pre,
+          expr("CAST(round(value * 100) AS BIGINT)"))), lit(0L))
+          .as("spend_cents"),
+        countDistinct(when(pre, to_date(col("ts")))).as("active_days"),
+        max(when(pre, to_date(col("ts")))).as("last_day"),
+        max(when(col("ts") >= cut && col("ts") < labelEnd &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      .filter(col("n_events") > 0L)
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("spend_cents"), col("active_days"),
+        datediff(lit(TrainCutoff).cast("date"), col("last_day"))
+          .cast("long").as("recency_days"),
+        col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_train_assembly" -> (q171 _),
+    "q170_session_paths" -> (q170 _),
     "q165_attribution" -> (q165 _),
     "q164_mad_outliers" -> (q164 _),
     "q163_skyline" -> (q163 _),
@@ -1096,6 +1199,59 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q170_session_paths" -> {
+      val gapUs = SessionGapHours * 3600L * 1000000L
+      s"""WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |s AS (
+        | SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |   OR tus - lag(tus) OVER w > $gapUs THEN 1 ELSE 0 END AS new_s
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s2 AS (
+        | SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |   ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM s),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |   ORDER BY tus, event_id) AS rn
+        | FROM s2),
+        |p AS (
+        | SELECT user_id, session_seq,
+        |  string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+        | FROM r WHERE rn <= $PathLen GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM p GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM c),
+        |k AS (SELECT path, n_sessions FROM c
+        |      ORDER BY n_sessions DESC, path ASC LIMIT $PathTopK)
+        |SELECT k.path, k.n_sessions,
+        | CAST(k.n_sessions * 1000000 // tt.total AS BIGINT) AS share_1e6
+        |FROM k, tt""".stripMargin
+    },
+    "q171_train_assembly" -> {
+      val cutDate = TrainCutoff.take(10)
+      s"""SELECT user_id,
+        | CAST(sum(CASE WHEN ts < TIMESTAMP '$TrainCutoff'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN ts < TIMESTAMP '$TrainCutoff'
+        |   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_purchases,
+        | CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '$TrainCutoff'
+        |   THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+        |   AS spend_cents,
+        | CAST(count(DISTINCT CASE WHEN ts < TIMESTAMP '$TrainCutoff'
+        |   THEN CAST(ts AS DATE) END) AS BIGINT) AS active_days,
+        | CAST(date_diff('day',
+        |   max(CASE WHEN ts < TIMESTAMP '$TrainCutoff'
+        |     THEN CAST(ts AS DATE) END),
+        |   DATE '$cutDate') AS BIGINT) AS recency_days,
+        | CAST(max(CASE WHEN ts >= TIMESTAMP '$TrainCutoff'
+        |   AND ts < TIMESTAMP '$TrainCutoff' + INTERVAL $LabelDays DAY
+        |   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label
+        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1 HAVING n_events > 0""".stripMargin
+    },
     "q163_skyline" ->
       """WITH u AS (
         | SELECT user_id, CAST(count(*) AS BIGINT) AS x,

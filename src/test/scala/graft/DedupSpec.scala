@@ -315,4 +315,63 @@ class DedupSpec extends SparkSpec {
     assert(Seq("").toDF("t")
       .select(DedupFunctions.fingerprint(TextFunctions.words($"t"))).head().isNullAt(0))
   }
+
+  test("q169 CDC chunks tile the corpus exactly, and boundaries " +
+    "re-align after a prefix insertion (the shift-robustness a fixed " +
+    "grid cannot give)") {
+    import graft.queries.DedupQueries
+    val sfd = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, sfd)
+      .filter(length($"text") > 0)
+      .agg(sum(length($"text"))).as[Long].head()
+    val card = DedupQueries.q169(spark, sfd)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val (nChunks, nDistinct, dupInst, bytesTotal, bytesDistinct, savings) =
+      card
+    assert(bytesTotal == corpus)           // chunks tile, never overlap
+    assert(dupInst == nChunks - nDistinct)
+    assert(bytesDistinct <= bytesTotal && savings >= 0 && savings < 1000000)
+
+    // shift-robustness: doc2 = junk prefix + doc1. After the first
+    // boundary past the edit, every chunk re-aligns — dup mass appears
+    // even though NO fixed-size grid offset would line up.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val base = (0 until 60).map(i => s"w${i % 17} x${(i * 7) % 13}")
+      .mkString(" ")
+    Seq((1L, base), (2L, "ZQJXKVY " + base)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val shifted = DedupQueries.q169(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(shifted._3 > 0, "shifted duplicate produced no shared chunks")
+  }
+
+  test("q168 sorted-neighborhood: catches suffix AND prefix typos (the " +
+    "reverse pass), never emits a pair beyond the edit ceiling") {
+    import graft.queries.DedupQueries
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sn").toString
+    Seq((1L, "gizmo pod"), (2L, "gizmo pod"), (3L, "gizmo pox"),
+      (4L, "aizmo pod"), // prefix typo: far on pass 1, adjacent reversed
+      (5L, "unrelated thing"), (6L, "zz other"))
+      .toDF("p_partkey", "p_name")
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+    val got = DedupQueries.q168(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains(("gizmo pod", "gizmo pox"))) // suffix typo
+    assert(pairs.contains(("aizmo pod", "gizmo pod"))) // prefix typo
+    got.foreach { case (a, b, d, na, nb) =>
+      assert(d >= 1 && d <= DedupQueries.SnMaxEdit && lev(a, b) == d)
+      assert(na >= 1 && nb >= 1)
+    }
+    // the "gizmo pod" dictionary entry carries BOTH records
+    assert(got.exists(r => r._1 == "aizmo pod" && r._5 == 2L))
+  }
 }

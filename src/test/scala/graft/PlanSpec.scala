@@ -483,6 +483,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q168: the dictionary checkpoints once; both passes window over " +
+    "blocks; count-joins broadcast — never a shuffle join") {
+    val p = plan(DedupQueries.q168(spark, sf))
+    assert(p.contains("Scan ExistingRDD")) // the checkpointed dictionary
+    assert(!p.contains("Scan parquet"))    // part is never re-scanned
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q169: CDC is two corpus scans (cut discovery + chunking) with " +
+    "the cuts lists broadcast back — no per-char shuffle") {
+    val p = plan(DedupQueries.q169(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 2)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q170: sessionize+rank share one user exchange; top-k is " +
+    "TakeOrdered over the checkpointed path dictionary") {
+    val p = plan(TimeseriesQueries.q170(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("Scan ExistingRDD"))
+    assert("Scan parquet".r.findAllIn(p).size == 0)
+  }
+
+  test("q171: train assembly is one scan and one user rollup — no " +
+    "features-labels self-join, no Expand") {
+    val p = plan(TimeseriesQueries.q171(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+    assert(!p.contains("Expand"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
