@@ -578,6 +578,52 @@ object RelationalQueries {
       .unionAll(profile("o_orderpriority", str))
   }
 
+  /** q174's shortlist size. */
+  val AlsoBoughtK = 3
+
+  /** q174 — "ALSO-BOUGHT" RECOMMENDATION SHORTLIST: for every part,
+    * the [[AlsoBoughtK]] parts most often co-purchased with it —
+    * q133's basket co-occurrence turned into the serving-side
+    * artifact (the item-item collaborative-filtering table every
+    * storefront precomputes). Pairs come from the same guarded
+    * within-basket generator as q133 (degenerate mega-baskets
+    * excluded, support-filtered), symmetrized to both directions;
+    * the per-part cut is [[graft.operators.TopKPerGroup]]'s bounded
+    * typed aggregator — ranked by co-purchase count desc, partner id
+    * asc (total order).
+    *
+    * Scale shape: the pair mass shuffles once into the bounded top-k
+    * buffers — no window sort over the pair table (a `row_number`
+    * recipe would sort every part's full partner list for a 3-row
+    * answer); partial aggregation caps each map partition's
+    * contribution at k rows per part.
+    */
+  def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = basketPairs(items, CoocMaxBasket)
+      .localCheckpoint() // pair-table-sized; both union arms read it
+    val sym = pairs
+      .select(col("part_a").as("part"), col("part_b").as("rec"), col("n_ab"))
+      .unionAll(pairs
+        .select(col("part_b").as("part"), col("part_a").as("rec"),
+          col("n_ab")))
+    val agg = graft.operators.TopKPerGroup.topK[(Long, Long)](
+      AlsoBoughtK, Ordering.by { case (n, r) => (-n, r) })
+    sym.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (part, top) =>
+        top.iterator.zipWithIndex.map { case ((n, rec), i) =>
+          (part, (i + 1).toLong, rec, n)
+        }
+      }
+      .toDF("part", "rank", "rec", "n_ab")
+  }
+
   /** q167's replica count and the 95% order-statistic ranks: with
     * B=200 sorted replica means, the CI is the 5th and 196th
     * (`floor(0.025·B)` from each end — the percentile-bootstrap
@@ -677,6 +723,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_also_bought" -> (q174 _),
     "q167_bootstrap_ci" -> (q167 _),
     "q162_column_profile" -> (q162 _),
     "q160_referential_audit" -> (q160 _),
@@ -729,6 +776,23 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q174_also_bought" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ok AS (SELECT o FROM items GROUP BY o HAVING count(*) <= $CoocMaxBasket),
+        |kept AS (SELECT i.o, i.p FROM items i JOIN ok ON i.o = ok.o),
+        |pc AS (
+        | SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM kept a JOIN kept b ON a.o = b.o AND a.p < b.p
+        | GROUP BY 1, 2 HAVING count(*) >= $CoocMinSupport),
+        |sym AS (
+        | SELECT part_a AS part, part_b AS rec, n_ab FROM pc
+        | UNION ALL
+        | SELECT part_b AS part, part_a AS rec, n_ab FROM pc),
+        |rk AS (
+        | SELECT part, rec, n_ab, CAST(row_number() OVER
+        |   (PARTITION BY part ORDER BY n_ab DESC, rec ASC) AS BIGINT) AS rank
+        | FROM sym)
+        |SELECT part, rank, rec, n_ab FROM rk WHERE rank <= $AlsoBoughtK""".stripMargin,
     "q167_bootstrap_ci" ->
       s"""WITH ltv AS (
         | SELECT c.c_mktsegment, c.c_custkey,

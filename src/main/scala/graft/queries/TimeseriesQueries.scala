@@ -1109,7 +1109,84 @@ object TimeseriesQueries {
         col("label"))
   }
 
+  /** q172's report size. */
+  val GridTopK = 15
+
+  /** q172 — SPATIAL GRID DENSITY with 3×3 kernel smoothing: bucket
+    * the event cloud into 1°×1° cells (the q23 coordinate derivation),
+    * smooth each cell by summing its 8-neighborhood, and report the
+    * [[GridTopK]] densest smoothed cells — the hotspot detector
+    * (demand heatmaps, anomaly geography, the reference's
+    * stop-clustering) where raw per-cell counts flicker and a kernel
+    * sum is stable. Cells are exact integer indices (`floor`), counts
+    * exact longs; a cell with no events of its own can still win on
+    * its neighborhood (left join, not inner).
+    *
+    * Scale shape: the events pass is ONE partial-agg rollup to the
+    * bounded cell table (≤ 360·180 rows — geography is finite); the
+    * 9× explode, neighbor sum, and ranking all run on that table, so
+    * smoothing cost is independent of event volume. Top-k is
+    * TakeOrdered.
+    */
+  def q172(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(
+        ((col("event_id") % 360L) - 180L).as("cx"),
+        expr("CAST(floor(value % 90.0) AS BIGINT)").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // cell-table-sized; two consumers (own + 3x3)
+    val spread = cells
+      .select(col("cx"), col("cy"), col("n"),
+        explode(expr("transform(sequence(0, 8), " +
+          "k -> struct(k div 3 - 1 AS dx, k % 3 - 1 AS dy))")).as("o"))
+      .groupBy((col("cx") + col("o.dx")).as("cx"),
+        (col("cy") + col("o.dy")).as("cy"))
+      .agg(sum(col("n")).as("smoothed"))
+    spread.join(cells.withColumnRenamed("n", "own"), Seq("cx", "cy"), "left")
+      .select(col("cx"), col("cy"),
+        coalesce(col("own"), lit(0L)).as("n_own"), col("smoothed"))
+      .orderBy(col("smoothed").desc, col("cy").asc, col("cx").asc)
+      .limit(GridTopK)
+  }
+
+  /** q173 — HOUR-OF-WEEK SEASONALITY PROFILE: per event type, the
+    * 168-bucket hour-of-week histogram reduced to its peak (which
+    * hour, how many events, and the peak-to-uniform concentration
+    * ratio) — the load-shaping/seasonality card behind capacity
+    * planning and anomaly baselines (q102 scores deviations from a
+    * running mean; this says WHEN deviations are normal). The bucket
+    * is pure integer arithmetic (`hours-since-epoch mod 168`), not a
+    * calendar function — engines disagree on week-start conventions,
+    * integers don't. Peak arbitration is exact: max count, then the
+    * EARLIEST hour (min) on ties.
+    *
+    * Scale shape: one partial-agg rollup to ≤ |types|·168 profile
+    * rows; the peak join and concentration math run on that profile,
+    * broadcast-joined — event volume only ever crosses one exchange.
+    */
+  def q173(s: SparkSession, dir: String): DataFrame = {
+    val prof = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 168").as("how"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // profile-sized; two consumers (totals + peak)
+    val tot = prof.groupBy("event_type")
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_hours"),
+        max(col("n")).as("peak_n"))
+    prof.join(broadcast(tot), Seq("event_type"))
+      .filter(col("n") === col("peak_n"))
+      .groupBy("event_type")
+      .agg(max(col("n_total")).as("n_total"), max(col("n_hours")).as("n_hours"),
+        min(col("how")).as("peak_how"), max(col("peak_n")).as("peak_n"))
+      .withColumn("concentration_1e6",
+        expr("(peak_n * 168 * 1000000) div n_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_hour_profile" -> (q173 _),
+    "q172_grid_density" -> (q172 _),
     "q171_train_assembly" -> (q171 _),
     "q170_session_paths" -> (q170 _),
     "q165_attribution" -> (q165 _),
@@ -1199,6 +1276,44 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q172_grid_density" ->
+      s"""WITH cells AS (
+        | SELECT (event_id % 360) - 180 AS cx,
+        |  CAST(floor(value % 90.0) AS BIGINT) AS cy,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |sp AS (
+        | SELECT cells.cx + dx.v AS cx, cells.cy + dy.v AS cy,
+        |  CAST(sum(n) AS BIGINT) AS smoothed
+        | FROM cells
+        |  CROSS JOIN unnest([-1, 0, 1]) AS dx(v)
+        |  CROSS JOIN unnest([-1, 0, 1]) AS dy(v)
+        | GROUP BY 1, 2)
+        |SELECT sp.cx, sp.cy,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n_own, sp.smoothed
+        |FROM sp LEFT JOIN cells c ON sp.cx = c.cx AND sp.cy = c.cy
+        |ORDER BY sp.smoothed DESC, sp.cy ASC, sp.cx ASC
+        |LIMIT $GridTopK""".stripMargin,
+    "q173_hour_profile" ->
+      """WITH prof AS (
+        | SELECT event_type,
+        |  (epoch_us(ts) // 3600000000) % 168 AS how,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        | SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(max(n) AS BIGINT) AS peak_n
+        | FROM prof GROUP BY 1)
+        |SELECT p.event_type, max(t.n_total) AS n_total,
+        | max(t.n_hours) AS n_hours,
+        | CAST(min(p.how) AS BIGINT) AS peak_how,
+        | max(t.peak_n) AS peak_n,
+        | CAST(max(t.peak_n) * 168 * 1000000 // max(t.n_total) AS BIGINT)
+        |   AS concentration_1e6
+        |FROM prof p JOIN tot t USING (event_type)
+        |WHERE p.n = t.peak_n GROUP BY 1""".stripMargin,
     "q170_session_paths" -> {
       val gapUs = SessionGapHours * 3600L * 1000000L
       s"""WITH e AS (

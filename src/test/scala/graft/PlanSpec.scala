@@ -516,6 +516,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"))
   }
 
+  test("q172: smoothing runs on the checkpointed cell table (9x explode " +
+    "of cells, never of events); top-k is TakeOrdered") {
+    val p = plan(TimeseriesQueries.q172(spark, sf))
+    assert(!p.contains("Scan parquet")) // events rolled up at checkpoint
+    assert(p.contains("Generate"))      // the 3x3 offset explode
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q173: peak extraction joins the broadcast per-type totals onto " +
+    "the checkpointed profile — no window, no second corpus pass") {
+    val p = plan(TimeseriesQueries.q173(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q174: one pair-generation pass (checkpointed) feeds both union " +
+    "arms; the per-part cut is the bounded typed top-k, not a window sort") {
+    val p = plan(RelationalQueries.q174(spark, sf))
+    assert(!p.contains("Scan parquet")) // pairs built once, at checkpoint
+    assert(!p.contains("Window"))
+    // TopKPerGroup plans as partial+final ObjectHashAggregate — the
+    // k-bounded buffers combine map-side before the exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2)
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),

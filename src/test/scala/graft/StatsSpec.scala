@@ -101,6 +101,38 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q172/q173/q174 invariants: kernel sums dominate own counts, " +
+    "peaks dominate the uniform rate, shortlists are ranked and bounded") {
+    val grid = graft.queries.TimeseriesQueries.q172(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(grid.length == graft.queries.TimeseriesQueries.GridTopK)
+    grid.foreach { case (_, _, own, sm) => assert(sm >= own && own >= 0) }
+    assert(grid.map(_._4).toSeq == grid.map(_._4).sortBy(-_).toSeq)
+
+    val prof = graft.queries.TimeseriesQueries.q173(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    prof.foreach { case (_, total, hours, how, peak, conc) =>
+      assert(how >= 0 && how < 168 && hours <= 168)
+      assert(peak * hours >= total)    // peak >= average over active hours
+      assert(conc >= 1000000 - 168)    // >= the uniform rate (div floor)
+    }
+
+    val rec = graft.queries.RelationalQueries.q174(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    rec.groupBy(_._1).foreach { case (part, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.length <= graft.queries.RelationalQueries.AlsoBoughtK)
+      // ranks respect (count desc, partner asc) and never self-recommend
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+      assert(rows.forall(_._3 != part))
+    }
+  }
+
   test("freshness gate passes near the data epoch and fails far after") {
     val (fresh, newest) = StatsCollect.validateFreshness(
       spark, sf, "2024-02-01 00:00:00", maxAgeHours = 72)
