@@ -356,7 +356,52 @@ object SamplingQueries {
       .groupBy(col("l_partkey").as("k"))
       .agg(count(lit(1)).as("cnt")))
 
+  /** q175's per-stratum sample size. */
+  val StratAesK = 5
+
+  /** q175 — STRATIFIED WEIGHTED SAMPLING WITHOUT REPLACEMENT: exactly
+    * [[StratAesK]] documents PER SOURCE, sampled proportional to
+    * `n_chars` — q161's Efraimidis–Spirakis A-ES keys (hash-uniform
+    * `u`, key `ln(u)/w`, top-k by key) fused with q63's bounded
+    * per-group top-k: the per-source token-proportional eval/seed
+    * sample every curation pipeline draws ("5 representative docs per
+    * source, long docs proportionally likelier"). q53 stratifies
+    * UNWEIGHTED and q161 weights WITHOUT strata; this is the missing
+    * quadrant, and the hash-derived keys make it reproducible across
+    * engines and runs.
+    *
+    * Scale shape: one projection computes keys; the per-source cut is
+    * [[graft.operators.TopKPerGroup]]'s k-bounded typed buffers —
+    * map-side partial aggregation caps every partition at k rows per
+    * source before the one exchange. No window, no per-source sort.
+    */
+  def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = (DedupFunctions.md5Hash32(
+      concat(lit("saes-"), col("doc_id").cast("string"))) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val scored = Tables.documents(s, dir)
+      .filter(col("n_chars") > 0L)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("skey"))
+    val agg = graft.operators.TopKPerGroup.topK[(Double, Long, Long)](
+      StratAesK, Ordering.by { case (sk, id, _) => (-sk, id) })
+    scored.as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._4, r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.iterator.zipWithIndex.map { case ((sk, id, nc), i) =>
+          (src, (i + 1).toLong, id, nc, sk)
+        }
+      }
+      .toDF("source", "rank", "doc_id", "n_chars", "skey_raw")
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        round(col("skey_raw"), 9).as("skey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_stratified_weighted" -> (q175 _),
     "q138_skew_gini" -> (q138 _),
     "q43_hash_sample" -> (q43 _),
     "q44_heavy_hitters" -> (q44 _),
@@ -368,6 +413,20 @@ object SamplingQueries {
     "q116_cms_heavy_hitters" -> (q116 _))
 
   val oracles: Map[String, String] = Map(
+    "q175_stratified_weighted" ->
+      s"""WITH sc AS (
+        | SELECT source, doc_id, n_chars,
+        |  ln((CAST(concat('0x', substr(md5(concat('saes-',
+        |    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 1) / 4294967296.0)
+        |   / CAST(n_chars AS DOUBLE) AS skey
+        | FROM documents WHERE n_chars > 0),
+        |rk AS (
+        | SELECT source, doc_id, n_chars, skey,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM sc)
+        |SELECT source, rank, doc_id, n_chars, round(skey, 9) AS skey
+        |FROM rk WHERE rank <= $StratAesK""".stripMargin,
     "q138_skew_gini" ->
       """WITH c AS (
         | SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt

@@ -1184,7 +1184,94 @@ object TimeseriesQueries {
         expr("(peak_n * 168 * 1000000) div n_total"))
   }
 
+  /** q176's smoothing memory: only the trailing [[EwmaWindowDays]]
+    * days contribute (the 2⁻ᵏ tail beyond is sub-integer anyway).
+    */
+  val EwmaWindowDays = 20
+
+  /** q176 — EWMA FORECAST BACKTEST: per event type, smooth the daily
+    * count series with a half-life-one-day decayed sum (q142's exact
+    * bit-shift decay: `D_t = Σ x_i >> (t−i)` over the trailing
+    * [[EwmaWindowDays]] days — weights sum to ~2, so `D_t div 2` is
+    * tomorrow's forecast) and score it against what actually happened
+    * — the capacity-forecast primitive plus its OWN honesty check
+    * (mean absolute error, in 10⁻² events), in pure integer
+    * arithmetic end to end. Backtest pairs need both days present in
+    * the rollup; a truly empty day would need a calendar spine —
+    * out of scope here and absent in this lake.
+    *
+    * Scale shape: events collapse to the (type, day) rollup in one
+    * partial-agg pass; the banded self-join, decay shifts, and error
+    * rollup all run on that ≤ |types|·days table.
+    */
+  def q176(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // rollup-sized; three consumers below
+    val ewma = daily.toDF("event_type", "t", "xt")
+      .join(daily.toDF("event_type", "i", "xi"), Seq("event_type"))
+      .filter(col("i") <= col("t") &&
+        col("i") > col("t") - EwmaWindowDays)
+      .groupBy("event_type", "t")
+      .agg(sum(expr("shiftright(xi, CAST(t - i AS INT))")).as("ewma"))
+    ewma
+      .join(daily.toDF("event_type", "d", "actual")
+          .withColumn("t", col("d") - 1L),
+        Seq("event_type", "t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_backtest"),
+        sum(col("actual")).as("n_events_scored"),
+        expr("CAST(sum(abs(actual - ewma div 2)) * 100 AS BIGINT) " +
+          "div count(1)").as("mae_1e2"))
+  }
+
+  /** q177's order-statistic ranks: exact type-1 quantiles (the
+    * ⌈p·n⌉-th smallest) — no interpolated float crosses engines.
+    * `d` is the engine's integer-division spelling (`div` / `//`).
+    */
+  def q177Rank(p: Int, n: String, d: String = "div"): String =
+    s"($p * $n + 99) $d 100"
+
+  /** q177 — FUNNEL STAGE LATENCY: how long converting users take
+    * between funnel steps (view→click, click→purchase) — the p50/p90
+    * time-to-convert card that turns q110's WHO-converts table into
+    * WHEN (SLA budgets, abandonment-window sizing, re-marketing
+    * timing). Latencies are exact micros from q110's own step
+    * timestamps; quantiles are exact order statistics at ⌈p·n⌉
+    * ([[q177Rank]]), so the whole card is integers.
+    *
+    * Scale shape: everything downstream of q110's single user
+    * exchange runs on the per-user funnel table (one row per
+    * converting user); the rank windows partition by stage over that
+    * table, never over events.
+    */
+  def q177(s: SparkSession, dir: String): DataFrame = {
+    val f = q110(s, dir).localCheckpoint() // funnel-table-sized; 2 stages
+    def stage(name: String, a: String, b: String): DataFrame =
+      f.filter(col(a).isNotNull && col(b).isNotNull)
+        .select(lit(name).as("stage"), col("user_id"),
+          (col(b) - col(a)).as("d_us"))
+    val d = stage("view>click", "t_view", "t_click")
+      .unionAll(stage("click>purchase", "t_click", "t_purchase"))
+    d.withColumn("rn", row_number().over(Window.partitionBy("stage")
+        .orderBy(col("d_us"), col("user_id"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("stage")))
+      .groupBy("stage")
+      .agg(max(col("nn")).as("n"),
+        min(col("d_us")).as("min_us"),
+        min(when(expr(s"rn = ${q177Rank(50, "nn")}"), col("d_us")))
+          .as("p50_us"),
+        min(when(expr(s"rn = ${q177Rank(90, "nn")}"), col("d_us")))
+          .as("p90_us"),
+        max(col("d_us")).as("max_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_funnel_latency" -> (q177 _),
+    "q176_ewma_forecast" -> (q176 _),
     "q173_hour_profile" -> (q173 _),
     "q172_grid_density" -> (q172 _),
     "q171_train_assembly" -> (q171 _),
@@ -1275,7 +1362,78 @@ object TimeseriesQueries {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** q110's oracle (the chained min-agg funnel replay) as a def so
+    * q177's latency oracle can inline it as a CTE.
+    */
+  private def q110OracleSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    s"""WITH ev AS (
+       | SELECT user_id, event_type, epoch_us(ts) AS tus
+       | FROM events
+       | WHERE ts IS NOT NULL AND event_type IN ('$s1', '$s2', '$s3')),
+       |f1 AS (SELECT user_id, min(tus) AS t1 FROM ev
+       |       WHERE event_type = '$s1' GROUP BY 1),
+       |f2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM ev e
+       |       JOIN f1 USING (user_id)
+       |       WHERE e.event_type = '$s2' AND e.tus > f1.t1 GROUP BY 1),
+       |f3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM ev e
+       |       JOIN f2 USING (user_id)
+       |       WHERE e.event_type = '$s3' AND e.tus > f2.t2 GROUP BY 1),
+       |u AS (SELECT DISTINCT user_id FROM ev)
+       |SELECT u.user_id,
+       | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |   AS steps_completed,
+       | f1.t1 AS t_view, f2.t2 AS t_click, f3.t3 AS t_purchase
+       |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+       | LEFT JOIN f3 USING (user_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q176_ewma_forecast" ->
+      s"""WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |ew AS (
+        | SELECT a.event_type, a.d AS t,
+        |  CAST(sum(b.x >> CAST(a.d - b.d AS INT)) AS BIGINT) AS ewma
+        | FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |  AND b.d <= a.d AND b.d > a.d - $EwmaWindowDays
+        | GROUP BY 1, 2)
+        |SELECT ew.event_type,
+        | CAST(count(*) AS BIGINT) AS n_backtest,
+        | CAST(sum(n.x) AS BIGINT) AS n_events_scored,
+        | CAST(CAST(sum(abs(n.x - ew.ewma // 2)) * 100 AS BIGINT)
+        |   // count(*) AS BIGINT) AS mae_1e2
+        |FROM ew JOIN daily n
+        | ON ew.event_type = n.event_type AND n.d = ew.t + 1
+        |GROUP BY 1""".stripMargin,
+    "q177_funnel_latency" ->
+      s"""WITH funnel AS ($q110OracleSql),
+        |d AS (
+        | SELECT 'view>click' AS stage, user_id,
+        |  t_click - t_view AS d_us FROM funnel
+        | WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        | UNION ALL
+        | SELECT 'click>purchase' AS stage, user_id,
+        |  t_purchase - t_click AS d_us FROM funnel
+        | WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL),
+        |rk AS (
+        | SELECT stage, d_us,
+        |  row_number() OVER (PARTITION BY stage
+        |    ORDER BY d_us, user_id) AS rn,
+        |  count(*) OVER (PARTITION BY stage) AS nn
+        | FROM d)
+        |SELECT stage, CAST(max(nn) AS BIGINT) AS n,
+        | CAST(min(d_us) AS BIGINT) AS min_us,
+        | CAST(min(CASE WHEN rn = ${q177Rank(50, "nn", "//")} THEN d_us END)
+        |   AS BIGINT) AS p50_us,
+        | CAST(min(CASE WHEN rn = ${q177Rank(90, "nn", "//")} THEN d_us END)
+        |   AS BIGINT) AS p90_us,
+        | CAST(max(d_us) AS BIGINT) AS max_us
+        |FROM rk GROUP BY 1""".stripMargin,
     "q172_grid_density" ->
       s"""WITH cells AS (
         | SELECT (event_id % 360) - 180 AS cx,
@@ -1564,29 +1722,7 @@ object TimeseriesQueries {
          |FROM a JOIN c USING (user_id)
          |WHERE a.wk >= c.cohort_wk
          |GROUP BY 1, 2""".stripMargin,
-    "q110_funnel" -> {
-      val Seq(s1, s2, s3) = FunnelSteps
-      s"""WITH ev AS (
-         | SELECT user_id, event_type, epoch_us(ts) AS tus
-         | FROM events
-         | WHERE ts IS NOT NULL AND event_type IN ('$s1', '$s2', '$s3')),
-         |f1 AS (SELECT user_id, min(tus) AS t1 FROM ev
-         |       WHERE event_type = '$s1' GROUP BY 1),
-         |f2 AS (SELECT e.user_id, min(e.tus) AS t2 FROM ev e
-         |       JOIN f1 USING (user_id)
-         |       WHERE e.event_type = '$s2' AND e.tus > f1.t1 GROUP BY 1),
-         |f3 AS (SELECT e.user_id, min(e.tus) AS t3 FROM ev e
-         |       JOIN f2 USING (user_id)
-         |       WHERE e.event_type = '$s3' AND e.tus > f2.t2 GROUP BY 1),
-         |u AS (SELECT DISTINCT user_id FROM ev)
-         |SELECT u.user_id,
-         | CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
-         |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-         |   AS steps_completed,
-         | f1.t1 AS t_view, f2.t2 AS t_click, f3.t3 AS t_purchase
-         |FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
-         | LEFT JOIN f3 USING (user_id)""".stripMargin
-    },
+    "q110_funnel" -> q110OracleSql,
     "q10_first_last_per_group" ->
       """WITH r AS (
         | SELECT user_id, event_id, ts,

@@ -542,6 +542,30 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size == 2)
   }
 
+  test("q175: stratified weighted sample is one scan into k-bounded " +
+    "typed buffers (partial+final ObjectHashAggregate, no window sort)") {
+    val p = plan(graft.queries.SamplingQueries.q175(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2)
+    assert(!p.contains("Window"))
+  }
+
+  test("q176: the EWMA backtest runs entirely on the checkpointed daily " +
+    "rollup — banded self-join broadcasts, events never rejoin") {
+    val p = plan(TimeseriesQueries.q176(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q177: latency quantiles share one stage exchange (rank + count " +
+    "windows stack); the funnel table is checkpointed, events never rescan") {
+    val p = plan(TimeseriesQueries.q177(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert("Window \\[".r.findAllIn(p).size == 2)
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
