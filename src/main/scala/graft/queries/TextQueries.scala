@@ -702,7 +702,51 @@ object TextQueries {
           .as("h_nats"))
   }
 
+  /** q178 — CLASSIFIER EVALUATION CARD for the language-ID model:
+    * per-class n/tp/precision/recall/F1 from q33's predictions
+    * against the corpus's ground-truth `lang` — the model-eval
+    * primitive (confusion rollup → per-class PRF) a training pipeline
+    * runs on every heuristic/classifier gate before trusting it to
+    * filter data (q96 applies a model; this MEASURES one). The class
+    * list is the union of actual and predicted labels — 'und' appears
+    * as a prediction with no ground truth (precision only), zh as
+    * truth the markers can't see (recall 0) — and every rate is an
+    * exact 10⁻⁶ integer (`F1 = 2·tp/(nₐ+nₚ)`, one division).
+    *
+    * Scale shape: predictions reduce to the |classes|² confusion
+    * matrix in ONE partial-agg pass; marginals, diagonal, and the
+    * class union all derive from that checkpointed matrix —
+    * corpus-sized data crosses exactly one exchange.
+    */
+  def q178(s: SparkSession, dir: String): DataFrame = {
+    val conf = q33(s, dir)
+      .groupBy(col("lang").as("act"), col("lang_pred").as("prd"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |classes|^2; four consumers below
+    val cls = conf.select(col("act").as("c"))
+      .union(conf.select(col("prd").as("c"))).distinct()
+    val at = conf.groupBy(col("act").as("c")).agg(sum("n").as("na"))
+    val pt = conf.groupBy(col("prd").as("c")).agg(sum("n").as("np"))
+    val dg = conf.filter(col("act") === col("prd"))
+      .groupBy(col("act").as("c")).agg(sum("n").as("tp"))
+    cls.join(at, Seq("c"), "left").join(pt, Seq("c"), "left")
+      .join(dg, Seq("c"), "left")
+      .select(col("c").as("lang"),
+        coalesce(col("na"), lit(0L)).as("n_actual"),
+        coalesce(col("np"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang"), col("n_actual"), col("n_predicted"), col("tp"),
+        when(col("n_predicted") > 0L,
+          expr("tp * 1000000 div n_predicted")).as("precision_1e6"),
+        when(col("n_actual") > 0L,
+          expr("tp * 1000000 div n_actual")).as("recall_1e6"),
+        when(col("n_actual") + col("n_predicted") > 0L,
+          expr("2 * tp * 1000000 div (n_actual + n_predicted)"))
+          .as("f1_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_langid_eval" -> (q178 _),
     "q166_bigram_lm" -> (q166 _),
     "q156_charset_profile" -> (q156 _),
     "q154_source_boilerplate" -> (q154 _),
@@ -780,7 +824,56 @@ object TextQueries {
        |  CAST(sum(t.n_tok) AS BIGINT) AS n_subword
        | FROM expl e JOIN tok t ON e.w = t.w GROUP BY e.doc_id)""".stripMargin
 
+  /** q33's oracle as a def so q178's evaluation oracle can inline it
+    * as a CTE (the q110/q177 composition discipline).
+    */
+  private def q33OracleSql: String = {
+    val scoreCols = LangOrder.map(l =>
+      s"len(list_filter($wsLowerSql, w -> list_contains(${markersSql(l)}, w))) AS s_$l")
+      .mkString(",\n  ")
+    val caseArms = LangOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH s AS (
+       | SELECT doc_id, lang,
+       |  $scoreCols
+       | FROM documents),
+       |g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m FROM s)
+       |SELECT doc_id, lang,
+       | CASE WHEN m = 0 THEN 'und' $caseArms END AS lang_pred,
+       | CAST(m AS BIGINT) AS marker_hits
+       |FROM g""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q178_langid_eval" ->
+      s"""WITH pred AS ($q33OracleSql),
+        |conf AS (
+        | SELECT lang AS act, lang_pred AS prd, CAST(count(*) AS BIGINT) AS n
+        | FROM pred GROUP BY 1, 2),
+        |cls AS (
+        | SELECT act AS c FROM conf UNION SELECT prd AS c FROM conf),
+        |at AS (SELECT act AS c, CAST(sum(n) AS BIGINT) AS na
+        |       FROM conf GROUP BY 1),
+        |pt AS (SELECT prd AS c, CAST(sum(n) AS BIGINT) AS np
+        |       FROM conf GROUP BY 1),
+        |dg AS (SELECT act AS c, CAST(sum(n) AS BIGINT) AS tp
+        |       FROM conf WHERE act = prd GROUP BY 1)
+        |SELECT cls.c AS lang,
+        | CAST(coalesce(at.na, 0) AS BIGINT) AS n_actual,
+        | CAST(coalesce(pt.np, 0) AS BIGINT) AS n_predicted,
+        | CAST(coalesce(dg.tp, 0) AS BIGINT) AS tp,
+        | CAST(CASE WHEN coalesce(pt.np, 0) > 0
+        |   THEN coalesce(dg.tp, 0) * 1000000 // pt.np END AS BIGINT)
+        |   AS precision_1e6,
+        | CAST(CASE WHEN coalesce(at.na, 0) > 0
+        |   THEN coalesce(dg.tp, 0) * 1000000 // at.na END AS BIGINT)
+        |   AS recall_1e6,
+        | CAST(CASE WHEN coalesce(at.na, 0) + coalesce(pt.np, 0) > 0
+        |   THEN 2 * coalesce(dg.tp, 0) * 1000000
+        |     // (coalesce(at.na, 0) + coalesce(pt.np, 0)) END AS BIGINT)
+        |   AS f1_1e6
+        |FROM cls LEFT JOIN at ON cls.c = at.c
+        | LEFT JOIN pt ON cls.c = pt.c
+        | LEFT JOIN dg ON cls.c = dg.c""".stripMargin,
     "q166_bigram_lm" ->
       """WITH bg AS (
         | SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
@@ -896,21 +989,7 @@ object TextQueries {
          |        w1 ASC, w2 ASC) AS rank FROM l)
          |SELECT w1, w2, c_bg, lift_1e6, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= $PmiTopK""".stripMargin,
-    "q33_langid" -> {
-      val scoreCols = LangOrder.map(l =>
-        s"len(list_filter($wsLowerSql, w -> list_contains(${markersSql(l)}, w))) AS s_$l")
-        .mkString(",\n  ")
-      val caseArms = LangOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
-      s"""WITH s AS (
-         | SELECT doc_id, lang,
-         |  $scoreCols
-         | FROM documents),
-         |g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m FROM s)
-         |SELECT doc_id, lang,
-         | CASE WHEN m = 0 THEN 'und' $caseArms END AS lang_pred,
-         | CAST(m AS BIGINT) AS marker_hits
-         |FROM g""".stripMargin
-    },
+    "q33_langid" -> q33OracleSql,
     "q34_quality_score" ->
       s"""WITH b AS (
          | SELECT doc_id,

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{GeoFunctions, TimeFunctions}
 import graft.operators.BandJoin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1269,7 +1269,61 @@ object TimeseriesQueries {
         max(col("d_us")).as("max_us"))
   }
 
+  /** q179's quantile granularity (quintiles, the RFM convention). */
+  val RfmQ = 5
+
+  /** q179 — RFM SEGMENTATION: every user scored on Recency (days
+    * since last event, bucket 1 = most recent), Frequency (event
+    * count), and Monetary (whole-dollar spend), each quintiled
+    * independently, then rolled up to segment populations — the
+    * classic customer-base segmentation grid ("champions" = R1F5M5,
+    * "at-risk big spenders" = R5F*M5…). All three quantile cuts use
+    * q62's SORT-FREE integer histogram-rank thresholds: R/F/M are
+    * small-cardinality integers, so each cut is a value-histogram
+    * partial agg plus a four-value threshold row — `ntile()` would
+    * globally sort the user base three times for the same answer.
+    *
+    * Scale shape: one corpus pass to the per-user RFM rollup
+    * (checkpointed); three histogram passes over THAT table; the
+    * three broadcast threshold rows assign buckets in one projection;
+    * the segment rollup is ≤ 5³ rows.
+    */
+  def q179(s: SparkSession, dir: String): DataFrame = {
+    val rfm = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(datediff(lit(NowLit.take(10)).cast("date"),
+          max(to_date(col("ts")))).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        expr("coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) div 100")
+          .as("m"))
+      .localCheckpoint() // user-table-sized; 3 histograms + assignment
+    def thr(cn: String): DataFrame = {
+      val cum = rfm.groupBy(col(cn).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      val cols = (1 until RfmQ).map { k =>
+        min(when(col("cum") >= expr(s"($k * n + ${RfmQ - 1}) div $RfmQ"),
+          col("v"))).as(s"${cn}_t$k")
+      }
+      cum.agg(cols.head, cols.tail: _*)
+    }
+    def bucket(cn: String): Column =
+      (lit(1L) + (1 until RfmQ)
+        .map(k => (col(cn) > col(s"${cn}_t$k")).cast("long"))
+        .reduce(_ + _)).as(s"${cn}_q")
+    rfm.crossJoin(broadcast(thr("r")))
+      .crossJoin(broadcast(thr("f")))
+      .crossJoin(broadcast(thr("m")))
+      .select(col("user_id"), col("m"), bucket("r"), bucket("f"),
+        bucket("m"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_rfm_segments" -> (q179 _),
     "q177_funnel_latency" -> (q177 _),
     "q176_ewma_forecast" -> (q176 _),
     "q173_hour_profile" -> (q173 _),
@@ -1390,6 +1444,43 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q179_rfm_segments" -> {
+      def thrSql(cn: String): String =
+        s"""${cn}cum AS (
+           | SELECT v, sum(c) OVER (ORDER BY v
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |  sum(c) OVER () AS n
+           | FROM (SELECT $cn AS v, CAST(count(*) AS BIGINT) AS c
+           |       FROM rfm GROUP BY 1)),
+           |${cn}t AS (SELECT
+           |${(1 until RfmQ).map(k =>
+              s"  min(CASE WHEN cum >= ($k * n + ${RfmQ - 1}) // $RfmQ " +
+                s"THEN v END) AS ${cn}_t$k").mkString(",\n")}
+           | FROM ${cn}cum)""".stripMargin
+      def bucketSql(cn: String): String =
+        s"1 + " + (1 until RfmQ)
+          .map(k => s"CAST($cn > ${cn}_t$k AS BIGINT)").mkString(" + ")
+      s"""WITH rfm AS (
+        | SELECT user_id,
+        |  CAST(date_diff('day', max(CAST(ts AS DATE)),
+        |    DATE '${NowLit.take(10)}') AS BIGINT) AS r,
+        |  CAST(count(*) AS BIGINT) AS f,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) // 100
+        |    AS BIGINT) AS m
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1),
+        |${thrSql("r")},
+        |${thrSql("f")},
+        |${thrSql("m")},
+        |b AS (
+        | SELECT CAST(${bucketSql("r")} AS BIGINT) AS r_q,
+        |  CAST(${bucketSql("f")} AS BIGINT) AS f_q,
+        |  CAST(${bucketSql("m")} AS BIGINT) AS m_q, m
+        | FROM rfm CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(m) AS BIGINT) AS m_total
+        |FROM b GROUP BY 1, 2, 3""".stripMargin
+    },
     "q176_ewma_forecast" ->
       s"""WITH daily AS (
         | SELECT event_type, epoch_us(ts) // 86400000000 AS d,

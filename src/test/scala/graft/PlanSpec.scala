@@ -566,6 +566,24 @@ class PlanSpec extends SparkSpec {
     assert("Window \\[".r.findAllIn(p).size == 2)
   }
 
+  test("q178: eval card derives everything from the checkpointed " +
+    "confusion matrix — marginal joins broadcast, corpus never rejoins") {
+    val p = plan(graft.queries.TextQueries.q178(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q179: three sort-free histogram threshold rows broadcast onto " +
+    "the checkpointed RFM rollup — the user base is never ntile-sorted") {
+    val p = plan(TimeseriesQueries.q179(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    // the 1-row threshold frames cross in as broadcast nested loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 3)
+    // windows run on the VALUE histograms, not per-user rows
+    assert("Window ".r.findAllIn(p).size == 6)
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
