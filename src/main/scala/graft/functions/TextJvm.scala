@@ -144,4 +144,46 @@ object TextJvm extends Serializable {
       }
       Some(-acc)
     }
+
+  /** q169's content-defined chunker: split `text` where the rolling
+    * gear hash `h ← (2h + gear(cp)) mod mask` hits 0 at codepoint
+    * index ≥ `window` (`gear(cp) = cp·2654435761 mod 2³²`). The
+    * rolling form is EXACTLY the oracle's windowed sum
+    * `Σ gear(c_j)·2^(i−j) mod mask` because `2^k ≡ 0 (mod mask)` for
+    * `k ≥ log₂(mask)` — valid while `window ≥ log₂(mask)`, which the
+    * caller's constants guarantee. One O(len) codepoint pass per doc
+    * (the q61 typed-hot-loop discipline — a SQL
+    * `substring(text, i, 1)` per position re-seeks codepoints from
+    * the string head and goes O(len²)).
+    */
+  def cdcChunks(text: String, window: Int, mask: Long): Seq[String] = {
+    if (text.isEmpty) Nil
+    else {
+      val out = Seq.newBuilder[String]
+      var h = 0L
+      var i = 0      // UTF-16 index
+      var cpIdx = 0  // codepoint count consumed
+      var start = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        i += Character.charCount(cp)
+        cpIdx += 1
+        h = (h * 2 + (cp * 2654435761L) % 4294967296L) % mask
+        if (cpIdx >= window && h == 0) {
+          out += text.substring(start, i)
+          start = i
+        }
+      }
+      if (start < text.length) out += text.substring(start)
+      out.result()
+    }
+  }
+
+  /** q166's bigram emitter: all adjacent CODEPOINT pairs, one O(len)
+    * pass (same O(len²) SQL-substring trap as [[cdcChunks]]).
+    */
+  def charBigrams(text: String): Seq[String] = {
+    val cps = text.codePoints().toArray
+    (0 until cps.length - 1).map(k => new String(cps, k, 2))
+  }
 }

@@ -678,11 +678,16 @@ object TextQueries {
     * scoring on 100 TB are the same two corpus scans.
     */
   def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one O(len) codepoint pass per doc (TextJvm.charBigrams) — the
+    // per-position SQL substring form re-seeks codepoints from the
+    // string head, O(len²) per doc (measured 4.9 s vs 0.6 s at sf0.1)
     def bigrams = t(s, dir, "documents")
       .filter(length(col("text")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-        .as("bg"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, tx) =>
+        graft.functions.TextJvm.charBigrams(tx).map((id, _)) }
+      .toDF("doc_id", "bg")
     val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
       .localCheckpoint() // vocab-sized; two consumers (ctx + model join)
     val ctxCounts = bgCounts

@@ -492,12 +492,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q169: CDC is two corpus scans (cut discovery + chunking) with " +
-    "the cuts lists broadcast back — no per-char shuffle") {
+  test("q169: CDC is ONE narrow typed pass (per-doc O(len) rolling " +
+    "loop) into the chunk-hash rollup — no join, no per-char rows") {
     val p = plan(DedupQueries.q169(spark, sf))
-    assert("Scan parquet".r.findAllIn(p).size == 2)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
-    assert(!p.contains("SortMergeJoin"))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"))
   }
 
   test("q170: sessionize+rank share one user exchange; top-k is " +
