@@ -1767,7 +1767,63 @@ object DedupQueries {
         expr("((bytes_total - bytes_distinct) * 1000000) div bytes_total"))
   }
 
+  /** q182's guards: a chunk shared by more than [[CdcMaxChunkDocs]]
+    * docs is boilerplate (excluded from pairing, the q133 degenerate-
+    * basket discipline); a pair must share ≥ [[CdcMinShared]] chunks.
+    */
+  val CdcMaxChunkDocs = 50L
+  val CdcMinShared = 2L
+
+  /** q182 — CDC CHUNK CONTAINMENT pairs: which documents share
+    * content-defined chunks, and how much — `containment =
+    * |A∩B| / min(|A|,|B|)` over each doc's distinct chunk SET — the
+    * Broder resemblance/containment measure computed on q169's
+    * shift-robust chunks: it catches partial inclusion (one doc
+    * embedded in another, quote farms, template + payload) that
+    * whole-doc MinHash (q29) dilutes away and fixed-grid chunks (q69)
+    * miss under any insertion. Ultra-common chunks are excluded
+    * before pairing ([[CdcMaxChunkDocs]] — boilerplate pairs
+    * everything with everything; the q133 guard), and pairs need
+    * [[CdcMinShared]] shared chunks.
+    *
+    * Scale shape: one O(len) typed chunking pass; the pair join is on
+    * chunk hashes with per-hash fan-out provably ≤
+    * [[CdcMaxChunkDocs]]² — candidate generation bounded the LSH way,
+    * never all-pairs; sizes broadcast back onto the pair rollup.
+    */
+  def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkSets = t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, tx) =>
+        graft.functions.TextJvm.cdcChunks(tx, CdcWindow, CdcMask)
+          .map(c => (id, c)) }
+      .toDF("doc_id", "chunk")
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+      .distinct()
+      .localCheckpoint() // (doc, chunk-hash) set; sizes + pairing
+    val sizes = chunkSets.groupBy("doc_id").agg(count(lit(1)).as("nch"))
+    val kept = chunkSets.join(
+      chunkSets.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2L && col("df") <= CdcMaxChunkDocs)
+        .select("h"),
+      Seq("h"))
+    val pairs = kept.toDF("h", "doc_a")
+      .join(kept.toDF("h", "doc_b"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= CdcMinShared)
+    pairs
+      .join(broadcast(sizes.toDF("doc_a", "n_a")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"),
+        col("n_b"),
+        expr("shared * 1000000 div least(n_a, n_b)").as("containment_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_cdc_containment" -> (q182 _),
     "q168_sorted_neighborhood" -> (q168 _),
     "q169_cdc_dedup" -> (q169 _),
     "q155_khop_reach" -> (q155 _),
@@ -2037,7 +2093,56 @@ object DedupQueries {
        |${(1 to ReachHops).map(reachHopSql).mkString(",\n")}
        |SELECT id AS doc_id, hop FROM r$ReachHops""".stripMargin
 
+  /** The oracle's CDC chunk extraction (q169's windowed-sum form of
+    * the rolling gear hash) as a CTE list ending in
+    * `chunks(doc_id, chunk)` — shared by q169 and q182.
+    */
+  private def cdcChunksSqlCte: String = {
+    val gearSum = (0 until CdcWindow).map { k =>
+      s"(((ascii(substr(text, CAST(i - $k AS INT), 1)) * 2654435761)" +
+        s" % 4294967296) * ${1L << k})"
+    }.mkString("(", " + ", s") % $CdcMask")
+    s"""pos AS (
+       | SELECT doc_id, text, CAST(i AS BIGINT) AS i
+       | FROM documents
+       |  CROSS JOIN unnest(range($CdcWindow, length(text) + 1)) AS t(i)
+       | WHERE length(text) >= $CdcWindow),
+       |b AS (SELECT doc_id, i FROM pos WHERE $gearSum = 0),
+       |cuts AS (SELECT doc_id, list_sort(list(i)) AS cs FROM b GROUP BY 1),
+       |bounds AS (
+       | SELECT d.doc_id, d.text,
+       |  list_sort(list_distinct(list_concat(list_concat(
+       |    [CAST(0 AS BIGINT)], coalesce(c.cs, [])),
+       |    [CAST(length(d.text) AS BIGINT)]))) AS bs
+       | FROM documents d LEFT JOIN cuts c USING (doc_id)
+       | WHERE length(d.text) > 0),
+       |chunks AS (
+       | SELECT doc_id, substr(text, CAST(bs[j] + 1 AS INT),
+       |   CAST(bs[j + 1] - bs[j] AS INT)) AS chunk
+       | FROM bounds CROSS JOIN unnest(range(1, len(bs))) AS t(j))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q182_cdc_containment" ->
+      s"""WITH $cdcChunksSqlCte,
+        |cset AS (SELECT DISTINCT doc_id, chunk FROM chunks),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nch
+        |          FROM cset GROUP BY 1),
+        |kepth AS (SELECT chunk FROM cset GROUP BY chunk
+        |          HAVING count(*) >= 2 AND count(*) <= $CdcMaxChunkDocs),
+        |kept AS (SELECT c.doc_id, c.chunk FROM cset c
+        |         JOIN kepth USING (chunk)),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        | FROM kept a JOIN kept b
+        |  ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= $CdcMinShared)
+        |SELECT p.doc_a, p.doc_b, p.shared, sa.nch AS n_a, sb.nch AS n_b,
+        | CAST(p.shared * 1000000 // least(sa.nch, sb.nch) AS BIGINT)
+        |   AS containment_1e6
+        |FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+        |             JOIN sizes sb ON p.doc_b = sb.doc_id""".stripMargin,
     "q168_sorted_neighborhood" -> {
       def pass(key: String): String =
         (1 to SnWindow).map { k =>
@@ -2066,28 +2171,7 @@ object DedupQueries {
         |       JOIN names b ON v.name_b = b.name""".stripMargin
     },
     "q169_cdc_dedup" -> {
-      val gearSum = (0 until CdcWindow).map { k =>
-        s"(((ascii(substr(text, CAST(i - $k AS INT), 1)) * 2654435761)" +
-          s" % 4294967296) * ${1L << k})"
-      }.mkString("(", " + ", s") % $CdcMask")
-      s"""WITH pos AS (
-        | SELECT doc_id, text, CAST(i AS BIGINT) AS i
-        | FROM documents
-        |  CROSS JOIN unnest(range($CdcWindow, length(text) + 1)) AS t(i)
-        | WHERE length(text) >= $CdcWindow),
-        |b AS (SELECT doc_id, i FROM pos WHERE $gearSum = 0),
-        |cuts AS (SELECT doc_id, list_sort(list(i)) AS cs FROM b GROUP BY 1),
-        |bounds AS (
-        | SELECT d.doc_id, d.text,
-        |  list_sort(list_distinct(list_concat(list_concat(
-        |    [CAST(0 AS BIGINT)], coalesce(c.cs, [])),
-        |    [CAST(length(d.text) AS BIGINT)]))) AS bs
-        | FROM documents d LEFT JOIN cuts c USING (doc_id)
-        | WHERE length(d.text) > 0),
-        |chunks AS (
-        | SELECT doc_id, substr(text, CAST(bs[j] + 1 AS INT),
-        |   CAST(bs[j + 1] - bs[j] AS INT)) AS chunk
-        | FROM bounds CROSS JOIN unnest(range(1, len(bs))) AS t(j)),
+      s"""WITH $cdcChunksSqlCte,
         |agg AS (
         | SELECT CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,

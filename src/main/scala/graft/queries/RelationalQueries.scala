@@ -624,6 +624,37 @@ object RelationalQueries {
       .toDF("part", "rank", "rec", "n_ab")
   }
 
+  /** q180 — SUPPLIER CONCENTRATION (Herfindahl–Hirschman index) per
+    * part type: each type's supplier revenue shares squared and
+    * summed — the market-concentration / single-point-of-failure
+    * audit (procurement risk, data-source concentration in a corpus)
+    * on the q18 ratio-gate family but quadratic in shares, so a
+    * 0.9-share supplier dominates the score the way it dominates the
+    * risk. Exact integers end to end: revenue in cents, `HHI =
+    * Σcᵢ²·10⁶ / (Σcᵢ)²` in DECIMAL(38,0) (cᵢ² at web scale exceeds
+    * 2⁶³ — the q157 lesson, cast BEFORE the square).
+    *
+    * Scale shape: one fact-table partial agg to (type, supplier)
+    * revenue (the part dimension broadcasts onto the scan); the HHI
+    * algebra runs on that rollup; output is |types| rows.
+    */
+  def q180(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey"),
+        col("p_type"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100) AS BIGINT))")
+        .as("c"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c")).as("revenue_cents"),
+        sum(expr(s"CAST(c AS $dec) * CAST(c AS $dec)")).as("sumsq"))
+      .select(col("p_type"), col("n_suppliers"), col("revenue_cents"),
+        expr(s"CAST(sumsq * 1000000 div (CAST(revenue_cents AS $dec) * " +
+          s"CAST(revenue_cents AS $dec)) AS BIGINT)").as("hhi_1e6"))
+  }
+
   /** q167's replica count and the 95% order-statistic ranks: with
     * B=200 sorted replica means, the CI is the 5th and 196th
     * (`floor(0.025·B)` from each end — the percentile-bootstrap
@@ -723,6 +754,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_supplier_hhi" -> (q180 _),
     "q174_also_bought" -> (q174 _),
     "q167_bootstrap_ci" -> (q167 _),
     "q162_column_profile" -> (q162 _),
@@ -776,6 +808,18 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q180_supplier_hhi" ->
+      """WITH r AS (
+        | SELECT p.p_type, l.l_suppkey,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |    AS HUGEINT) AS c
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1, 2)
+        |SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(c) AS BIGINT) AS revenue_cents,
+        | CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+        |   AS hhi_1e6
+        |FROM r GROUP BY 1""".stripMargin,
     "q174_also_bought" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ok AS (SELECT o FROM items GROUP BY o HAVING count(*) <= $CoocMaxBasket),

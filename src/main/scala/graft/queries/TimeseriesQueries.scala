@@ -1322,7 +1322,49 @@ object TimeseriesQueries {
       .agg(count(lit(1)).as("n_users"), sum(col("m")).as("m_total"))
   }
 
+  /** q181's trigger: fire when an hour runs at ≥ 3.00× its type's
+    * trailing-24h hourly rate (integer cross-multiplied compare).
+    */
+  val BurstFactor1e2 = 300L
+  val BurstBaselineHours = 24L
+
+  /** q181 — BURST DETECTION: hours where an event type runs at
+    * ≥ [[BurstFactor1e2]]/100× its own trailing-24-hour rate — the
+    * incident/virality trigger (error storms, flash crowds) that
+    * complements q173's WHERE-peaks-normally-are with
+    * WHEN-did-we-leave-normal, and q102's per-user z-score with a
+    * population-level rate alarm. The compare is integer
+    * cross-multiplication (`n·24·100 ≥ trailing·300`) — no rate
+    * division until the reported ratio, and that is a floored 10⁻²
+    * integer. The trailing window is a RANGE frame on the integer
+    * epoch-hour, so silent hours correctly SHRINK the baseline
+    * (a gap then a spike alarms — rows-frames would smear history).
+    *
+    * Scale shape: events collapse to the (type, hour) rollup in one
+    * partial-agg pass; the window runs per type over ≤ 24·365 rows a
+    * year; output is alarm rows only.
+    */
+  def q181(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("h"))
+      .rangeBetween(-BurstBaselineHours, -1)
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("trailing24", sum(col("n")).over(w))
+      .filter(col("trailing24").isNotNull && col("trailing24") > 0L &&
+        col("n") * BurstBaselineHours * 100L >=
+          col("trailing24") * BurstFactor1e2)
+      .select(col("event_type"),
+        expr("timestamp_micros(h * 3600000000)").as("hour_ts"),
+        col("n"), col("trailing24"),
+        expr(s"(n * $BurstBaselineHours * 100) div trailing24")
+          .as("ratio_1e2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_burst_detection" -> (q181 _),
     "q179_rfm_segments" -> (q179 _),
     "q177_funnel_latency" -> (q177 _),
     "q176_ewma_forecast" -> (q176 _),
@@ -1444,6 +1486,25 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q181_burst_detection" ->
+      s"""WITH hourly AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        | SELECT *, CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h
+        |   RANGE BETWEEN $BurstBaselineHours PRECEDING AND 1 PRECEDING)
+        |   AS BIGINT) AS trailing24
+        | FROM hourly)
+        |SELECT event_type, make_timestamp(h * 3600000000) AS hour_ts,
+        | n, trailing24,
+        | CAST(n * $BurstBaselineHours * 100 // trailing24 AS BIGINT)
+        |   AS ratio_1e2
+        |FROM w
+        |WHERE trailing24 IS NOT NULL AND trailing24 > 0
+        |  AND n * $BurstBaselineHours * 100 >=
+        |      trailing24 * $BurstFactor1e2""".stripMargin,
     "q179_rfm_segments" -> {
       def thrSql(cn: String): String =
         s"""${cn}cum AS (

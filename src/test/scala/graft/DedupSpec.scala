@@ -345,6 +345,25 @@ class DedupSpec extends SparkSpec {
     assert(shifted._3 > 0, "shifted duplicate produced no shared chunks")
   }
 
+  test("q182 containment: an embedded document scores high containment " +
+    "against its host; unrelated text pairs with neither") {
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    val base = (0 until 160).map(i => s"w${i % 23} y${(i * 11) % 19}")
+      .mkString(" ") // ~1000 chars -> ~15 CDC chunks
+    val host = "HOSTPREFIXJUNK " + base + " HOSTSUFFIXJUNK"
+    val other = (0 until 160).map(i => s"q${i % 13} z${(i * 7) % 29}")
+      .mkString(" ")
+    Seq((1L, base), (2L, host), (3L, other)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.q182(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(got.keySet == Set((1L, 2L)), s"pairs: ${got.keySet}")
+    assert(got((1L, 2L)) >= 600000L,
+      s"embedded doc containment too low: ${got((1L, 2L))}")
+  }
+
   test("q168 sorted-neighborhood: catches suffix AND prefix typos (the " +
     "reverse pass), never emits a pair beyond the edit ceiling") {
     import graft.queries.DedupQueries

@@ -584,6 +584,32 @@ class PlanSpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).size == 6)
   }
 
+  test("q180: HHI is the part dimension broadcast onto one fact scan " +
+    "plus two partial-agg exchanges — the share algebra never joins back") {
+    val p = plan(RelationalQueries.q180(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 2)
+    assert(p.contains("BroadcastHashJoin"))
+    // 3 = the dimension BroadcastExchange + two partial-agg shuffles
+    assert("Exchange".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q181: burst detection is one rollup exchange plus one per-type " +
+    "RANGE window over the hourly table — events cross once") {
+    val p = plan(TimeseriesQueries.q181(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("Window ".r.findAllIn(p).size == 1)
+    assert(p.contains("RangeFrame"))
+  }
+
+  test("q182: containment runs on the checkpointed chunk-hash set; " +
+    "candidate pairing is hash-bounded, never all-pairs") {
+    val p = plan(DedupQueries.q182(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
