@@ -1822,7 +1822,53 @@ object DedupQueries {
         expr("shared * 1000000 div least(n_a, n_b)").as("containment_1e6"))
   }
 
+  /** q184 — ER GOLDEN RECORDS: close the entity-resolution loop that
+    * q168 opens — verified near-miss name pairs become edges, edges
+    * become entity clusters ([[graft.operators.ConnectedComponents]],
+    * its sixth consumer), and each cluster elects a canonical
+    * survivor (most records, then lexicographically first — the
+    * "survivorship rule" of every MDM/golden-record pipeline).
+    * Names touched by no pair remain their own singleton entities.
+    * The cluster label itself is engine-internal (min dictionary id
+    * here, min name in the oracle — the SAME cluster SETS because
+    * ids are assigned in name order) and is dropped from the output:
+    * only (canonical, sizes) cross the engine boundary.
+    *
+    * Scale shape: everything downstream of the record rollup runs on
+    * the name DICTIONARY (ids via one dictionary-sized sort window,
+    * documented q62-style as bounded); CC iterates on the verified
+    * pair graph only — at 100 TB that graph is ~|typo clusters|,
+    * not |records|.
+    */
+  def q184(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+    val ids = names
+      .withColumn("id", row_number().over(Window.orderBy("name")).cast("long"))
+      .localCheckpoint() // dictionary-sized; edges + labeling
+    val pairs = q168(s, dir)
+    val edges = pairs
+      .join(ids.select(col("name").as("name_a"), col("id").as("ia")),
+        Seq("name_a"))
+      .join(ids.select(col("name").as("name_b"), col("id").as("ib")),
+        Seq("name_b"))
+      .select("ia", "ib")
+    val comp = graft.operators.ConnectedComponents.run(edges, "ia", "ib")
+    val labeled = ids
+      .join(comp.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+    labeled
+      .withColumn("rn", row_number().over(Window.partitionBy("comp")
+        .orderBy(col("cnt").desc, col("name").asc)))
+      .groupBy("comp")
+      .agg(max(when(col("rn") === 1, col("name"))).as("canonical_name"),
+        count(lit(1)).as("n_names"), sum(col("cnt")).as("n_records"))
+      .select("canonical_name", "n_names", "n_records")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_golden_records" -> (q184 _),
     "q182_cdc_containment" -> (q182 _),
     "q168_sorted_neighborhood" -> (q168 _),
     "q169_cdc_dedup" -> (q169 _),
@@ -2122,7 +2168,61 @@ object DedupQueries {
        | FROM bounds CROSS JOIN unnest(range(1, len(bs))) AS t(j))""".stripMargin
   }
 
+  /** q168's oracle (dictionary, two-pass neighborhoods, verified
+    * pairs) as a CTE list ending in
+    * `snp(name_a, name_b, dist, n_a, n_b)` — shared by q168 and q184.
+    */
+  private def snPairsSqlCte: String = {
+    def pass(key: String): String =
+      (1 to SnWindow).map { k =>
+        s"""SELECT name, lead(name, $k) OVER
+           |  (PARTITION BY substr($key, 1, 1)
+           |   ORDER BY $key ASC, name ASC) AS cand
+           |FROM names""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""names AS (
+       | SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+       | FROM part GROUP BY 1),
+       |cand AS (
+       | SELECT DISTINCT least(name, cand) AS name_a,
+       |  greatest(name, cand) AS name_b
+       | FROM (
+       |${pass("name")}
+       |UNION ALL
+       |${pass("reverse(name)")}
+       | ) WHERE cand IS NOT NULL AND cand <> name),
+       |vv AS (
+       | SELECT name_a, name_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+       | FROM cand WHERE levenshtein(name_a, name_b) <= $SnMaxEdit),
+       |snp AS (
+       | SELECT vv.name_a, vv.name_b, vv.dist, a.cnt AS n_a, b.cnt AS n_b
+       | FROM vv JOIN names a ON vv.name_a = a.name
+       |         JOIN names b ON vv.name_b = b.name)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q184_golden_records" ->
+      s"""WITH RECURSIVE $snPairsSqlCte,
+        |e AS (
+        | SELECT name_a AS a, name_b AS b FROM snp
+        | UNION SELECT name_b, name_a FROM snp),
+        |reach AS (
+        | SELECT a AS v, a AS r FROM e
+        | UNION
+        | SELECT e.a, re.r FROM e JOIN reach re ON e.b = re.v),
+        |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+        |labeled AS (
+        | SELECT n.name, n.cnt, coalesce(c.comp, n.name) AS comp
+        | FROM names n LEFT JOIN comp c ON n.name = c.v),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY comp
+        |   ORDER BY cnt DESC, name ASC) AS rn
+        | FROM labeled)
+        |SELECT max(CASE WHEN rn = 1 THEN name END) AS canonical_name,
+        | CAST(count(*) AS BIGINT) AS n_names,
+        | CAST(sum(cnt) AS BIGINT) AS n_records
+        |FROM rk GROUP BY comp""".stripMargin,
     "q182_cdc_containment" ->
       s"""WITH $cdcChunksSqlCte,
         |cset AS (SELECT DISTINCT doc_id, chunk FROM chunks),
@@ -2143,33 +2243,9 @@ object DedupQueries {
         |   AS containment_1e6
         |FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
         |             JOIN sizes sb ON p.doc_b = sb.doc_id""".stripMargin,
-    "q168_sorted_neighborhood" -> {
-      def pass(key: String): String =
-        (1 to SnWindow).map { k =>
-          s"""SELECT name, lead(name, $k) OVER
-             |  (PARTITION BY substr($key, 1, 1)
-             |   ORDER BY $key ASC, name ASC) AS cand
-             |FROM names""".stripMargin
-        }.mkString("\nUNION ALL\n")
-      s"""WITH names AS (
-        | SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
-        | FROM part GROUP BY 1),
-        |cand AS (
-        | SELECT DISTINCT least(name, cand) AS name_a,
-        |  greatest(name, cand) AS name_b
-        | FROM (
-        |${pass("name")}
-        |UNION ALL
-        |${pass("reverse(name)")}
-        | ) WHERE cand IS NOT NULL AND cand <> name),
-        |v AS (
-        | SELECT name_a, name_b,
-        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-        | FROM cand WHERE levenshtein(name_a, name_b) <= $SnMaxEdit)
-        |SELECT v.name_a, v.name_b, v.dist, a.cnt AS n_a, b.cnt AS n_b
-        |FROM v JOIN names a ON v.name_a = a.name
-        |       JOIN names b ON v.name_b = b.name""".stripMargin
-    },
+    "q168_sorted_neighborhood" ->
+      s"""WITH $snPairsSqlCte
+        |SELECT name_a, name_b, dist, n_a, n_b FROM snp""".stripMargin,
     "q169_cdc_dedup" -> {
       s"""WITH $cdcChunksSqlCte,
         |agg AS (

@@ -655,6 +655,49 @@ object RelationalQueries {
           s"CAST(revenue_cents AS $dec)) AS BIGINT)").as("hhi_1e6"))
   }
 
+  /** q183's period boundary (P1 strictly before, P2 at/after). */
+  val AttribSplit = "1998-01-01 00:00:00"
+
+  /** q183 — METRIC-DELTA ATTRIBUTION ("why did revenue move"): split
+    * history at [[AttribSplit]], and for each order-priority segment
+    * report the exact revenue delta and its signed share of the TOTAL
+    * delta — the root-cause decomposition a metrics review runs
+    * before anyone stares at dashboards (Σ contributions ≡ 10⁶ by
+    * construction, so segments that moved WITH the metric and
+    * against it are both visible). Revenue is exact cents from ONE
+    * conditional-aggregate scan; the contribution share divides two
+    * exact longs in double and rounds half-away (integer `div`
+    * truncates toward zero in Spark but floors in DuckDB on NEGATIVE
+    * quotients — deltas can be negative, so this is the one place
+    * round-not-div is the PORTABLE choice). Ranked by |delta|.
+    *
+    * Scale shape: one fact scan, one partial-agg exchange; the
+    * attribution algebra and rank window run on |segments| rows.
+    */
+  def q183(s: SparkSession, dir: String): DataFrame = {
+    val cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    val seg = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("segment"))
+      .agg(
+        coalesce(sum(when(col("o_orderdate") <
+          lit(AttribSplit).cast("timestamp"), expr(cents))), lit(0L))
+          .as("c1"),
+        coalesce(sum(when(col("o_orderdate") >=
+          lit(AttribSplit).cast("timestamp"), expr(cents))), lit(0L))
+          .as("c2"))
+      .withColumn("delta", col("c2") - col("c1"))
+      .localCheckpoint() // |segments| rows; total + report
+    val tot = seg.agg(sum(col("delta")).as("total_delta"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("c1"), col("c2"), col("delta"),
+        when(col("total_delta") =!= 0L,
+          round(col("delta").cast("double") * 1000000.0 /
+            col("total_delta"), 0).cast("long")).as("contribution_1e6"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("delta")).desc, col("segment").asc)).cast("long"))
+  }
+
   /** q167's replica count and the 95% order-statistic ranks: with
     * B=200 sorted replica means, the CI is the 5th and 196th
     * (`floor(0.025·B)` from each end — the percentile-bootstrap
@@ -754,6 +797,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_delta_attribution" -> (q183 _),
     "q180_supplier_hhi" -> (q180 _),
     "q174_also_bought" -> (q174 _),
     "q167_bootstrap_ci" -> (q167 _),
@@ -808,6 +852,25 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q183_delta_attribution" ->
+      s"""WITH seg AS (
+        | SELECT o_orderpriority AS segment,
+        |  CAST(coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '$AttribSplit'
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+        |    AS BIGINT) AS c1,
+        |  CAST(coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '$AttribSplit'
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+        |    AS BIGINT) AS c2
+        | FROM orders GROUP BY 1),
+        |d AS (SELECT *, c2 - c1 AS delta FROM seg),
+        |tot AS (SELECT CAST(sum(delta) AS BIGINT) AS total_delta FROM d)
+        |SELECT d.segment, d.c1, d.c2, d.delta,
+        | CAST(CASE WHEN t.total_delta <> 0
+        |   THEN round(CAST(d.delta AS DOUBLE) * 1000000.0 / t.total_delta, 0)
+        |  END AS BIGINT) AS contribution_1e6,
+        | CAST(row_number() OVER (ORDER BY abs(d.delta) DESC, d.segment ASC)
+        |   AS BIGINT) AS rank
+        |FROM d CROSS JOIN tot t""".stripMargin,
     "q180_supplier_hhi" ->
       """WITH r AS (
         | SELECT p.p_type, l.l_suppkey,

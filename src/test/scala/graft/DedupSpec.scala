@@ -392,5 +392,14 @@ class DedupSpec extends SparkSpec {
     }
     // the "gizmo pod" dictionary entry carries BOTH records
     assert(got.exists(r => r._1 == "aizmo pod" && r._5 == 2L))
+
+    // q184 on the same lake: the typo cluster elects the most-recorded
+    // name as canonical; untouched names stay singleton entities
+    val golden = DedupQueries.q184(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(golden("gizmo pod") == (("gizmo pod", 3L, 4L)))
+    assert(golden("unrelated thing") == (("unrelated thing", 1L, 1L)))
+    assert(golden("zz other") == (("zz other", 1L, 1L)))
+    assert(golden.values.map(_._3).sum == 6L) // every record accounted for
   }
 }

@@ -610,6 +610,22 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q183: attribution is one conditional-agg pass (checkpointed) " +
+    "with the one-row total broadcast back; the rank window sees " +
+    "|segments| rows") {
+    val p = plan(RelationalQueries.q183(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("BroadcastExchange"))
+    assert("Window ".r.findAllIn(p).size == 1)
+  }
+
+  test("q184: golden records run on the name dictionary — survivorship " +
+    "window partitions by component, records never rejoin") {
+    val p = plan(DedupQueries.q184(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("windowspecdefinition(comp"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
