@@ -400,7 +400,44 @@ object SamplingQueries {
         round(col("skey_raw"), 9).as("skey"))
   }
 
+  /** q185 — EXACT GROUPED QUANTILES WITHOUT PER-GROUP BUFFERS: the
+    * per-type exact median and p90 of value-cents, computed from a
+    * VALUE histogram (count per distinct cent amount) plus a
+    * cumulative rank scan — the third point on the repo's quantile
+    * spectrum and the one that survives 100 TB groups: q45's exact
+    * `percentile` buffers every row of a group in one agg state (its
+    * documented memory bound), q65 trades exactness for a sketch;
+    * this is EXACT and its state is |distinct values| per type, which
+    * for a bounded domain (cents, ints, enums, anything quantized) is
+    * O(domain), independent of row count — the q62/q179 histogram-
+    * rank discipline promoted to a general quantile operator.
+    * Quantiles are type-1 order statistics (first value whose
+    * cumulative count reaches ⌈p·n⌉) — integers end to end.
+    *
+    * Scale shape: one partial-agg pass to the (type, value) histogram
+    * — the ONLY shuffle rows are distinct values; the rank window
+    * runs per type over histogram rows.
+    */
+  def q185(s: SparkSession, dir: String): DataFrame = {
+    val cum = Tables.events(s, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+    cum.groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v")))
+          .as("median_cents"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v")))
+          .as("p90_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_histogram_quantiles" -> (q185 _),
     "q175_stratified_weighted" -> (q175 _),
     "q138_skew_gini" -> (q138 _),
     "q43_hash_sample" -> (q43 _),
@@ -413,6 +450,23 @@ object SamplingQueries {
     "q116_cms_heavy_hitters" -> (q116 _))
 
   val oracles: Map[String, String] = Map(
+    "q185_histogram_quantiles" ->
+      """WITH h AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events
+        | WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        | SELECT *, CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        | FROM h)
+        |SELECT event_type, max(n) AS n,
+        | CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT)
+        |   AS median_cents,
+        | CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS BIGINT)
+        |   AS p90_cents
+        |FROM cum GROUP BY 1""".stripMargin,
     "q175_stratified_weighted" ->
       s"""WITH sc AS (
         | SELECT source, doc_id, n_chars,

@@ -1344,10 +1344,16 @@ object TimeseriesQueries {
     * partial-agg pass; the window runs per type over ≤ 24·365 rows a
     * year; output is alarm rows only.
     */
-  def q181(s: SparkSession, dir: String): DataFrame = {
+  def q181(s: SparkSession, dir: String): DataFrame =
+    burstsOf(t(s, dir, "events"))
+
+  /** q181 over any event frame — shared with the streaming monitor's
+    * equality pin (the `fillOf` discipline).
+    */
+  private[graft] def burstsOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("h"))
       .rangeBetween(-BurstBaselineHours, -1)
-    t(s, dir, "events")
+    events
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("h"))

@@ -687,6 +687,78 @@ object EventStreams {
       }
   }
 
+  /** A fired burst alarm — the streaming twin of one q181 output row. */
+  case class BurstRow(event_type: String, hour_ts: Timestamp,
+                      n: Long, trailing24: Long, ratio_1e2: Long)
+
+  /** [[burstMonitor]]'s state: the in-order marker, the hour being
+    * accumulated, and the trailing ≤ 25 hourly counts (pruned on
+    * advance) — O(baseline window) per type, independent of history.
+    */
+  case class BurstState(tus: Long, eventId: Long, curH: Long,
+                        hours: Map[Long, Long])
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q181]]'s burst detector: hourly
+    * counts accumulate in state, and the moment an arrival ADVANCES
+    * the hour, the completed hour's alarm decision is final and emits
+    * (silent skipped hours can never alarm — n = 0 — so only present
+    * hours evaluate, exactly the batch hourly-table semantics; the
+    * trailing-24 baseline sums the state's pruned hour map, which is
+    * the RANGE frame's contents). The still-open hour never emits —
+    * its count isn't final until a later-hour event closes it
+    * (StreamingSpec closes every real hour with a far-future sentinel
+    * and pins streamed == batch EXACTLY).
+    *
+    * Ordering contract: the [[transitionEvents]] discipline — in-batch
+    * rows sort by (micros, event_id); a cross-batch late arrival at or
+    * below the marker drops (revising a CLOSED hour's count would
+    * retract an emitted alarm; an append stream never revises).
+    */
+  def burstMonitor(events: Dataset[Ev]): Dataset[BurstRow] = {
+    import events.sparkSession.implicits._
+    val factor = graft.queries.TimeseriesQueries.BurstFactor1e2
+    val baseH = graft.queries.TimeseriesQueries.BurstBaselineHours
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, BurstRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[BurstState]) =>
+          def tusOf(e: Ev): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val evs = it.toVector.sortBy(e => (tusOf(e), e.event_id))
+          val out = Vector.newBuilder[BurstRow]
+          var st = state.getOption.getOrElse(
+            BurstState(Long.MinValue, Long.MinValue, Long.MinValue, Map.empty))
+          def closeCurrent(): Unit = if (st.curH != Long.MinValue) {
+            val n = st.hours.getOrElse(st.curH, 0L)
+            val trailing = st.hours.iterator.collect {
+              case (h, c) if h >= st.curH - baseH && h < st.curH => c
+            }.sum
+            if (trailing > 0 && n * baseH * 100 >= trailing * factor)
+              out += BurstRow(tpe, new Timestamp(st.curH * 3600000L),
+                n, trailing, n * baseH * 100 / trailing)
+          }
+          evs.foreach { e =>
+            val tus = tusOf(e)
+            val inOrder = tus > st.tus ||
+              (tus == st.tus && e.event_id > st.eventId)
+            if (inOrder) {
+              val h = tus / 3600000000L
+              if (h > st.curH) {
+                closeCurrent()
+                st = st.copy(curH = h,
+                  hours = st.hours.filter { case (k, _) => k >= h - baseH })
+              }
+              st = st.copy(tus = tus, eventId = e.event_id,
+                hours = st.hours.updated(h, st.hours.getOrElse(h, 0L) + 1L))
+            } // else: cross-batch late arrival — dropped, see scaladoc
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Per-type concurrency at an arrival: the open-interval count the
     * moment this event starts, plus the running high-water mark.
     */

@@ -626,6 +626,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(comp"))
   }
 
+  test("q185: exact quantiles shuffle only distinct values (histogram " +
+    "partial agg before the exchange); no per-group percentile buffer") {
+    val p = plan(graft.queries.SamplingQueries.q185(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.toLowerCase.contains("percentile"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    assert(p.contains("windowspecdefinition(event_type"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),

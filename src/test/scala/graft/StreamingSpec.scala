@@ -872,6 +872,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burstMonitor: streamed alarms equal batch q181 exactly once a " +
+    "sentinel closes every real hour; late arrivals drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val base = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.coalesce($"value",
+          org.apache.spark.sql.functions.lit(0.0)).as("value"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    // one far-future sentinel per type: closes every real hour in the
+    // stream; in batch its trailing-24 window is empty (>24h gap), so
+    // it can never alarm — streamed and batch sets coincide exactly
+    val maxMs = base.map(_.ts.getTime).max
+    val sentinels = base.map(_.event_type).distinct.zipWithIndex.map {
+      case (t, i) =>
+        Ev(900000L + i, 0L, t, new Timestamp(maxMs + 48L * 3600000L), 0.0)
+    }
+    val evs = base ++ sentinels
+    val batch = graft.queries.TimeseriesQueries.burstsOf(
+      spark.createDataset(evs.toSeq).toDF())
+      .as[(String, Timestamp, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2.getTime) -> ((r._3, r._4, r._5))).toMap
+    val parts = Seq(evs.take(500), evs.drop(500))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.burstMonitor(in.toDS())
+      .writeStream.format("memory").queryName("burst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.table("burst")
+        .as[(String, Timestamp, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2.getTime) -> ((r._3, r._4, r._5))).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+      // replaying the earliest event (closed hour) must emit nothing
+      val n0 = spark.table("burst").count()
+      in.addData(base.head.copy(event_id = 99999999L))
+      q.processAllAvailable()
+      assert(spark.table("burst").count() == n0)
+    } finally q.stop()
+  }
+
   test("concurrencyMonitor: the live high-water mark lands exactly on " +
     "batch q158 across micro-batch splits; late arrivals drop") {
     implicit val sqlCtx = spark.sqlContext
