@@ -228,8 +228,23 @@ object MultimodalQueries {
     * like SimHash (q30); exact-match is the aHash dedup contract.
     */
   def q101(s: SparkSession, dir: String): DataFrame = {
+    val hashed = ahashFrame(s, dir)
+    val counts = hashed.groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_same"))
+    // distinct hashes are corpus-sized in general — sort-merge, never
+    // a stats-guess broadcast of a typed-source frame (q77 lesson)
+    hashed.join(counts.hint("merge"), Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("n_same"), (col("n_same") > 1L).as("has_perceptual_dup"))
+  }
+
+  /** The decoded 64-bit aHash per image as (doc_id, hi, lo) halves —
+    * q101's hash pass extracted so q186's near-dup banding shares the
+    * one decode+hash definition (checkpointed per call).
+    */
+  private[graft] def ahashFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = realPngMedia(s, dir)
+    realPngMedia(s, dir)
       .mapPartitions(_.map { m =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload))
@@ -267,14 +282,73 @@ object MultimodalQueries {
         (m.doc_id, hi, lo)
       })
       .toDF("doc_id", "ahash_hi", "ahash_lo")
-      .localCheckpoint() // two consumers: the hash count + the join back
-    val counts = hashed.groupBy("ahash_hi", "ahash_lo")
-      .agg(count(lit(1)).as("n_same"))
-    // distinct hashes are corpus-sized in general — sort-merge, never
-    // a stats-guess broadcast of a typed-source frame (q77 lesson)
-    hashed.join(counts.hint("merge"), Seq("ahash_hi", "ahash_lo"))
-      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
-        col("n_same"), (col("n_same") > 1L).as("has_perceptual_dup"))
+      .localCheckpoint() // multiple consumers (counts/join; bands/verify)
+  }
+
+  /** q186's verification ceiling: with the 64-bit aHash split into
+    * [[AhashBands]] 16-bit bands, the pigeonhole guarantees any pair
+    * within Hamming distance < [[AhashBands]] shares an INTACT band —
+    * so at [[AhashHamMax]] = 3 the band join has TOTAL recall, not
+    * LSH-probabilistic recall.
+    */
+  val AhashBands = 4
+  val AhashHamMax = 3L
+
+  /** q186's hot-bucket cap (the q29 LSH discipline): a band value
+    * shared by more than this many images is a degenerate plane of
+    * the hash space — pairing inside it is O(bucket²) noise, so it is
+    * excluded (which, as with q29, trades the pigeonhole's total
+    * recall for bounded fan-out on adversarial/synthetic data; the
+    * scaladoc records the trade).
+    */
+  val AhashMaxBucket = 100L
+
+  /** q186 — PERCEPTUAL NEAR-DUPLICATE image pairs: q101 groups
+    * bit-IDENTICAL aHashes; this finds images within Hamming distance
+    * [[AhashHamMax]] of each other — re-encodes, minor crops, and
+    * brightness nudges move a few aHash bits, and exact grouping goes
+    * blind. Candidates come from banding the 64-bit hash into
+    * [[AhashBands]] 16-bit keys (the q29 LSH shape), but with a
+    * GUARANTEE LSH lacks: d < bands ⇒ some band is untouched
+    * (pigeonhole), so every qualifying pair IS a candidate — the
+    * band join is a pure pruning device, never a recall trade.
+    * Verification is exact `bit_count(xor)` on both halves.
+    *
+    * Scale shape: one decode+hash pass (shared definition with q101);
+    * the band join shuffles 4 small keys per image, hot buckets are
+    * capped at [[AhashMaxBucket]] BEFORE pairing (fan-out bounded at
+    * cap²/2 per bucket), and the exact verify runs on the deduped
+    * candidates with hashes broadcast back. The report is the ≤ 4-row
+    * Hamming histogram of qualifying pairs — the dedup-rate card; the
+    * pair frame is the internal artifact a cleanup job would consume.
+    */
+  def q186(s: SparkSession, dir: String): DataFrame = {
+    val hashed = ahashFrame(s, dir)
+    val bands = hashed.select(col("doc_id"),
+        explode(expr(s"""array(
+          | struct(0 AS bi, ahash_lo & 65535 AS bk),
+          | struct(1 AS bi, shiftright(ahash_lo, 16) & 65535 AS bk),
+          | struct(2 AS bi, ahash_hi & 65535 AS bk),
+          | struct(3 AS bi, shiftright(ahash_hi, 16) & 65535 AS bk))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.bi"), col("b.bk"))
+    val kept = bands.join(
+      bands.groupBy("bi", "bk").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2L && col("df") <= AhashMaxBucket)
+        .select("bi", "bk"),
+      Seq("bi", "bk"))
+    val cand = kept.toDF("bi", "bk", "doc_a")
+      .join(kept.toDF("bi", "bk", "doc_b"), Seq("bi", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(hashed.toDF("doc_a", "hi_a", "lo_a"), Seq("doc_a"))
+      .join(hashed.toDF("doc_b", "hi_b", "lo_b"), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+          .cast("long"))
+      .filter(col("hamming") <= AhashHamMax)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Animated-GIF generation parameters (q109): frame count, per-frame
@@ -615,6 +689,7 @@ object MultimodalQueries {
     "q55_media_features" -> (q55 _),
     "q71_real_png_decode" -> (q71 _),
     "q101_image_ahash_dedup" -> (q101 _),
+    "q186_image_neardup" -> (q186 _),
     "q109_gif_frame_sample" -> (q109 _),
     "q118_wav_features" -> (q118 _))
 
@@ -634,6 +709,31 @@ object MultimodalQueries {
     val sy = s"((($y0 + $y1 - 1) * $cy) // 2)"
     s"(($cx * $cy * doc_id + 31 * $sx * $cy + 17 * $sy * $cx) // ($cx * $cy))"
   }
+
+  /** The closed-form aHash as a CTE list ending in
+    * `hsh(doc_id, ahash_hi, ahash_lo)` — shared by q101 and q186.
+    */
+  private def ahashSqlCte: String =
+    s"""dmn AS (
+       | SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h
+       | FROM documents),
+       |bmt AS (SELECT doc_id,
+       |  list_transform(range(0, 64), b -> $ahashBlockMeanSql) AS bms
+       | FROM dmn),
+       |g AS (SELECT doc_id, bms,
+       |  list_reduce(bms, (a, x) -> a + x) // 64 AS gm FROM bmt),
+       |hsh AS (SELECT doc_id,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(range(32, 64), b ->
+       |      CASE WHEN bms[b + 1] > gm
+       |       THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER))
+       |       ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash_hi,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(range(0, 32), b ->
+       |      CASE WHEN bms[b + 1] > gm
+       |       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+       |       ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash_lo
+       | FROM g)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q130_audio_fingerprint" ->
@@ -686,30 +786,37 @@ object MultimodalQueries {
          | CAST((doc_id + 7 * frame_idx) % 256 AS BIGINT) AS gray
          |FROM f WHERE frame_idx % $FrameStride = 0""".stripMargin,
     "q101_image_ahash_dedup" ->
-      s"""WITH dmn AS (
-         | SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 7) % 32 AS h
-         | FROM documents),
-         |bmt AS (SELECT doc_id,
-         |  list_transform(range(0, 64), b -> $ahashBlockMeanSql) AS bms
-         | FROM dmn),
-         |g AS (SELECT doc_id, bms,
-         |  list_reduce(bms, (a, x) -> a + x) // 64 AS gm FROM bmt),
-         |hsh AS (SELECT doc_id,
-         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |    list_transform(range(32, 64), b ->
-         |      CASE WHEN bms[b + 1] > gm
-         |       THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER))
-         |       ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash_hi,
-         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |    list_transform(range(0, 32), b ->
-         |      CASE WHEN bms[b + 1] > gm
-         |       THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-         |       ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash_lo
-         | FROM g)
+      s"""WITH $ahashSqlCte
          |SELECT doc_id, ahash_hi, ahash_lo,
          | CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT) AS n_same,
          | (count(*) OVER (PARTITION BY ahash_hi, ahash_lo)) > 1 AS has_perceptual_dup
          |FROM hsh""".stripMargin,
+    "q186_image_neardup" ->
+      s"""WITH $ahashSqlCte,
+         |bands AS (
+         | SELECT doc_id, ahash_hi, ahash_lo, b.bi, b.bk
+         | FROM hsh CROSS JOIN (VALUES (0), (1), (2), (3)) AS v(bi),
+         |  LATERAL (SELECT v.bi AS bi, CASE v.bi
+         |    WHEN 0 THEN ahash_lo & 65535
+         |    WHEN 1 THEN (ahash_lo >> 16) & 65535
+         |    WHEN 2 THEN ahash_hi & 65535
+         |    ELSE (ahash_hi >> 16) & 65535 END AS bk) AS b),
+         |keptb AS (
+         | SELECT bi, bk FROM bands GROUP BY bi, bk
+         | HAVING count(*) >= 2 AND count(*) <= $AhashMaxBucket),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b
+         |  ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+         | JOIN keptb k ON a.bi = k.bi AND a.bk = k.bk)
+         |SELECT CAST(bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+         |   + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) AS BIGINT) AS hamming,
+         | CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM cand c JOIN hsh ha ON c.doc_a = ha.doc_id
+         |            JOIN hsh hb ON c.doc_b = hb.doc_id
+         |WHERE bit_count(xor(ha.ahash_hi, hb.ahash_hi))
+         |   + bit_count(xor(ha.ahash_lo, hb.ahash_lo)) <= $AhashHamMax
+         |GROUP BY 1""".stripMargin,
     "q71_real_png_decode" ->
       """SELECT doc_id,
         | 16 + doc_id % 32 AS width,

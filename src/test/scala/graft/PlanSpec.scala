@@ -635,6 +635,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(event_type"))
   }
 
+  test("q186: perceptual near-dup runs on the checkpointed hash frame " +
+    "with capped band buckets — never an all-pairs image compare") {
+    val p = plan(graft.queries.MultimodalQueries.q186(spark, sf))
+    assert(!p.contains("Scan parquet")) // decode+hash ran at checkpoint
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("bit_count")) // exact verify, not approximate
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
