@@ -1369,7 +1369,102 @@ object TimeseriesQueries {
           .as("ratio_1e2"))
   }
 
+  /** q187 — TIME-WEIGHTED AVERAGE VALUE (TWAP) per user: each
+    * observation holds until the next one, so its weight is the
+    * interval it was live — the duration-weighted mean (sensor
+    * readings, position marks, price marks) that a count-weighted
+    * `avg` silently mis-states whenever sampling is irregular (one
+    * spike sampled densely would dominate `avg`; TWAP weights it by
+    * how long it actually held). Exact integers: cents × micros
+    * accumulates in DECIMAL(38,0) (cᵢ·Δtᵢ at a month's span brushes
+    * 2⁶³ — the q157 cast-before-multiply lesson), one integer
+    * division at the end. Users with one event have no held interval
+    * and drop.
+    *
+    * Scale shape: one user-sorted window (lead) and one partial-agg
+    * rollup — the same single exchange the sessionizer pays.
+    */
+  def q187(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+      .filter(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("span_us"),
+        expr(s"CAST(sum(CAST(cents AS $dec) * CAST(dur AS $dec)) " +
+          s"div sum(CAST(dur AS $dec)) AS BIGINT)").as("twap_cents"))
+  }
+
+  /** q188's CUSUM geometry: per-type reference rate from the first
+    * [[CusumRefDays]] days, slack at [[CusumSlackPct]]% of it, alarm
+    * threshold at [[CusumThreshPct]]% of it (all 10⁻² fixed point).
+    */
+  val CusumRefDays = 7L
+  val CusumSlackPct = 10L
+  val CusumThreshPct = 300L
+
+  /** q188 — CUSUM CHANGE-POINT DETECTION on daily volume: the classic
+    * one-sided CUSUM `S_t = max(0, S_{t−1} + (x_t − k))` looks like an
+    * inherently sequential recurrence — but it has a CLOSED windowed
+    * form, `S_t = P_t − min_{j≤t} P_j` over the prefix sums of
+    * `x_t − k`, so the whole detector is two stacked window functions
+    * (prefix sum + running min) on the daily rollup: the q169 lesson
+    * again (find the bounded/windowed identity, don't carry state).
+    * The reference rate k is each type's first-[[CusumRefDays]] mean
+    * plus [[CusumSlackPct]]% slack (both 10⁻² fixed point — exact
+    * integers end to end); alarms fire where the accumulated excess
+    * S_t clears [[CusumThreshPct]]% of the reference — a sustained
+    * drift detector, where q181's burst trigger needs one loud hour.
+    *
+    * Scale shape: one partial-agg pass to the (type, day) rollup;
+    * both windows share one per-type sort over ≤ 365 rows a year.
+    */
+  def q188(s: SparkSession, dir: String): DataFrame =
+    cusumOf(t(s, dir, "events"))
+
+  /** q188 over any event frame — the spec's planted-drift test shares
+    * the exact definition (the `burstsOf` discipline).
+    */
+  private[graft] def cusumOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // rollup-sized; reference + detector passes
+    val ref = daily
+      .withColumn("d0", min(col("d")).over(Window.partitionBy("event_type")))
+      .filter(col("d") < col("d0") + CusumRefDays)
+      .groupBy("event_type")
+      .agg(expr(s"(sum(x) * 100) div $CusumRefDays").as("k_1e2"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(ref), Seq("event_type"))
+      .withColumn("p", sum(expr(
+        s"x * 100 - (k_1e2 + (k_1e2 * $CusumSlackPct) div 100)")).over(w))
+      // the identity's min ranges over P_0 = 0 too: least(0, min P_j)
+      .withColumn("s_1e2",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .withColumn("alarm", col("s_1e2") >
+        expr(s"(k_1e2 * $CusumThreshPct) div 100"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max(col("k_1e2")).as("k_1e2"),
+        max(col("s_1e2")).as("max_s_1e2"),
+        min(when(col("alarm"),
+          expr("timestamp_micros(d * 86400000000)"))).as("first_alarm_ts"),
+        max(col("alarm")).as("drifted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_cusum_changepoint" -> (q188 _),
+    "q187_twap" -> (q187 _),
     "q181_burst_detection" -> (q181 _),
     "q179_rfm_segments" -> (q179 _),
     "q177_funnel_latency" -> (q177 _),
@@ -1492,6 +1587,57 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q187_twap" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND value IS NOT NULL),
+        |d AS (
+        | SELECT user_id, cents,
+        |  lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |    - tus AS dur
+        | FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(dur) AS BIGINT) AS span_us,
+        | CAST(sum(CAST(cents AS HUGEINT) * CAST(dur AS HUGEINT))
+        |   // sum(CAST(dur AS HUGEINT)) AS BIGINT) AS twap_cents
+        |FROM d WHERE dur IS NOT NULL GROUP BY 1""".stripMargin,
+    "q188_cusum_changepoint" ->
+      s"""WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |ref AS (
+        | SELECT event_type,
+        |  CAST((sum(x) * 100) // $CusumRefDays AS BIGINT) AS k_1e2
+        | FROM (SELECT *, min(d) OVER (PARTITION BY event_type) AS d0
+        |       FROM daily)
+        | WHERE d < d0 + $CusumRefDays GROUP BY 1),
+        |c AS (
+        | SELECT dd.event_type, dd.d, dd.x, r.k_1e2,
+        |  CAST(sum(dd.x * 100 -
+        |    (r.k_1e2 + (r.k_1e2 * $CusumSlackPct) // 100)) OVER
+        |    (PARTITION BY dd.event_type ORDER BY dd.d
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        | FROM daily dd JOIN ref r USING (event_type)),
+        |s AS (
+        | SELECT *, p - least(CAST(0 AS BIGINT),
+        |   CAST(min(p) OVER (PARTITION BY event_type ORDER BY d
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS s_1e2
+        | FROM c),
+        |a AS (
+        | SELECT *, s_1e2 > (k_1e2 * $CusumThreshPct) // 100 AS alarm
+        | FROM s)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(max(k_1e2) AS BIGINT) AS k_1e2,
+        | CAST(max(s_1e2) AS BIGINT) AS max_s_1e2,
+        | min(CASE WHEN alarm THEN make_timestamp(d * 86400000000) END)
+        |   AS first_alarm_ts,
+        | CAST(max(CAST(alarm AS INT)) AS BOOLEAN) AS drifted
+        |FROM a GROUP BY 1""".stripMargin,
     "q181_burst_detection" ->
       s"""WITH hourly AS (
         | SELECT event_type, epoch_us(ts) // 3600000000 AS h,

@@ -133,6 +133,31 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q188 CUSUM: the stationary lake never alarms; a planted 5x rate " +
+    "jump fires on the jump day itself, control series stays quiet") {
+    val flat = graft.queries.TimeseriesQueries.q188(spark, sf)
+      .as[(String, Long, Long, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(flat.nonEmpty && flat.forall(r => !r._6 && r._5.isEmpty))
+
+    def day(d: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(d.toLong * 86400000L + 43200000L)
+    val planted =
+      (for (d <- 0 until 21; i <- 0 until (if (d < 14) 10 else 50))
+        yield ("jumpy", day(d), i)) ++
+      (for (d <- 0 until 21; i <- 0 until 10) yield ("flat", day(d), i))
+    val got = graft.queries.TimeseriesQueries.cusumOf(
+      planted.toDF("event_type", "ts", "i"))
+      .as[(String, Long, Long, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got("flat")._6 && got("flat")._5.isEmpty)
+    assert(got("jumpy")._6)
+    // k=1000, slack 100: day 14 accrues 50*100-1100=3900 over a prefix
+    // min of -1400 -> S=3900 > 3*k=3000 — the jump day itself alarms
+    assert(got("jumpy")._5.map(_.getTime) ==
+      Some(14L * 86400000L), s"got ${got("jumpy")._5}")
+  }
+
   test("freshness gate passes near the data epoch and fails far after") {
     val (fresh, newest) = StatsCollect.validateFreshness(
       spark, sf, "2024-02-01 00:00:00", maxAgeHours = 72)
