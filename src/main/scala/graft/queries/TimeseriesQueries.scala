@@ -1462,7 +1462,44 @@ object TimeseriesQueries {
         max(col("alarm")).as("drifted"))
   }
 
+  /** q189's alarm bar: χ² (1 df) at α=0.001 in 10⁻⁶ fixed point —
+    * SRM checks run strict because assignment bugs corrupt EVERY
+    * downstream readout.
+    */
+  val SrmChi2Bar1e6 = 10828000L
+
+  /** q189 — SAMPLE-RATIO-MISMATCH guardrail for the experimentation
+    * stack: the q126/q128 readouts assume the `md5('ab-'++user)` coin
+    * actually lands 50/50 — a biased assignment (bucketing bug,
+    * filtered arm, bot skew) silently poisons both, and the SRM χ²
+    * is the standard tripwire (1 df, α=0.001 ⇒ χ² > 10.828). The
+    * statistic on an even split reduces to `(nₐ−n_b)²/(nₐ+n_b)`,
+    * computed in exact integers and quantized to 10⁻⁶ (the q136
+    * discipline); one row per experiment population (event type).
+    *
+    * Scale shape: one partial-agg pass to per-(type, user) rows —
+    * reused from the arm hash — then a |types|-row card; the arm
+    * count shuffle carries two longs per type per partition.
+    */
+  def q189(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .withColumn("arm", graft.functions.DedupFunctions.md5Hash32(
+        concat(lit("ab-"), col("user_id").cast("string"))) % 2)
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)")
+          .as("chi2_1e6"))
+      .withColumn("srm_alarm", col("chi2_1e6") > SrmChi2Bar1e6)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_srm_guardrail" -> (q189 _),
     "q188_cusum_changepoint" -> (q188 _),
     "q187_twap" -> (q187 _),
     "q181_burst_detection" -> (q181 _),
@@ -1587,6 +1624,27 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q189_srm_guardrail" ->
+      s"""WITH u AS (
+        | SELECT DISTINCT event_type, user_id FROM events
+        | WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |   AND ts IS NOT NULL),
+        |a AS (
+        | SELECT event_type,
+        |  CAST(concat('0x', substr(md5(concat('ab-',
+        |    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS arm
+        | FROM u),
+        |c AS (
+        | SELECT event_type,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM a GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        | CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+        |   AS BIGINT) AS chi2_1e6,
+        | ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+        |   > $SrmChi2Bar1e6 AS srm_alarm
+        |FROM c""".stripMargin,
     "q187_twap" ->
       """WITH e AS (
         | SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -1036,7 +1036,90 @@ object VectorQueries extends Serializable {
         min(col("norm_1e6")).as("min_norm_1e6"),
         max(col("norm_1e6")).as("max_norm_1e6"))
 
+  /** q190's geometry: coordinate quantization (10⁻⁶), fixed
+    * power-iteration rounds, and the per-round vector rescale
+    * (normalize the max-|component| to 2²⁰ — the PageRank integer
+    * discipline, so no float ever enters the iteration).
+    */
+  val EigQuant = 1000000L
+  val EigIters = 4
+  val EigScale = 1L << 20
+
+  /** q190 — DOMINANT EMBEDDING DIRECTION (top eigenvector of the
+    * centered second-moment matrix) by INTEGER power iteration: the
+    * anisotropy audit behind embedding health — a collapsed or
+    * mean-dominated embedding space puts most variance on one axis
+    * (q150 checks norms; this checks SHAPE), and the dominant
+    * direction + its Rayleigh-quotient eigenvalue quantify it.
+    * Everything is exact integers: coordinates quantize to 10⁻⁶,
+    * the 64×64 covariance accumulates exact integer products, each
+    * of the [[EigIters]] matrix-vector rounds rescales by integer
+    * division of the max |component| to [[EigScale]] (the q104
+    * PageRank fixed-point discipline — bit-identical across engines,
+    * where float iteration would drift in summation order), and the
+    * eigenvalue is one DECIMAL(38,0) division at the end. The
+    * all-ones start vector makes the sign deterministic.
+    *
+    * Scale shape: ONE corpus pass builds the covariance (the d²-row
+    * partial agg is the only big shuffle — at d=64 the exploded pair
+    * stream is 4096 rows per vector, all combined map-side); the
+    * iteration runs on the 4096-row matrix against a 64-row vector —
+    * driver-free, cluster-trivial, independent of corpus size.
+    */
+  def q190(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val coords = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr(s"CAST(round(CAST(x AS DOUBLE) * $EigQuant) AS BIGINT)")
+          .as("q"))
+    // sums go negative: floor-form division (exact in double at this
+    // magnitude) — `div`/`//` disagree on negative quotients
+    val means = coords.groupBy("i")
+      .agg(expr("CAST(floor(sum(q) / count(1)) AS BIGINT)").as("m"))
+    val centered = coords.join(broadcast(means), Seq("i"))
+      .select(col("vec_id"), col("i"), (col("q") - col("m")).as("c"))
+    val cov = centered.toDF("vec_id", "i", "ci")
+      .join(centered.toDF("vec_id", "j", "cj"), Seq("vec_id"))
+      .groupBy("i", "j")
+      .agg(sum(col("ci") * col("cj")).as("cv"))
+      .localCheckpoint() // 4096 rows; EigIters+2 consumers
+    var v = cov.select(col("i")).distinct()
+      .select(col("i"), lit(EigScale).as("s"))
+    for (_ <- 1 to EigIters) {
+      // cv·s brushes 10²² — accumulate the matvec in DECIMAL(38,0)
+      val raw = cov.toDF("i", "j", "cv")
+        .join(v.toDF("j", "s"), Seq("j"))
+        .groupBy("i")
+        .agg(expr(s"sum(CAST(cv AS $dec) * CAST(s AS $dec))").as("r"))
+      val mx = raw.agg(max(abs(col("r"))).as("mx"))
+      // sign-split the rescale so every division is NON-NEGATIVE —
+      // the one regime where Spark's truncating `div` and DuckDB's
+      // flooring `//` agree (r is signed, mx > 0)
+      v = raw.crossJoin(broadcast(mx))
+        .select(col("i"),
+          expr(s"""CAST(CASE WHEN r < 0
+                 | THEN -(((-r) * $EigScale) div mx)
+                 | ELSE ((r * $EigScale) div mx) END AS BIGINT)"""
+            .stripMargin).as("s"))
+    }
+    val vv = v.localCheckpoint() // eigvec; rayleigh numerator + output
+    val num = cov.toDF("i", "j", "cv")
+      .join(vv.toDF("i", "si"), Seq("i"))
+      .join(vv.toDF("j", "sj"), Seq("j"))
+      .agg(expr(s"sum(CAST(cv AS $dec) * CAST(si AS $dec) * " +
+        s"CAST(sj AS $dec))").as("n"))
+    val den = vv.agg(expr(s"sum(CAST(s AS $dec) * CAST(s AS $dec))")
+      .as("d"))
+    vv.crossJoin(broadcast(
+        num.crossJoin(den).select(expr("CAST(n div d AS BIGINT)")
+          .as("eigenvalue_q2"))))
+      .select(col("i").cast("long").as("dim"), col("s").as("component_2p20"),
+        col("eigenvalue_q2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_dominant_direction" -> (q190 _),
     "q150_embedding_norms" -> (q150 _),
     "q37_ann_bruteforce" -> (q37 _),
     "q122_pq_adc" -> (q122 _),
@@ -1250,7 +1333,48 @@ object VectorQueries extends Serializable {
        |FROM rates r LEFT JOIN kept k USING (list_id)""".stripMargin
   }
 
+  /** q190's oracle: the same integer power iteration, unrolled per
+    * round (the q141 HITS discipline).
+    */
+  private def q190OracleSql: String = {
+    def iterSql(k: Int): String =
+      s"""r$k AS (
+         | SELECT c.i,
+         |  CAST(sum(CAST(c.cv AS HUGEINT) * CAST(v${k - 1}.s AS HUGEINT))
+         |    AS HUGEINT) AS r
+         | FROM cov c JOIN v${k - 1} ON c.j = v${k - 1}.i GROUP BY 1),
+         |m$k AS (SELECT max(abs(r)) AS mx FROM r$k),
+         |v$k AS (SELECT i, CAST(CASE WHEN r < 0
+         |   THEN -(((-r) * $EigScale) // mx)
+         |   ELSE ((r * $EigScale) // mx) END AS BIGINT) AS s
+         | FROM r$k, m$k)""".stripMargin
+    s"""WITH co AS (
+       | SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |  CAST(round(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+       |    * $EigQuant) AS BIGINT) AS q
+       | FROM embeddings
+       |  CROSS JOIN unnest(range(0, len(embedding))) AS t(i)),
+       |mn AS (SELECT i, CAST(floor(sum(q) / count(*)) AS BIGINT) AS m
+       |       FROM co GROUP BY 1),
+       |ce AS (SELECT co.vec_id, co.i, co.q - mn.m AS c
+       |       FROM co JOIN mn USING (i)),
+       |cov AS (SELECT a.i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS cv
+       |        FROM ce a JOIN ce b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT i, CAST($EigScale AS BIGINT) AS s FROM cov),
+       |${(1 to EigIters).map(iterSql).mkString(",\n")},
+       |num AS (
+       | SELECT CAST(sum(CAST(cv AS HUGEINT) * vi.s * vj.s) AS HUGEINT) AS n
+       | FROM cov JOIN v$EigIters vi ON cov.i = vi.i
+       |          JOIN v$EigIters vj ON cov.j = vj.i),
+       |den AS (SELECT CAST(sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+       |   AS HUGEINT) AS d FROM v$EigIters)
+       |SELECT v.i AS dim, v.s AS component_2p20,
+       | CAST(num.n // den.d AS BIGINT) AS eigenvalue_q2
+       |FROM v$EigIters v, num, den""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q190_dominant_direction" -> q190OracleSql,
     "q150_embedding_norms" ->
       s"""WITH n AS (
          | SELECT label,

@@ -644,6 +644,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bit_count")) // exact verify, not approximate
   }
 
+  test("q187: TWAP is one user window + one rollup; the integral " +
+    "accumulates in decimal partial aggs") {
+    val p = plan(TimeseriesQueries.q187(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("Window ".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q188: CUSUM's two detector windows stack over ONE per-type sort " +
+    "on the checkpointed daily rollup; reference rates broadcast") {
+    val p = plan(TimeseriesQueries.q188(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("BroadcastHashJoin"))
+    // prefix-sum + running-min collapse into one Window node (same
+    // partition + ordering); the reference pass adds its own
+    assert("Window ".r.findAllIn(p).size <= 3)
+  }
+
+  test("q189: SRM is one distinct rollup and a per-type card — no join, " +
+    "no window") {
+    val p = plan(TimeseriesQueries.q189(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("q190: the covariance partial agg is the only corpus-sized " +
+    "shuffle; every iteration joins 4096-row frames with the vector " +
+    "broadcast or tiny") {
+    val p = plan(graft.queries.VectorQueries.q190(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 0) // cov checkpointed
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
