@@ -1118,7 +1118,63 @@ object VectorQueries extends Serializable {
         col("eigenvalue_q2"))
   }
 
+  /** q191's geometry: k seeds (the k smallest vec_ids), fixed Lloyd
+    * rounds, 10⁻⁶ coordinate quantization.
+    */
+  val LloydK = 8
+  val LloydIters = 3
+
+  /** q191 — INTEGER LLOYD k-MEANS: [[LloydIters]] exact rounds of the
+    * clustering baseline every embedding pipeline runs (coarse IVF
+    * lists, semdedup buckets, label discovery), with every step in
+    * exact integers so both engines replay it bit-identically:
+    * quantized coordinates, squared-distance sums as longs, argmin
+    * assignment with a total (dist, cluster) order, and centroid
+    * updates by floor-form mean (float division is exact at these
+    * magnitudes; `div`/`//` would disagree on negative sums). Seeds
+    * are the [[LloydK]] smallest vec_ids — deterministic, and the
+    * cluster id IS the seed id. Output: per-cluster population and
+    * inertia after the final assignment (the elbow-curve datum).
+    *
+    * Scale shape: per round, ONE assignment join (coords × k
+    * centroid rows, broadcast) collapsing map-side to (vec, cluster)
+    * partials, and one centroid partial agg — k·d rows cross the
+    * cluster; nothing iterates on the driver but the loop counter.
+    * Lloyd degeneracy (an emptied cluster stays empty) is inherited
+    * deliberately — the standard fix is re-seeding, a POLICY, not an
+    * operator concern.
+    */
+  def q191(s: SparkSession, dir: String): DataFrame = {
+    val coords = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr(s"CAST(round(CAST(x AS DOUBLE) * $EigQuant) AS BIGINT)")
+          .as("q"))
+      .localCheckpoint() // every round joins it
+    var cent = coords.filter(col("vec_id") < LloydK)
+      .select(col("vec_id").as("cluster"), col("i"), col("q").as("c"))
+    def assign(c: DataFrame): DataFrame =
+      coords.join(broadcast(c), Seq("i"))
+        .groupBy("vec_id", "cluster")
+        .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.d2").as("d2"))
+    for (_ <- 1 to LloydIters) {
+      val a = assign(cent)
+      cent = coords.join(a.select("vec_id", "cluster"), Seq("vec_id"))
+        .groupBy("cluster", "i")
+        .agg(expr("CAST(floor(sum(q) / count(1)) AS BIGINT)").as("c"))
+        .localCheckpoint() // k·d rows; next round + final assignment
+    }
+    assign(cent)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_kmeans" -> (q191 _),
     "q190_dominant_direction" -> (q190 _),
     "q150_embedding_norms" -> (q150 _),
     "q37_ann_bruteforce" -> (q37 _),
@@ -1373,7 +1429,43 @@ object VectorQueries extends Serializable {
        |FROM v$EigIters v, num, den""".stripMargin
   }
 
+  /** q191's oracle: the same integer Lloyd rounds, unrolled. */
+  private def q191OracleSql: String = {
+    def distAssign(k: Int, from: String): String =
+      s"""d$k AS (
+         | SELECT co.vec_id, c.cluster,
+         |  CAST(sum((co.q - c.c) * (co.q - c.c)) AS BIGINT) AS d2
+         | FROM co JOIN $from c ON co.i = c.i GROUP BY 1, 2),
+         |a$k AS (
+         | SELECT vec_id, cluster, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2, cluster) AS rn FROM d$k) WHERE rn = 1)"""
+        .stripMargin
+    def centroid(k: Int): String =
+      s"""c$k AS (
+         | SELECT a.cluster, co.i,
+         |  CAST(floor(sum(co.q) / count(*)) AS BIGINT) AS c
+         | FROM co JOIN a$k a ON co.vec_id = a.vec_id GROUP BY 1, 2)"""
+        .stripMargin
+    val rounds = (1 to LloydIters).map(k =>
+      distAssign(k, s"c${k - 1}") + ",\n" + centroid(k)).mkString(",\n")
+    s"""WITH co AS (
+       | SELECT vec_id, CAST(i AS BIGINT) AS i,
+       |  CAST(round(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+       |    * $EigQuant) AS BIGINT) AS q
+       | FROM embeddings
+       |  CROSS JOIN unnest(range(0, len(embedding))) AS t(i)),
+       |c0 AS (SELECT vec_id AS cluster, i, q AS c FROM co
+       |       WHERE vec_id < $LloydK),
+       |$rounds,
+       |${distAssign(LloydIters + 1, s"c$LloydIters")}
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       | CAST(sum(d2) AS BIGINT) AS inertia
+       |FROM a${LloydIters + 1} GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q191_kmeans" -> q191OracleSql,
     "q190_dominant_direction" -> q190OracleSql,
     "q150_embedding_norms" ->
       s"""WITH n AS (
@@ -1566,14 +1658,14 @@ object VectorQueries extends Serializable {
   /** The shared k-means-replay CTE chain, up to `asg(vec_id, embedding,
     * list_id)` (every corpus vector with its final-centroid list) and
     * `scored` (the per-vector centroid ranking). Replays the seeded
-    * build: sample → seeds → [[KmIters]] iterations. Used by the q56
+    * build: sample → seeds → [[LloydIters]] iterations. Used by the q56
     * oracle (probe the query's nearest lists) and the q74 oracle
     * (within-list pairwise near-dup).
     */
   private def ivfAssignCtesSql: String = {
     val sampleHex = SampleHexDigits.map(d => s"'$d'").mkString(", ")
-    val finalCents = s"c$KmIters"
-    val iters = (1 to KmIters)
+    val finalCents = s"c$LloydIters"
+    val iters = (1 to LloydIters)
       .map(i => kmeansIterSql(s"c${i - 1}", s"c$i")).mkString(",\n")
     s"""samp AS (
        | SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h

@@ -759,6 +759,53 @@ object EventStreams {
       }
   }
 
+  /** The live SRM card — one emission per experiment population per
+    * micro-batch (the latest is the current truth).
+    */
+  case class SrmRow(event_type: String, n_a: Long, n_b: Long,
+                    chi2_1e6: Long, srm_alarm: Boolean)
+
+  /** [[srmMonitor]]'s state: the distinct user sets per arm — exact
+    * (the guardrail must not false-alarm on sketch error), state ∝
+    * the experiment's active population (the [[rollingFeatures]]
+    * state-size contract; a KMV sketch is the documented fallback
+    * when a population outgrows executor memory).
+    */
+  case class SrmState(seenA: Set[Long], seenB: Set[Long])
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q189]]'s sample-ratio-mismatch
+    * guardrail: arms assign by the same `md5('ab-'++user)` coin
+    * (JVM-evaluated, identical constant), distinct users accumulate
+    * per arm, and each micro-batch emits the current χ² card — so a
+    * bucketing bug alarms DURING the experiment, not at readout.
+    * The final card equals batch q189 exactly (StreamingSpec pins
+    * it); arrival order is irrelevant here — set union commutes — so
+    * this twin needs no ordering contract at all.
+    */
+  def srmMonitor(events: Dataset[Ev]): Dataset[SrmRow] = {
+    import events.sparkSession.implicits._
+    val bar = graft.queries.TimeseriesQueries.SrmChi2Bar1e6
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SrmState, SrmRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[SrmState]) =>
+          var st = state.getOption.getOrElse(SrmState(Set.empty, Set.empty))
+          it.foreach { e =>
+            val arm = graft.functions.DedupFunctions
+              .md5Hash32Jvm(s"ab-${e.user_id}") % 2
+            st = if (arm == 0L) st.copy(seenA = st.seenA + e.user_id)
+                 else st.copy(seenB = st.seenB + e.user_id)
+          }
+          state.update(st)
+          val (na, nb) = (st.seenA.size.toLong, st.seenB.size.toLong)
+          val chi2 = if (na + nb == 0) 0L
+            else (na - nb) * (na - nb) * 1000000L / (na + nb)
+          Iterator.single(SrmRow(tpe, na, nb, chi2, chi2 > bar))
+      }
+  }
+
   /** Per-type concurrency at an arrival: the open-interval count the
     * moment this event starts, plus the running high-water mark.
     */

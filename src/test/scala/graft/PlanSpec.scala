@@ -677,6 +677,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q191: every Lloyd round broadcasts the k-row centroids onto the " +
+    "checkpointed coords — the corpus is never re-scanned or re-joined " +
+    "wide") {
+    val p = plan(graft.queries.VectorQueries.q191(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),

@@ -872,6 +872,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("srmMonitor: the final live card equals batch q189 per " +
+    "experiment population, in any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q189(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // same eligibility filter as q189; deliver in REVERSE order —
+    // set union commutes, so this twin owes no ordering contract
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"ts".isNotNull &&
+        $"user_id".isNotNull && $"value".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+      .sortBy(e => (-e.ts.getTime, e.event_id))
+    val parts = Seq(evs.take(321), evs.drop(321))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.srmMonitor(in.toDS())
+      .writeStream.format("memory").queryName("srm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      // populations only grow: the card with the largest population
+      // per type IS the latest one (robust to sink row order)
+      val streamed = spark.table("srm")
+        .as[(String, Long, Long, Long, Boolean)].collect()
+        .groupBy(_._1).map { case (t, rs) =>
+          val last = rs.maxBy(r => r._2 + r._3)
+          t -> ((last._2, last._3, last._4, last._5))
+        }
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("burstMonitor: streamed alarms equal batch q181 exactly once a " +
     "sentinel closes every real hour; late arrivals drop") {
     implicit val sqlCtx = spark.sqlContext
