@@ -1144,7 +1144,21 @@ object VectorQueries extends Serializable {
     * deliberately — the standard fix is re-seeding, a POLICY, not an
     * operator concern.
     */
-  def q191(s: SparkSession, dir: String): DataFrame = {
+  def q191(s: SparkSession, dir: String): DataFrame =
+    lloydFit(s, dir)._2
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+      .select(col("best.cluster").as("cluster"), col("best.d2").as("d2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+
+  /** The fitted Lloyd model after [[LloydIters]] rounds: the final
+    * centroids and the full (vec, cluster, d²) distance table —
+    * shared by q191 (argmin rollup) and q192 (silhouette needs the
+    * runner-up distances too).
+    */
+  private def lloydFit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val coords = t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"),
@@ -1153,27 +1167,61 @@ object VectorQueries extends Serializable {
       .localCheckpoint() // every round joins it
     var cent = coords.filter(col("vec_id") < LloydK)
       .select(col("vec_id").as("cluster"), col("i"), col("q").as("c"))
-    def assign(c: DataFrame): DataFrame =
+    def dists(c: DataFrame): DataFrame =
       coords.join(broadcast(c), Seq("i"))
         .groupBy("vec_id", "cluster")
         .agg(sum((col("q") - col("c")) * (col("q") - col("c"))).as("d2"))
+    for (_ <- 1 to LloydIters) {
+      val a = dists(cent)
         .groupBy("vec_id")
         .agg(min(struct(col("d2"), col("cluster"))).as("best"))
-        .select(col("vec_id"), col("best.cluster").as("cluster"),
-          col("best.d2").as("d2"))
-    for (_ <- 1 to LloydIters) {
-      val a = assign(cent)
-      cent = coords.join(a.select("vec_id", "cluster"), Seq("vec_id"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"))
+      cent = coords.join(a, Seq("vec_id"))
         .groupBy("cluster", "i")
         .agg(expr("CAST(floor(sum(q) / count(1)) AS BIGINT)").as("c"))
-        .localCheckpoint() // k·d rows; next round + final assignment
+        .localCheckpoint() // k·d rows; next round + final distances
     }
-    assign(cent)
+    (cent, dists(cent).localCheckpoint())
+  }
+
+  /** q192 — CLUSTER SILHOUETTE (centroid form, squared distances):
+    * for every vector, `s = (b − a) / max(a, b)` with a = d² to its
+    * own centroid and b = the best rival centroid — the clustering-
+    * quality card that says whether q191's k is EARNING its clusters
+    * (s → 1: well-separated; s → 0: boundary mush; the full pairwise
+    * silhouette is O(n²), the centroid form is the standard
+    * at-scale proxy and needs only the distance table the fit
+    * already computed). Squared distances keep it integer-exact
+    * (monotone in the true distances, so the diagnosis ordering is
+    * identical); a ≤ b by construction of the argmin, so the 10⁻⁶
+    * ratio is a non-negative integer division.
+    *
+    * Scale shape: rides [[lloydFit]]'s checkpointed distance table —
+    * two small per-vector rollups and a per-cluster card; nothing
+    * new touches the corpus.
+    */
+  def q192(s: SparkSession, dir: String): DataFrame = {
+    val d = lloydFit(s, dir)._2
+    val per = d.groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.d2").as("a"))
+    per.join(d.toDF("vec_id", "rival", "d2r"), Seq("vec_id"))
+      .filter(col("rival") =!= col("cluster"))
+      .groupBy("vec_id", "cluster", "a")
+      .agg(min(col("d2r")).as("b"))
+      .select(col("vec_id"), col("cluster"), col("a"), col("b"),
+        when(greatest(col("a"), col("b")) === 0L, 0L)
+          .otherwise(expr("((b - a) * 1000000) div greatest(a, b)"))
+          .as("s"))
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s) div count(1)").as("avg_sil_1e6"),
+        min(col("s")).as("min_sil_1e6"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_silhouette" -> (q192 _),
     "q191_kmeans" -> (q191 _),
     "q190_dominant_direction" -> (q190 _),
     "q150_embedding_norms" -> (q150 _),
@@ -1429,8 +1477,11 @@ object VectorQueries extends Serializable {
        |FROM v$EigIters v, num, den""".stripMargin
   }
 
-  /** q191's oracle: the same integer Lloyd rounds, unrolled. */
-  private def q191OracleSql: String = {
+  /** q191/q192's oracle base: the same integer Lloyd rounds, unrolled,
+    * ending in the full distance table `d{iters+1}` and the final
+    * assignment `a{iters+1}`.
+    */
+  private def lloydCteSql: String = {
     def distAssign(k: Int, from: String): String =
       s"""d$k AS (
          | SELECT co.vec_id, c.cluster,
@@ -1458,14 +1509,33 @@ object VectorQueries extends Serializable {
        |c0 AS (SELECT vec_id AS cluster, i, q AS c FROM co
        |       WHERE vec_id < $LloydK),
        |$rounds,
-       |${distAssign(LloydIters + 1, s"c$LloydIters")}
-       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
-       | CAST(sum(d2) AS BIGINT) AS inertia
-       |FROM a${LloydIters + 1} GROUP BY 1""".stripMargin
+       |${distAssign(LloydIters + 1, s"c$LloydIters")}""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
-    "q191_kmeans" -> q191OracleSql,
+    "q191_kmeans" ->
+      s"""$lloydCteSql
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(d2) AS BIGINT) AS inertia
+        |FROM a${LloydIters + 1} GROUP BY 1""".stripMargin,
+    "q192_silhouette" ->
+      s"""$lloydCteSql,
+        |per AS (SELECT vec_id, cluster, d2 AS a FROM a${LloydIters + 1}),
+        |bb AS (
+        | SELECT d.vec_id, CAST(min(d.d2) AS BIGINT) AS b
+        | FROM d${LloydIters + 1} d JOIN per p
+        |  ON d.vec_id = p.vec_id AND d.cluster <> p.cluster
+        | GROUP BY 1),
+        |sil AS (
+        | SELECT p.cluster,
+        |  CAST(CASE WHEN greatest(p.a, bb.b) = 0 THEN 0
+        |   ELSE ((bb.b - p.a) * 1000000) // greatest(p.a, bb.b) END
+        |   AS BIGINT) AS s
+        | FROM per p JOIN bb USING (vec_id))
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(s) // count(*) AS BIGINT) AS avg_sil_1e6,
+        | CAST(min(s) AS BIGINT) AS min_sil_1e6
+        |FROM sil GROUP BY 1""".stripMargin,
     "q190_dominant_direction" -> q190OracleSql,
     "q150_embedding_norms" ->
       s"""WITH n AS (

@@ -677,13 +677,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q191: every Lloyd round broadcasts the k-row centroids onto the " +
-    "checkpointed coords — the corpus is never re-scanned or re-joined " +
-    "wide") {
-    val p = plan(graft.queries.VectorQueries.q191(spark, sf))
-    assert(!p.contains("Scan parquet"))
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  test("q191/q192: the Lloyd rounds ran once at fit time (broadcast " +
+    "centroid joins inside the checkpoints); both reports are rollups " +
+    "over the checkpointed distance table") {
+    Seq(graft.queries.VectorQueries.q191(spark, sf),
+        graft.queries.VectorQueries.q192(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Scan parquet"))
+      assert(p.contains("Scan ExistingRDD"))
+      assert(!p.contains("CartesianProduct"))
+    }
   }
 
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
