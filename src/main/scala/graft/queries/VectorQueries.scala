@@ -1220,7 +1220,55 @@ object VectorQueries extends Serializable {
         min(col("s")).as("min_sil_1e6"))
   }
 
+  /** q193 — EXTERNAL CLUSTER VALIDATION: q191's clusters against the
+    * ground-truth `label` column — purity (the max-label share per
+    * cluster) and the ADJUSTED RAND INDEX, the chance-corrected
+    * pair-agreement score that purity alone can fake with many tiny
+    * clusters. ARI's rational arithmetic is cleared of divisions by
+    * multiplying through: `ARI = 2(C·Σᵢⱼ − Σₐ·Σᵦ) /
+    * (C·(Σₐ+Σᵦ) − 2·Σₐ·Σᵦ)` with C = C(n,2) and the Σs exact
+    * integer pair counts — only the final 10⁻⁶ ratio divides, in
+    * double over exact ≤2⁵³ integers with half-away rounding (the
+    * q183 signed-portability rule: ARI is signed, integer `div`
+    * would diverge between engines below zero). q192 asks "are the
+    * clusters separated"; this asks "are they the RIGHT ones".
+    *
+    * Scale shape: the contingency table is one partial-agg pass over
+    * the fit's assignment joined to labels; every Σ derives from
+    * that ≤ k·|labels| table.
+    */
+  def q193(s: SparkSession, dir: String): DataFrame = {
+    val assign = lloydFit(s, dir)._2
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"))
+    val cont = assign
+      .join(t(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // k·|labels| rows; four rollups below
+    def c2(e: String): String = s"sum($e * ($e - 1) div 2)"
+    val byC = cont.groupBy("cluster")
+      .agg(sum(col("nij")).as("a"), max(col("nij")).as("mx"))
+    val byL = cont.groupBy("label").agg(sum(col("nij")).as("b"))
+    val parts = cont.agg(sum(col("nij")).as("n"),
+        expr("sum(nij * (nij - 1) div 2)").as("sumij"))
+      .crossJoin(broadcast(byC.agg(expr(s"${c2("a")}").as("suma"),
+        sum(col("mx")).as("maxhits"), count(lit(1)).as("k_used"))))
+      .crossJoin(broadcast(byL.agg(expr(s"${c2("b")}").as("sumb"))))
+    parts.select(col("n"), col("k_used"),
+      expr("(maxhits * 1000000) div n").as("purity_1e6"),
+      expr("""CASE WHEN (n * (n - 1) div 2) * (suma + sumb)
+             |  - 2 * suma * sumb = 0 THEN NULL
+             | ELSE CAST(round(
+             |  CAST(2 * ((n * (n - 1) div 2) * sumij - suma * sumb)
+             |    AS DOUBLE) * 1000000 /
+             |  ((n * (n - 1) div 2) * (suma + sumb) - 2 * suma * sumb),
+             |  0) AS BIGINT) END""".stripMargin).as("ari_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_cluster_validation" -> (q193 _),
     "q192_silhouette" -> (q192 _),
     "q191_kmeans" -> (q191 _),
     "q190_dominant_direction" -> (q190 _),
@@ -1513,6 +1561,34 @@ object VectorQueries extends Serializable {
   }
 
   val oracles: Map[String, String] = Map(
+    "q193_cluster_validation" ->
+      s"""$lloydCteSql,
+        |cont AS (
+        | SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS nij
+        | FROM a${LloydIters + 1} a JOIN embeddings e
+        |  ON a.vec_id = e.vec_id GROUP BY 1, 2),
+        |byc AS (SELECT cluster, CAST(sum(nij) AS BIGINT) AS a,
+        |        CAST(max(nij) AS BIGINT) AS mx FROM cont GROUP BY 1),
+        |byl AS (SELECT label, CAST(sum(nij) AS BIGINT) AS b
+        |        FROM cont GROUP BY 1),
+        |p1 AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |       CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sumij
+        |       FROM cont),
+        |p2 AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS suma,
+        |       CAST(sum(mx) AS BIGINT) AS maxhits,
+        |       CAST(count(*) AS BIGINT) AS k_used FROM byc),
+        |p3 AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sumb
+        |       FROM byl)
+        |SELECT n, k_used,
+        | CAST((maxhits * 1000000) // n AS BIGINT) AS purity_1e6,
+        | CASE WHEN (n * (n - 1) // 2) * (suma + sumb)
+        |   - 2 * suma * sumb = 0 THEN NULL
+        |  ELSE CAST(round(
+        |   CAST(2 * ((n * (n - 1) // 2) * sumij - suma * sumb)
+        |     AS DOUBLE) * 1000000 /
+        |   ((n * (n - 1) // 2) * (suma + sumb) - 2 * suma * sumb),
+        |   0) AS BIGINT) END AS ari_1e6
+        |FROM p1, p2, p3""".stripMargin,
     "q191_kmeans" ->
       s"""$lloydCteSql
         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,

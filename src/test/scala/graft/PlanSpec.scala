@@ -689,6 +689,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q193: validation derives everything from the checkpointed " +
+    "contingency table; the ARI algebra runs on one-row frames") {
+    val p = plan(graft.queries.VectorQueries.q193(spark, sf))
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
