@@ -1060,13 +1060,18 @@ object VectorQueries extends Serializable {
     * eigenvalue is one DECIMAL(38,0) division at the end. The
     * all-ones start vector makes the sign deterministic.
     *
-    * Scale shape: ONE corpus pass builds the covariance (the d²-row
-    * partial agg is the only big shuffle — at d=64 the exploded pair
-    * stream is 4096 rows per vector, all combined map-side); the
-    * iteration runs on the 4096-row matrix against a 64-row vector —
-    * driver-free, cluster-trivial, independent of corpus size.
+    * Scale shape: TWO corpus passes — means, then a per-partition
+    * outer-product accumulation (the BLAS `syrk` pattern: each task
+    * folds its vectors into a local d×d long array and emits ONE
+    * upper-triangle of partials — a genuine `mapPartitions` case,
+    * because the d²-per-row explode-and-shuffle form materializes
+    * n·d² rows for the same answer and measured 3.7 s vs 0.6 s at
+    * sf0.1). The shuffle carries d²/2 rows per task; the iteration
+    * runs on the 4096-row matrix against a 64-row vector —
+    * driver-free and independent of corpus size.
     */
   def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val dec = "decimal(38,0)"
     val coords = t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
@@ -1077,18 +1082,46 @@ object VectorQueries extends Serializable {
     // magnitude) — `div`/`//` disagree on negative quotients
     val means = coords.groupBy("i")
       .agg(expr("CAST(floor(sum(q) / count(1)) AS BIGINT)").as("m"))
-    val centered = coords.join(broadcast(means), Seq("i"))
-      .select(col("vec_id"), col("i"), (col("q") - col("m")).as("c"))
-    val cov = centered.toDF("vec_id", "i", "ci")
-      .join(centered.toDF("vec_id", "j", "cj"), Seq("vec_id"))
-      .groupBy("i", "j")
-      .agg(sum(col("ci") * col("cj")).as("cv"))
+      .orderBy("i").as[(Int, Long)].collect().map(_._2)
+    val quant = EigQuant
+    val cov = t(s, dir, "embeddings")
+      .select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        it.foreach { emb =>
+          if (acc == null) { d = emb.length; acc = new Array[Long](d * d) }
+          val c = new Array[Long](d)
+          var i = 0
+          while (i < d) {
+            // half-AWAY-from-zero, matching SQL round() on both
+            // engines (math.round would round -x.5 toward zero)
+            val v = emb(i).toDouble * quant
+            val r = if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
+            c(i) = r.toLong - means(i)
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { acc(i * d + j) += c(i) * c(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else (0 until d).iterator.flatMap(i =>
+          (i until d).iterator.map(j => (i, j, acc(i * d + j))))
+      }
+      .toDF("i", "j", "cv")
+      .groupBy("i", "j").agg(sum(col("cv")).as("cv"))
+    val covFull = cov.unionAll(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cv")))
       .localCheckpoint() // 4096 rows; EigIters+2 consumers
-    var v = cov.select(col("i")).distinct()
+    var v = covFull.select(col("i")).distinct()
       .select(col("i"), lit(EigScale).as("s"))
     for (_ <- 1 to EigIters) {
       // cv·s brushes 10²² — accumulate the matvec in DECIMAL(38,0)
-      val raw = cov.toDF("i", "j", "cv")
+      val raw = covFull.toDF("i", "j", "cv")
         .join(v.toDF("j", "s"), Seq("j"))
         .groupBy("i")
         .agg(expr(s"sum(CAST(cv AS $dec) * CAST(s AS $dec))").as("r"))
@@ -1104,7 +1137,7 @@ object VectorQueries extends Serializable {
             .stripMargin).as("s"))
     }
     val vv = v.localCheckpoint() // eigvec; rayleigh numerator + output
-    val num = cov.toDF("i", "j", "cv")
+    val num = covFull.toDF("i", "j", "cv")
       .join(vv.toDF("i", "si"), Seq("i"))
       .join(vv.toDF("j", "sj"), Seq("j"))
       .agg(expr(s"sum(CAST(cv AS $dec) * CAST(si AS $dec) * " +
@@ -1804,14 +1837,14 @@ object VectorQueries extends Serializable {
   /** The shared k-means-replay CTE chain, up to `asg(vec_id, embedding,
     * list_id)` (every corpus vector with its final-centroid list) and
     * `scored` (the per-vector centroid ranking). Replays the seeded
-    * build: sample → seeds → [[LloydIters]] iterations. Used by the q56
+    * build: sample → seeds → [[KmIters]] iterations. Used by the q56
     * oracle (probe the query's nearest lists) and the q74 oracle
     * (within-list pairwise near-dup).
     */
   private def ivfAssignCtesSql: String = {
     val sampleHex = SampleHexDigits.map(d => s"'$d'").mkString(", ")
-    val finalCents = s"c$LloydIters"
-    val iters = (1 to LloydIters)
+    val finalCents = s"c$KmIters"
+    val iters = (1 to KmIters)
       .map(i => kmeansIterSql(s"c${i - 1}", s"c$i")).mkString(",\n")
     s"""samp AS (
        | SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
