@@ -1498,7 +1498,101 @@ object TimeseriesQueries {
       .withColumn("srm_alarm", col("chi2_1e6") > SrmChi2Bar1e6)
   }
 
+  /** q194 — GROWTH ACCOUNTING: the weekly new / retained /
+    * resurrected / churned user ledger (the standard MAU-accounting
+    * identity: `churnedₜ = activeₜ₋₁ − retainedₜ`) that explains
+    * WHERE an active-user curve's movement comes from — q111's
+    * cohort grid shows decay per acquisition vintage; this shows the
+    * flow balance per calendar week. Per-user classification is one
+    * lag over that user's active weeks (new = first week, retained =
+    * active the week before, resurrected = returned after a gap);
+    * the churn column closes the identity from the PREVIOUS week's
+    * card row. Weeks are integer epoch-weeks. Lag semantics assume a
+    * calendar-dense lake (every week present corpus-wide — true
+    * here); a sparse deployment adds a week spine, not new logic.
+    *
+    * Scale shape: one distinct rollup to (user, week), one user-
+    * ordered lag window over it, a per-week partial agg, and a
+    * |weeks|-row window for the identity — events cross one exchange.
+    */
+  def q194(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy("w")
+    val weekly = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("w"))
+      .distinct()
+      .withColumn("first_w", min(col("w")).over(Window.partitionBy("user_id")))
+      .withColumn("prev_w", lag(col("w"), 1).over(wUser))
+      .select(col("w"),
+        (col("w") === col("first_w")).as("is_new"),
+        (col("prev_w") === col("w") - 1L).as("is_retained"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        coalesce(sum(when(col("is_retained"), 1L)), lit(0L))
+          .as("n_retained"),
+        sum(when(!col("is_new") && !coalesce(col("is_retained"),
+          lit(false)), 1L).otherwise(0L)).as("n_resurrected"))
+    weekly
+      .withColumn("n_churned",
+        lag(col("n_active"), 1).over(Window.orderBy("w")) -
+          col("n_retained"))
+      .select(expr("timestamp_micros(w * 604800000000)").as("week_ts"),
+        col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+  }
+
+  /** q195's interior-window width: residuals only where the full
+    * ±3-day centered window exists.
+    */
+  val SeasonalMaDays = 7L
+
+  /** q195 — SEASONALITY STRENGTH: how much of each type's daily
+    * volume variance a centered 7-day moving average explains —
+    * `1 − Var(residual)/Var(raw)` over interior days, the classic
+    * STL-style decomposition statistic that says whether q173's
+    * weekly profile is signal or wishful thinking. Exact to the end:
+    * the residual is SCALED BY 7 (`r = 7x − Σ±3 x`) so no moving-
+    * average division ever happens, variances are the integer
+    * `n·Σx² − (Σx)²` form (the q121/q126 moment discipline), and the
+    * single signed ratio rounds half-away in double (q183 rule —
+    * strength goes NEGATIVE when the "trend" fits worse than the
+    * mean, and that is a finding, not an error).
+    *
+    * Scale shape: one partial-agg rollup to daily counts; one
+    * per-type RANGE window (full-window days only); a |types|-row
+    * card.
+    */
+  def q195(s: SparkSession, dir: String): DataFrame = {
+    val half = (SeasonalMaDays - 1) / 2
+    val wMa = Window.partitionBy("event_type").orderBy("d")
+      .rangeBetween(-half, half)
+    t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("nw", count(lit(1)).over(wMa))
+      .withColumn("s7", sum(col("x")).over(wMa))
+      .filter(col("nw") === SeasonalMaDays) // interior days only
+      .withColumn("r", lit(SeasonalMaDays) * col("x") - col("s7"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"))
+      .select(col("event_type"), col("n_days"),
+        when(col("n_days") * col("sxx") - col("sx") * col("sx") =!= 0L,
+          expr(s"""CAST(round((1.0 -
+                 |  CAST(n_days * srr - sr * sr AS DOUBLE) /
+                 |  (${SeasonalMaDays * SeasonalMaDays} *
+                 |   (n_days * sxx - sx * sx))) * 1000000, 0)
+                 | AS BIGINT)""".stripMargin)).as("strength_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_seasonal_strength" -> (q195 _),
+    "q194_growth_accounting" -> (q194 _),
     "q189_srm_guardrail" -> (q189 _),
     "q188_cusum_changepoint" -> (q188 _),
     "q187_twap" -> (q187 _),
@@ -1624,6 +1718,63 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q194_growth_accounting" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+        | FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |cls AS (
+        | SELECT w,
+        |  w = min(w) OVER (PARTITION BY user_id) AS is_new,
+        |  lag(w) OVER (PARTITION BY user_id ORDER BY w) = w - 1
+        |    AS is_retained
+        | FROM uw),
+        |card AS (
+        | SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(coalesce(sum(CASE WHEN is_retained THEN 1 END), 0)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN NOT is_new
+        |    AND NOT coalesce(is_retained, false) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected
+        | FROM cls GROUP BY 1)
+        |SELECT make_timestamp(w * 604800000000) AS week_ts,
+        | n_active, n_new, n_retained, n_resurrected,
+        | CAST(lag(n_active) OVER (ORDER BY w) - n_retained AS BIGINT)
+        |   AS n_churned
+        |FROM card""".stripMargin,
+    "q195_seasonal_strength" -> {
+      val half = (SeasonalMaDays - 1) / 2
+      s"""WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS x
+        | FROM events
+        | WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |ma AS (
+        | SELECT *,
+        |  CAST(count(*) OVER win AS BIGINT) AS nw,
+        |  CAST(sum(x) OVER win AS BIGINT) AS s7
+        | FROM daily
+        | WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |   RANGE BETWEEN $half PRECEDING AND $half FOLLOWING)),
+        |r AS (
+        | SELECT event_type, x, $SeasonalMaDays * x - s7 AS r
+        | FROM ma WHERE nw = $SeasonalMaDays),
+        |m AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(r) AS BIGINT) AS sr,
+        |  CAST(sum(r * r) AS BIGINT) AS srr
+        | FROM r GROUP BY 1)
+        |SELECT event_type, n_days,
+        | CASE WHEN n_days * sxx - sx * sx <> 0
+        |  THEN CAST(round((1.0 -
+        |    CAST(n_days * srr - sr * sr AS DOUBLE) /
+        |    (${SeasonalMaDays * SeasonalMaDays} *
+        |     (n_days * sxx - sx * sx))) * 1000000, 0) AS BIGINT)
+        | END AS strength_1e6
+        |FROM m""".stripMargin
+    },
     "q189_srm_guardrail" ->
       s"""WITH u AS (
         | SELECT DISTINCT event_type, user_id FROM events

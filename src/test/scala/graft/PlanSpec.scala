@@ -696,6 +696,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q194: growth accounting is one distinct rollup + one user lag " +
+    "window; the identity window runs on the |weeks|-row card") {
+    val p = plan(TimeseriesQueries.q194(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+    assert(p.contains("windowspecdefinition(user_id"))
+  }
+
+  test("q195: seasonal strength is one rollup + one per-type RANGE " +
+    "window; the variance algebra is a partial agg, no second pass") {
+    val p = plan(TimeseriesQueries.q195(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(p.contains("RangeFrame"))
+    assert(!p.contains("Join"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
