@@ -662,7 +662,45 @@ object CorpusQueries {
     "q143_ks_drift" -> (q143 _),
     "q149_fair_topk" -> (q149 _),
     "q152_psi_drift" -> (q152 _),
-    "q161_weighted_reservoir" -> (q161 _))
+    "q161_weighted_reservoir" -> (q161 _),
+    "q196_spearman" -> (q196 _))
+
+  /** q196 — SPEARMAN RANK CORRELATION between document length and
+    * quality score: does the q34 quality heuristic secretly just
+    * measure length? The rank correlation answers it robustly (no
+    * normality assumption, monotone-invariant — Pearson on the raw
+    * values would be dominated by the length tail). Exact integers to
+    * the last step: tie-aware midranks DOUBLED into integers
+    * (`2·mid = 2·rank_min + ties − 1`), the Pearson moments of those
+    * integer ranks in the n·Σxy − Σx·Σy form, and one double
+    * division whose `sqrt` is IEEE-correctly-rounded in both engines.
+    *
+    * Scale shape: one scoring pass; two rank windows ordered by the
+    * (bounded-cardinality) values; a one-row card. At corpus scale
+    * the rank windows are the cost — value-histogram ranking (the
+    * q185 trick) is the drop-in when lengths outgrow a sort.
+    */
+  def q196(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    def r2(c: String): Column =
+      (lit(2L) * rank().over(Window.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(c))) - lit(2L))
+    val ranked = scored
+      .select(col("doc_id"), r2("n_chars").as("rx"), r2("quality").as("ry"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n").as("n_docs"),
+        expr("""CAST(round(
+               | CAST(n * sxy - sx * sy AS DOUBLE) /
+               | (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+               |  sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000, 0)
+               | AS BIGINT)""".stripMargin).as("spearman_1e6"))
+  }
 
   /** q161's sample size. */
   val AesK = 50
@@ -882,6 +920,35 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q196_spearman" -> {
+      val ws = TextQueries.wsSql
+      val praw = TextQueries.punctRatioSql
+      s"""WITH sc AS (
+        | SELECT doc_id, n_chars,
+        |  round(least(CAST(len($ws) AS DOUBLE) / 100.0, 1.0)
+        |    * greatest(0.0, 1.0 - ($praw) * 5.0), 4) AS quality
+        | FROM documents),
+        |rk AS (
+        | SELECT
+        |  2 * rank() OVER (ORDER BY n_chars)
+        |    + count(*) OVER (PARTITION BY n_chars) - 2 AS rx,
+        |  2 * rank() OVER (ORDER BY quality)
+        |    + count(*) OVER (PARTITION BY quality) - 2 AS ry
+        | FROM sc),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |  CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |  CAST(sum(ry * ry) AS BIGINT) AS syy,
+        |  CAST(sum(rx * ry) AS BIGINT) AS sxy
+        | FROM rk)
+        |SELECT n AS n_docs,
+        | CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000, 0)
+        |  AS BIGINT) AS spearman_1e6
+        |FROM m""".stripMargin
+    },
     "q161_weighted_reservoir" ->
       s"""WITH s AS (
         | SELECT doc_id, n_chars,

@@ -655,6 +655,43 @@ object RelationalQueries {
           s"CAST(revenue_cents AS $dec)) AS BIGINT)").as("hhi_1e6"))
   }
 
+  /** Benford's-law expected first-digit shares, 10⁻⁶ fixed point —
+    * ONE Scala evaluation of `log₁₀(1 + 1/d)` interpolated into both
+    * engines (the MinHash-constant discipline: shared literals, not
+    * shared math).
+    */
+  val BenfordExp1e6: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1000000))
+
+  /** q197 — BENFORD'S-LAW AUDIT of order totals: the first-significant-
+    * digit distribution against `log₁₀(1+1/d)` — the forensic-
+    * accounting screen for fabricated or systematically clipped
+    * amounts (organic multiplicative data follows Benford; invented
+    * numbers and price floors don't). The first digit comes from the
+    * CENTS STRING (scale-invariant: ×10ᵏ never changes the leading
+    * digit) — no float log whose edge behavior at exact powers of
+    * ten could differ; the per-digit deviation is exact 10⁻⁶
+    * integers. Flat synthetic prices FAIL Benford loudly — the audit
+    * exists to say so, and the dev_1e6 column says by how much.
+    *
+    * Scale shape: one scan into a ≤ 9-row digit histogram; the
+    * expected-share table is a 9-literal broadcast.
+    */
+  def q197(s: SparkSession, dir: String): DataFrame = {
+    val expArr = s"array(${BenfordExp1e6.mkString("L, ")}L)"
+    t(s, dir, "orders")
+      .filter(expr("CAST(round(o_totalprice * 100) AS BIGINT)") >= 1L)
+      .groupBy(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) " +
+        "AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div total").as("obs_1e6"),
+        expr(s"$expArr[CAST(digit - 1 AS INT)]").as("exp_1e6"))
+      .withColumn("dev_1e6", abs(col("obs_1e6") - col("exp_1e6")))
+  }
+
   /** q183's period boundary (P1 strictly before, P2 at/after). */
   val AttribSplit = "1998-01-01 00:00:00"
 
@@ -797,6 +834,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_benford_audit" -> (q197 _),
     "q183_delta_attribution" -> (q183 _),
     "q180_supplier_hhi" -> (q180 _),
     "q174_also_bought" -> (q174 _),
@@ -852,6 +890,23 @@ object RelationalQueries {
        |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q197_benford_audit" -> {
+      val expList = BenfordExp1e6.mkString("[", ", ", "]")
+      s"""WITH c AS (
+        | SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM orders
+        | WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+        |h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+        |SELECT h.digit, h.n,
+        | CAST((h.n * 1000000) // t.total AS BIGINT) AS obs_1e6,
+        | CAST(($expList)[CAST(h.digit AS INT)] AS BIGINT) AS exp_1e6,
+        | CAST(abs((h.n * 1000000) // t.total
+        |   - ($expList)[CAST(h.digit AS INT)]) AS BIGINT) AS dev_1e6
+        |FROM h, t""".stripMargin
+    },
     "q183_delta_attribution" ->
       s"""WITH seg AS (
         | SELECT o_orderpriority AS segment,

@@ -806,6 +806,56 @@ object EventStreams {
       }
   }
 
+  /** The live per-type quantile card (exact, from the value
+    * histogram).
+    */
+  case class QuantRow(event_type: String, n: Long,
+                      median_cents: Long, p90_cents: Long)
+
+  /** [[quantileMonitor]]'s state: the exact (cents → count) value
+    * histogram per type — O(value domain), the SAME bound the batch
+    * q185 argues for its shuffle, and the reason this monitor can be
+    * exact where a row-buffer would grow without limit.
+    */
+  case class QuantState(hist: Map[Long, Long])
+
+  /** The STREAMING twin of
+    * [[graft.queries.SamplingQueries.q185]]'s histogram quantiles:
+    * the per-type value histogram accumulates in state and each
+    * micro-batch emits the current EXACT median/p90 (type-1 order
+    * statistics at ⌈p·n⌉, scanned from the sorted histogram). Like
+    * [[srmMonitor]], histogram merge commutes — no ordering contract;
+    * the final card equals batch q185 exactly (StreamingSpec pins it
+    * under reversed delivery).
+    */
+  def quantileMonitor(events: Dataset[Ev]): Dataset[QuantRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[QuantState, QuantRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[Ev], state: GroupState[QuantState]) =>
+          var h = state.getOption.map(_.hist).getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val v = math.round(e.value * 100)
+            h = h.updated(v, h.getOrElse(v, 0L) + 1L)
+          }
+          state.update(QuantState(h))
+          val n = h.valuesIterator.sum
+          def at(rank: Long): Long = {
+            var cum = 0L
+            val sorted = h.toArray.sortBy(_._1)
+            var i = 0
+            while (i < sorted.length && cum + sorted(i)._2 < rank) {
+              cum += sorted(i)._2; i += 1
+            }
+            sorted(math.min(i, sorted.length - 1))._1
+          }
+          Iterator.single(QuantRow(tpe, n,
+            at((n + 1) / 2), at((9 * n + 9) / 10)))
+      }
+  }
+
   /** Per-type concurrency at an arrival: the open-interval count the
     * moment this event starts, plus the running high-water mark.
     */

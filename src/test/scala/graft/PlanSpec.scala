@@ -712,6 +712,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q196: Spearman is one scoring pass, two rank windows, and a " +
+    "one-row moment card — no join, no second corpus scan") {
+    val p = plan(graft.queries.CorpusQueries.q196(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q197: Benford is one scan into a 9-row digit histogram; the " +
+    "expectation table is literal — no join") {
+    val p = plan(RelationalQueries.q197(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),

@@ -908,6 +908,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileMonitor: the final live median/p90 card equals batch " +
+    "q185 per type, in any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.SamplingQueries.q185(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"value".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+      .sortBy(e => (-e.ts.getTime, e.event_id)) // histogram merge commutes
+    val parts = Seq(evs.take(123), evs.drop(123))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.quantileMonitor(in.toDS())
+      .writeStream.format("memory").queryName("quant")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.table("quant")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (t, rs) =>
+          val last = rs.maxBy(_._2) // n only grows
+          t -> ((last._2, last._3, last._4))
+        }
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("burstMonitor: streamed alarms equal batch q181 exactly once a " +
     "sentinel closes every real hour; late arrivals drop") {
     implicit val sqlCtx = spark.sqlContext
