@@ -884,7 +884,7 @@ object TimeseriesQueries {
     * holds the max `y` within its own `x` (equal-(x,y) duplicates all
     * survive — neither dominates). Requires integer `x`, `y`.
     */
-  private def skylinePrune(df: DataFrame, parts: Seq[String]): DataFrame = {
+  private[graft] def skylinePrune(df: DataFrame, parts: Seq[String]): DataFrame = {
     val pc = parts.map(col)
     val byX = Window.partitionBy(pc: _*).orderBy(col("x").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
@@ -1590,7 +1590,51 @@ object TimeseriesQueries {
                  | AS BIGINT)""".stripMargin)).as("strength_1e6"))
   }
 
+  /** q198 — LINEAR MULTI-TOUCH ATTRIBUTION: where q165 gives the last
+    * touch everything, this splits each purchase's credit EQUALLY
+    * over every click/view in its [[AttributionWindowUs]] lookback —
+    * the other canonical attribution model, and the one that needs
+    * real purchase×touch pairs (multi-touch IS pairwise; q165's
+    * window trick cannot see more than one predecessor). Credit is
+    * integer: each of a purchase's n touches gets `10⁶ div n` (the
+    * ≤ n−1 micro-units lost to flooring are the documented price of
+    * exactness). The per-purchase touch count comes from a RANGE
+    * window BEFORE the join, so the join carries no aggregation —
+    * only bounded fan-out: a user's touches within one lookback
+    * window.
+    *
+    * Scale shape: one user-partitioned RANGE window for the counts;
+    * one banded self-join whose fan-out is (touches in window) per
+    * purchase — the honest cost of the model, bounded by per-user
+    * activity rate × window, never corpus².
+    */
+  def q198(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .localCheckpoint() // window pass + both join sides
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(-AttributionWindowUs, -1)
+    val purchases = ev
+      .withColumn("n_touch", sum(when(col("event_type") =!= "purchase", 1L)
+        .otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase" && col("n_touch") > 0L)
+      .select(col("user_id"), col("tus").as("ptus"), col("n_touch"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("tus").as("ttus"),
+        col("event_type").as("touch_type"))
+    purchases.join(touches, Seq("user_id"))
+      .filter(col("ttus") >= col("ptus") - AttributionWindowUs &&
+        col("ttus") < col("ptus"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("1000000 div n_touch")).as("credit_1e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_linear_attribution" -> (q198 _),
     "q195_seasonal_strength" -> (q195 _),
     "q194_growth_accounting" -> (q194 _),
     "q189_srm_guardrail" -> (q189 _),
@@ -1718,6 +1762,29 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q198_linear_attribution" ->
+      s"""WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+        | FROM events
+        | WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |   AND event_type IN ('click', 'view', 'purchase')),
+        |p AS (
+        | SELECT user_id, tus AS ptus, n_touch FROM (
+        |  SELECT *, CAST(coalesce(sum(CASE WHEN event_type <> 'purchase'
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN $AttributionWindowUs PRECEDING
+        |      AND 1 PRECEDING), 0) AS BIGINT) AS n_touch
+        |  FROM ev)
+        | WHERE event_type = 'purchase' AND n_touch > 0),
+        |tt AS (
+        | SELECT user_id, tus AS ttus, event_type AS touch_type
+        | FROM ev WHERE event_type <> 'purchase')
+        |SELECT tt.touch_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(1000000 // p.n_touch) AS BIGINT) AS credit_1e6
+        |FROM p JOIN tt ON p.user_id = tt.user_id
+        | AND tt.ttus >= p.ptus - $AttributionWindowUs
+        | AND tt.ttus < p.ptus
+        |GROUP BY 1""".stripMargin,
     "q194_growth_accounting" ->
       """WITH uw AS (
         | SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w

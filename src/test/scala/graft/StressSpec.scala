@@ -15,6 +15,65 @@ import org.apache.spark.sql.functions._
 class StressSpec extends SparkSpec {
   import spark.implicits._
 
+  test("skyline prune: a 200k anti-chain (worst case — NOTHING dominates) " +
+    "survives both phases losslessly; a dominated chain collapses to one " +
+    "survivor per salt before the global pass ever runs") {
+    import graft.queries.TimeseriesQueries
+    val n = 200000L
+    def salted(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("salt", pmod(xxhash64(col("user_id")), lit(32)))
+    // anti-chain x + y = n: the frontier IS the dataset — pruning must
+    // not lose a single row, and the global pass pays the honest
+    // worst-case single-partition sort the scaladoc warns about
+    val anti = salted(spark.range(n).select(col("id").as("user_id"),
+      col("id").as("x"), (lit(n) - col("id")).as("y")))
+    val t0 = System.nanoTime()
+    val localA = TimeseriesQueries.skylinePrune(anti, Seq("salt"))
+    assert(localA.count() == n)
+    assert(TimeseriesQueries.skylinePrune(localA, Seq.empty).count() == n)
+    val secsA = (System.nanoTime() - t0) / 1e9
+    // dominated chain y = x: exactly one global survivor, and the
+    // LOCAL phase already cuts 200k rows to <= 32 — the global window
+    // never sees the corpus
+    val chain = salted(spark.range(n).select(col("id").as("user_id"),
+      col("id").as("x"), col("id").as("y")))
+    val localC = TimeseriesQueries.skylinePrune(chain, Seq("salt"))
+    val localCount = localC.count()
+    assert(localCount <= 32L, s"local prune left $localCount rows")
+    val sky = TimeseriesQueries.skylinePrune(localC, Seq.empty)
+      .select("user_id").as[Long].collect()
+    assert(sky.toSeq == Seq(n - 1))
+    info(f"200k anti-chain both phases in $secsA%.1fs; " +
+      f"chain pruned 200k -> $localCount -> 1")
+  }
+
+  test("CDC chunker: a 1M-char document chunks in linear time and tiles " +
+    "exactly; a 20k-doc corpus tiles corpus-wide through the q169 shape") {
+    import graft.functions.TextJvm
+    import graft.queries.DedupQueries.{CdcWindow, CdcMask}
+    val big = (0 until 180000).map(i => s"w${i % 997}").mkString(" ")
+    val t0 = System.nanoTime()
+    val chunks = TextJvm.cdcChunks(big, CdcWindow, CdcMask)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(chunks.map(_.length).sum == big.length) // exact tiling
+    assert(chunks.length > 1000) // boundaries actually fire
+    // the quadratic SQL-substring form at this length would touch
+    // ~len^2/2 = 3.9e11 chars; the loop touches len once
+    val docs = spark.range(20000)
+      .select(col("id"),
+        concat_ws(" ", (0 until 60).map(k =>
+          concat(lit("t"), ((col("id") * 61 + k) % 991))): _*).as("text"))
+    import spark.implicits._
+    val tiled = docs.select(col("text")).as[String]
+      .flatMap(TextJvm.cdcChunks(_, CdcWindow, CdcMask))
+      .agg(sum(length(col("value"))))
+      .as[Long].head()
+    val corpus = docs.agg(sum(length(col("text")))).as[Long].head()
+    assert(tiled == corpus)
+    info(f"1M-char doc: ${chunks.length} chunks in $secs%.3fs (O(len)); " +
+      s"20k-doc corpus tiles exactly ($corpus chars)")
+  }
+
   test("band-bucket cap: 15k unique near-dups past MaxBandBucket stay " +
     "bounded, and the drop is observable") {
     val n = DedupQueries.MaxBandBucket + 5000
