@@ -663,7 +663,53 @@ object CorpusQueries {
     "q149_fair_topk" -> (q149 _),
     "q152_psi_drift" -> (q152 _),
     "q161_weighted_reservoir" -> (q161 _),
-    "q196_spearman" -> (q196 _))
+    "q196_spearman" -> (q196 _),
+    "q200_dataset_card" -> (q200 _))
+
+  /** q200 — THE DATASET CARD: one (metric, value) table summarizing
+    * the whole lake — row counts for every table, the event stream's
+    * user population and day span, the corpus's token mass, language
+    * and source diversity, exact-duplicate count, and the embedding
+    * dimensionality — the README-generator / freshness-manifest
+    * query a data platform publishes with every release, and a
+    * fitting q200: it touches all ten tables the engine serves.
+    * Every value is an exact integer from a purpose-shaped pass
+    * (count scans are column-pruned to nothing; the dup count is the
+    * q28 fingerprint rollup).
+    *
+    * Scale shape: ten independent partial-agg passes (each reading
+    * only what its metric needs) unioned driver-free into ≤ 17 rows.
+    */
+  def q200(s: SparkSession, dir: String): DataFrame = {
+    def rowsOf(name: String): DataFrame =
+      t(s, dir, name).agg(count(lit(1)).as("value"))
+        .select(lit(s"rows:$name").as("metric"), col("value"))
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val ev = t(s, dir, "events")
+    val docs = t(s, dir, "documents")
+    val extras = Seq(
+      ev.filter(col("user_id").isNotNull)
+        .agg(countDistinct(col("user_id")).as("value"))
+        .select(lit("events:distinct_users").as("metric"), col("value")),
+      ev.filter(col("ts").isNotNull)
+        .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          + lit(1)).cast("long").as("value"))
+        .select(lit("events:span_days").as("metric"), col("value")),
+      docs.agg(sum(size(TextFunctions.words(col("text")))).as("value"))
+        .select(lit("corpus:ws_tokens").as("metric"), col("value")),
+      docs.agg(countDistinct(col("lang")).as("value"))
+        .select(lit("corpus:langs").as("metric"), col("value")),
+      docs.agg(countDistinct(col("source")).as("value"))
+        .select(lit("corpus:sources").as("metric"), col("value")),
+      docs.agg((count(lit(1)) - countDistinct(md5(col("text")
+          .cast("binary")))).as("value"))
+        .select(lit("corpus:exact_dup_docs").as("metric"), col("value")),
+      t(s, dir, "embeddings")
+        .agg(max(size(col("embedding"))).cast("long").as("value"))
+        .select(lit("embeddings:dim").as("metric"), col("value")))
+    (tables.map(rowsOf) ++ extras).reduce(_ unionAll _)
+  }
 
   /** q196 — SPEARMAN RANK CORRELATION between document length and
     * quality score: does the q34 quality heuristic secretly just
@@ -920,6 +966,27 @@ object CorpusQueries {
     s"CAST(concat('0x', substr(md5(concat('$prefix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % $m"
 
   val oracles: Map[String, String] = Map(
+    "q200_dataset_card" -> {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val rowCounts = tables.map(n =>
+        s"SELECT 'rows:$n' AS metric, CAST(count(*) AS BIGINT) AS value FROM $n")
+      val ws = TextQueries.wsSql
+      val extras = Seq(
+        s"""SELECT 'events:distinct_users', CAST(count(DISTINCT user_id)
+           | AS BIGINT) FROM events WHERE user_id IS NOT NULL""".stripMargin,
+        s"""SELECT 'events:span_days', CAST(date_diff('day',
+           | min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 AS BIGINT)
+           |FROM events WHERE ts IS NOT NULL""".stripMargin,
+        s"SELECT 'corpus:ws_tokens', CAST(sum(len($ws)) AS BIGINT) FROM documents",
+        "SELECT 'corpus:langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents",
+        "SELECT 'corpus:sources', CAST(count(DISTINCT source) AS BIGINT) FROM documents",
+        """SELECT 'corpus:exact_dup_docs',
+          | CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+          |FROM documents""".stripMargin,
+        "SELECT 'embeddings:dim', CAST(max(len(embedding)) AS BIGINT) FROM embeddings")
+      (rowCounts ++ extras).mkString("\nUNION ALL\n")
+    },
     "q196_spearman" -> {
       val ws = TextQueries.wsSql
       val praw = TextQueries.punctRatioSql

@@ -1633,7 +1633,58 @@ object TimeseriesQueries {
         sum(expr("1000000 div n_touch")).as("credit_1e6"))
   }
 
+  /** q199's density floor: a cell participates in clustering only
+    * with at least this many events (DBSCAN's minPts, grid form).
+    */
+  val GridDenseMin = 10L
+
+  /** q199 — SPATIAL HOTSPOT CLUSTERS (grid DBSCAN): q172 ranks
+    * individual smoothed cells; this CONNECTS them — dense cells
+    * (≥ [[GridDenseMin]] events) that touch in the 8-neighborhood
+    * merge into hotspot regions via
+    * [[graft.operators.ConnectedComponents]] (its seventh consumer),
+    * the grid formulation of DBSCAN that replaces the ε-neighbor
+    * search with cell adjacency and therefore scales as the CELL
+    * table, not the point cloud. Output is per-region: cell count,
+    * event mass, and the bounding box — the region label itself is
+    * engine-internal (min cell id here, min id in the oracle's
+    * recursive replay — identical SETS) and is dropped.
+    *
+    * Scale shape: the event cloud collapses to the bounded cell
+    * table in one rollup; adjacency, CC, and the region rollup all
+    * run on ≤ 360·180 cells regardless of event volume.
+    */
+  def q199(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(((col("event_id") % 360L) - 180L).as("cx"),
+        expr("CAST(floor(value % 90.0) AS BIGINT)").as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= GridDenseMin)
+      .withColumn("cell", (col("cx") + 180L) * 1000L + col("cy") + 90L)
+      .localCheckpoint() // bounded cell table; adjacency + labeling
+    val edges = cells.select(col("cell"), col("cx"), col("cy"))
+      .withColumn("o", explode(expr(
+        "transform(sequence(0, 8), k -> " +
+          "struct(k div 3 - 1 AS dx, k % 3 - 1 AS dy))")))
+      .filter(!(col("o.dx") === 0 && col("o.dy") === 0))
+      .select(col("cell"),
+        ((col("cx") + col("o.dx") + 180L) * 1000L +
+          col("cy") + col("o.dy") + 90L).as("nbr"))
+      .join(cells.select(col("cell").as("nbr")), Seq("nbr"))
+      .filter(col("cell") < col("nbr"))
+    val comp = graft.operators.ConnectedComponents.run(edges, "cell", "nbr")
+    cells.join(comp.withColumnRenamed("v", "cell"), Seq("cell"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("cell")))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_events"),
+        min(col("cx")).as("min_cx"), min(col("cy")).as("min_cy"),
+        max(col("cx")).as("max_cx"), max(col("cy")).as("max_cy"))
+      .drop("comp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_hotspot_clusters" -> (q199 _),
     "q198_linear_attribution" -> (q198 _),
     "q195_seasonal_strength" -> (q195 _),
     "q194_growth_accounting" -> (q194 _),
@@ -1762,6 +1813,39 @@ object TimeseriesQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q199_hotspot_clusters" ->
+      s"""WITH RECURSIVE cells AS (
+        | SELECT (event_id % 360) - 180 AS cx,
+        |  CAST(floor(value % 90.0) AS BIGINT) AS cy,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  ((event_id % 360) - 180 + 180) * 1000
+        |    + CAST(floor(value % 90.0) AS BIGINT) + 90 AS cell
+        | FROM events WHERE value IS NOT NULL
+        | GROUP BY 1, 2, 4 HAVING count(*) >= $GridDenseMin),
+        |adj AS (
+        | SELECT c.cell AS a, ((c.cx + dx.v + 180) * 1000
+        |   + c.cy + dy.v + 90) AS b
+        | FROM cells c
+        |  CROSS JOIN unnest([-1, 0, 1]) AS dx(v)
+        |  CROSS JOIN unnest([-1, 0, 1]) AS dy(v)
+        | WHERE NOT (dx.v = 0 AND dy.v = 0)),
+        |e AS (
+        | SELECT a, b FROM adj JOIN cells n ON adj.b = n.cell
+        | UNION
+        | SELECT adj.b, adj.a FROM adj JOIN cells n ON adj.b = n.cell),
+        |reach AS (
+        | SELECT a AS v, a AS r FROM e
+        | UNION
+        | SELECT e.a, re.r FROM e JOIN reach re ON e.b = re.v),
+        |comp AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+        |lab AS (
+        | SELECT c.*, coalesce(cp.comp, c.cell) AS comp
+        | FROM cells c LEFT JOIN comp cp ON c.cell = cp.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | CAST(min(cx) AS BIGINT) AS min_cx, CAST(min(cy) AS BIGINT) AS min_cy,
+        | CAST(max(cx) AS BIGINT) AS max_cx, CAST(max(cy) AS BIGINT) AS max_cy
+        |FROM lab GROUP BY comp""".stripMargin,
     "q198_linear_attribution" ->
       s"""WITH ev AS (
         | SELECT user_id, epoch_us(ts) AS tus, event_id, event_type

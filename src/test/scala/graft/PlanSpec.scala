@@ -726,6 +726,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q199: hotspot clustering runs on the checkpointed dense-cell " +
+    "table (adjacency, CC, rollup) — event volume crosses once") {
+    val p = plan(TimeseriesQueries.q199(spark, sf))
+    assert(!p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q200: the dataset card's row-count branches are column-pruned " +
+    "to empty schemas — counting never reads data columns") {
+    val p = plan(graft.queries.CorpusQueries.q200(spark, sf))
+    assert(p.contains("ReadSchema: struct<>"))
+    assert(!p.contains("Join"))
+  }
+
   test("q126/q128: experiment readouts are two partial-agg exchanges " +
     "(per-user rollup + arm moments), no pivot, no self-join, no window") {
     Seq(TimeseriesQueries.q126(spark, sf),
