@@ -450,4 +450,36 @@ class PropertySpec extends Properties("graft") {
       }.sum - (n + 1) * t) * 1000000) / (n * t)
       viaPrefix == viaRank && viaPrefix >= 0 && viaPrefix < 1000000
     }
+
+  property("q188 CUSUM: the sequential max(0, S+d) recurrence equals the " +
+    "prefix-minus-running-min closed form on arbitrary signed drifts") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-50L, 50L)).map(_.take(60))) {
+      ds =>
+        val sequential = ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+        val prefixes = ds.scanLeft(0L)(_ + _).tail
+        val closed = prefixes.zipWithIndex.map { case (p, i) =>
+          p - math.min(0L, prefixes.take(i + 1).min)
+        }
+        sequential == closed
+    }
+
+  property("q185/q177 order statistics: the histogram cumulative-rank " +
+    "pick equals the sorted-list order statistic at every ceil(p*n)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(_.take(50))) {
+      xs =>
+        val sorted = xs.sorted
+        val hist = xs.groupBy(identity).toArray.sortBy(_._1)
+          .map { case (v, g) => (v, g.size.toLong) }
+        def atHist(rank: Long): Long = {
+          var cum = 0L; var i = 0
+          while (i < hist.length && cum + hist(i)._2 < rank) {
+            cum += hist(i)._2; i += 1
+          }
+          hist(math.min(i, hist.length - 1))._1
+        }
+        Seq(25, 50, 90, 100).forall { p =>
+          val rank = (p.toLong * xs.size + 99) / 100
+          atHist(math.max(rank, 1)) == sorted((math.max(rank, 1) - 1).toInt)
+        }
+    }
 }
