@@ -856,6 +856,66 @@ object EventStreams {
       }
   }
 
+  /** The live per-user TWAP card (closed intervals only). */
+  case class TwapRow(user_id: Long, n_intervals: Long,
+                     span_us: Long, twap_cents: Long)
+
+  /** [[twapMonitor]]'s state: the in-order marker with the held
+    * observation, plus the running integral — O(1) per user. The
+    * `num` accumulator is a plain long: cents·µs over a month-scale
+    * span brushes ~10¹⁸ (documented bound — the batch q187 uses
+    * DECIMAL(38,0) and a year-scale deployment would widen this to
+    * two longs).
+    */
+  case class TwapState(tus: Long, eventId: Long, cents: Long,
+                       num: Long, den: Long, n: Long)
+
+  /** The STREAMING twin of
+    * [[graft.queries.TimeseriesQueries.q187]]'s time-weighted average:
+    * each arrival CLOSES the previously held observation's interval
+    * (weight = how long it held) and folds it into the running
+    * integral; the still-held observation is never counted — exactly
+    * the batch query's lead-window semantics, so the final card
+    * equals q187 row-for-row (StreamingSpec pins it). Emissions are
+    * per-user per-batch; users with no closed interval stay silent.
+    *
+    * Ordering contract: the [[transitionEvents]] discipline — late
+    * arrivals below the (micros, event_id) marker drop, because the
+    * interval they would split has already been integrated.
+    */
+  def twapMonitor(events: Dataset[Ev]): Dataset[TwapRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapState, TwapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TwapState]) =>
+          def tusOf(e: Ev): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          val evs = it.toVector.sortBy(e => (tusOf(e), e.event_id))
+          var st = state.getOption.getOrElse(
+            TwapState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          evs.foreach { e =>
+            val tus = tusOf(e)
+            val inOrder = tus > st.tus ||
+              (tus == st.tus && e.event_id > st.eventId)
+            if (inOrder) {
+              if (st.tus != Long.MinValue) {
+                val dur = tus - st.tus
+                st = st.copy(num = st.num + st.cents * dur,
+                  den = st.den + dur, n = st.n + 1)
+              }
+              st = st.copy(tus = tus, eventId = e.event_id,
+                cents = math.round(e.value * 100))
+            } // else: late arrival — its interval is already integrated
+          }
+          state.update(st)
+          if (st.den > 0)
+            Iterator.single(TwapRow(uid, st.n, st.den, st.num / st.den))
+          else Iterator.empty
+      }
+  }
+
   /** Per-type concurrency at an arrival: the open-interval count the
     * moment this event starts, plus the running high-water mark.
     */

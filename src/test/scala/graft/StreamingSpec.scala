@@ -939,6 +939,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twapMonitor: the final per-user card equals batch q187 " +
+    "row-for-row (closed intervals only; the held observation never " +
+    "counts); late arrivals drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q187(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"ts".isNotNull && $"user_id".isNotNull && $"value".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val parts = Seq(evs.take(400), evs.slice(400, 401), evs.drop(401))
+    val in = MemoryStream[Ev]
+    val q = EventStreams.twapMonitor(in.toDS())
+      .writeStream.format("memory").queryName("twap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      parts.foreach { p =>
+        if (p.nonEmpty) { in.addData(p: _*); q.processAllAvailable() }
+      }
+      val streamed = spark.table("twap")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          val last = rs.maxBy(_._2) // n_intervals only grows
+          u -> ((last._2, last._3, last._4))
+        }
+      assert(streamed == batch && streamed.nonEmpty)
+      // a replayed early event would split an already-integrated
+      // interval: dropped, nothing re-emitted with changed integrals
+      val n0 = spark.table("twap")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      in.addData(evs.head.copy(event_id = 99999999L))
+      q.processAllAvailable()
+      val n1 = spark.table("twap")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(n1 == n0)
+    } finally q.stop()
+  }
+
   test("burstMonitor: streamed alarms equal batch q181 exactly once a " +
     "sentinel closes every real hour; late arrivals drop") {
     implicit val sqlCtx = spark.sqlContext
