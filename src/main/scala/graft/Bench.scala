@@ -43,8 +43,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(s => s.contains(n) || s.contains(n.takeWhile(_ != '_')))
     }
+    // SPARK_GRAFT_BENCH_COLD=1 drops the QueryMemo before every query,
+    // measuring STANDALONE cost for queries that normally ride shared
+    // artifacts (cluster labels, signatures) built earlier in the sweep.
+    val coldMode = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val results = selected.map { case (name, fn) =>
+      val hits0 = graft.queries.QueryMemo.hitCount
       val times = (1 to iters).map { _ =>
+        // per-ITERATION clear: min-of-N must never pick an iteration
+        // that rode an artifact the previous iteration memoized
+        if (coldMode) graft.queries.QueryMemo.clearAll()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
@@ -53,7 +61,10 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // warm = at least one iteration was served a memoized artifact:
+      // the recorded time is join-cost over a shared frame, not the
+      // standalone cost a cold session would pay (VERDICT r09 item 2)
+      (name, times.min, graft.queries.QueryMemo.hitCount > hits0)
     }
     // The harness keeps only a bounded tail of stdout and JSON-parses
     // the result line from it: the line must stay well under 2 KB or
@@ -68,17 +79,24 @@ object Bench {
     require(prefixes.distinct.size == results.size,
       s"non-unique bench key prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val detail = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // queries whose measured time rode a QueryMemo artifact built
+    // earlier in the sweep — their entries are join-cost, not
+    // standalone cost (cold numbers live in BASELINE.md)
+    val warmList = results.collect { case (k, _, true) => k }
+    val warmJson = warmList.map("\"" + _.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    val warmDetail = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.isDefined) "bench_probe.json" else "bench_detail.json"),
-      s"""{"total":$total,"sf":"$sfDir","iters":$iters,"queries":$detail}""")
+      s"""{"total":$total,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"warm":$warmDetail,"queries":$detail}""")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not

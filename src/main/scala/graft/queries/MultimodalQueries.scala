@@ -240,9 +240,22 @@ object MultimodalQueries {
 
   /** The decoded 64-bit aHash per image as (doc_id, hi, lo) halves —
     * q101's hash pass extracted so q186's near-dup banding shares the
-    * one decode+hash definition (checkpointed per call).
+    * one decode+hash definition. MEMOIZED (same
+    * fingerprint-keyed pattern as the dedup signature pass,
+    * `DedupQueries.checkpointedSignatures`): q101 and q186 both consume
+    * this frame, and without the memo each paid the full decode+hash
+    * pass (~1.25 s each at sf0.1). Hash once, consume twice — the shape
+    * a real pipeline DAG wants. The key folds the documents table's
+    * content fingerprint, so a rewritten dataset misses the memo
+    * instead of serving stale hashes.
     */
-  private[graft] def ahashFrame(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ahashFrame(s: SparkSession, dir: String): DataFrame =
+    QueryMemo.get(s, "multimodal-ahash:" + dir + ":" +
+        graft.sources.DatasetFingerprint.ofTable(s, dir, "documents")) {
+      ahashFrameCold(s, dir)
+    }
+
+  private def ahashFrameCold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     realPngMedia(s, dir)
       .mapPartitions(_.map { m =>

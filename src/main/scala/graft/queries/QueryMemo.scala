@@ -26,6 +26,22 @@ object QueryMemo {
 
   val MaxEntries = 16
 
+  /** Monotonic count of memo HITS served since JVM start. Bench snapshots
+    * it around each query to tag entries that rode a warm artifact
+    * (their measured time is join-cost, not standalone cost) — see
+    * VERDICT r09 item 2: without the tag, a memo miss is
+    * indistinguishable from a plan regression in round-over-round diffs.
+    */
+  private val hitCounter = new java.util.concurrent.atomic.AtomicLong
+
+  def hitCount: Long = hitCounter.get
+
+  /** Drop every memoized frame (bench cold-mode: measure standalone
+    * cost of queries that normally share artifacts). Evicted blocks are
+    * reclaimed by the ContextCleaner once unreferenced.
+    */
+  def clearAll(): Unit = cache.synchronized { cache.clear() }
+
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true) {
       override def removeEldestEntry(
@@ -47,7 +63,7 @@ object QueryMemo {
     cache.synchronized {
       val kk = k(s, key)
       val hit = cache.get(kk)
-      if (hit != null) hit.asInstanceOf[T]
+      if (hit != null) { hitCounter.incrementAndGet(); hit.asInstanceOf[T] }
       else {
         val v = compute
         cache.put(kk, v)

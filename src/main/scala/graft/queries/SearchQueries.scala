@@ -386,7 +386,12 @@ object SearchQueries {
       .filter(col("df") >= PostingMinDf)
     blocks.join(df.hint("merge"), Seq("term"))
       .select(col("term"), col("block"), col("df"), col("n_in_block"),
-        col("postings"))
+        // Comma-joined string, not ARRAY<BIGINT>: the cross-engine gate
+        // canonicalizes rows by sorting on every column, and a raw array
+        // column is unhashable there. The join preserves full information
+        // (postings are sorted, ids are integers, ',' never occurs).
+        expr("array_join(transform(postings, x -> cast(x AS string)), ',')")
+          .as("postings"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -472,7 +477,7 @@ object SearchQueries {
          |blk AS (
          | SELECT term, doc_id // $PostingBlock AS block,
          |  CAST(count(*) AS BIGINT) AS n_in_block,
-         |  list_sort(list(doc_id)) AS postings
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
          | FROM dt GROUP BY 1, 2),
          |dfreq AS (
          | SELECT term, CAST(sum(n_in_block) AS BIGINT) AS df
