@@ -716,8 +716,11 @@ object CorpusQueries {
     * measure length? The rank correlation answers it robustly (no
     * normality assumption, monotone-invariant — Pearson on the raw
     * values would be dominated by the length tail). Exact integers to
-    * the last step: tie-aware midranks DOUBLED into integers
-    * (`2·mid = 2·rank_min + ties − 1`), the Pearson moments of those
+    * the last step: tie-aware midranks DOUBLED into integers — the
+    * code computes `2·rank_min + ties − 2`, i.e. `2·mid − 1`; the
+    * uniform −1 shift is intentional and cancels in Pearson (any
+    * affine translation of both rank vectors leaves r unchanged) —
+    * then the Pearson moments of those
     * integer ranks in the n·Σxy − Σx·Σy form, and one double
     * division whose `sqrt` is IEEE-correctly-rounded in both engines.
     *

@@ -1746,6 +1746,10 @@ object DedupQueries {
     * string head and go O(len²) per doc — measured 8 s vs 0.9 s at
     * sf0.1); chars cross the one exchange as whole chunk strings into
     * the (hash, len) partial agg; the report is one row.
+    *
+    * Units: savings are measured in CHARACTERS (Spark/DuckDB
+    * `length()` both count codepoints) and the columns say so —
+    * byte ROI on a non-ASCII corpus would need octet lengths.
     */
   def q169(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1761,10 +1765,10 @@ object DedupQueries {
       sum(col("n")).as("n_chunks"),
       count(lit(1)).as("n_distinct"),
       (sum(col("n")) - count(lit(1))).as("dup_instances"),
-      sum(col("l").cast("bigint") * col("n")).as("bytes_total"),
-      sum(col("l").cast("bigint")).as("bytes_distinct"))
+      sum(col("l").cast("bigint") * col("n")).as("chars_total"),
+      sum(col("l").cast("bigint")).as("chars_distinct"))
       .withColumn("savings_1e6",
-        expr("((bytes_total - bytes_distinct) * 1000000) div bytes_total"))
+        expr("((chars_total - chars_distinct) * 1000000) div chars_total"))
   }
 
   /** q182's guards: a chunk shared by more than [[CdcMaxChunkDocs]]
@@ -2252,14 +2256,14 @@ object DedupQueries {
         | SELECT CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
         |  CAST(count(*) - count(DISTINCT chunk) AS BIGINT) AS dup_instances,
-        |  CAST(sum(length(chunk)) AS BIGINT) AS bytes_total
+        |  CAST(sum(length(chunk)) AS BIGINT) AS chars_total
         | FROM chunks),
         |dis AS (
-        | SELECT CAST(sum(length(chunk)) AS BIGINT) AS bytes_distinct
+        | SELECT CAST(sum(length(chunk)) AS BIGINT) AS chars_distinct
         | FROM (SELECT DISTINCT chunk FROM chunks))
-        |SELECT agg.*, dis.bytes_distinct,
-        | CAST((agg.bytes_total - dis.bytes_distinct) * 1000000
-        |   // agg.bytes_total AS BIGINT) AS savings_1e6
+        |SELECT agg.*, dis.chars_distinct,
+        | CAST((agg.chars_total - dis.chars_distinct) * 1000000
+        |   // agg.chars_total AS BIGINT) AS savings_1e6
         |FROM agg, dis""".stripMargin
     },
     "q155_khop_reach" -> q155OracleSql,

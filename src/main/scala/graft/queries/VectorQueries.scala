@@ -1198,7 +1198,12 @@ object VectorQueries extends Serializable {
         expr(s"CAST(round(CAST(x AS DOUBLE) * $EigQuant) AS BIGINT)")
           .as("q"))
       .localCheckpoint() // every round joins it
-    var cent = coords.filter(col("vec_id") < LloydK)
+    // true smallest-k selection, not `vec_id < LloydK`: the old filter
+    // silently under-seeded (or empty-seeded) a 1-based or sparse id
+    // space; an orderBy().limit(k) is TakeOrdered — k rows, broadcast
+    val seeds = t(s, dir, "embeddings")
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(LloydK)
+    var cent = coords.join(broadcast(seeds), Seq("vec_id"))
       .select(col("vec_id").as("cluster"), col("i"), col("q").as("c"))
     def dists(c: DataFrame): DataFrame =
       coords.join(broadcast(c), Seq("i"))
@@ -1588,7 +1593,8 @@ object VectorQueries extends Serializable {
        | FROM embeddings
        |  CROSS JOIN unnest(range(0, len(embedding))) AS t(i)),
        |c0 AS (SELECT vec_id AS cluster, i, q AS c FROM co
-       |       WHERE vec_id < $LloydK),
+       |       WHERE vec_id IN (SELECT vec_id FROM embeddings
+       |                        ORDER BY vec_id LIMIT $LloydK)),
        |$rounds,
        |${distAssign(LloydIters + 1, s"c$LloydIters")}""".stripMargin
   }

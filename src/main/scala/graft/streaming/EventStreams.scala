@@ -569,6 +569,8 @@ object EventStreams {
     * StreamingSpec pins the assembled statistic EXACTLY equal to
     * batch q136 under shuffled arrival and micro-batch splits
     * (order-free integer state — arrival order cannot matter).
+    * Canonical sink fold: `latestPerKey(sink, Seq("source","lang"),
+    * col("n"))` — see [[latestPerKey]] for the append-mode contract.
     *
     * Scale shape: state is one lang→count map per source (category-
     * space bounded); sources shard across tasks, so no global
@@ -781,7 +783,9 @@ object EventStreams {
     * bucketing bug alarms DURING the experiment, not at readout.
     * The final card equals batch q189 exactly (StreamingSpec pins
     * it); arrival order is irrelevant here — set union commutes — so
-    * this twin needs no ordering contract at all.
+    * this twin needs no ordering contract at all. Canonical sink
+    * fold: `latestPerKey(sink, Seq("event_type"),
+    * col("n_a") + col("n_b"))` — see [[latestPerKey]].
     */
   def srmMonitor(events: Dataset[Ev]): Dataset[SrmRow] = {
     import events.sparkSession.implicits._
@@ -826,7 +830,9 @@ object EventStreams {
     * statistics at ⌈p·n⌉, scanned from the sorted histogram). Like
     * [[srmMonitor]], histogram merge commutes — no ordering contract;
     * the final card equals batch q185 exactly (StreamingSpec pins it
-    * under reversed delivery).
+    * under reversed delivery). Canonical sink fold:
+    * `latestPerKey(sink, Seq("event_type"), col("n"))` — see
+    * [[latestPerKey]].
     */
   def quantileMonitor(events: Dataset[Ev]): Dataset[QuantRow] = {
     import events.sparkSession.implicits._
@@ -862,13 +868,15 @@ object EventStreams {
 
   /** [[twapMonitor]]'s state: the in-order marker with the held
     * observation, plus the running integral — O(1) per user. The
-    * `num` accumulator is a plain long: cents·µs over a month-scale
-    * span brushes ~10¹⁸ (documented bound — the batch q187 uses
-    * DECIMAL(38,0) and a year-scale deployment would widen this to
-    * two longs).
+    * cents·µs integral is held as a FULL 128-bit value in two longs
+    * (`numHi`:`numLo`, two's-complement): a single year-scale
+    * interval at 10⁶ cents is ~3·10¹⁹ — already past Long.MaxValue —
+    * so the product is taken with `Math.multiplyHigh` and folded with
+    * a carry-aware add; nothing saturates, matching batch q187's
+    * DECIMAL(38,0) exactly at any span.
     */
   case class TwapState(tus: Long, eventId: Long, cents: Long,
-                       num: Long, den: Long, n: Long)
+                       numHi: Long, numLo: Long, den: Long, n: Long)
 
   /** The STREAMING twin of
     * [[graft.queries.TimeseriesQueries.q187]]'s time-weighted average:
@@ -882,6 +890,8 @@ object EventStreams {
     * Ordering contract: the [[transitionEvents]] discipline — late
     * arrivals below the (micros, event_id) marker drop, because the
     * interval they would split has already been integrated.
+    * Canonical sink fold: `latestPerKey(sink, Seq("user_id"),
+    * col("n_intervals"))` — see [[latestPerKey]].
     */
   def twapMonitor(events: Dataset[Ev]): Dataset[TwapRow] = {
     import events.sparkSession.implicits._
@@ -894,7 +904,7 @@ object EventStreams {
             e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
           val evs = it.toVector.sortBy(e => (tusOf(e), e.event_id))
           var st = state.getOption.getOrElse(
-            TwapState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+            TwapState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L))
           evs.foreach { e =>
             val tus = tusOf(e)
             val inOrder = tus > st.tus ||
@@ -902,7 +912,14 @@ object EventStreams {
             if (inOrder) {
               if (st.tus != Long.MinValue) {
                 val dur = tus - st.tus
-                st = st.copy(num = st.num + st.cents * dur,
+                // full 128-bit cents·dur product folded with carry:
+                // a lone year-scale interval already overflows a long
+                val pHi = Math.multiplyHigh(st.cents, dur)
+                val pLo = st.cents * dur
+                val lo = st.numLo + pLo
+                val carry =
+                  if (java.lang.Long.compareUnsigned(lo, pLo) < 0) 1L else 0L
+                st = st.copy(numHi = st.numHi + pHi + carry, numLo = lo,
                   den = st.den + dur, n = st.n + 1)
               }
               st = st.copy(tus = tus, eventId = e.event_id,
@@ -910,9 +927,17 @@ object EventStreams {
             } // else: late arrival — its interval is already integrated
           }
           state.update(st)
-          if (st.den > 0)
-            Iterator.single(TwapRow(uid, st.n, st.den, st.num / st.den))
-          else Iterator.empty
+          if (st.den > 0) {
+            // fast path while the integral fits a long (hi is the sign
+            // extension of lo); BigInt only transiently at emit otherwise
+            val twap =
+              if (st.numHi == (st.numLo >> 63))
+                st.numLo / st.den
+              else (((BigInt(st.numHi) << 64) |
+                BigInt(java.lang.Long.toUnsignedString(st.numLo))) /
+                st.den).toLong
+            Iterator.single(TwapRow(uid, st.n, st.den, twap))
+          } else Iterator.empty
       }
   }
 
@@ -978,5 +1003,31 @@ object EventStreams {
           state.update(st)
           out.result().iterator
       }
+  }
+
+  /** THE CONSUMER CONTRACT for the cumulative-card monitors
+    * ([[langMixMonitor]], [[srmMonitor]], [[quantileMonitor]],
+    * [[twapMonitor]]): they emit under `OutputMode.Append`, so an
+    * append-only sink (files, a log topic) accumulates every
+    * superseded card, and the current truth is the LATEST row per
+    * key. This fold recovers it from the accumulated sink: the row
+    * whose `seq` value is maximal per key, where `seq` is any
+    * monotonically-nondecreasing expression of the card — each
+    * monitor's scaladoc names its monotone column ([[CellRow]]`.n`,
+    * [[SrmRow]]`.n_a + .n_b`, [[QuantRow]]`.n`,
+    * [[TwapRow]]`.n_intervals`). Ties on `seq` are bit-identical
+    * cards by the monitors' state-only-grows construction, so the
+    * struct-max tiebreak is immaterial.
+    *
+    * Scale shape: one partial-aggregated groupBy over the sink —
+    * card-space-sized, never event-sized.
+    */
+  def latestPerKey(cards: DataFrame, keyCols: Seq[String],
+                   seq: org.apache.spark.sql.Column): DataFrame = {
+    val others = cards.columns.filterNot(keyCols.contains).toSeq
+    cards.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(seq.as("__seq") +: others.map(col): _*)).as("latest"))
+      .select(keyCols.map(col) ++
+        others.map(c => col("latest." + c).as(c)): _*)
   }
 }

@@ -936,6 +936,13 @@ class StreamingSpec extends SparkSpec {
           t -> ((last._2, last._3, last._4))
         }
       assert(streamed == batch && streamed.nonEmpty)
+      // the API form of the same fold: latestPerKey over the
+      // accumulated append-mode sink recovers the batch card exactly
+      val viaApi = EventStreams
+        .latestPerKey(spark.table("quant"), Seq("event_type"), $"n")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(viaApi == batch)
     } finally q.stop()
   }
 
