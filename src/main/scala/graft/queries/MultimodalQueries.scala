@@ -58,12 +58,20 @@ object MultimodalQueries {
 
   /** q40 — batch decode: binary payload → typed metadata row, one
     * executor-side pass (`mapPartitions`), schema from the case-class
-    * encoder.
+    * encoder. The decoder is THE SEAM: q40 is [[q40With]] applied to
+    * [[MediaCodecStub.decode]], and swapping in a real codec (or
+    * [[decodeReal]]'s ImageIO twin) touches zero query code —
+    * MultimodalSpec proves it by pushing a different decoder through
+    * the same entry and predicting the output driver-side.
     */
-  def q40(s: SparkSession, dir: String): DataFrame = {
+  def q40(s: SparkSession, dir: String): DataFrame =
+    q40With(s, dir)(MediaCodecStub.decode)
+
+  private[graft] def q40With(s: SparkSession, dir: String)(
+      decode: MediaIn => MediaMeta): DataFrame = {
     import s.implicits._
     media(s, dir).as[MediaIn]
-      .mapPartitions(_.map(MediaCodecStub.decode))
+      .mapPartitions(_.map(decode))
       .toDF()
   }
 
@@ -102,12 +110,20 @@ object MultimodalQueries {
     * or hash array cells, so the public row is all-scalar; integer
     * units make the rendering engine-portable.
     */
-  def q55(s: SparkSession, dir: String): DataFrame = {
+  def q55(s: SparkSession, dir: String): DataFrame =
+    q55With(s, dir)(MediaCodecStub.decode)
+
+  /** q55's decode seam — same contract as [[q40With]]: the resize/
+    * feature arithmetic downstream of `decode` never changes when the
+    * codec does.
+    */
+  private[graft] def q55With(s: SparkSession, dir: String)(
+      decode: MediaIn => MediaMeta): DataFrame = {
     import s.implicits._
     media(s, dir).as[MediaIn]
       .filter(_.payload.nonEmpty)
       .mapPartitions(_.map { m =>
-        val meta = MediaCodecStub.decode(m)
+        val meta = decode(m)
         val n = meta.n_bytes
         val resizeH = math.round(meta.height * ResizeW.toDouble / meta.width)
         val feat = Array.tabulate(FeatDims) { d =>

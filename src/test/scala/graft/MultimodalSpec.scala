@@ -3,10 +3,57 @@ package graft
 import graft.queries.MultimodalQueries
 import graft.queries.MultimodalQueries.{MediaCodecStub, MediaIn}
 
+/** A SUBSTITUTE codec pushed through the q40/q55 decode seam by the
+  * swap test below — deliberately different arithmetic from
+  * [[MediaCodecStub]] (it reads every byte, not just the first), so
+  * matching outputs can only mean the query plumbing called THIS
+  * decoder. Top-level object: the closure serializes into executor
+  * tasks without dragging the test class along.
+  */
+object AltTestCodec {
+  import graft.queries.MultimodalQueries.MediaMeta
+  def decode(m: MediaIn): MediaMeta = {
+    var s = 0L
+    var i = 0
+    while (i < m.payload.length) { s += (m.payload(i) & 0xff); i += 1 }
+    MediaMeta(m.doc_id, m.payload.length.toLong,
+      width = 32L + s % 911L, height = 32L + (s * 13L) % 499L,
+      format = "alt")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("the decode seam is config-only: a substitute codec drops into " +
+    "q40/q55 with zero query-code changes and its outputs round-trip") {
+    // q40 through the seam: every output row must equal the substitute
+    // decoder applied driver-side to the same payload — proof the
+    // query plumbing is decoder-agnostic (the real-codec swap claim)
+    val texts = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = texts.map { case (id, t) =>
+      id -> AltTestCodec.decode(MediaIn(id, t.getBytes("UTF-8")))
+    }.toMap
+    val got = MultimodalQueries.q40With(spark, sf)(AltTestCodec.decode)
+      .as[MultimodalQueries.MediaMeta].collect()
+    assert(got.length == expected.size)
+    got.foreach { m => assert(m == expected(m.doc_id), s"doc ${m.doc_id}") }
+    assert(got.forall(_.format == "alt")) // the stub never says "alt"
+    // q55 through the same seam: the resize arithmetic downstream of
+    // the decoder consumes the SUBSTITUTE's dimensions
+    val resized = MultimodalQueries.q55With(spark, sf)(AltTestCodec.decode)
+      .select($"doc_id", $"width", $"height", $"resize_h")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(resized.nonEmpty)
+    resized.foreach { case (id, w, h, rh) =>
+      val e = expected(id)
+      assert(w == e.width && h == e.height)
+      assert(rh == math.round(e.height * MultimodalQueries.ResizeW.toDouble / e.width))
+    }
+  }
 
   test("codec stub is deterministic and total") {
     val m = MediaIn(7L, "hello world".getBytes("UTF-8"))

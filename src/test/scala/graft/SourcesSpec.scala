@@ -5,6 +5,36 @@ import java.sql.Date
 
 import graft.sources.{ArtifactUploader, CsvPackage, LocalFsObjectStore, TaskLedger}
 
+/** A second URI scheme for the object-store parity gate: `mock://`
+  * resolves through `fs.mock.impl` to this local-backed FileSystem, so
+  * `HadoopFsObjectStore` exercises its real dispatch path (conf-driven
+  * `Path.getFileSystem`, non-`file:` base URI) without any cloud
+  * connector jar — exactly how a deployment would wire `s3a://`:
+  * configuration only, zero code changes. Needs the public no-arg
+  * constructor Hadoop's reflection instantiation requires.
+  */
+class MockSchemeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+
+  override def getScheme: String = "mock"
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
+
+  // RawLocal's DeprecatedRawLocalFileStatus loads permissions LAZILY via
+  // `new java.io.File(path.toUri)`, which rejects any non-"file" scheme —
+  // materialize plain FileStatus copies (permission pre-resolved to the
+  // default) so listFiles/getFileStatus never touch that path
+  private def plain(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      null, null, null, st.getPath)
+
+  override def getFileStatus(f: HPath): FileStatus =
+    plain(super.getFileStatus(f))
+
+  override def listStatus(f: HPath): Array[FileStatus] =
+    super.listStatus(f).map(plain)
+}
+
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -97,10 +127,12 @@ class SourcesSpec extends SparkSpec {
     assert(store.list("a/") == Seq("a/b.txt", "a/c.txt"))
   }
 
-  test("HadoopFsObjectStore matches LocalFsObjectStore operation by " +
-    "operation over file: (the deployment binding's parity gate)") {
-    import graft.sources.{HadoopFsObjectStore, ObjectStore}
-    def scenario(store: ObjectStore): Seq[Any] = {
+  /** The shared five-operation scenario both parity tests replay —
+    * its result is deliberately scheme-free (no URLs), so any two
+    * [[graft.sources.ObjectStore]] bindings can be compared.
+    */
+  private def storeScenario(store: graft.sources.ObjectStore): Seq[Any] = {
+    import graft.sources.ObjectStore
       val src = Files.createTempFile("graft_hsrc", ".txt")
       Files.writeString(src, "payload")
       val empty = Files.createTempFile("graft_hempty", ".txt")
@@ -124,11 +156,15 @@ class SourcesSpec extends SparkSpec {
         store.list("a/b"), store.list("z"), store.list("nope/x"),
         store.list("/a"),
         free) // kept last: the caller asserts on it positionally
-    }
+  }
+
+  test("HadoopFsObjectStore matches LocalFsObjectStore operation by " +
+    "operation over file: (the deployment binding's parity gate)") {
+    import graft.sources.HadoopFsObjectStore
     val localRoot = Files.createTempDirectory("graft_store_l").toString
     val hadoopRoot = Files.createTempDirectory("graft_store_h").toString
-    val local = scenario(new LocalFsObjectStore(localRoot))
-    val hadoop = scenario(new HadoopFsObjectStore(s"file://$hadoopRoot",
+    val local = storeScenario(new LocalFsObjectStore(localRoot))
+    val hadoop = storeScenario(new HadoopFsObjectStore(s"file://$hadoopRoot",
       spark.sparkContext.hadoopConfiguration))
     assert(hadoop == local, s"bindings diverge:\n$hadoop\nvs\n$local")
     assert(hadoop.last == "a/b__2.txt")
@@ -137,6 +173,26 @@ class SourcesSpec extends SparkSpec {
     assert(new HadoopFsObjectStore(s"file://$hadoopRoot",
       spark.sparkContext.hadoopConfiguration).url("k.txt")
       == s"file:$hadoopRoot/k.txt")
+  }
+
+  test("HadoopFsObjectStore over a SECOND scheme (mock://, wired purely " +
+    "through fs.mock.impl config) matches the local binding — the " +
+    "scheme swap is config, not code") {
+    import graft.sources.HadoopFsObjectStore
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.mock.impl", classOf[MockSchemeFileSystem].getName)
+    conf.setBoolean("fs.mock.impl.disable.cache", true)
+    val localRoot = Files.createTempDirectory("graft_store_l2").toString
+    val mockRoot = Files.createTempDirectory("graft_store_m").toString
+    val store = new HadoopFsObjectStore(s"mock://$mockRoot", conf)
+    // the binding really dispatched on the configured scheme
+    assert(store.url("k.txt").startsWith("mock:"))
+    val mock = storeScenario(store)
+    val local = storeScenario(new LocalFsObjectStore(localRoot))
+    assert(mock == local, s"bindings diverge:\n$mock\nvs\n$local")
+    // and the objects physically landed under the mock root
+    assert(Files.isRegularFile(java.nio.file.Paths.get(mockRoot, "a/b.txt")))
   }
 
   test("artifact upload: collision-avoiding __N keys and success rows") {
