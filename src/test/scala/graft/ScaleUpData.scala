@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: synthesize an sf0.5-equivalent lake by key-shifted
+  * replication of the read-only sf0.1 lake, for the scaling-exponent
+  * spot-bench (SCALE.md §19). NOT a correctness surface — the driver's
+  * generator owns the real distributions; replication preserves row
+  * counts × factor, key-space growth (every id domain shifts per
+  * replica, so joins/graphs grow as disjoint copies rather than
+  * hot-key pileups), and per-row payload shapes. Text gets a per-replica
+  * suffix so replicas are near- but not exact-duplicates (text-derived
+  * queries keep realistic dup structure instead of a factor-sized exact
+  * clone group per doc); n_chars is recomputed to keep its
+  * `= length(text)` invariant. region/nation stay fixed (geography-
+  * bounded dims, TESTDATA.md).
+  *
+  * Usage: `Test/runMain graft.ScaleUpData <outDir> <factor>`
+  */
+object ScaleUpData {
+
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val factor = args(1).toInt
+    val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = GraftSession.create("32")
+
+    /** `factor` unioned copies of `df`, replica i shifting every column
+      * in `keys` by i·(max+1) of that column's source domain.
+      */
+    def replicate(df: DataFrame, keys: Seq[String],
+                  perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val spans = keys.map { k =>
+        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+      }
+      val base = df.localCheckpoint()
+      (0 until factor).map { i =>
+        val shifted = spans.foldLeft(base) { case (d, (k, span)) =>
+          d.withColumn(k, col(k) + lit(i * span))
+        }
+        perReplica(shifted, i)
+      }.reduce(_ unionAll _)
+    }
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.coalesce(8).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    Seq("region", "nation").foreach { t =>
+      write(t, Tables.load(spark, src, t))
+    }
+    write("supplier", replicate(Tables.load(spark, src, "supplier"), Seq("s_suppkey")))
+    write("customer", replicate(Tables.load(spark, src, "customer"), Seq("c_custkey")))
+    write("part", replicate(Tables.load(spark, src, "part"), Seq("p_partkey")))
+    write("orders", replicate(Tables.load(spark, src, "orders"),
+      Seq("o_orderkey", "o_custkey")))
+    write("lineitem", replicate(Tables.load(spark, src, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", replicate(Tables.load(spark, src, "events"),
+      Seq("event_id", "user_id")))
+    write("embeddings", replicate(Tables.load(spark, src, "embeddings"),
+      Seq("vec_id")))
+    write("documents", replicate(Tables.load(spark, src, "documents"),
+      Seq("doc_id"),
+      (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" r$i")))
+          .withColumn("n_chars", length(col("text")).cast("long"))))
+    spark.stop()
+  }
+}
