@@ -54,6 +54,15 @@ object GraftSession {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE (round 10, measured): Spark's 4 MB file-open cost floors
+      // the split size, so sub-4MB parquet tables scan as ONE
+      // partition. Lowering the floor to 64 KB was tried and REVERTED:
+      // it fixed the codec-bound media passes (q109 3.1→0.4 s) but
+      // taxed all 200 queries with extra task-scheduling overhead
+      // (+6 s total at sf0.1). The right fix is targeted — the media
+      // generators repartition before their heavy per-row work
+      // (MultimodalQueries.realPngMedia/realGifMedia) — not a global
+      // knob whose cost lands on every tiny scan.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")

@@ -148,6 +148,12 @@ object MultimodalQueries {
   private[graft] def realPngMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      // spread ids across the session's full parallelism before the
+      // codec pass: per-row encode/decode work is orders of magnitude
+      // heavier than the 8-byte id that carries it, so inheriting the
+      // id table's (byte-sized) file-split partitioning serializes CPU
+      // work — the id shuffle is  |docs|·8 bytes, effectively free
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // see realGifMedia
         it.map { id =>
@@ -404,6 +410,12 @@ object MultimodalQueries {
   private[graft] def realGifMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      // spread ids across the session's full parallelism before the
+      // codec pass: per-row encode/decode work is orders of magnitude
+      // heavier than the 8-byte id that carries it, so inheriting the
+      // id table's (byte-sized) file-split partitioning serializes CPU
+      // work — the id shuffle is  |docs|·8 bytes, effectively free
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // ImageIO's default stream cache is a TEMP FILE per stream —
         // per-container disk I/O that dwarfs the actual tiny-frame
@@ -565,6 +577,16 @@ object MultimodalQueries {
     * container by the JDK's own `javax.sound.sampled` writer (zero
     * extra dependencies — audio file I/O ships in the JDK the way
     * ImageIO does for images).
+    *
+    * Deliberately NOT `repartition`-spread like the PNG/GIF twins:
+    * `AudioSystem.write`/`getAudioInputStream` run a GLOBALLY
+    * SYNCHRONIZED service-provider lookup per call, and fanning the
+    * per-doc calls across all 32 local threads convoys on that lock —
+    * measured 0.63 s → 1.7 s (q118) and 0.85 s → 2.3 s (q130) when
+    * round-10 tried it. On a real cluster each EXECUTOR has its own
+    * lock, so the convoy is a single-JVM artifact — a deployment
+    * replacing this generator with real blob reads parallelizes
+    * normally.
     */
   private[graft] def realWavMedia(s: SparkSession, dir: String) = {
     import s.implicits._

@@ -1187,10 +1187,21 @@ object VectorQueries extends Serializable {
 
   /** The fitted Lloyd model after [[LloydIters]] rounds: the final
     * centroids and the full (vec, cluster, d²) distance table —
-    * shared by q191 (argmin rollup) and q192 (silhouette needs the
-    * runner-up distances too).
+    * shared by q191 (argmin rollup), q192 (silhouette needs the
+    * runner-up distances too) and q193 (external validation).
+    * MEMOIZED per dataset fingerprint (the dedup-signature pattern):
+    * the three consumers ride ONE fit instead of re-running
+    * [[LloydIters]] broadcast-join rounds each — fit once, report
+    * three ways, the DAG shape a real pipeline wants.
     */
   private def lloydFit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    QueryMemo.getAny(s, "lloyd-fit:" + dir + ":" +
+        graft.sources.DatasetFingerprint.ofTable(s, dir, "embeddings")) {
+      lloydFitCold(s, dir)
+    }
+
+  private def lloydFitCold(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val coords = t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
