@@ -510,7 +510,9 @@ object MultimodalQueries {
     *
     * Scale shape: identical to q40/q71 — one narrow typed pass, the
     * payload dies in-executor, only (doc_id, 5×long) sampled-frame
-    * rows leave; no shuffle at all.
+    * rows leave. The only exchange is the generator's 8-byte-id
+    * spread (see [[realGifMedia]]'s repartition note); real blob
+    * inputs arrive pre-partitioned and need no shuffle at all.
     */
   def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
