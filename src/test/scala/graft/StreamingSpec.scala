@@ -946,6 +946,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twapMonitor: the 128-bit integral branch is exact — a single " +
+    "year-scale high-value interval overflows a long and the emitted " +
+    "TWAP still equals the BigInt ground truth") {
+    implicit val sqlCtx = spark.sqlContext
+    // cents = 1e7, dur ≈ 2 years in µs ≈ 6.3e13 → cents·dur ≈ 6.3e20,
+    // 68× past Long.MaxValue: the plain-long fold this replaced would
+    // have wrapped silently. Three closed intervals stress the carry.
+    val t0 = 1700000000000L // epoch millis
+    val yearsUs = 2L * 365 * 24 * 3600 * 1000000L
+    val evs = Seq(
+      (1L, 100000.0, 0L),                 // cents 1e7, held 2y
+      (2L, 200000.0, yearsUs),            // cents 2e7, held 2y
+      (3L, 50000.0, 2 * yearsUs),         // cents 5e6, held 1y
+      (4L, 0.0, 2 * yearsUs + yearsUs / 2)// closes the third interval
+    ).map { case (id, v, offUs) =>
+      Ev(id, 7L, "t", new Timestamp(t0 + offUs / 1000L), v)
+    }
+    val expected = {
+      val cents = Seq(10000000L, 20000000L, 5000000L)
+      val durs = Seq(yearsUs, yearsUs, yearsUs / 2)
+      val num = cents.zip(durs).map { case (c, d) => BigInt(c) * d }.sum
+      val den = durs.sum
+      assert(num > BigInt(Long.MaxValue), "test must exercise overflow")
+      (3L, den, (num / den).toLong)
+    }
+    val in = MemoryStream[Ev]
+    val q = EventStreams.twapMonitor(in.toDS())
+      .writeStream.format("memory").queryName("twap128")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split mid-stream so the 128-bit accumulator round-trips state
+      in.addData(evs.take(2): _*); q.processAllAvailable()
+      in.addData(evs.drop(2): _*); q.processAllAvailable()
+      val last = spark.table("twap128")
+        .as[(Long, Long, Long, Long)].collect().maxBy(_._2)
+      assert((last._2, last._3, last._4) == expected)
+    } finally q.stop()
+  }
+
   test("twapMonitor: the final per-user card equals batch q187 " +
     "row-for-row (closed intervals only; the held observation never " +
     "counts); late arrivals drop") {
