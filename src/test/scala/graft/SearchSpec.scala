@@ -13,6 +13,30 @@ class SearchSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q139: blocked inverted index — block-bounded postings, sorted " +
+    "ids, df = sum of in-block counts, every term clears PostingMinDf") {
+    val rows = SearchQueries.q139(spark, sf)
+      .select($"term", $"block", $"df", $"n_in_block", $"postings")
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (term, block, df, n, postings) =>
+      val ids = postings.split(',').map(_.toLong)
+      // the no-corpus-sized-cell contract: a posting list never exceeds
+      // its block, and every id really lives in that block
+      assert(n <= SearchQueries.PostingBlock, s"$term/$block over block cap")
+      assert(ids.length == n, s"$term/$block count mismatch")
+      assert(ids.forall(id => id / SearchQueries.PostingBlock == block))
+      assert(ids.sameElements(ids.sorted), s"$term/$block unsorted")
+      assert(df >= SearchQueries.PostingMinDf)
+    }
+    // term-level df is exactly the sum of its blocks (the roll-up the
+    // join-back attaches), and each (term, block) appears once
+    rows.groupBy(_._1).foreach { case (term, rs) =>
+      assert(rs.map(_._4).sum == rs.head._3, s"$term df != sum of blocks")
+      assert(rs.map(_._2).distinct.length == rs.length)
+    }
+  }
+
   test("q94: exactly TopK results, scores descending, every hit real") {
     val rows = SearchQueries.q94(spark, sf)
       .select($"doc_id", $"n_hits", $"score").collect()
