@@ -47,11 +47,19 @@ object Bench {
     // measuring STANDALONE cost for queries that normally ride shared
     // artifacts (cluster labels, signatures) built earlier in the sweep.
     val coldMode = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    def warmSignals(): Long =
+      graft.queries.QueryMemo.hitCount +
+        graft.queries.QueryMemo.externalHitCount
     val results = selected.map { case (name, fn) =>
-      val hits0 = graft.queries.QueryMemo.hitCount
+      val hits0 = warmSignals()
       val times = (1 to iters).map { _ =>
         // per-ITERATION clear: min-of-N must never pick an iteration
-        // that rode an artifact the previous iteration memoized
+        // that rode an artifact the previous iteration MEMOIZED. The
+        // persistent on-disk IVF index is deliberately NOT cleared
+        // (it is shared infrastructure other JVMs may be probing, and
+        // a production DAG adopts it exactly like this) — adoption is
+        // instead surfaced through the warm tag via externalHitCount,
+        // and the index's cold build cost is recorded in BASELINE.md.
         if (coldMode) graft.queries.QueryMemo.clearAll()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -61,17 +69,20 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
-      // warm = at least one iteration was served a memoized artifact:
-      // the recorded time is join-cost over a shared frame, not the
-      // standalone cost a cold session would pay (VERDICT r09 item 2)
-      (name, times.min, graft.queries.QueryMemo.hitCount > hits0)
+      // warm = at least one iteration was served a memoized frame OR
+      // adopted a persistent artifact (the on-disk IVF index): either
+      // way the recorded time is not the standalone cost a cold
+      // session would pay (VERDICT r09 item 2)
+      (name, times.min, warmSignals() > hits0)
     }
-    // The harness keeps only a bounded tail of stdout and JSON-parses
-    // the result line from it: the line must stay well under 2 KB or
-    // it is truncated into unparseability. Keys are the unique qNN
-    // prefixes and seconds are milli-rounded (per-query noise is ±20%
-    // anyway); the full-name, full-resolution map goes to a sidecar
-    // file for round-over-round diffing.
+    // The machine-readable channel is the BENCH_RESULT.json file (six
+    // rounds of stdout-tail parsing failures proved the sbt-prefixed
+    // stdout channel dead — see the note at the write below); the
+    // printed copy of the same line is display-only, so its ~2.9 KB
+    // size (200 milli-rounded qNN entries + the warm array) carries no
+    // truncation risk for the file consumer. Keys are the unique qNN
+    // prefixes; the full-name, full-resolution map goes to the
+    // bench_detail.json sidecar for round-over-round diffing.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // prefix-keying is only sound while qNN prefixes are unique — fail
     // loudly the day a q66_a/q66_b pair would silently collide

@@ -36,6 +36,20 @@ object QueryMemo {
 
   def hitCount: Long = hitCounter.get
 
+  /** Second warm channel: artifacts served from PERSISTENT storage
+    * (the on-disk IVF index) rather than this memo. Adoption happens
+    * on a memo MISS, so without this counter an index-riding query
+    * would report adopt-cost as standalone and dodge the warm tag.
+    * Producers call [[noteExternalArtifactHit]] at their adopt site;
+    * Bench folds both counters into one warm signal.
+    */
+  private val externalHitCounter = new java.util.concurrent.atomic.AtomicLong
+
+  def externalHitCount: Long = externalHitCounter.get
+
+  def noteExternalArtifactHit(): Unit =
+    externalHitCounter.incrementAndGet(): Unit
+
   /** Drop every memoized frame (bench cold-mode: measure standalone
     * cost of queries that normally share artifacts). Evicted blocks are
     * reclaimed by the ContextCleaner once unreferenced.

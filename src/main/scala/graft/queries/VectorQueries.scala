@@ -353,6 +353,10 @@ object VectorQueries extends Serializable {
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       def adopt(): IvfIndex = {
+        // adoption is the bench's second warm channel: the index was
+        // built by an earlier run/query, so this query's time is
+        // adopt-cost, not standalone cost — surface it to the warm tag
+        QueryMemo.noteExternalArtifactHit()
         val cents = s.read.parquet(path + "/_centroids")
           .select(col("cid"), col("centroid")).as[(Int, Seq[Double])]
           .collect().map { case (l, c) => (l, c.toArray) }.sortBy(_._1)

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * `= length(text)` invariant. region/nation stay fixed (geography-
   * bounded dims, TESTDATA.md).
   *
+  * Every key column shifts by the span of the table that OWNS the id
+  * domain (customer's for c_custkey AND o_custkey, orders' for both
+  * o_orderkey and l_orderkey, …) — shifting a foreign key by the fact
+  * table's own max would silently misalign replicas whenever the
+  * highest-id dimension row has no fact (round-10 review finding: the
+  * sf0.1 maxima happen to coincide today, but the invariant must not
+  * rest on that).
+  *
   * Usage: `Test/runMain graft.ScaleUpData <outDir> <factor>`
   */
 object ScaleUpData {
@@ -26,17 +34,27 @@ object ScaleUpData {
     val src = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = GraftSession.create("32")
 
-    /** `factor` unioned copies of `df`, replica i shifting every column
-      * in `keys` by i·(max+1) of that column's source domain.
+    /** id-domain span (max+1) of `key` in its OWNING table. */
+    def spanOf(table: String, key: String): Long =
+      Tables.load(spark, src, table).agg(max(col(key))).head().getLong(0) + 1L
+
+    val custSpan = spanOf("customer", "c_custkey")
+    val suppSpan = spanOf("supplier", "s_suppkey")
+    val partSpan = spanOf("part", "p_partkey")
+    val orderSpan = spanOf("orders", "o_orderkey")
+    val eventSpan = spanOf("events", "event_id")
+    val userSpan = spanOf("events", "user_id")
+    val docSpan = spanOf("documents", "doc_id")
+    val vecSpan = spanOf("embeddings", "vec_id")
+
+    /** `factor` unioned copies of `df`, replica i shifting each listed
+      * column by i·span of the table that owns its id domain.
       */
-    def replicate(df: DataFrame, keys: Seq[String],
+    def replicate(df: DataFrame, keys: Seq[(String, Long)],
                   perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
-      val spans = keys.map { k =>
-        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
-      }
       val base = df.localCheckpoint()
       (0 until factor).map { i =>
-        val shifted = spans.foldLeft(base) { case (d, (k, span)) =>
+        val shifted = keys.foldLeft(base) { case (d, (k, span)) =>
           d.withColumn(k, col(k) + lit(i * span))
         }
         perReplica(shifted, i)
@@ -51,19 +69,23 @@ object ScaleUpData {
     Seq("region", "nation").foreach { t =>
       write(t, Tables.load(spark, src, t))
     }
-    write("supplier", replicate(Tables.load(spark, src, "supplier"), Seq("s_suppkey")))
-    write("customer", replicate(Tables.load(spark, src, "customer"), Seq("c_custkey")))
-    write("part", replicate(Tables.load(spark, src, "part"), Seq("p_partkey")))
+    write("supplier", replicate(Tables.load(spark, src, "supplier"),
+      Seq("s_suppkey" -> suppSpan)))
+    write("customer", replicate(Tables.load(spark, src, "customer"),
+      Seq("c_custkey" -> custSpan)))
+    write("part", replicate(Tables.load(spark, src, "part"),
+      Seq("p_partkey" -> partSpan)))
     write("orders", replicate(Tables.load(spark, src, "orders"),
-      Seq("o_orderkey", "o_custkey")))
+      Seq("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)))
     write("lineitem", replicate(Tables.load(spark, src, "lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+      Seq("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
+        "l_suppkey" -> suppSpan)))
     write("events", replicate(Tables.load(spark, src, "events"),
-      Seq("event_id", "user_id")))
+      Seq("event_id" -> eventSpan, "user_id" -> userSpan)))
     write("embeddings", replicate(Tables.load(spark, src, "embeddings"),
-      Seq("vec_id")))
+      Seq("vec_id" -> vecSpan)))
     write("documents", replicate(Tables.load(spark, src, "documents"),
-      Seq("doc_id"),
+      Seq("doc_id" -> docSpan),
       (d, i) =>
         if (i == 0) d
         else d.withColumn("text", concat(col("text"), lit(s" r$i")))
