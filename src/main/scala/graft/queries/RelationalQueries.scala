@@ -776,6 +776,13 @@ object RelationalQueries {
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_mktsegment"), col("c_custkey"),
         coalesce(col("ocents"), lit(0L)).as("cents"))
+      // spread the ×B replica pass across the session's parallelism:
+      // the broadcast join inherits the sub-4MB customer scan's ONE
+      // partition (SCALE.md §20), and 200 md5+ln draws per customer is
+      // codec-scale per-row CPU (~0.2 ms/row) — serial it costs ~3 s,
+      // spread it costs one 24-byte-row exchange (the §20 rule's
+      // keep side, unlike the rejected tokenize-scale spreads)
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint() // two consumers: point estimate + replicas
     val u = (graft.functions.DedupFunctions.md5Hash32(
       concat(lit("bb-"), col("c_custkey").cast("string"), lit("-"),
