@@ -822,13 +822,20 @@ object RelationalQueries {
   def q160(s: SparkSession, dir: String): DataFrame = {
     def audit(rel: String, child: DataFrame, childKey: String,
               parent: DataFrame, parentKey: String): DataFrame = {
+      // both anti-join directions in ONE full-outer join: a key set
+      // missing its counterpart surfaces as a null marker on the other
+      // side, so each relationship costs one join + one agg instead of
+      // two anti-joins, two aggs, and a crossJoin stitch
       val ck = child.select(col(childKey).as("k")).distinct()
+        .withColumn("cm", lit(1))
       val pk = parent.select(col(parentKey).as("k")).distinct()
-      val orphans = ck.join(pk, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphan_keys"))
-      val childless = pk.join(ck, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_childless_parents"))
-      orphans.crossJoin(childless)
+        .withColumn("pm", lit(1))
+      ck.join(pk, Seq("k"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("pm").isNull, 1L)), lit(0L))
+            .as("n_orphan_keys"),
+          coalesce(sum(when(col("cm").isNull, 1L)), lit(0L))
+            .as("n_childless_parents"))
         .select(lit(rel).as("relationship"), col("n_orphan_keys"),
           col("n_childless_parents"))
     }
