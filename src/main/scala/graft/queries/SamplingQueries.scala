@@ -262,6 +262,14 @@ object SamplingQueries {
     */
   private[graft] def docTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("text"))
+      // spread doc rows before the explode: BOTH consumers chain
+      // fan-out work onto the sub-4MB documents scan's one partition
+      // (the CMS pass pays depth bucket hashes per TOKEN, the exact
+      // side a per-token partial agg) — per-doc cost × ~100-token
+      // fan-out clears the SCALE.md §20 bar where a flat tokenize
+      // pass (q29/q50) did not; the exchange is the raw text column
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
 
