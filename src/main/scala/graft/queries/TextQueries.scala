@@ -684,7 +684,13 @@ object TextQueries {
     // string head, O(len²) per doc (measured 4.9 s vs 0.6 s at sf0.1)
     def bigrams = t(s, dir, "documents")
       .filter(length(col("text")) >= 2)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      // spread doc rows before the ~|text| bigram fan-out: this pass
+      // runs TWICE (fit + score) and would otherwise inherit the
+      // sub-4MB documents scan's one partition — per-doc cost ×
+      // fan-out clears the SCALE.md §20 spread bar
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .flatMap { case (id, tx) =>
         graft.functions.TextJvm.charBigrams(tx).map((id, _)) }
       .toDF("doc_id", "bg")
