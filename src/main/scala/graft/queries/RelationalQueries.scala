@@ -366,14 +366,32 @@ object RelationalQueries {
       .filter(col("n_ab") >= CoocMinSupport)
   }
 
+  /** The distinct (order, part) basket item table and its guarded
+    * within-basket pair counts — a per-dataset INDEX artifact (the
+    * [[purchaseEdges]] discipline), memoized as ONE tuple on the lake
+    * fingerprint so q133 (lift stats) and q174 (also-bought
+    * shortlist) share one fact-scan + distinct and one groupByKey
+    * pairing pass; a real pipeline computes the pair table once and
+    * serves both reports. One `getAny` per consumer keeps the bench
+    * warm-tagging honest: a cold run registers exactly one memo miss,
+    * never an intra-query self-hit.
+    */
+  private def basketTables(s: SparkSession,
+                           dir: String): (DataFrame, DataFrame) =
+    QueryMemo.getAny[(DataFrame, DataFrame)](s, "basket-tables:" + dir +
+        ":" + graft.sources.DatasetFingerprint.ofTable(s, dir, "lineitem")) {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint()
+      val pairs = basketPairs(items, CoocMaxBasket).localCheckpoint()
+      (items, pairs)
+    }
+
   def q133(s: SparkSession, dir: String): DataFrame = {
-    val items = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint() // three consumers: self-join, item counts, N
+    val (items, pairCnt) = basketTables(s, dir)
     val totals = items.agg(countDistinct(col("o")).as("n_baskets"))
     val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairCnt = basketPairs(items, CoocMaxBasket)
     pairCnt
       .join(itemCnt.toDF("part_a", "n_a"), Seq("part_a"))
       .join(itemCnt.toDF("part_b", "n_b"), Seq("part_b"))
@@ -600,11 +618,9 @@ object RelationalQueries {
     */
   def q174(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val pairs = basketPairs(items, CoocMaxBasket)
-      .localCheckpoint() // pair-table-sized; both union arms read it
+    // the memoized artifact is already checkpointed; both union arms
+    // reread the materialization, not the fact table
+    val pairs = basketTables(s, dir)._2
     val sym = pairs
       .select(col("part_a").as("part"), col("part_b").as("rec"), col("n_ab"))
       .unionAll(pairs
