@@ -73,6 +73,31 @@ class FreshnessSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".stage-")), names.toString)
   }
 
+  test("basket pair artifact recomputes after an in-place lineitem " +
+    "rewrite, and q133/q174 read the SAME shared table") {
+    import graft.queries.RelationalQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh-bkt").toString
+    def writeItems(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // v1: parts 10 and 20 co-occur in two baskets → support 2 survives
+    writeItems(Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
+    val v1 = RelationalQueries.q174(spark, dir)
+      .select("part", "rec").as[(Long, Long)].collect().toSet
+    assert(v1 == Set((10L, 20L), (20L, 10L)), v1.toString)
+    // q133 rides the same artifact: the pair row agrees in-session
+    val lift1 = RelationalQueries.q133(spark, dir)
+      .select("part_a", "part_b", "n_ab").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(lift1 == Set((10L, 20L, 2L)), lift1.toString)
+    // v2: same path, basket 2 now pairs 10 with 30 — support for
+    // (10,20) drops below the cut; a stale memo would still serve it
+    writeItems(Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 30L)))
+    val v2 = RelationalQueries.q174(spark, dir)
+      .select("part", "rec").as[(Long, Long)].collect().toSet
+    assert(v2.isEmpty, s"stale basket artifact served after rewrite: $v2")
+  }
+
   test("IVF adoption survives a tmp reaper: marker without data falls " +
     "back to a rebuild, not a broken probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fresh-reap").toString
