@@ -24,7 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object QueryMemo {
 
-  val MaxEntries = 16
+  // Sized above the number of per-dataset artifact families the full
+  // registry touches in one sweep (~15 as of r10: shingle/signature/
+  // label/rank frames, purchase edges, Lloyd fit, aHash, PQ books,
+  // IVF metadata, basket tables) — at the old bound of 16 a sweep
+  // over two datasets (tests + bench) could LRU-evict an artifact
+  // mid-sweep and silently re-pay its build in a later consumer.
+  val MaxEntries = 48
 
   /** Monotonic count of memo HITS served since JVM start. Bench snapshots
     * it around each query to tag entries that rode a warm artifact
