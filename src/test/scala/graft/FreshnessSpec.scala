@@ -98,6 +98,24 @@ class FreshnessSpec extends SparkSpec {
     assert(v2.isEmpty, s"stale basket artifact served after rewrite: $v2")
   }
 
+  test("exact-percentile artifact recomputes after an in-place " +
+    "lineitem rewrite (the q45/q65 shared baseline)") {
+    import graft.queries.SamplingQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh-pct").toString
+    def writePrices(scale: Double): Unit =
+      (1 to 4).map(i => ("A", i * scale))
+        .toDF("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    writePrices(1.0)
+    val v1 = SamplingQueries.q45(spark, dir)
+      .select("p50").as[Double].collect().head
+    assert(v1 == 2.5, v1.toString)
+    writePrices(10.0) // same path, new content
+    val v2 = SamplingQueries.q45(spark, dir)
+      .select("p50").as[Double].collect().head
+    assert(v2 == 25.0, s"stale percentile artifact served: $v2")
+  }
+
   test("IVF adoption survives a tmp reaper: marker without data falls " +
     "back to a rebuild, not a broken probe") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fresh-reap").toString

@@ -474,6 +474,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q160: each relationship audits both directions in ONE " +
+    "full-outer join — no anti joins, no crossJoin stitch") {
+    val p = plan(RelationalQueries.q160(spark, sf))
+    assert("FullOuter".r.findAllIn(p).size == 3)
+    assert(!p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q116/q166: the fan-out passes are spread across session " +
+    "parallelism before the explode (the §20 fan-out rider)") {
+    val p116 = plan(graft.queries.SamplingQueries.q116(spark, sf))
+    assert(p116.contains("RoundRobinPartitioning"))
+    // q166's fit-pass spread sits behind the bigram checkpoint; the
+    // surviving scoring pass carries the same spread in the live plan
+    val p166 = plan(graft.queries.TextQueries.q166(spark, sf))
+    assert(p166.contains("RoundRobinPartitioning"))
+  }
+
   test("q167: the x200 replica explode collapses map-side (partial agg " +
     "before its exchange); the rank window partitions by segment") {
     val p = plan(RelationalQueries.q167(spark, sf))
