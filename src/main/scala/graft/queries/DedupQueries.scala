@@ -1687,7 +1687,17 @@ object DedupQueries {
     * task-local — no global sort), a distinct on oriented pairs, and
     * the edit-distance verify runs ONLY on 2·w·|dict| candidates.
     */
-  def q168(s: SparkSession, dir: String): DataFrame = {
+  def q168(s: SparkSession, dir: String): DataFrame =
+    // the verified near-miss pair table is a per-dataset artifact
+    // (the basket-tables discipline): q184's entity resolution
+    // consumes exactly this frame, so the two sort passes and the
+    // edit-distance verify run once per lake
+    QueryMemo.get(s, "sorted-neighborhood-pairs:" + dir + ":" +
+        graft.sources.DatasetFingerprint.ofTable(s, dir, "part")) {
+      q168Cold(s, dir).localCheckpoint()
+    }
+
+  private[graft] def q168Cold(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val names = t(s, dir, "part")
       .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
