@@ -517,6 +517,7 @@ object DedupQueries {
     QueryMemo.invalidate(s, docsKey("dedup-shingle-sigs", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-pagerank-ranks", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-pagerank-weighted", s, dir))
+    QueryMemo.invalidate(s, docsKey("dedup-weighted-cands", s, dir))
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components
@@ -1248,7 +1249,16 @@ object DedupQueries {
     * floored at 1 so hash-collision pairs degrade instead of
     * vanishing.
     */
-  private def weightedCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Jaccard-weighted candidate pairs — memoized (the signature-pass
+    * discipline) so q107's weighted PageRank and q127's weighted
+    * communities share one bucket-join + intersect-verify pass.
+    */
+  private def weightedCandidates(s: SparkSession, dir: String): DataFrame =
+    QueryMemo.get(s, docsKey("dedup-weighted-cands", s, dir)) {
+      weightedCandidatesCold(s, dir).localCheckpoint()
+    }
+
+  private def weightedCandidatesCold(s: SparkSession, dir: String): DataFrame = {
     val both = shingleSigs(s, dir)
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
