@@ -518,6 +518,7 @@ object DedupQueries {
     QueryMemo.invalidate(s, docsKey("dedup-pagerank-ranks", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-pagerank-weighted", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-weighted-cands", s, dir))
+    QueryMemo.invalidate(s, docsKey("dedup-lsh-cands", s, dir))
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components
@@ -1101,9 +1102,19 @@ object DedupQueries {
     * survivor selection) — it runs once per dataset fingerprint, not
     * once per consumer.
     */
+  /** The LSH candidate pair frame over the memoized signatures —
+    * itself memoized so the graph consumers (PageRank, triangles,
+    * LPA, PPR, k-core, random walks, k-hop, clustering coefficients)
+    * share ONE band bucket-join instead of re-running it per query.
+    */
+  private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    QueryMemo.get(s, docsKey("dedup-lsh-cands", s, dir)) {
+      lshCandidates(checkpointedSignatures(s, dir)).localCheckpoint()
+    }
+
   private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-pagerank-ranks", s, dir)) {
-      val cand = lshCandidates(checkpointedSignatures(s, dir))
+      val cand = candidatePairs(s, dir)
       val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.operators.PageRank.run(edges, PageRankIters)
@@ -1132,7 +1143,7 @@ object DedupQueries {
     */
   def q112(s: SparkSession, dir: String): DataFrame =
     graft.operators.TriangleCount.perNode(
-        lshCandidates(checkpointedSignatures(s, dir))
+        candidatePairs(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("id").as("doc_id"), col("n_triangles"))
 
@@ -1340,7 +1351,7 @@ object DedupQueries {
     * merge-hinted join (stats-blind memo input — the q77 lesson).
     */
   def q117(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val cand = candidatePairs(s, dir)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val comm = graft.operators.LabelPropagation.run(edges, LpaIters)
@@ -1410,8 +1421,7 @@ object DedupQueries {
     * merge-hinted id join — no new shuffle class.
     */
   def q124(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(checkpointedSignatures(s, dir))
-      .localCheckpoint() // two consumers: the triangle pass + degrees
+    val cand = candidatePairs(s, dir) // memo frame is already checkpointed
     val tri = graft.operators.TriangleCount.perNode(
       cand.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val deg = cand.select(col("doc_a").as("id"))
@@ -1443,7 +1453,7 @@ object DedupQueries {
     * seed frame — the plan is seed-count-free.
     */
   def q125(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val cand = candidatePairs(s, dir)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint() // the seed agg + every rank round consume it
@@ -1482,7 +1492,7 @@ object DedupQueries {
     * fixed rounds chain into one AQE-sized action (the q117 anatomy).
     */
   def q131(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val cand = candidatePairs(s, dir)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint() // every peel round consumes it
@@ -1588,7 +1598,7 @@ object DedupQueries {
     * joins chained into one AQE-sized action, the fixed-k loop shape.
     */
   def q151(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val cand = candidatePairs(s, dir)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val adj = edges.groupBy("src")
@@ -1656,7 +1666,7 @@ object DedupQueries {
     * seed frame exactly like PPR's batched seeds.
     */
   def q155(s: SparkSession, dir: String): DataFrame = {
-    val cand = lshCandidates(checkpointedSignatures(s, dir))
+    val cand = candidatePairs(s, dir)
     val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint() // the seed agg + every hop consume it
