@@ -519,6 +519,7 @@ object DedupQueries {
     QueryMemo.invalidate(s, docsKey("dedup-pagerank-weighted", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-weighted-cands", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-lsh-cands", s, dir))
+    QueryMemo.invalidate(s, docsKey("dedup-lsh-edges", s, dir))
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components
@@ -1112,11 +1113,22 @@ object DedupQueries {
       lshCandidates(checkpointedSignatures(s, dir)).localCheckpoint()
     }
 
+  /** The undirected edge list over [[candidatePairs]] — memoized and
+    * checkpointed so every iterative graph consumer reads one doubled
+    * materialized frame instead of re-expanding and re-checkpointing
+    * its own copy per query.
+    */
+  private def candidateEdges(s: SparkSession, dir: String): DataFrame =
+    QueryMemo.get(s, docsKey("dedup-lsh-edges", s, dir)) {
+      val cand = candidatePairs(s, dir)
+      cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+    }
+
   private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-pagerank-ranks", s, dir)) {
-      val cand = candidatePairs(s, dir)
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val edges = candidateEdges(s, dir)
       graft.operators.PageRank.run(edges, PageRankIters)
         .select(col("id").as("doc_id"), col("rank").as("pr_rank"),
           col("outdeg").as("degree"))
@@ -1351,9 +1363,7 @@ object DedupQueries {
     * merge-hinted join (stats-blind memo input — the q77 lesson).
     */
   def q117(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir)
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = candidateEdges(s, dir)
     val comm = graft.operators.LabelPropagation.run(edges, LpaIters)
       .select(col("id").as("doc_id"), col("community"))
       // two consumers (member rows + the size roll-up): materialize the
@@ -1453,10 +1463,7 @@ object DedupQueries {
     * seed frame — the plan is seed-count-free.
     */
   def q125(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir)
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // the seed agg + every rank round consume it
+    val edges = candidateEdges(s, dir) // seed agg + every rank round
     val seeds = edges.agg(min(col("src")).as("id"))
     graft.operators.PageRank.runPersonalized(edges, PageRankIters, seeds)
       .select(col("id").as("doc_id"), col("rank").as("ppr_rank"),
@@ -1492,10 +1499,7 @@ object DedupQueries {
     * fixed rounds chain into one AQE-sized action (the q117 anatomy).
     */
   def q131(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir)
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // every peel round consumes it
+    val edges = candidateEdges(s, dir) // every peel round consumes it
     graft.operators.KCore.peel(edges, KCoreK, KCoreRounds)
       .select(col("id").as("doc_id"), col("degree"), col("peel_round"),
         col("in_core"))
@@ -1598,9 +1602,7 @@ object DedupQueries {
     * joins chained into one AQE-sized action, the fixed-k loop shape.
     */
   def q151(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir)
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = candidateEdges(s, dir)
     val adj = edges.groupBy("src")
       .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
       .localCheckpoint() // one consumer per hop
@@ -1666,10 +1668,7 @@ object DedupQueries {
     * seed frame exactly like PPR's batched seeds.
     */
   def q155(s: SparkSession, dir: String): DataFrame = {
-    val cand = candidatePairs(s, dir)
-    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // the seed agg + every hop consume it
+    val edges = candidateEdges(s, dir) // seed agg + every hop
     val seed = edges.agg(min(col("src")).as("id"))
     var reach = seed.select(col("id"), lit(0L).as("hop"))
     (1 to ReachHops).foreach { h =>
