@@ -1064,37 +1064,40 @@ object VectorQueries extends Serializable {
     * eigenvalue is one DECIMAL(38,0) division at the end. The
     * all-ones start vector makes the sign deterministic.
     *
-    * Scale shape: TWO corpus passes — means, then a per-partition
-    * outer-product accumulation (the BLAS `syrk` pattern: each task
-    * folds its vectors into a local d×d long array and emits ONE
-    * upper-triangle of partials — a genuine `mapPartitions` case,
-    * because the d²-per-row explode-and-shuffle form materializes
-    * n·d² rows for the same answer and measured 3.7 s vs 0.6 s at
-    * sf0.1). The shuffle carries d²/2 rows per task; the iteration
-    * runs on the 4096-row matrix against a 64-row vector —
-    * driver-free and independent of corpus size.
+    * Scale shape: ONE corpus pass — a per-partition RAW outer-product
+    * accumulation (the BLAS `syrk` pattern: each task folds its
+    * vectors into a local d×d long array and emits ONE upper-triangle
+    * of partials plus the coordinate sums and its row count — a
+    * genuine `mapPartitions` case, because the d²-per-row
+    * explode-and-shuffle form materializes n·d² rows for the same
+    * answer and measured 3.7 s vs 0.6 s at sf0.1). Centering happens
+    * AFTER the pass by the exact integer identity
+    * `Σ(qᵢ−mᵢ)(qⱼ−mⱼ) = Σqᵢqⱼ − mᵢSⱼ − mⱼSᵢ + n·mᵢmⱼ` with
+    * `mᵢ = floor(Sᵢ/n)` — bit-identical to the two-pass
+    * subtract-then-multiply form it replaced, without the means
+    * pre-scan or its driver collect. (Long bounds: every term is
+    * ≤ n·quant² ≈ 10¹²·n — the DECIMAL(38,0) upgrade is one cast
+    * away past n ~ 10⁶, the q157 lesson.) The shuffle carries
+    * d²/2 + d + 1 rows per task; the iteration runs on the 4096-row
+    * matrix against a 64-row vector — driver-free and independent of
+    * corpus size.
     */
   def q190(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = "decimal(38,0)"
-    val coords = t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"),
-        expr(s"CAST(round(CAST(x AS DOUBLE) * $EigQuant) AS BIGINT)")
-          .as("q"))
-    // sums go negative: floor-form division (exact in double at this
-    // magnitude) — `div`/`//` disagree on negative quotients
-    val means = coords.groupBy("i")
-      .agg(expr("CAST(floor(sum(q) / count(1)) AS BIGINT)").as("m"))
-      .orderBy("i").as[(Int, Long)].collect().map(_._2)
     val quant = EigQuant
-    val cov = t(s, dir, "embeddings")
+    val parts = t(s, dir, "embeddings")
       .select(col("embedding")).as[Seq[Float]]
       .mapPartitions { it =>
         var acc: Array[Long] = null
+        var ss: Array[Long] = null
+        var n = 0L
         var d = 0
         it.foreach { emb =>
-          if (acc == null) { d = emb.length; acc = new Array[Long](d * d) }
+          if (acc == null) {
+            d = emb.length; acc = new Array[Long](d * d)
+            ss = new Array[Long](d)
+          }
           val c = new Array[Long](d)
           var i = 0
           while (i < d) {
@@ -1102,9 +1105,11 @@ object VectorQueries extends Serializable {
             // engines (math.round would round -x.5 toward zero)
             val v = emb(i).toDouble * quant
             val r = if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)
-            c(i) = r.toLong - means(i)
+            c(i) = r.toLong
+            ss(i) += c(i)
             i += 1
           }
+          n += 1
           i = 0
           while (i < d) {
             var j = i
@@ -1113,11 +1118,38 @@ object VectorQueries extends Serializable {
           }
         }
         if (acc == null) Iterator.empty
-        else (0 until d).iterator.flatMap(i =>
-          (i until d).iterator.map(j => (i, j, acc(i * d + j))))
+        else {
+          val dd = d
+          (0 until dd).iterator.flatMap(i =>
+            (i until dd).iterator.map(j => (i, j, acc(i * dd + j)))) ++
+            (0 until dd).iterator.map(i => (i, dd, ss(i))) ++ // sums row
+            Iterator((dd, dd, n)) // count cell
+        }
       }
-      .toDF("i", "j", "cv")
-      .groupBy("i", "j").agg(sum(col("cv")).as("cv"))
+      .toDF("i", "j", "v")
+      .groupBy("i", "j").agg(sum(col("v")).as("v"))
+      .localCheckpoint() // (d²+d)/2 + d + 1 rows; three slices below
+    val dSent = parts.agg(max(col("j")).as("d")) // the sentinel index
+    val nScalar = parts.crossJoin(broadcast(dSent))
+      .filter(col("i") === col("d") && col("j") === col("d"))
+      .select(col("v").as("n"))
+    // per-dimension sum and floor-form mean (exact in double at this
+    // magnitude) — `div`/`//` disagree on negative quotients
+    val meansDf = parts.crossJoin(broadcast(dSent))
+      .filter(col("j") === col("d") && col("i") =!= col("d"))
+      .crossJoin(broadcast(nScalar))
+      .select(col("i"), col("v").as("sm"),
+        expr("CAST(floor(v / n) AS BIGINT)").as("m"))
+    val cov = parts.crossJoin(broadcast(dSent))
+      .filter(col("j") =!= col("d"))
+      .join(broadcast(meansDf.select(col("i"), col("sm").as("s_i"),
+        col("m").as("m_i"))), Seq("i"))
+      .join(broadcast(meansDf.select(col("i").as("j"),
+        col("sm").as("s_j"), col("m").as("m_j"))), Seq("j"))
+      .crossJoin(broadcast(nScalar))
+      .select(col("i"), col("j"),
+        (col("v") - col("m_i") * col("s_j") - col("m_j") * col("s_i") +
+          col("n") * col("m_i") * col("m_j")).as("cv"))
     val covFull = cov.unionAll(cov.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cv")))
       .localCheckpoint() // 4096 rows; EigIters+2 consumers
