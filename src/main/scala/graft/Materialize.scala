@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The engine's single materialization seam: every place that used to
+  * call `Dataset.localCheckpoint()` directly (memoized shared
+  * artifacts, iterative-operator rounds, multi-consumer intermediates)
+  * now goes through [[frame]] / the [[Ops.materialize]] extension, so
+  * the binding is a DEPLOYMENT choice instead of 100 hard-coded calls.
+  *
+  * Two bindings:
+  *
+  *  - '''default''' — `localCheckpoint()`: truncates lineage into
+  *    executor-local MEMORY_AND_DISK blocks. Free on `local[*]` and the
+  *    right choice there, but on a real cluster an executor loss
+  *    permanently destroys those blocks, and with lineage truncated the
+  *    consumer job FAILS rather than recomputes (the r10 verdict's #1
+  *    structural risk; MaterializeSpec reproduces the failure by
+  *    dropping the blocks).
+  *  - '''reliable''' — `checkpoint()` when the session conf
+  *    `spark.graft.reliableCheckpoint=true`: writes the partitions to
+  *    the checkpoint directory (HDFS/object store on a cluster), so a
+  *    lost executor re-reads files instead of dying. The directory
+  *    comes from `spark.graft.checkpointDir` (set lazily on the
+  *    SparkContext on first use; an explicit
+  *    `sparkContext.setCheckpointDir` beforehand wins). Enable
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` in
+  *    long-lived sessions so checkpoint files of GC'd frames are
+  *    reclaimed like local blocks are.
+  *
+  * Both bindings are EAGER (they run the job at the call site) —
+  * callers rely on that for accumulator-based convergence checks
+  * (ConnectedComponents) and for charging build cost to the producing
+  * query rather than the first consumer (QueryMemo artifacts).
+  */
+object Materialize {
+
+  /** Session conf key selecting the reliable binding. Read per call —
+    * a RuntimeConfig lookup, so a test can flip bindings mid-session.
+    */
+  val ReliableConfKey = "spark.graft.reliableCheckpoint"
+
+  /** Session conf key naming the reliable checkpoint directory; used
+    * only when the SparkContext has no checkpoint dir set yet.
+    */
+  val CheckpointDirConfKey = "spark.graft.checkpointDir"
+
+  /** Materialize `ds` under the session's configured binding. */
+  def frame[T](ds: Dataset[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    if (reliable(spark)) {
+      ensureCheckpointDir(spark)
+      ds.checkpoint()
+    } else ds.localCheckpoint()
+  }
+
+  private def reliable(s: SparkSession): Boolean =
+    s.conf.getOption(ReliableConfKey).exists(_.equalsIgnoreCase("true"))
+
+  private def ensureCheckpointDir(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = s.conf
+        .getOption(CheckpointDirConfKey)
+        .getOrElse(new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft-checkpoints").getPath)
+      sc.setCheckpointDir(dir)
+    }
+  }
+
+  /** `ds.materialize()` — the fluent spelling used at every call site. */
+  implicit final class Ops[T](private val ds: Dataset[T]) extends AnyVal {
+    def materialize(): Dataset[T] = frame(ds)
+  }
+}

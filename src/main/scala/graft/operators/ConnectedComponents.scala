@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
@@ -14,7 +16,7 @@ import org.apache.spark.sql.functions._
   * cap on sf0.1's chain-heavy LSH graph.
   *
   * Scale shape (the two things an iterative DataFrame loop MUST do):
-  *  - `localCheckpoint` every round truncates lineage, so round N's
+  *  - materializing ([[graft.Materialize]]) every round truncates lineage, so round N's
   *    plan is two joins over round N−1's materialized blocks — not a
   *    2^N-deep nest that Catalyst re-analyzes and re-executes. Without
   *    it this loop was 45 s at sf0.1; with it, the per-round cost is
@@ -97,10 +99,10 @@ object ConnectedComponents {
     val sym = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
       .distinct()
-      .localCheckpoint()
+      .materialize()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("comp", col("v"))
-      .localCheckpoint()
+      .materialize()
     val outSchema = labels.schema
     val outEnc = Encoders.row(outSchema)
     var converged = false
@@ -129,7 +131,7 @@ object ConnectedComponents {
           if (r.get(1) != r.get(2)) changed.add(1L)
           Row(r.get(0), r.get(1))
         }(outEnc)
-        .localCheckpoint() // eager: runs the round's one job, fills `changed`
+        .materialize() // eager: runs the round's one job, fills `changed`
       // previous round's checkpoint blocks are never read again; they
       // are reclaimed by the ContextCleaner once the old Dataset is
       // GC'd (Dataset.unpersist would be a no-op here — checkpoint
@@ -173,7 +175,7 @@ object ConnectedComponents {
         least(col("u"), col("v")).as("p"))
       .distinct()
     var e = canon(edges.select(col(src).as("u"), col(dst).as("v")))
-      .localCheckpoint()
+      .materialize()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -187,14 +189,14 @@ object ConnectedComponents {
       val large = canon(sym.filter(col("v") > col("u"))
         .join(minN, "u")
         .select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint()
+        .materialize()
       // small-star: per node c over its parents, attach them (and c) to
       // the collective minimum
       val minP = large.groupBy("c").agg(min(col("p")).as("m"))
       val small = canon(
         large.join(minP, "c").select(col("p").as("u"), col("m").as("v"))
           .union(minP.select(col("c").as("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .materialize()
       // fixpoint: the rewritten edge set is unchanged (cheap: both
       // sides are checkpointed in-memory blocks). Old rounds' blocks
       // are reclaimed by the ContextCleaner on GC.

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,7 +46,7 @@ object Hits {
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters > 0, "iters must be positive")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).materialize()
     // Each normalization consumes its input TWICE (the scalar-max
     // aggregate and the main branch). Left as lazy lineage, that
     // doubling COMPOUNDS — round k re-evaluates round k−1's whole
@@ -54,7 +56,7 @@ object Hits {
     // loops MUST materialize each half-step; the frames are
     // node-sized, so the checkpoint is model-cheap.
     def normalized(scores: DataFrame): DataFrame = {
-      val m = scores.localCheckpoint()
+      val m = scores.materialize()
       val mx = m.agg(max(col("s")).as("mx"))
       m.crossJoin(broadcast(mx))
         .select(col("v"), expr(s"(s * $Scale) div mx").as("s"))

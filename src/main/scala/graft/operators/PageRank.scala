@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +36,7 @@ import org.apache.spark.sql.functions._
   * Scale shape: per iteration, ONE shuffle (the `groupBy(dst)` partial
   * aggregation — map-side combine keeps per-reducer traffic at
   * distinct-dst cardinality) plus a broadcast-or-sort-merge join of
-  * ranks against edges on `src`. Ranks are `localCheckpoint`ed every
+  * ranks against edges on `src`. Ranks are materialized ([[graft.Materialize]]) every
   * round (the [[ConnectedComponents]] lineage lesson: round N's plan
   * must be one join over round N−1's blocks, not a 2^N nest).
   * Iterations are FIXED (no convergence test): training-data ranking
@@ -110,17 +112,17 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("weight").cast("long"))
       .filter(col("weight") > 0L)
-      .localCheckpoint() // consumed every iteration + for nodes/outdeg
+      .materialize() // consumed every iteration + for nodes/outdeg
     val nodes = edges.select(col("src").cast("long").as("id"))
       .union(edges.select(col("dst").cast("long").as("id"))).distinct()
-      .localCheckpoint()
+      .materialize()
     val outdeg = e.groupBy(col("src").as("id"))
       .agg(sum(col("weight")).as("outdeg"))
     // nodes ⟕ outdeg: sinks keep outdeg 0 and contribute nothing
     // (a node whose edges ALL have weight 0 is a sink by construction)
     val base0 = nodes.join(outdeg, Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .localCheckpoint()
+      .materialize()
     val n = base0.count()
     val init = scale / n
     val teleport = ((scale / n) * (DampDen - DampNum)) / DampDen
@@ -155,7 +157,7 @@ object PageRank {
         }
       i += 1
       if (i % CheckpointInterval == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.materialize()
     }
     ranks.join(base0.select(col("id"), col("outdeg")), "id")
   }
@@ -180,7 +182,7 @@ object PageRank {
                       scale: Long = DefaultScale): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
+      .materialize()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src").as("id"))
@@ -191,7 +193,7 @@ object PageRank {
       .join(seedIds, Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+      .materialize()
     val nS = base0.filter(col("is_seed")).count()
     require(nS > 0, "no seed intersects the graph")
     val init = scale / nS
@@ -213,7 +215,7 @@ object PageRank {
             coalesce(col("in_mass"), lit(0L))).as("rank"))
       i += 1
       if (i % CheckpointInterval == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.materialize()
     }
     ranks.join(base0.select(col("id"), col("outdeg"), col("is_seed")), "id")
   }

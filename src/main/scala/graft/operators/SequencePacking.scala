@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -30,7 +32,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * partitions; OperatorsSpec pins the equivalence both on a direct
   * collect AND through a downstream `.coalesce(1)`.
   *
-  * The range-partitioned relation is localCheckpointed so both passes
+  * The range-partitioned relation is materialized (Materialize seam) so both passes
   * read the SAME materialization: partition boundaries come from
   * sampling, and re-planning between passes could legally re-draw them,
   * desynchronizing pass-2 split ids from pass-1 offsets. The checkpoint
@@ -71,7 +73,7 @@ object SequencePacking {
     val parted = df
       .repartitionByRange(p, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
-      .localCheckpoint()
+      .materialize()
     val schema = parted.schema
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     val tokIdx = schema.fieldIndex(tokensCol)

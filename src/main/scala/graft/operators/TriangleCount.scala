@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,13 +31,13 @@ object TriangleCount {
     */
   def perNode(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .localCheckpoint() // three self-join consumers + the node list
+      .materialize() // three self-join consumers + the node list
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.b") === col("bc.a"))
       .join(e.as("ac"),
         col("ab.a") === col("ac.a") && col("bc.b") === col("ac.b"))
       .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
-      .localCheckpoint() // each triangle feeds three per-node counts
+      .materialize() // each triangle feeds three per-node counts
     val perNodeCounts = tri.select(col("x").as("id"))
       .union(tri.select(col("y").as("id")))
       .union(tri.select(col("z").as("id")))

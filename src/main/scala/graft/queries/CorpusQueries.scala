@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -94,7 +96,7 @@ object CorpusQueries {
     // would re-run the greedy subword pass over the whole corpus
     val docs = TextQueries.subwordCounts(s, dir)
       .select(col("doc_id"), col("lang"), col("n_subword"))
-      .localCheckpoint()
+      .materialize()
     val rates = mixtureKeepBps(
       docs.groupBy("lang").agg(sum(col("n_subword")).as("w")))
     val kept = docs
@@ -394,7 +396,7 @@ object CorpusQueries {
     import s.implicits._
     val docs = TextQueries.subwordCounts(s, dir)
       .select(col("doc_id"), col("source"), col("n_subword"))
-      .localCheckpoint()
+      .materialize()
     val win = Window.partitionBy()
     val rates = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_subword").as("n_tokens"))
@@ -817,7 +819,7 @@ object CorpusQueries {
       .agg(
         sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint() // two consumers: totals + the term sum
+      .materialize() // two consumers: totals + the term sum
     val totals = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     cells.crossJoin(broadcast(totals))
       .select(col("ca"), col("cb"), col("na"), col("nb"),
@@ -903,7 +905,7 @@ object CorpusQueries {
       .agg(
         sum(when(col("source") === KsSourceA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === KsSourceB, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint() // two consumers: arm totals + the CDF scan
+      .materialize() // two consumers: arm totals + the CDF scan
     val totals = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
       count(lit(1)).as("n_values"))
     cells
@@ -943,7 +945,7 @@ object CorpusQueries {
     val cells = t(s, dir, "documents")
       .groupBy("source", "lang")
       .agg(count(lit(1)).cast(dec).as("o"))
-      .localCheckpoint() // consumers: both marginals, N, the term join
+      .materialize() // consumers: both marginals, N, the term join
     val rTot = cells.groupBy("source").agg(sum(col("o")).cast(dec).as("r"))
     val cTot = cells.groupBy("lang").agg(sum(col("o")).cast(dec).as("c"))
     val nTot = cells.agg(sum(col("o")).cast(dec).as("n"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -188,13 +190,13 @@ object DedupQueries {
       .distinct()
   }
 
-  /** Signatures materialized once via localCheckpoint AND memoized per
+  /** Signatures materialized once via the [[graft.Materialize]] seam AND memoized per
     * (session, dataset): the relation feeds four plan branches inside
     * q29 (both sides of the band self-join + both est_sim lookups) and
     * is shared ACROSS q29/q58 — without the memo each of those
     * queries re-runs the corpus shingle/md5/fold pass. (q48's
     * clustering runs its own smaller pass over one representative per
-    * distinct content — see [[collapsedLshInputs]].) localCheckpoint
+    * distinct content — see [[collapsedLshInputs]].) Materialization
     * (not persist) so evicted/unreferenced blocks self-release via the
     * ContextCleaner — a `persist()` here would sit in the CacheManager
     * until someone remembered to unpersist (the round-1 leak).
@@ -211,7 +213,7 @@ object DedupQueries {
 
   private[graft] def checkpointedSignatures(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-signatures", s, dir)) {
-      signatures(s, dir).localCheckpoint()
+      signatures(s, dir).materialize()
     }
 
   /** Same materialize-once-and-memoize treatment as
@@ -222,7 +224,7 @@ object DedupQueries {
     */
   private def checkpointedShingleSets(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-shingle-sets", s, dir)) {
-      shingleSets(s, dir).localCheckpoint()
+      shingleSets(s, dir).materialize()
     }
 
   /** q29 — MinHash+LSH near-dup candidates with estimated similarity
@@ -300,7 +302,7 @@ object DedupQueries {
           if (shingles.isEmpty) None else Some((id, shingles, sigOf(shingles)))
         }
         .toDF("doc_id", "sh", "sig")
-        .localCheckpoint()
+        .materialize()
     }
 
   /** q31 — exact n-gram Jaccard on the LSH candidate pairs (the verify
@@ -425,7 +427,7 @@ object DedupQueries {
 
   /** The (doc_id, canonical_doc_id) dedup-decision map — signatures →
     * LSH candidates → connected components — computed ONCE per
-    * (session, sf-dir) and memoized as a localCheckpointed frame. Both
+    * (session, sf-dir) and memoized as a materialized frame. Both
     * q48 (which ships it) and q49 (which filters the corpus with it)
     * read the same materialized result; round 1 recomputed the whole
     * clustering inside q49 (41.8 s of pure duplicate work at sf0.1).
@@ -466,11 +468,11 @@ object DedupQueries {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val reps = hashed.groupBy("h").agg(min("doc_id").as("rep_id"))
     val mapping = hashed.join(reps, "h").select("doc_id", "rep_id")
-      .localCheckpoint()
+      .materialize()
     val repSigs = signaturesOf(
         docs.join(mapping.filter(col("doc_id") === col("rep_id"))
           .select("doc_id"), Seq("doc_id"), "left_semi"))
-      .localCheckpoint()
+      .materialize()
     val shingledMapping = mapping.join(
         repSigs.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
       .select(col("doc_id"), col("rep_id"))
@@ -483,7 +485,7 @@ object DedupQueries {
       // checkpoint the candidate frame ONCE: the degree sketch below
       // and the CC rounds both consume it, and without materialization
       // each would re-run the whole band self-join pipeline
-      val cand = cand0.localCheckpoint()
+      val cand = cand0.materialize()
       // `auto`: the degree sketch picks pointer doubling here (the LSH
       // candidate graph is low-skew once exact dups are collapsed) but
       // keeps the star variant armed for a boilerplate hub — the sketch
@@ -500,7 +502,7 @@ object DedupQueries {
         .join(redirect, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
-        .localCheckpoint()
+        .materialize()
     }
 
   /** Force-drop every memoized derivation for a dataset at its CURRENT
@@ -520,6 +522,11 @@ object DedupQueries {
     QueryMemo.invalidate(s, docsKey("dedup-weighted-cands", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-lsh-cands", s, dir))
     QueryMemo.invalidate(s, docsKey("dedup-lsh-edges", s, dir))
+    // q168/q184's near-miss pair table is fingerprinted on `part`, not
+    // `documents` — without this line the force-cold hook could not
+    // drop it over unchanged data (r10 ADVICE).
+    QueryMemo.invalidate(s, "sorted-neighborhood-pairs:" + dir + ":" +
+      graft.sources.DatasetFingerprint.ofTable(s, dir, "part"))
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components
@@ -615,7 +622,7 @@ object DedupQueries {
     // materialize the bounded eval set once instead of re-running the
     // explode+distinct per action
     val evalShingles = pairs.filter(col("source") === EvalSource)
-      .select("shingle").distinct().localCheckpoint()
+      .select("shingle").distinct().materialize()
     val bloom = evalShingles.stat.bloomFilter(
       "shingle", math.max(evalShingles.count(), 1L), BloomFpp)
     val bc = s.sparkContext.broadcast(bloom)
@@ -675,7 +682,7 @@ object DedupQueries {
       .agg(count(lit(1)).as("m"))
       // two self-join consumers; the cluster agg upstream is the
       // expensive part (memoized clustering + one shuffle)
-      .localCheckpoint()
+      .materialize()
     val a = m.select(col("cluster_id"), col("source").as("src_a"),
       col("m").as("m_a"))
     val b = m.select(col("cluster_id"), col("source").as("src_b"),
@@ -841,7 +848,7 @@ object DedupQueries {
       .join(docs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .withColumn("a_inc", col("src_a").isin(IncomingSources: _*))
       .withColumn("b_inc", col("src_b").isin(IncomingSources: _*))
-      .localCheckpoint()
+      .materialize()
     decisionFromCandidates(inc, cand)
   }
 
@@ -877,7 +884,7 @@ object DedupQueries {
       }
       .toDF("doc_id", "chunk")
       .select(col("doc_id"), md5(col("chunk")).as("h"))
-      .localCheckpoint()
+      .materialize()
     val shared = chunks
       .groupBy("h")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
@@ -972,7 +979,7 @@ object DedupQueries {
       .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("b"))
       .select(col("cluster_id"), (-col("b.neg")).as("survivor_id"))
     // both sides are cluster-keyed and corpus-sized; the labeled input
-    // descends from a localCheckpointed memo (stats-blind), so pin
+    // descends from a materialized memo frame (stats-blind), so pin
     // sort-merge rather than risk an estimate-driven broadcast of a
     // corpus-scaling side (the q77 lesson, SCALE.md §7)
     labeled.join(best.hint("merge"), Seq("cluster_id"))
@@ -1000,7 +1007,7 @@ object DedupQueries {
         col("canonical_doc_id").as("cluster_id"))
       // two consumers (the per-cluster agg and the member join): without
       // materialization each re-runs the scoring scan + label join
-      .localCheckpoint()
+      .materialize()
     survivorSelect(labeled)
   }
 
@@ -1048,7 +1055,7 @@ object DedupQueries {
     val perPair = spanHashes(s, dir)
       .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
       // two consumers: the hash-level roll-up and the join back
-      .localCheckpoint()
+      .materialize()
     val shared = perPair.groupBy("h")
       .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("is_shared"))
     val perDoc = perPair.join(shared.hint("merge"), Seq("h"))
@@ -1110,7 +1117,7 @@ object DedupQueries {
     */
   private[graft] def candidatePairs(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-lsh-cands", s, dir)) {
-      lshCandidates(checkpointedSignatures(s, dir)).localCheckpoint()
+      lshCandidates(checkpointedSignatures(s, dir)).materialize()
     }
 
   /** The undirected edge list over [[candidatePairs]] — memoized and
@@ -1123,7 +1130,7 @@ object DedupQueries {
       val cand = candidatePairs(s, dir)
       cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
+        .materialize()
     }
 
   private[graft] def pageRankRanks(s: SparkSession, dir: String): DataFrame =
@@ -1132,7 +1139,7 @@ object DedupQueries {
       graft.operators.PageRank.run(edges, PageRankIters)
         .select(col("id").as("doc_id"), col("rank").as("pr_rank"),
           col("outdeg").as("degree"))
-        .localCheckpoint()
+        .materialize()
     }
 
   def q104(s: SparkSession, dir: String): DataFrame = pageRankRanks(s, dir)
@@ -1263,7 +1270,7 @@ object DedupQueries {
     // memoized like [[pageRankRanks]] — the weighted rank artifact is
     // a per-dataset derivation (one verify join + 5 rank iterations)
     QueryMemo.get(s, docsKey("dedup-pagerank-weighted", s, dir)) {
-      q107Cold(s, dir).localCheckpoint()
+      q107Cold(s, dir).materialize()
     }
 
   /** The Jaccard-weighted candidate edge list (doc_a, doc_b, weight)
@@ -1278,7 +1285,7 @@ object DedupQueries {
     */
   private def weightedCandidates(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-weighted-cands", s, dir)) {
-      weightedCandidatesCold(s, dir).localCheckpoint()
+      weightedCandidatesCold(s, dir).materialize()
     }
 
   private def weightedCandidatesCold(s: SparkSession, dir: String): DataFrame = {
@@ -1326,7 +1333,7 @@ object DedupQueries {
         .select(col("doc_b").as("src"), col("doc_a").as("dst"), col("weight")))
     val comm = graft.operators.LabelPropagation.runWeighted(edges, LpaIters)
       .select(col("id").as("doc_id"), col("community"))
-      .localCheckpoint() // two consumers: member rows + the size roll-up
+      .materialize() // two consumers: member rows + the size roll-up
     val sizes = comm.groupBy("community").agg(count(lit(1)).as("n_members"))
     comm.join(sizes.hint("merge"), Seq("community"))
       .select(col("doc_id"), col("community"), col("n_members"))
@@ -1368,7 +1375,7 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("community"))
       // two consumers (member rows + the size roll-up): materialize the
       // fixed-round derivation once
-      .localCheckpoint()
+      .materialize()
     val sizes = comm.groupBy("community").agg(count(lit(1)).as("n_members"))
     comm.join(sizes.hint("merge"), Seq("community"))
       .select(col("doc_id"), col("community"), col("n_members"))
@@ -1397,11 +1404,11 @@ object DedupQueries {
   private[graft] def lpaClusterLabels(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-lpa-labels", s, dir)) {
       val (mapping, cand0) = collapsedLshInputs(s, dir)
-      val cand = cand0.localCheckpoint()
+      val cand = cand0.materialize()
       val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val comm = graft.operators.LabelPropagation.run(edges, LpaIters)
-        .localCheckpoint() // two consumers: the canon agg + the member join
+        .materialize() // two consumers: the canon agg + the member join
       val canon = comm.groupBy("community").agg(min(col("id")).as("canon"))
       val repCanon = comm.join(canon.hint("merge"), Seq("community"))
         .select(col("id").as("rep_id"), col("canon"))
@@ -1413,7 +1420,7 @@ object DedupQueries {
         .join(redirect, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
-        .localCheckpoint()
+        .materialize()
     }
 
   /** q124 — local clustering coefficient per candidate-graph node:
@@ -1605,7 +1612,7 @@ object DedupQueries {
     val edges = candidateEdges(s, dir)
     val adj = edges.groupBy("src")
       .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-      .localCheckpoint() // one consumer per hop
+      .materialize() // one consumer per hop
     var walk = adj.select(col("src").as("start_id"), col("src").as("cur"))
     (1 to WalkLen).foreach { t =>
       val h = DedupFunctions.md5Hash32(
@@ -1713,14 +1720,14 @@ object DedupQueries {
     // edit-distance verify run once per lake
     QueryMemo.get(s, "sorted-neighborhood-pairs:" + dir + ":" +
         graft.sources.DatasetFingerprint.ofTable(s, dir, "part")) {
-      q168Cold(s, dir).localCheckpoint()
+      q168Cold(s, dir).materialize()
     }
 
   private[graft] def q168Cold(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val names = t(s, dir, "part")
       .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // dictionary-sized; two sort passes + 2 joins
+      .materialize() // dictionary-sized; two sort passes + 2 joins
     def pass(key: Column): DataFrame = {
       val w = Window.partitionBy(substring(key, 1, 1))
         .orderBy(key.asc, col("name").asc)
@@ -1835,7 +1842,7 @@ object DedupQueries {
       .toDF("doc_id", "chunk")
       .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
       .distinct()
-      .localCheckpoint() // (doc, chunk-hash) set; sizes + pairing
+      .materialize() // (doc, chunk-hash) set; sizes + pairing
     val sizes = chunkSets.groupBy("doc_id").agg(count(lit(1)).as("nch"))
     val kept = chunkSets.join(
       chunkSets.groupBy("h").agg(count(lit(1)).as("df"))
@@ -1879,7 +1886,7 @@ object DedupQueries {
       .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
     val ids = names
       .withColumn("id", row_number().over(Window.orderBy("name")).cast("long"))
-      .localCheckpoint() // dictionary-sized; edges + labeling
+      .materialize() // dictionary-sized; edges + labeling
     val pairs = q168(s, dir)
     val edges = pairs
       .join(ids.select(col("name").as("name_a"), col("id").as("ia")),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -317,7 +319,7 @@ object MultimodalQueries {
         (m.doc_id, hi, lo)
       })
       .toDF("doc_id", "ahash_hi", "ahash_lo")
-      .localCheckpoint() // multiple consumers (counts/join; bands/verify)
+      .materialize() // multiple consumers (counts/join; bands/verify)
   }
 
   /** q186's verification ceiling: with the 64-bit aHash split into
@@ -728,7 +730,7 @@ object MultimodalQueries {
       })
       .toDF("doc_id", "feat_str")
       .select(col("doc_id"), md5(col("feat_str")).as("audio_fp"))
-      .localCheckpoint() // two consumers: the count + the join back
+      .materialize() // two consumers: the count + the join back
     val counts = fps.groupBy("audio_fp").agg(count(lit(1)).as("n_same"))
     fps.join(counts.hint("merge"), Seq("audio_fp"))
       .select(col("doc_id"), col("audio_fp"), col("n_same"),

@@ -56,6 +56,18 @@ object QueryMemo {
   def noteExternalArtifactHit(): Unit =
     externalHitCounter.incrementAndGet(): Unit
 
+  /** Monotonic count of LRU EVICTIONS since JVM start. The r10 sweep
+    * proved the failure mode this guards: a working set one artifact
+    * family past [[MaxEntries]] silently re-charges evicted builds to
+    * later consumers (82.6→89.7 s with every *edited* query improving —
+    * SCALE.md §21). Bench snapshots this around the sweep and flags any
+    * mid-sweep eviction in its JSON, so the cliff is detected
+    * mechanically instead of by chasing a total-time regression.
+    */
+  private val evictionCounter = new java.util.concurrent.atomic.AtomicLong
+
+  def evictionCount: Long = evictionCounter.get
+
   /** Drop every memoized frame (bench cold-mode: measure standalone
     * cost of queries that normally share artifacts). Evicted blocks are
     * reclaimed by the ContextCleaner once unreferenced.
@@ -65,8 +77,11 @@ object QueryMemo {
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean =
-        size() > MaxEntries
+          e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) evictionCounter.incrementAndGet(): Unit
+        evict
+      }
     }
 
   private def k(s: SparkSession, key: String): (SparkSession, String) =
@@ -75,21 +90,75 @@ object QueryMemo {
   def get(s: SparkSession, key: String)(compute: => DataFrame): DataFrame =
     getAny[DataFrame](s, key)(compute)
 
+  /** In-flight build placeholder: `compute` (often minutes of Spark
+    * jobs) runs OUTSIDE the cache monitor, so concurrent threads
+    * touching other keys never block on an artifact build (r10 ADVICE —
+    * the old compute-under-lock worked only via monitor reentrancy for
+    * the nested candidateEdges→candidatePairs gets). A second thread
+    * asking for the SAME key awaits the owner's latch instead of
+    * duplicating the build.
+    */
+  private final class Pending {
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var value: AnyRef = null
+    @volatile var failure: Throwable = null
+  }
+
   /** Same bounded memo for non-frame artifacts (a materialized index
     * path + its driver-side metadata). The caller owns key uniqueness
-    * per value type — a key always maps to one type.
+    * per value type — a key always maps to one type. `compute` must not
+    * re-enter the memo on ITS OWN key (self-recursive keys would await
+    * their own latch); nested gets on other keys are fine and
+    * lock-free.
     */
-  def getAny[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T =
+  def getAny[T <: AnyRef](s: SparkSession, key: String)(compute: => T): T = {
+    val kk = k(s, key)
+    var pending: Pending = null
+    var owner = false
     cache.synchronized {
-      val kk = k(s, key)
-      val hit = cache.get(kk)
-      if (hit != null) { hitCounter.incrementAndGet(); hit.asInstanceOf[T] }
-      else {
-        val v = compute
-        cache.put(kk, v)
-        v
+      cache.get(kk) match {
+        case null =>
+          pending = new Pending; owner = true; cache.put(kk, pending): Unit
+        case p: Pending => pending = p
+        case v =>
+          hitCounter.incrementAndGet()
+          return v.asInstanceOf[T]
       }
     }
+    if (owner) {
+      try {
+        val v = compute
+        pending.value = v
+        cache.synchronized {
+          // replace our placeholder — unless it was evicted/invalidated
+          // and a NEWER build already claimed the slot (leave theirs)
+          cache.get(kk) match {
+            case p if p eq pending => cache.put(kk, v): Unit
+            case null => cache.put(kk, v): Unit
+            case _ => ()
+          }
+        }
+        pending.done.countDown()
+        v
+      } catch {
+        case t: Throwable =>
+          pending.failure = t
+          cache.synchronized {
+            if (cache.get(kk) eq pending) cache.remove(kk): Unit
+          }
+          pending.done.countDown()
+          throw t
+      }
+    } else {
+      // another thread is building this exact artifact: wait for it —
+      // for bench warm-tagging this is a hit (the build cost lands on
+      // the owner)
+      pending.done.await()
+      if (pending.failure != null) throw pending.failure
+      hitCounter.incrementAndGet()
+      pending.value.asInstanceOf[T]
+    }
+  }
 
   def invalidate(s: SparkSession, key: String): Unit =
     cache.synchronized { cache.remove(k(s, key)): Unit }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -383,8 +385,8 @@ object RelationalQueries {
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint()
-      val pairs = basketPairs(items, CoocMaxBasket).localCheckpoint()
+        .materialize()
+      val pairs = basketPairs(items, CoocMaxBasket).materialize()
       (items, pairs)
     }
 
@@ -477,7 +479,7 @@ object RelationalQueries {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
-        .localCheckpoint()
+        .materialize()
     }
 
   def q141(s: SparkSession, dir: String): DataFrame =
@@ -739,7 +741,7 @@ object RelationalQueries {
           lit(AttribSplit).cast("timestamp"), expr(cents))), lit(0L))
           .as("c2"))
       .withColumn("delta", col("c2") - col("c1"))
-      .localCheckpoint() // |segments| rows; total + report
+      .materialize() // |segments| rows; total + report
     val tot = seg.agg(sum(col("delta")).as("total_delta"))
     seg.crossJoin(broadcast(tot))
       .select(col("segment"), col("c1"), col("c2"), col("delta"),
@@ -799,7 +801,7 @@ object RelationalQueries {
       // spread it costs one 24-byte-row exchange (the §20 rule's
       // keep side, unlike the rejected tokenize-scale spreads)
       .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint() // two consumers: point estimate + replicas
+      .materialize() // two consumers: point estimate + replicas
     val u = (graft.functions.DedupFunctions.md5Hash32(
       concat(lit("bb-"), col("c_custkey").cast("string"), lit("-"),
         col("b").cast("string"))) + lit(1L))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.functions.DedupFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -63,7 +65,7 @@ object SamplingQueries {
           round(element_at(col("p"), 1), 4).as("p50"),
           round(element_at(col("p"), 2), 4).as("p90"),
           round(element_at(col("p"), 3), 4).as("p99"))
-        .localCheckpoint() // 3 rows
+        .materialize() // 3 rows
     }
 
   /** q46 detail — HLL++ approximate distinct vs exact, with the

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.functions.DedupFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -70,7 +72,7 @@ object SearchQueries {
     * `score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
     * the Lucene idf `ln(1 + (N−df+0.5)/(df+0.5))`.
     *
-    * Plan: the [[termStats]] pass is localCheckpointed once (two
+    * Plan: the [[termStats]] pass is materialized once (two
     * consumers); corpus statistics (N, Σdl, per-term df) are ONE
     * aggregate collected as a single row — 2+|Q| scalars of driver
     * state. Scoring is then a pure column projection with the idfs as
@@ -86,13 +88,13 @@ object SearchQueries {
     * duplicates tie and break deterministically on doc_id.
     */
   def q94(s: SparkSession, dir: String): DataFrame =
-    q94From(termStats(s, dir).localCheckpoint())
+    q94From(termStats(s, dir).materialize())
 
   /** BM25 scoring over a PREBUILT (already-materialized) [[termStats]]
     * frame — the entry q103 uses so its eval shares one checkpointed
     * text pass between ranking and relevance flags (round-7 advisory:
     * the old shape scanned and checkpointed the corpus twice per eval
-    * run). Callers own materialization: pass a localCheckpoint'd frame,
+    * run). Callers own materialization: pass a materialized frame,
     * since scoring consumes it twice (the stats aggregate + the
     * projection).
     */
@@ -233,11 +235,11 @@ object SearchQueries {
       .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       // three consumers: variant generation + two freq join-backs
-      .localCheckpoint()
+      .materialize()
     val variants = vocab.select(col("w")).as[String]
       .flatMap(w => deletionVariants(w).iterator.map(v => (w, v)))
       .toDF("word", "v")
-      .localCheckpoint() // both sides of the candidate self-join
+      .materialize() // both sides of the candidate self-join
     val cand = variants.toDF("word_a", "v")
       .join(variants.toDF("word_b", "v").hint("merge"), Seq("v"))
       .filter(col("word_a") < col("word_b"))
@@ -269,7 +271,7 @@ object SearchQueries {
     */
   def q103(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stats = termStats(s, dir).localCheckpoint()
+    val stats = termStats(s, dir).materialize()
     val relFlag = QueryTerms.indices
       .map(i => col("tfs").getItem(i) > 0L).reduceLeft(_ && _)
     val rel = stats.select(col("doc_id"), relFlag.as("is_rel"))
@@ -380,7 +382,7 @@ object SearchQueries {
       .groupBy(col("term"), expr(s"doc_id div $PostingBlock").as("block"))
       .agg(count(lit(1)).as("n_in_block"),
         sort_array(collect_set(col("doc_id"))).as("postings"))
-      .localCheckpoint() // two consumers: the df roll-up + the join-back
+      .materialize() // two consumers: the df roll-up + the join-back
     val df = blocks.groupBy("term")
       .agg(sum(col("n_in_block")).as("df"))
       .filter(col("df") >= PostingMinDf)

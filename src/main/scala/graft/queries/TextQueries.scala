@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.functions.{DedupFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -515,7 +517,7 @@ object TextQueries {
     val words = docs.select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
     val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // three consumers: N, the w1 join, the w2 join
+      .materialize() // three consumers: N, the w1 join, the w2 join
     val nTotal: Long = uni.agg(sum(col("c"))).as[Long].head()
     val bg = docs.as[(Long, String)]
       .flatMap { case (_, text) =>
@@ -695,7 +697,7 @@ object TextQueries {
         graft.functions.TextJvm.charBigrams(tx).map((id, _)) }
       .toDF("doc_id", "bg")
     val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
-      .localCheckpoint() // vocab-sized; two consumers (ctx + model join)
+      .materialize() // vocab-sized; two consumers (ctx + model join)
     val ctxCounts = bgCounts
       .groupBy(substring(col("bg"), 1, 1).as("c1"))
       .agg(sum(col("cbg")).as("cctx"))
@@ -733,7 +735,7 @@ object TextQueries {
     val conf = q33(s, dir)
       .groupBy(col("lang").as("act"), col("lang_pred").as("prd"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // |classes|^2; four consumers below
+      .materialize() // |classes|^2; four consumers below
     val cls = conf.select(col("act").as("c"))
       .union(conf.select(col("prd").as("c"))).distinct()
     val at = conf.groupBy(col("act").as("c")).agg(sum("n").as("na"))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.functions.{GeoFunctions, TimeFunctions}
 import graft.operators.BandJoin
@@ -748,7 +750,7 @@ object TimeseriesQueries {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(to_date(col("ts")).as("d"), col("user_id"))
       .distinct()
-      .localCheckpoint() // three consumers: days, DAU, the expansion
+      .materialize() // three consumers: days, DAU, the expansion
     val days = au.select(col("d")).distinct()
     val dau = au.groupBy("d").agg(countDistinct(col("user_id")).as("dau"))
     val wau = au
@@ -859,7 +861,7 @@ object TimeseriesQueries {
           date_trunc("HOUR", col("ts")).cast("string")).as("o"),
         col("event_type").as("p"))
       .distinct()
-      .localCheckpoint() // three consumers: pairs, marginals, N
+      .materialize() // three consumers: pairs, marginals, N
     val totals = items.agg(countDistinct(col("o")).as("n_baskets"))
     val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val pairs = items.toDF("o", "type_a")
@@ -1052,7 +1054,7 @@ object TimeseriesQueries {
           |  array_sort(collect_list(struct(tus, event_id, event_type))),
           |  x -> x.event_type), '>')""".stripMargin).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-      .localCheckpoint() // dictionary-sized; two consumers (total + top-k)
+      .materialize() // dictionary-sized; two consumers (total + top-k)
     val total = paths.agg(sum(col("n_sessions")).as("total"))
     paths.orderBy(col("n_sessions").desc, col("path").asc).limit(PathTopK)
       .crossJoin(broadcast(total))
@@ -1135,7 +1137,7 @@ object TimeseriesQueries {
         ((col("event_id") % 360L) - 180L).as("cx"),
         expr("CAST(floor(value % 90.0) AS BIGINT)").as("cy"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // cell-table-sized; two consumers (own + 3x3)
+      .materialize() // cell-table-sized; two consumers (own + 3x3)
     val spread = cells
       .select(col("cx"), col("cy"), col("n"),
         explode(expr("transform(sequence(0, 8), " +
@@ -1171,7 +1173,7 @@ object TimeseriesQueries {
       .groupBy(col("event_type"),
         expr("(unix_micros(ts) div 3600000000) % 168").as("how"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // profile-sized; two consumers (totals + peak)
+      .materialize() // profile-sized; two consumers (totals + peak)
     val tot = prof.groupBy("event_type")
       .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_hours"),
         max(col("n")).as("peak_n"))
@@ -1210,7 +1212,7 @@ object TimeseriesQueries {
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("d"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint() // rollup-sized; three consumers below
+      .materialize() // rollup-sized; three consumers below
     val ewma = daily.toDF("event_type", "t", "xt")
       .join(daily.toDF("event_type", "i", "xi"), Seq("event_type"))
       .filter(col("i") <= col("t") &&
@@ -1249,7 +1251,7 @@ object TimeseriesQueries {
     * table, never over events.
     */
   def q177(s: SparkSession, dir: String): DataFrame = {
-    val f = q110(s, dir).localCheckpoint() // funnel-table-sized; 2 stages
+    val f = q110(s, dir).materialize() // funnel-table-sized; 2 stages
     def stage(name: String, a: String, b: String): DataFrame =
       f.filter(col(a).isNotNull && col(b).isNotNull)
         .select(lit(name).as("stage"), col("user_id"),
@@ -1297,7 +1299,7 @@ object TimeseriesQueries {
         count(lit(1)).as("f"),
         expr("coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0) div 100")
           .as("m"))
-      .localCheckpoint() // user-table-sized; 3 histograms + assignment
+      .materialize() // user-table-sized; 3 histograms + assignment
     def thr(cn: String): DataFrame = {
       val cum = rfm.groupBy(col(cn).as("v")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(Window.orderBy("v")
@@ -1438,7 +1440,7 @@ object TimeseriesQueries {
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("d"))
       .agg(count(lit(1)).as("x"))
-      .localCheckpoint() // rollup-sized; reference + detector passes
+      .materialize() // rollup-sized; reference + detector passes
     val ref = daily
       .withColumn("d0", min(col("d")).over(Window.partitionBy("event_type")))
       .filter(col("d") < col("d0") + CusumRefDays)
@@ -1614,7 +1616,7 @@ object TimeseriesQueries {
         col("event_type").isin("click", "view", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         col("event_id"), col("event_type"))
-      .localCheckpoint() // window pass + both join sides
+      .materialize() // window pass + both join sides
     val w = Window.partitionBy("user_id").orderBy("tus")
       .rangeBetween(-AttributionWindowUs, -1)
     val purchases = ev
@@ -1662,7 +1664,7 @@ object TimeseriesQueries {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= GridDenseMin)
       .withColumn("cell", (col("cx") + 180L) * 1000L + col("cy") + 90L)
-      .localCheckpoint() // bounded cell table; adjacency + labeling
+      .materialize() // bounded cell table; adjacency + labeling
     val edges = cells.select(col("cell"), col("cx"), col("cy"))
       .withColumn("o", explode(expr(
         "transform(sequence(0, 8), k -> " +

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Materialize.Ops
+
 import graft.Tables
 import graft.expressions.VectorExpressions
 import graft.functions.VectorFunctions
@@ -215,7 +217,7 @@ object VectorQueries extends Serializable {
     * every later mean). CORRECTNESS gates it empirically at the shipped
     * KmIters=2; re-check the oracle match whenever KmIters is raised.
     *
-    * The sample is localCheckpointed ONCE and feeds both the seed take
+    * The sample is materialized ONCE and feeds both the seed take
     * and every Lloyd iteration — without it each iteration re-scans the
     * parquet for the sample (uncached lineage), making build cost grow
     * by a full sample scan per added iteration, the dominant build term
@@ -228,7 +230,7 @@ object VectorQueries extends Serializable {
       .withColumn("h", md5(col("vec_id").cast("string")))
       .filter(substring(col("h"), 1, 1).isin(SampleHexDigits: _*))
       .select(col("h"), col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .materialize()
     val seeds = samp.orderBy(col("h"), col("vec_id"))
       .select(col("embedding")).as[Array[Float]].take(KLists)
     require(seeds.length == KLists,
@@ -654,7 +656,7 @@ object VectorQueries extends Serializable {
       }
       .toDF("vec_id", "maxabs", "cq", "cf")
       .filter(col("maxabs") > 0.0)
-      .localCheckpoint() // two consumers: float top-k ids, quant top-k
+      .materialize() // two consumers: float top-k ids, quant top-k
     val floatTop = cosines.orderBy(col("cf").desc, col("vec_id").asc)
       .limit(TopK).select(col("vec_id")).as[Long].collect()
     cosines.orderBy(col("cq").desc, col("vec_id").asc).limit(TopK)
@@ -791,7 +793,7 @@ object VectorQueries extends Serializable {
       .withColumn("h", md5(col("vec_id").cast("string")))
       .filter(substring(col("h"), 1, 1).isin(SampleHexDigits: _*))
       .select(col("h"), col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .materialize()
     val seeds = samp.orderBy(col("h"), col("vec_id"))
       .select(col("embedding")).as[Array[Float]].take(PqKs)
     require(seeds.length == PqKs,
@@ -1128,7 +1130,7 @@ object VectorQueries extends Serializable {
       }
       .toDF("i", "j", "v")
       .groupBy("i", "j").agg(sum(col("v")).as("v"))
-      .localCheckpoint() // (d²+d)/2 + d + 1 rows; three slices below
+      .materialize() // (d²+d)/2 + d + 1 rows; three slices below
     val dSent = parts.agg(max(col("j")).as("d")) // the sentinel index
     val nScalar = parts.crossJoin(broadcast(dSent))
       .filter(col("i") === col("d") && col("j") === col("d"))
@@ -1152,7 +1154,7 @@ object VectorQueries extends Serializable {
           col("n") * col("m_i") * col("m_j")).as("cv"))
     val covFull = cov.unionAll(cov.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cv")))
-      .localCheckpoint() // 4096 rows; EigIters+2 consumers
+      .materialize() // 4096 rows; EigIters+2 consumers
     var v = covFull.select(col("i")).distinct()
       .select(col("i"), lit(EigScale).as("s"))
     for (_ <- 1 to EigIters) {
@@ -1172,7 +1174,7 @@ object VectorQueries extends Serializable {
                  | ELSE ((r * $EigScale) div mx) END AS BIGINT)"""
             .stripMargin).as("s"))
     }
-    val vv = v.localCheckpoint() // eigvec; rayleigh numerator + output
+    val vv = v.materialize() // eigvec; rayleigh numerator + output
     val num = covFull.toDF("i", "j", "cv")
       .join(vv.toDF("i", "si"), Seq("i"))
       .join(vv.toDF("j", "sj"), Seq("j"))
@@ -1244,7 +1246,7 @@ object VectorQueries extends Serializable {
       .select(col("vec_id"), col("i"),
         expr(s"CAST(round(CAST(x AS DOUBLE) * $EigQuant) AS BIGINT)")
           .as("q"))
-      .localCheckpoint() // every round joins it
+      .materialize() // every round joins it
     // true smallest-k selection, not `vec_id < LloydK`: the old filter
     // silently under-seeded (or empty-seeded) a 1-based or sparse id
     // space; an orderBy().limit(k) is TakeOrdered — k rows, broadcast
@@ -1264,9 +1266,9 @@ object VectorQueries extends Serializable {
       cent = coords.join(a, Seq("vec_id"))
         .groupBy("cluster", "i")
         .agg(expr("CAST(floor(sum(q) / count(1)) AS BIGINT)").as("c"))
-        .localCheckpoint() // k·d rows; next round + final distances
+        .materialize() // k·d rows; next round + final distances
     }
-    (cent, dists(cent).localCheckpoint())
+    (cent, dists(cent).materialize())
   }
 
   /** q192 — CLUSTER SILHOUETTE (centroid form, squared distances):
@@ -1331,7 +1333,7 @@ object VectorQueries extends Serializable {
       .join(t(s, dir, "embeddings").select(col("vec_id"), col("label")),
         Seq("vec_id"))
       .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
-      .localCheckpoint() // k·|labels| rows; four rollups below
+      .materialize() // k·|labels| rows; four rollups below
     def c2(e: String): String = s"sum($e * ($e - 1) div 2)"
     val byC = cont.groupBy("cluster")
       .agg(sum(col("nij")).as("a"), max(col("nij")).as("mx"))

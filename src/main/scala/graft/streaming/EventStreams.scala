@@ -874,6 +874,14 @@ object EventStreams {
     * so the product is taken with `Math.multiplyHigh` and folded with
     * a carry-aware add; nothing saturates, matching batch q187's
     * DECIMAL(38,0) exactly at any span.
+    *
+    * STATE-SCHEMA BREAK (r10): widening `num: Long` to `numHi`/`numLo`
+    * changed the flatMapGroupsWithState state encoding — a
+    * [[twapMonitor]] query resumed from a checkpoint written before
+    * the widening will fail (or misdecode state) on restart. Restart
+    * such a stream with a NEW checkpoint directory and replay the
+    * source; the monitors are deterministic over their input log, so
+    * replay reconverges to the same cards.
     */
   case class TwapState(tus: Long, eventId: Long, cents: Long,
                        numHi: Long, numLo: Long, den: Long, n: Long)
@@ -1021,13 +1029,25 @@ object EventStreams {
     *
     * Scale shape: one partial-aggregated groupBy over the sink —
     * card-space-sized, never event-sized.
+    *
+    * Column contract (r10 ADVICE): every non-key column must be
+    * ORDERABLE (struct max compares them field-by-field after `seq` —
+    * maps/udts would fail analysis); all monitor cards are flat
+    * long/string/timestamp rows, which qualify. Card column NAMES are
+    * arbitrary: the internal seq field is underscore-extended until it
+    * collides with no card column, and fields are recovered with
+    * `getField` (never string-path `col("latest." + c)`), so a card
+    * column named `__seq` or containing dots resolves correctly.
     */
   def latestPerKey(cards: DataFrame, keyCols: Seq[String],
                    seq: org.apache.spark.sql.Column): DataFrame = {
     val others = cards.columns.filterNot(keyCols.contains).toSeq
+    val seqName =
+      Iterator.iterate("__seq")("_" + _).dropWhile(others.contains).next()
+    val latest = max(struct(seq.as(seqName) +: others.map(col): _*))
     cards.groupBy(keyCols.map(col): _*)
-      .agg(max(struct(seq.as("__seq") +: others.map(col): _*)).as("latest"))
+      .agg(latest.as("latest"))
       .select(keyCols.map(col) ++
-        others.map(c => col("latest." + c).as(c)): _*)
+        others.map(c => col("latest").getField(c).as(c)): _*)
   }
 }

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Materialize.Ops
+
 import graft.queries.DedupQueries
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,7 +42,7 @@ object StreamingCorpus {
              incomingIds: DataFrame): DataFrame = {
     // distinct: batch q58's incoming side is unique by construction; a
     // caller passing duplicate ids must not get duplicated decisions
-    val inc = incomingIds.select(col("doc_id")).distinct().localCheckpoint()
+    val inc = incomingIds.select(col("doc_id")).distinct().materialize()
     val incA = inc.select(col("doc_id").as("doc_a"),
       lit(true).as("a_inc"))
     val incB = inc.select(col("doc_id").as("doc_b"),

@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.Ops
+
 import java.nio.file.Files
 
 class CorpusSpec extends SparkSpec {
@@ -44,7 +46,7 @@ class CorpusSpec extends SparkSpec {
     import graft.queries.TextQueries
     // same docs, same budget, same order — only the token column differs
     val counts = TextQueries.subwordCounts(spark, "/root/testdata/sf0.001")
-      .localCheckpoint()
+      .materialize()
     def bins(tok: String): Map[Long, Long] = SequencePacking
       .withBins(counts, keyCols = Seq("source"), orderCol = "doc_id",
         tokensCol = tok, tokensPerBin = TextQueries.TokensPerBin)

@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.functions._
 
 /** Scratch breakdown of q58's warm-path cost (test scope): times the
@@ -28,7 +30,7 @@ object Q58Probe {
         .join(docs.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
         .withColumn("a_inc", col("src_a").isin(DedupQueries.IncomingSources: _*))
         .withColumn("b_inc", col("src_b").isin(DedupQueries.IncomingSources: _*))
-        .localCheckpoint()
+        .materialize()
       val tCand = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       DedupQueries.decisionFromCandidates(inc, cand)

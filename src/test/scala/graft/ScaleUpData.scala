@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.Ops
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,7 +54,7 @@ object ScaleUpData {
       */
     def replicate(df: DataFrame, keys: Seq[(String, Long)],
                   perReplica: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
-      val base = df.localCheckpoint()
+      val base = df.materialize()
       (0 until factor).map { i =>
         val shifted = keys.foldLeft(base) { case (d, (k, span)) =>
           d.withColumn(k, col(k) + lit(i * span))

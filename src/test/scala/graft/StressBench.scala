@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.Ops
+
 import graft.operators.{ConnectedComponents, SequencePacking}
 import graft.queries.{DedupQueries, VectorQueries}
 import org.apache.spark.sql.functions._
@@ -23,7 +25,7 @@ object StressBench {
     val lshDir = java.nio.file.Files.createTempDirectory("stressb-lsh").toString
     StressData.writeDocs(spark, lshDir, StressData.hotBucketDocs(30000))
     val sig = timed("minhash 30k docs (300-word template)") {
-      val x = DedupQueries.signatures(spark, lshDir).localCheckpoint()
+      val x = DedupQueries.signatures(spark, lshDir).materialize()
       x.count(); x
     }
     val over = timed("oversize monitor") {
@@ -39,7 +41,7 @@ object StressBench {
 
     // 2. connected components: 100k path + 100k star
     val edges = StressData.pathPlusStarEdges(spark, 100000, 100000)
-      .localCheckpoint()
+      .materialize()
     val prop = timed("CC label-prop (100k path + 100k star)") {
       ConnectedComponents.run(edges, "src", "dst", maxIter = 30)
         .filter(col("comp") === StressData.PathBase).count()
@@ -52,7 +54,7 @@ object StressBench {
 
     // 3. sequence packing: 2M rows, one key with 90% of tokens
     val rows = StressData.skewedPackingRows(spark, 2000000, 0.9)
-      .localCheckpoint()
+      .materialize()
     timed("pack 2M rows, hot key 90%") {
       SequencePacking.withBins(rows, Seq("source"), "doc_id", "n_tokens",
         tokensPerBin = 2048, numPartitions = 32)
@@ -86,7 +88,7 @@ object StressBench {
       val rnd = new scala.util.Random(id)
       val words = Array.fill(200)(pool(rnd.nextInt(pool.length)))
       (id, words.mkString(" "))
-    }.toDF("doc_id", "text").localCheckpoint()
+    }.toDF("doc_id", "text").materialize()
     val (nWords, nSub) = timed("subword-tokenize 500k docs x 200 words") {
       docs.as[(Long, String)]
         .map { case (_, t) =>
@@ -107,11 +109,11 @@ object StressBench {
         .otherwise(pmod(org.apache.spark.sql.functions.hash(col("id")),
           lit(400)) + lit(20)))
         .cast("long").as("n_tokens"))
-      .localCheckpoint()
+      .materialize()
     val sharded = timed("token-bounded shards: 1M rows, budget 8192") {
       val x = graft.queries.CorpusQueries
         .withShardsByTokens(shardRows, "doc_id", "n_tokens", 8192L)
-        .localCheckpoint()
+        .materialize()
       x.count(); x
     }
     val nShards = sharded.agg(max(col("shard_id"))).as[Long].head() + 1
@@ -162,7 +164,7 @@ object StressBench {
       .select(col("id").as("doc_id"), lit("srcS").as("source"),
         col("id").as("cluster_id"),
         lit(1.0).as("quality"))
-    val members = hot.unionAll(single).localCheckpoint()
+    val members = hot.unionAll(single).materialize()
     val surv = timed("survivor select: 1M-member cluster + 1M singletons") {
       DedupQueries.survivorSelect(
           members.select(col("doc_id"), col("quality"), col("cluster_id")))
@@ -222,12 +224,12 @@ object StressBench {
     val und2 = star2
       .union(star2.select(col("dst").as("src"), col("src").as("dst")))
       .withColumn("weight", lit(1L) + pmod(col("src") + col("dst"), lit(9L)))
-      .localCheckpoint()
+      .materialize()
     timed("weighted pagerank: 200k-leaf skew-weighted star, 5 iters") {
       graft.operators.PageRank.runWeighted(und2, iters = 5).count()
     }
     val chain2 = StressData.pathPlusStarEdges(spark, pathN = 200000, starN = 0)
-      .localCheckpoint()
+      .materialize()
     val mass = timed("dangling redistribution: 200k directed chain, 5 iters") {
       graft.operators.PageRank.run(chain2, iters = 5,
           redistributeDangling = true)
@@ -242,7 +244,7 @@ object StressBench {
       .select(lit("g").as("g"),
         graft.functions.DedupFunctions.md5Hash32(
           (col("id") % 1000000L).cast("string")).as("h"))
-      .localCheckpoint()
+      .materialize()
     val kAgg = graft.operators.KmvSketch.aggregator(256,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
@@ -268,7 +270,7 @@ object StressBench {
     val lpaEdges = StressData.pathPlusStarEdges(spark, 100000, 100000)
     val lpaUnd = lpaEdges
       .union(lpaEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .materialize()
     val nComm = timed("label propagation: 100k path + 100k star, 3 rounds") {
       graft.operators.LabelPropagation.run(lpaUnd, iters = 3)
         .select(col("community")).distinct().count()
@@ -333,7 +335,7 @@ object StressBench {
             m += 1
           }
           (id, cs.toSeq)
-        }.toDF("vec_id", "codes").localCheckpoint()
+        }.toDF("vec_id", "codes").materialize()
       c.count(); c
     }
     val qv = Tables.load(spark, pqDir, "embeddings")
@@ -371,7 +373,7 @@ object StressBench {
     val kcEdges = StressData.pathPlusStarEdges(spark, 100000, 100000)
     val kcUnd = kcEdges
       .union(kcEdges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .materialize()
     val kc = timed("k-core peel: 100k path + 100k star, k=2, 4 rounds") {
       graft.operators.KCore.peel(kcUnd, k = 2, rounds = 4)
         .groupBy("peel_round").agg(count(lit(1)).as("n"))
@@ -390,7 +392,7 @@ object StressBench {
     val skewCounts = spark.range(2000000L)
       .select(col("id").as("k"),
         (lit(2000000L) / (col("id") + 1L) + 1L).cast("long").as("cnt"))
-      .localCheckpoint()
+      .materialize()
     val g = timed("gini: 2M keys, zipf counts, distributed prefix sum") {
       graft.queries.SamplingQueries.giniOf(skewCounts)
         .as[(Long, Long, Long, Long, Long)].head()
@@ -408,7 +410,7 @@ object StressBench {
           .cast("long").as("p"))
     val cart = spark.range(10000L)
       .select(lit(999999999L).as("o"), (col("id") + 100000L).as("p"))
-    val baskets = normal.unionAll(cart).distinct().localCheckpoint()
+    val baskets = normal.unionAll(cart).distinct().materialize()
     val nPairs = timed("co-occurrence: 300k baskets + one 10k-item cart, capped") {
       graft.queries.RelationalQueries
         .basketPairs(baskets, graft.queries.RelationalQueries.CoocMaxBasket)
@@ -436,7 +438,7 @@ object StressBench {
         .select(lit(999999L).as("src"), col("id").as("dst")))
       .unionAll(spark.range(100000L)
         .select(col("id").as("src"), lit(999999L).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().materialize()
     val hitsTop = timed("HITS: 1M-edge skewed bipartite, 3 rounds") {
       graft.operators.Hits.run(bip, iters = 3)
         .filter(col("score") === graft.operators.Hits.Scale)

@@ -1,5 +1,7 @@
 package graft
 
+import graft.Materialize.Ops
+
 import graft.operators.{ConnectedComponents, SequencePacking}
 import graft.queries.{DedupQueries, VectorQueries}
 import org.apache.spark.sql.expressions.Window
@@ -79,7 +81,7 @@ class StressSpec extends SparkSpec {
     val n = DedupQueries.MaxBandBucket + 5000
     val dir = java.nio.file.Files.createTempDirectory("graft-stress-lsh").toString
     StressData.writeDocs(spark, dir, StressData.hotBucketDocs(n))
-    val sig = DedupQueries.signatures(spark, dir).localCheckpoint()
+    val sig = DedupQueries.signatures(spark, dir).materialize()
     // FIRST the (linear-cost) oversize monitor: it must see the hot
     // bucket. Checking this before the join also fail-fasts if the
     // generator ever drifts below the cap — in that regime the
@@ -103,7 +105,7 @@ class StressSpec extends SparkSpec {
   test("connected components: worst-case diameter (20k path) and degree " +
     "(20k star) converge via pointer doubling, both variants agree") {
     val edges = StressData.pathPlusStarEdges(spark, pathN = 20000, starN = 20000)
-      .localCheckpoint()
+      .materialize()
     val t0 = System.nanoTime()
     val byProp = ConnectedComponents.run(edges, "src", "dst", maxIter = 25)
       .as[(Long, Long)].collect().toMap
@@ -127,13 +129,13 @@ class StressSpec extends SparkSpec {
     "skew-robust variant and the path graph to pointer doubling") {
     // pure path: max degree 2 of 40k endpoints → far below the skew bar
     val path = StressData.pathPlusStarEdges(spark, pathN = 20000, starN = 0)
-      .localCheckpoint()
+      .materialize()
     val pathSkew = ConnectedComponents.degreeSketch(path, "src", "dst")
     assert(pathSkew < ConnectedComponents.SkewFraction,
       f"path skew $pathSkew%.4f should be below ${ConnectedComponents.SkewFraction}")
     // pure star: the hub is HALF of all endpoints → far above the bar
     val star = StressData.pathPlusStarEdges(spark, pathN = 0, starN = 20000)
-      .localCheckpoint()
+      .materialize()
     val starSkew = ConnectedComponents.degreeSketch(star, "src", "dst")
     assert(starSkew >= ConnectedComponents.SkewFraction,
       f"star skew $starSkew%.4f should be above ${ConnectedComponents.SkewFraction}")
@@ -154,7 +156,7 @@ class StressSpec extends SparkSpec {
     val starN = 50000
     val star = StressData.pathPlusStarEdges(spark, pathN = 0, starN = starN)
     val und = star.union(star.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint()
+      .materialize()
     val t0 = System.nanoTime()
     val r = PageRank.run(und, iters = 5)
       .select($"id", $"rank").as[(Long, Long)].collect().toMap
@@ -181,7 +183,7 @@ class StressSpec extends SparkSpec {
     // which must traverse it) — 50k-node chain in the same bound
     val path = StressData.pathPlusStarEdges(spark, pathN = 50000, starN = 0)
     val undP = path.union(path.select($"dst".as("src"), $"src".as("dst")))
-      .localCheckpoint()
+      .materialize()
     val t1 = System.nanoTime()
     val np = PageRank.run(undP, iters = 5).count()
     val tPath = (System.nanoTime() - t1) / 1e9
@@ -202,7 +204,7 @@ class StressSpec extends SparkSpec {
     val star = StressData.pathPlusStarEdges(spark, pathN = 0, starN = starN)
     val und = star.union(star.select($"dst".as("src"), $"src".as("dst")))
       .withColumn("weight", lit(1L) + pmod($"src" + $"dst", lit(9L)))
-      .localCheckpoint()
+      .materialize()
     val t0 = System.nanoTime()
     val n = PageRank.runWeighted(und, iters = 5).count()
     val tw = (System.nanoTime() - t0) / 1e9
@@ -211,7 +213,7 @@ class StressSpec extends SparkSpec {
     // the dangling share is ONE broadcast scalar per round, so cost
     // stays one partial-agg shuffle per iteration + a tiny agg
     val chain = StressData.pathPlusStarEdges(spark, pathN = 50000, starN = 0)
-      .localCheckpoint() // directed: node 50000 is a true sink
+      .materialize() // directed: node 50000 is a true sink
     val t1 = System.nanoTime()
     val rd = PageRank.run(chain, iters = 5, redistributeDangling = true)
       .agg(sum($"rank")).as[Long].head()
@@ -231,7 +233,7 @@ class StressSpec extends SparkSpec {
   test("sequence packing: a key with 90% of tokens spans the range " +
     "partitions and still matches the window form bit-for-bit") {
     val rows = StressData.skewedPackingRows(spark, n = 100000, hotShare = 0.9)
-      .localCheckpoint()
+      .materialize()
     val packed = SequencePacking.withBins(rows, Seq("source"), "doc_id",
       "n_tokens", tokensPerBin = 2048, numPartitions = 32)
     // the property that kills the window form: the hot key's rows run
@@ -291,7 +293,7 @@ class StressSpec extends SparkSpec {
     val single = spark.range(50000L, 60000L)
       .select(col("id").as("doc_id"), lit("srcS").as("source"),
         col("id").as("cluster_id"), lit(1.0).as("quality"))
-    val members = hot.unionAll(single).localCheckpoint()
+    val members = hot.unionAll(single).materialize()
     val surv = DedupQueries.survivorSelect(
         members.select(col("doc_id"), col("quality"), col("cluster_id")))
       .filter(col("cluster_id") === 0L && col("is_survivor"))
@@ -346,7 +348,7 @@ class StressSpec extends SparkSpec {
     val hashes = spark.range(10000000L)
       .select(lit("g").as("g"),
         DedupFunctions.md5Hash32(($"id" % trueDistinct).cast("string")).as("h"))
-      .localCheckpoint() // generate once; both paths consume it
+      .materialize() // generate once; both paths consume it
     val agg = KmvSketch.aggregator(k,
       ExpressionEncoder[List[Long]](), ExpressionEncoder[Seq[Long]]())
     val t0 = System.nanoTime()
