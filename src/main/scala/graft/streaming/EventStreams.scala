@@ -1041,13 +1041,17 @@ object EventStreams {
     */
   def latestPerKey(cards: DataFrame, keyCols: Seq[String],
                    seq: org.apache.spark.sql.Column): DataFrame = {
+    // backtick-quote every name reference so a dot is a character, not
+    // a nesting path (names containing a literal backtick remain out of
+    // contract — no Spark-side quoting can express them)
+    def ref(c: String) = col("`" + c + "`")
     val others = cards.columns.filterNot(keyCols.contains).toSeq
     val seqName =
       Iterator.iterate("__seq")("_" + _).dropWhile(others.contains).next()
-    val latest = max(struct(seq.as(seqName) +: others.map(col): _*))
-    cards.groupBy(keyCols.map(col): _*)
+    val latest = max(struct(seq.as(seqName) +: others.map(ref): _*))
+    cards.groupBy(keyCols.map(ref): _*)
       .agg(latest.as("latest"))
-      .select(keyCols.map(col) ++
+      .select(keyCols.map(ref) ++
         others.map(c => col("latest").getField(c).as(c)): _*)
   }
 }

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.streaming.{DocEv, Ev, EventStreams, StreamingDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -1109,5 +1110,20 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("conc").count() == n0)
     } finally q.stop()
+  }
+
+  test("latestPerKey: hostile card column names (a literal __seq, a " +
+    "dotted name) resolve correctly (r10 ADVICE)") {
+    // the internal seq field auto-renames past collisions and fields
+    // are recovered via getField, so neither name can shadow/misresolve
+    val cards = Seq(
+      ("a", 1L, 10L, "v1"), ("a", 3L, 30L, "v3"), ("a", 2L, 20L, "v2"),
+      ("b", 5L, 50L, "w5")
+    ).toDF("k", "n", "__seq", "payload.dotted")
+    val out = EventStreams.latestPerKey(cards, Seq("k"), col("n"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(out == Seq(("a", 3L, 30L, "v3"), ("b", 5L, 50L, "w5")))
   }
 }
