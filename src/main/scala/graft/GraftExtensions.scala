@@ -50,10 +50,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object GraftSession {
   def create(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_RELIABLE=1 runs the harness mains under the CLUSTER
+    // materialization profile (Materialize seam → reliable checkpoint
+    // files instead of executor-local blocks) — the full-registry
+    // parity gate for the binding a real deployment sets.
+    val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+    if (reliable) {
+      builder.config(Materialize.ReliableConfKey, "true")
+      builder.config(Materialize.CheckpointDirConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
+          "/tmp/graft-reliable-ckpt")): Unit
+    }
+    val spark = builder
       // NOTE (round 10, measured): Spark's 4 MB file-open cost floors
       // the split size, so sub-4MB parquet tables scan as ONE
       // partition. Lowering the floor to 64 KB was tried and REVERTED:
