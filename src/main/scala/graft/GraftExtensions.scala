@@ -63,7 +63,11 @@ object GraftSession {
       builder.config(Materialize.ReliableConfKey, "true")
       builder.config(Materialize.CheckpointDirConfKey,
         sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
-          "/tmp/graft-reliable-ckpt")): Unit
+          "/tmp/graft-reliable-ckpt"))
+      // long-lived sessions: reclaim checkpoint FILES of GC'd frames
+      // the way the ContextCleaner reclaims localCheckpoint blocks
+      builder.config(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "true"): Unit
     }
     val spark = builder
       // NOTE (round 10, measured): Spark's 4 MB file-open cost floors

@@ -134,4 +134,19 @@ class FreshnessSpec extends SparkSpec {
     assert(again.cents.map(_._1).toSeq == ix.cents.map(_._1).toSeq)
     assert(spark.read.parquet(again.listsPath).count() == 40)
   }
+
+  test("invalidateClusterLabels also drops the part-fingerprinted " +
+    "near-miss pair artifact (the r10 ADVICE force-cold gap)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    DedupQueries.q168(spark, dir).count(): Unit // ensure memoized
+    val h0 = QueryMemo.hitCount
+    DedupQueries.q168(spark, dir): Unit
+    assert(QueryMemo.hitCount > h0, "q168 artifact was not memoized")
+    DedupQueries.invalidateClusterLabels(spark, dir)
+    val h1 = QueryMemo.hitCount
+    DedupQueries.q168(spark, dir): Unit // must MISS → recompute
+    assert(QueryMemo.hitCount == h1,
+      "force-cold hook left the sorted-neighborhood-pairs entry behind")
+  }
 }

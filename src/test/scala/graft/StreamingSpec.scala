@@ -986,6 +986,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("twapMonitor state survives a checkpointed restart: the held " +
+    "marker AND the 128-bit integral recover (current TwapState " +
+    "encoding; pre-r10 checkpoints need a fresh dir — see scaladoc)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tout").toString
+    def t(sec: Int) = ts(f"2024-01-01 10:00:$sec%02d")
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.twapMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: one closed interval (100 cents held 10 s) + a held
+    // marker at t(10) — then the query STOPS
+    val q1 = start()
+    try {
+      in.addData(Ev(1L, 7L, "t", t(0), 1.0), Ev(2L, 7L, "t", t(10), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: closing the held observation must fold 200 cents × 20 s
+    // onto the RECOVERED integral — card n=2 proves numHi/numLo/den and
+    // the (tus, event_id) marker all decoded from the checkpoint
+    val q2 = start()
+    try {
+      in.addData(Ev(3L, 7L, "t", t(30), 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(1L, 2L))
+    // twap = (100·10e6 + 200·20e6) div 30e6 = 166 (floor division)
+    assert(rows.last == ((7L, 2L, 30000000L, 166L)))
+  }
+
   test("twapMonitor: the final per-user card equals batch q187 " +
     "row-for-row (closed intervals only; the held observation never " +
     "counts); late arrivals drop") {
