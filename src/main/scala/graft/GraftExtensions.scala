@@ -55,10 +55,19 @@ object GraftSession {
     // files instead of executor-local blocks) — the full-registry
     // parity gate for the binding a real deployment sets.
     val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    // `local-cluster[2,8,4096]` runs the same mains with executors as
+    // SEPARATE processes (the multi-process parity gate; pair it with
+    // SPARK_GRAFT_RELIABLE=1 for the full cluster profile). Executor
+    // JVMs don't inherit the driver's classpath, so hand it over.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path")): Unit
     if (reliable) {
       builder.config(Materialize.ReliableConfKey, "true")
       builder.config(Materialize.CheckpointDirConfKey,
