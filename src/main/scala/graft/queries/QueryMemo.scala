@@ -100,6 +100,7 @@ object QueryMemo {
     */
   private final class Pending {
     val done = new java.util.concurrent.CountDownLatch(1)
+    val owner: Thread = Thread.currentThread()
     @volatile var value: AnyRef = null
     @volatile var failure: Throwable = null
   }
@@ -150,6 +151,11 @@ object QueryMemo {
           throw t
       }
     } else {
+      // a compute re-entering the memo on ITS OWN key would await its
+      // own latch — fail loudly instead of deadlocking (the old
+      // compute-under-lock silently recomputed via monitor reentrancy)
+      require(pending.owner ne Thread.currentThread(),
+        s"self-recursive QueryMemo key: $key")
       // another thread is building this exact artifact: wait for it —
       // for bench warm-tagging this is a hit (the build cost lands on
       // the owner)

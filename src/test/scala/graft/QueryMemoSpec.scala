@@ -98,4 +98,20 @@ class QueryMemoSpec extends SparkSpec {
     assert(v == 7L)
     QueryMemo.invalidate(spark, k)
   }
+
+  test("a self-recursive key fails loudly instead of deadlocking on " +
+      "its own latch") {
+    val k = key("recurse")
+    val e = intercept[IllegalArgumentException] {
+      QueryMemo.getAny[java.lang.Long](spark, k) {
+        QueryMemo.getAny[java.lang.Long](spark, k)(
+          java.lang.Long.valueOf(1L))
+      }
+    }
+    assert(e.getMessage.contains("self-recursive"))
+    // the failed build must not poison the key
+    assert(QueryMemo.getAny[java.lang.Long](spark, k)(
+      java.lang.Long.valueOf(5L)) == 5L)
+    QueryMemo.invalidate(spark, k)
+  }
 }
