@@ -11,20 +11,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // q51/q59/q62 run windows over tiny BOUNDED aggregated frames
-    // (≤ sources/langs/10k histogram rows — safe by construction), and
-    // each emits `WARN WindowExec: No Partition Defined` into the
-    // stdout/stderr tail the harness JSON-parses the result line from;
-    // silence that one logger so the result line stays the clean tail
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    // q56's lists scan correctly ignores the underscore-prefixed
-    // `_centroids` dir inside the index — DataSource warns about the
-    // ignored path on every probe; same tail-hygiene treatment
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.datasources.DataSource",
-      org.apache.logging.log4j.Level.ERROR)
+    // the stdout/stderr tail the harness JSON-parses the result from
+    // must stay clean of the known-benign WARN spam (see LogHygiene)
+    LogHygiene.quietKnownWarnings()
     val spark = GraftSession.create(cpus)
     // absorb session/codegen warmup outside the measured queries
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

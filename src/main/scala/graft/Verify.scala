@@ -11,17 +11,7 @@ object Verify {
     val keep: String => Boolean =
       if (args.length > 2) args(2).split(",").toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // same log hygiene as Bench: every unpartitioned window in
-    // src/main runs over an audited bounded frame (inventory pinned by
-    // WindowAuditSpec — a NEW site fails that spec), and q56's lists
-    // scan deliberately skips the underscore-prefixed `_centroids` dir;
-    // their per-query WARN spam would otherwise dominate the log
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.datasources.DataSource",
-      org.apache.logging.log4j.Level.ERROR)
+    LogHygiene.quietKnownWarnings()
     val spark = GraftSession.create(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

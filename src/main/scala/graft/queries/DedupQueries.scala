@@ -211,6 +211,14 @@ object DedupQueries {
     s"$name:$dir:" +
       graft.sources.DatasetFingerprint.ofTable(s, dir, "documents")
 
+  /** docsKey's sibling for artifacts derived from the `part` table —
+    * one definition shared by the memoizing site and the force-cold
+    * hook so the key shape cannot drift between them.
+    */
+  private def partKey(name: String, s: SparkSession, dir: String): String =
+    s"$name:$dir:" +
+      graft.sources.DatasetFingerprint.ofTable(s, dir, "part")
+
   private[graft] def checkpointedSignatures(s: SparkSession, dir: String): DataFrame =
     QueryMemo.get(s, docsKey("dedup-signatures", s, dir)) {
       signatures(s, dir).materialize()
@@ -512,21 +520,24 @@ object DedupQueries {
     * forcing a recompute over unchanged data (e.g. a test that wants a
     * cold path).
     */
+  /** Every docsKey-family memo name this module registers. The
+    * force-cold hook iterates THIS list, so adding a memoized
+    * derivation means adding one name here — not remembering a second
+    * call site (the r10 ADVICE gap, twice: sorted-neighborhood-pairs,
+    * then dedup-lpa-labels).
+    */
+  private val DocsMemoFamilies = Seq(
+    "dedup-cluster-labels", "dedup-signatures", "dedup-shingle-sets",
+    "dedup-shingle-sigs", "dedup-pagerank-ranks", "dedup-pagerank-weighted",
+    "dedup-weighted-cands", "dedup-lsh-cands", "dedup-lsh-edges",
+    "dedup-lpa-labels")
+
   def invalidateClusterLabels(s: SparkSession, dir: String): Unit = {
-    QueryMemo.invalidate(s, docsKey("dedup-cluster-labels", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-signatures", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-shingle-sets", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-shingle-sigs", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-pagerank-ranks", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-pagerank-weighted", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-weighted-cands", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-lsh-cands", s, dir))
-    QueryMemo.invalidate(s, docsKey("dedup-lsh-edges", s, dir))
+    DocsMemoFamilies.foreach(n => QueryMemo.invalidate(s, docsKey(n, s, dir)))
     // q168/q184's near-miss pair table is fingerprinted on `part`, not
     // `documents` — without this line the force-cold hook could not
     // drop it over unchanged data (r10 ADVICE).
-    QueryMemo.invalidate(s, "sorted-neighborhood-pairs:" + dir + ":" +
-      graft.sources.DatasetFingerprint.ofTable(s, dir, "part"))
+    QueryMemo.invalidate(s, partKey("sorted-neighborhood-pairs", s, dir))
   }
 
   /** q48 — dedup clustering: LSH candidate pairs → connected components
@@ -1718,8 +1729,7 @@ object DedupQueries {
     // (the basket-tables discipline): q184's entity resolution
     // consumes exactly this frame, so the two sort passes and the
     // edit-distance verify run once per lake
-    QueryMemo.get(s, "sorted-neighborhood-pairs:" + dir + ":" +
-        graft.sources.DatasetFingerprint.ofTable(s, dir, "part")) {
+    QueryMemo.get(s, partKey("sorted-neighborhood-pairs", s, dir)) {
       q168Cold(s, dir).materialize()
     }
 

@@ -78,7 +78,12 @@ object QueryMemo {
     new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean = {
-        val evict = size() > MaxEntries
+        // never evict an IN-FLIGHT build: evicting a Pending would let a
+        // second thread start a duplicate minutes-long build and would
+        // pollute the eviction cliff signal with a non-artifact entry.
+        // The map may transiently exceed MaxEntries by the number of
+        // concurrent builds — bounded and short-lived.
+        val evict = size() > MaxEntries && !e.getValue.isInstanceOf[Pending]
         if (evict) evictionCounter.incrementAndGet(): Unit
         evict
       }
@@ -131,13 +136,12 @@ object QueryMemo {
         val v = compute
         pending.value = v
         cache.synchronized {
-          // replace our placeholder — unless it was evicted/invalidated
-          // and a NEWER build already claimed the slot (leave theirs)
-          cache.get(kk) match {
-            case p if p eq pending => cache.put(kk, v): Unit
-            case null => cache.put(kk, v): Unit
-            case _ => ()
-          }
+          // publish ONLY into our own intact placeholder slot. An empty
+          // or replaced slot means invalidate()/clearAll() (or a newer
+          // build) intervened mid-build — re-inserting would silently
+          // undo a force-cold drop, so the result is handed to waiters
+          // but NOT cached.
+          if (cache.get(kk) eq pending) cache.put(kk, v): Unit
         }
         pending.done.countDown()
         v

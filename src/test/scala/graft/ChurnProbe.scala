@@ -54,6 +54,9 @@ object ChurnProbe {
       val edges = spark.range(0, ChainLen * Chains).toDF("src")
         .filter((col("src") + 1) % ChainLen =!= 0) // no edge across chains
         .withColumn("dst", col("src") + 1)
+      // the probe is only evidence if the kill LANDS BEFORE the job
+      // finishes — record both instants and assert the order below
+      val killedAtNanos = new java.util.concurrent.atomic.AtomicLong(0L)
       val killer = new Thread(() => {
         // wait for executors to register and the first rounds to run,
         // then hard-kill one executor process
@@ -71,6 +74,7 @@ object ChurnProbe {
           System.err.println(s"[churn] killing executor pid ${v.pid()} " +
             s"(of ${victims.size()} executors) mid-run")
           v.destroyForcibly(): Unit
+          killedAtNanos.set(System.nanoTime())
         }
       })
       killer.setDaemon(true)
@@ -82,13 +86,24 @@ object ChurnProbe {
         .filter(col("comp") =!= (col("v") - pmod(col("v"), lit(ChainLen))))
         .count()
       val n = labels.count()
-      val secs = (System.nanoTime() - t0) / 1e9
+      val doneNanos = System.nanoTime()
+      val secs = (doneNanos - t0) / 1e9
       killer.join(20000)
       val expected = ChainLen * Chains
+      // a kill that never happened, or landed after completion, proves
+      // nothing about churn survival — refuse the PASS (grow ChainLen
+      // if the machine converges in under the killer's delay)
+      if (killedAtNanos.get() == 0L || killedAtNanos.get() >= doneNanos) {
+        println("[churn] VACUOUS: the executor kill did not land before " +
+          s"job completion (killedAt=${killedAtNanos.get()}, " +
+          s"done=$doneNanos) — no churn was exercised")
+        sys.exit(2)
+      }
       if (bad == 0L && n == expected)
         println(f"[churn] PASS: $n%d labels, 0 mismatches vs the chain " +
-          f"oracle, $secs%.1f s with one executor killed mid-run " +
-          "(reliable binding)")
+          f"oracle, $secs%.1f s with one executor killed " +
+          f"${(doneNanos - killedAtNanos.get()) / 1e9}%.1f s before " +
+          "completion (reliable binding)")
       else {
         println(s"[churn] FAIL: n=$n (expected $expected), mismatches=$bad")
         sys.exit(1)

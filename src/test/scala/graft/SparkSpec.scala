@@ -8,18 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    // Suite-log hygiene (r10 verdict item 5): every unpartitioned
-    // window in src/main runs over an audited bounded frame whose
-    // inventory WindowAuditSpec pins — a NEW unpartitioned window
-    // fails that spec instead of relying on a reader spotting one
-    // more `No Partition Defined` WARN among hundreds of known ones.
-    // Same DataSource rule as Bench (q56's `_centroids` skip).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.datasources.DataSource",
-      org.apache.logging.log4j.Level.ERROR)
+    // Suite-log hygiene (r10 verdict item 5): the silenced warnings
+    // are each backed by a mechanical gate — see LogHygiene's scaladoc
+    // and WindowAuditSpec.
+    LogHygiene.quietKnownWarnings()
     GraftSession.create("4")
   }
 }
