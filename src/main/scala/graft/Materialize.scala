@@ -66,8 +66,36 @@ object Materialize {
           sys.props.getOrElse("java.io.tmpdir", "/tmp"),
           "graft-checkpoints").getPath)
       sc.setCheckpointDir(dir)
+      // setCheckpointDir creates a per-APPLICATION UUID subdir under
+      // `dir`, and cleanCheckpoints reclaims only frames GC'd during
+      // the app's lifetime — frames still referenced at shutdown would
+      // leak their files forever (r11 ADVICE). The app's own subdir is
+      // garbage once the app ends (checkpoint files are not readable
+      // across applications), so delete it best-effort at application
+      // end. Registered only when WE chose the dir: a caller that set
+      // an explicit checkpoint dir beforehand owns its lifecycle.
+      sc.getCheckpointDir.foreach(registerAppEndCleanup(sc, _))
     }
   }
+
+  private def registerAppEndCleanup(
+      sc: org.apache.spark.SparkContext, appDir: String): Unit =
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        deleteRecursively(appDir, sc.hadoopConfiguration)
+    })
+
+  /** Best-effort recursive delete through the Hadoop FS API (works for
+    * local paths and object stores alike); failures are swallowed — a
+    * leftover checkpoint dir must never fail a shutdown.
+    */
+  private[graft] def deleteRecursively(
+      dir: String, conf: org.apache.hadoop.conf.Configuration): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).delete(p, true): Unit
+    } catch { case _: Throwable => () }
 
   /** `ds.materialize()` — the fluent spelling used at every call site. */
   implicit final class Ops[T](private val ds: Dataset[T]) extends AnyVal {

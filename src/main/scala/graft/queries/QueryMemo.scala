@@ -75,17 +75,27 @@ object QueryMemo {
   def clearAll(): Unit = cache.synchronized { cache.clear() }
 
   private val cache =
-    new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), AnyRef]): Boolean = {
-        // never evict an IN-FLIGHT build: evicting a Pending would let a
-        // second thread start a duplicate minutes-long build and would
-        // pollute the eviction cliff signal with a non-artifact entry.
-        // The map may transiently exceed MaxEntries by the number of
-        // concurrent builds — bounded and short-lived.
-        val evict = size() > MaxEntries && !e.getValue.isInstanceOf[Pending]
-        if (evict) evictionCounter.incrementAndGet(): Unit
-        evict
+    new java.util.LinkedHashMap[(SparkSession, String), AnyRef](32, 0.75f, true)
+
+  /** Evict least-recently-used NON-Pending entries until the map is back
+    * at [[MaxEntries]]. Runs under the cache monitor after each insert.
+    * `removeEldestEntry` was the wrong hook for this (r11 ADVICE): it
+    * inspects only the single eldest slot, so a long-running Pending
+    * parked there suspended eviction entirely and the overshoot drained
+    * one entry per later insert. An explicit sweep skips in-flight
+    * Pendings (evicting one would let a second thread duplicate a
+    * minutes-long build and would pollute the eviction-cliff signal)
+    * but still evicts settled entries PAST them, so the overshoot is
+    * bounded by the number of live Pendings by construction.
+    */
+  private def evictOverflow(): Unit =
+    if (cache.size() > MaxEntries) {
+      val it = cache.entrySet().iterator()
+      while (cache.size() > MaxEntries && it.hasNext) {
+        if (!it.next().getValue.isInstanceOf[Pending]) {
+          it.remove()
+          evictionCounter.incrementAndGet(): Unit
+        }
       }
     }
 
@@ -125,6 +135,7 @@ object QueryMemo {
       cache.get(kk) match {
         case null =>
           pending = new Pending; owner = true; cache.put(kk, pending): Unit
+          evictOverflow()
         case p: Pending => pending = p
         case v =>
           hitCounter.incrementAndGet()

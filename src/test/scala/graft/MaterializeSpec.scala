@@ -136,6 +136,20 @@ class MaterializeSpec extends SparkSpec {
     assert(frame.agg(sum(col("x"))).head().getLong(0) == 9999L * 10000L)
   }
 
+  test("app-end cleanup plumbing: deleteRecursively removes a nested " +
+      "checkpoint tree and swallows a missing path (r11 ADVICE — the " +
+      "reliable profile's UUID subdir must not outlive the app)") {
+    val root = Files.createTempDirectory("graft-ckpt-cleanup").toFile
+    val nested = new java.io.File(root, "a/b")
+    assert(nested.mkdirs())
+    Files.write(Paths.get(nested.getPath, "part-0"),
+      Array[Byte](1, 2, 3)): Unit
+    Materialize.deleteRecursively(root.getPath, sc.hadoopConfiguration)
+    assert(!root.exists(), "checkpoint tree survived the app-end cleanup")
+    // best-effort contract: a second delete (path gone) must not throw
+    Materialize.deleteRecursively(root.getPath, sc.hadoopConfiguration)
+  }
+
   test("full-registry construction sweep stays under the memo bound " +
       "with zero evictions (SCALE.md §21 cliff, pinned)") {
     val sf = "/root/testdata/sf0.001"

@@ -99,6 +99,46 @@ class QueryMemoSpec extends SparkSpec {
     QueryMemo.invalidate(spark, k)
   }
 
+  test("LRU eviction proceeds PAST a parked in-flight build (r11 " +
+      "ADVICE: the removeEldestEntry hook stalled while a Pending sat " +
+      "eldest, letting the map overshoot unboundedly)") {
+    val pendingK = key("parked")
+    val started = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val builder = new Thread(() =>
+      QueryMemo.getAny[java.lang.Long](spark, pendingK) {
+        started.countDown()
+        release.await(30, TimeUnit.SECONDS)
+        java.lang.Long.valueOf(1L)
+      }: Unit)
+    builder.start()
+    assert(started.await(5, TimeUnit.SECONDS))
+    // the Pending is now the least-recently-used entry (nothing touches
+    // it again); flood the memo past MaxEntries — eviction must skip
+    // the Pending but still reclaim settled entries beyond it
+    val before = QueryMemo.evictionCount
+    val overshoot = 5
+    val fills = (1 to QueryMemo.MaxEntries + overshoot).map(i => key(s"fill$i"))
+    fills.foreach(kk => QueryMemo.getAny[java.lang.Long](spark, kk)(
+      java.lang.Long.valueOf(0L)): Unit)
+    val evicted = QueryMemo.evictionCount - before
+    assert(evicted >= overshoot,
+      s"only $evicted evictions after ${fills.size} inserts with a " +
+        "Pending parked at the LRU position — eviction is stalling " +
+        "behind the in-flight build again")
+    // the in-flight build survived the sweep: its result publishes and
+    // a later get is a HIT, not a duplicate compute
+    release.countDown(); builder.join(10000)
+    val recomputes = new AtomicInteger(0)
+    val v = QueryMemo.getAny[java.lang.Long](spark, pendingK) {
+      recomputes.incrementAndGet(); java.lang.Long.valueOf(99L)
+    }
+    assert(v == 1L && recomputes.get() == 0,
+      "the parked build's entry was evicted mid-flight")
+    QueryMemo.invalidate(spark, pendingK)
+    fills.foreach(QueryMemo.invalidate(spark, _))
+  }
+
   test("a self-recursive key fails loudly instead of deadlocking on " +
       "its own latch") {
     val k = key("recurse")
