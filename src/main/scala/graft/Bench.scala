@@ -6,8 +6,79 @@ import org.apache.spark.sql.SparkSession
   * a `noop`-format write — unlike `count()`, which lets Catalyst prune
   * every non-grouping column, noop forces full evaluation of the
   * declared output, so the numbers reflect real query work.
+  *
+  * Two time axes per query (VERDICT r11 item 3):
+  *  - '''wall''' seconds — end-to-end latency, what a user waits;
+  *    sensitive to shared-host load (the r10/r11 drift rituals).
+  *  - '''task''' seconds — sum of executor task run time over the
+  *    query's stages, from a SparkListener; '''cpu''' seconds — sum of
+  *    executor task CPU time. Task-time is insensitive to scheduling
+  *    gaps between stages and cpu-time also to core contention, so
+  *    round-over-round regressions adjudicate on these instead of
+  *    re-running A/B probes in matched load windows.
   */
 object Bench {
+
+  /** Accumulates executor task run/CPU time across all stages, with a
+    * sentinel-job drain: the listener bus is async, so after a query's
+    * jobs complete we run a tiny marker job and wait for ITS JobEnd —
+    * bus delivery is FIFO, so every task event of the measured query is
+    * in by then. Sentinel tasks themselves are excluded by stage id.
+    */
+  private final class TaskTimeListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val runMs = new java.util.concurrent.atomic.AtomicLong
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    private val sentinelStages =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val sentinelJobs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.CountDownLatch]()
+    @volatile private var sentinelGroup: String = null
+    @volatile private var latch: java.util.concurrent.CountDownLatch = null
+
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = Option(e.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null && g == sentinelGroup) {
+        e.stageIds.foreach(sentinelStages.add(_): Unit)
+        sentinelJobs.put(e.jobId, latch): Unit
+      }
+    }
+
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val l = sentinelJobs.remove(e.jobId)
+      if (l != null) l.countDown()
+    }
+
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (!sentinelStages.contains(e.stageId) && e.taskMetrics != null) {
+        runMs.addAndGet(e.taskMetrics.executorRunTime): Unit
+        cpuNs.addAndGet(e.taskMetrics.executorCpuTime): Unit
+      }
+
+    /** Flush pending events with a sentinel job, then return the
+      * cumulative (taskSec, cpuSec) counters. Callers diff snapshots.
+      */
+    def drainAndRead(spark: SparkSession): (Double, Double) = {
+      val sc = spark.sparkContext
+      val group = s"graft-bench-drain-${System.nanoTime()}"
+      val l = new java.util.concurrent.CountDownLatch(1)
+      latch = l
+      sentinelGroup = group
+      sc.setJobGroup(group, "bench listener drain", false)
+      try sc.parallelize(Seq(1), 1).count(): Unit
+      finally sc.clearJobGroup()
+      // 10 s is orders of magnitude past any observed bus lag; on
+      // timeout the numbers are still usable (at most one query's tail
+      // events land in its successor), so don't fail the sweep
+      if (!l.await(10, java.util.concurrent.TimeUnit.SECONDS))
+        System.err.println("[bench] WARNING: listener drain timed out")
+      (runMs.get / 1e3, cpuNs.get / 1e9)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,6 +86,8 @@ object Bench {
     // must stay clean of the known-benign WARN spam (see LogHygiene)
     LogHygiene.quietKnownWarnings()
     val spark = GraftSession.create(cpus)
+    val taskTimes = new TaskTimeListener
+    spark.sparkContext.addSparkListener(taskTimes)
     // absorb session/codegen warmup outside the measured queries
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // min over iterations damps shared-host load noise; 3 (not 2)
@@ -48,6 +121,8 @@ object Bench {
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
+    // flush warmup task events so the first query's snapshot is clean
+    var lastTaskSnap = taskTimes.drainAndRead(spark)
     val results = selected.map { case (name, fn) =>
       val hits0 = warmSignals()
       val evict0 = graft.queries.QueryMemo.evictionCount
@@ -66,14 +141,24 @@ object Bench {
         // queries that persist() intermediates would otherwise accumulate
         // cache across the run and skew later timings
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        // wall is captured FIRST: the drain's sentinel job (~ms) runs
+        // outside the measured window and its own task is excluded
+        val snap = taskTimes.drainAndRead(spark)
+        val taskSec = snap._1 - lastTaskSnap._1
+        val cpuSec = snap._2 - lastTaskSnap._2
+        lastTaskSnap = snap
+        (wall, taskSec, cpuSec)
       }
       // warm = at least one iteration was served a memoized frame OR
       // adopted a persistent artifact (the on-disk IVF index): either
       // way the recorded time is not the standalone cost a cold
       // session would pay (VERDICT r09 item 2)
-      (name, times.min, warmSignals() > hits0,
-        graft.queries.QueryMemo.evictionCount - evict0)
+      // each axis takes its own min — the iteration with the best wall
+      // is not necessarily the one with the least task time
+      (name, times.map(_._1).min, warmSignals() > hits0,
+        graft.queries.QueryMemo.evictionCount - evict0,
+        times.map(_._2).min, times.map(_._3).min)
     }
     val loadEnd = loadAvg()
     // The machine-readable channel is the BENCH_RESULT.json file (six
@@ -91,15 +176,24 @@ object Bench {
     require(prefixes.distinct.size == results.size,
       s"non-unique bench key prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results
-      .map { case (k, v, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v, _, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val taskQs = results
+      .map { case (k, _, _, _, t, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(t) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val detail = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val taskTotal = results.map(_._5).sum
+    val cpuTotal = results.map(_._6).sum
+    val detail = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val taskDetail = results.map { case (k, _, _, _, t, _) => "\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    val cpuDetail = results.map { case (k, _, _, _, _, c) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // queries whose measured time rode a QueryMemo artifact built
     // earlier in the sweep — their entries are join-cost, not
     // standalone cost (cold numbers live in BASELINE.md)
-    val warmList = results.collect { case (k, _, true, _) => k }
+    val warmList = results.collect { case (k, _, true, _, _, _) => k }
     val warmJson = warmList.map("\"" + _.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val warmDetail = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -107,13 +201,13 @@ object Bench {
     // with real speedups; a consumer comparing across rounds without
     // honoring the warm array should compare THIS number instead —
     // only queries that built everything they measured.
-    val totalNonwarm = results.collect { case (_, v, false, _) => v }.sum
+    val totalNonwarm = results.collect { case (_, v, false, _, _, _) => v }.sum
     // any mid-sweep LRU eviction means a shared artifact was silently
     // re-built inside a later consumer's measurement — the §21 cliff.
     // Flag it loudly; the zero-eviction invariant at MaxEntries is
     // pinned by MaterializeSpec's registry sweep test.
     val evictions = results.map(_._4).sum
-    val evictedList = results.collect { case (k, _, _, e) if e > 0 => k }
+    val evictedList = results.collect { case (k, _, _, e, _, _) if e > 0 => k }
     if (!coldMode && evictions > 0)
       System.err.println(s"[bench] WARNING: $evictions mid-sweep QueryMemo " +
         s"evictions (queries: ${evictedList.mkString(",")}) — per-query " +
@@ -124,9 +218,9 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.isDefined) "bench_probe.json" else "bench_detail.json"),
-      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"iters":$iters,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"warm":$warmJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"warm":$warmJson,"queries":$qs,"tasks":$taskQs,"sf":"$sfDir"}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not
