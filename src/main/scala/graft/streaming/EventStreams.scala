@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.streaming.StateVersion.Ops
+
 /** Event row for the typed streaming surface (mirrors the lake's
   * `events` table minus `props`).
   */
@@ -122,7 +124,7 @@ object EventStreams {
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, UserSession](
+      .flatMapGroupsWithVersionedState[SessionAcc, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessionAcc]) =>
           if (state.hasTimedOut) {
@@ -210,7 +212,7 @@ object EventStreams {
     val h2 = graft.queries.TimeseriesQueries.FeatureHorizon2
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[RollState, RollFeatures](
+      .flatMapGroupsWithVersionedState[RollState, RollFeatures](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[RollState]) =>
           val evs = it.toVector
@@ -299,7 +301,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[AnomState, AnomScore](
+      .flatMapGroupsWithVersionedState[AnomState, AnomScore](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[AnomState]) =>
           // within one micro-batch events arrive unordered; fold in
@@ -360,7 +362,7 @@ object EventStreams {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[KmvState, KmvRow](
+      .flatMapGroupsWithVersionedState[KmvState, KmvRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[Ev], state: GroupState[KmvState]) =>
           val init = state.getOption.map(_.mins).getOrElse(Nil)
@@ -428,7 +430,7 @@ object EventStreams {
     val timeoutConf = idleTimeoutHours
       .fold(GroupStateTimeout.NoTimeout)(_ => GroupStateTimeout.EventTimeTimeout)
     keyed
-      .flatMapGroupsWithState[FunnelState, FunnelRow](
+      .flatMapGroupsWithVersionedState[FunnelState, FunnelRow](
         OutputMode.Append, timeoutConf) {
         (userId: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
@@ -529,7 +531,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[TransState, TransRow](
+      .flatMapGroupsWithVersionedState[TransState, TransRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[TransState]) =>
           def tusOf(e: Ev): Long =
@@ -582,7 +584,7 @@ object EventStreams {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Map[String, Long], CellRow](
+      .flatMapGroupsWithVersionedState[Map[String, Long], CellRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (src: String, it: Iterator[(Long, String, String)],
          state: GroupState[Map[String, Long]]) =>
@@ -621,7 +623,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FillState, FilledEv](
+      .flatMapGroupsWithVersionedState[FillState, FilledEv](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[FillState]) =>
           def tusOf(e: Ev): Long =
@@ -648,7 +650,7 @@ object EventStreams {
     val bar = graft.queries.TimeseriesQueries.AbT2Bar1e6
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[AbState, AbRow](
+      .flatMapGroupsWithVersionedState[AbState, AbRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[Ev], state: GroupState[AbState]) =>
           var users = state.getOption.map(_.users).getOrElse(Map.empty)
@@ -723,7 +725,7 @@ object EventStreams {
     val baseH = graft.queries.TimeseriesQueries.BurstBaselineHours
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[BurstState, BurstRow](
+      .flatMapGroupsWithVersionedState[BurstState, BurstRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[Ev], state: GroupState[BurstState]) =>
           def tusOf(e: Ev): Long =
@@ -792,7 +794,7 @@ object EventStreams {
     val bar = graft.queries.TimeseriesQueries.SrmChi2Bar1e6
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[SrmState, SrmRow](
+      .flatMapGroupsWithVersionedState[SrmState, SrmRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[Ev], state: GroupState[SrmState]) =>
           var st = state.getOption.getOrElse(SrmState(Set.empty, Set.empty))
@@ -838,7 +840,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[QuantState, QuantRow](
+      .flatMapGroupsWithVersionedState[QuantState, QuantRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[Ev], state: GroupState[QuantState]) =>
           var h = state.getOption.map(_.hist).getOrElse(Map.empty[Long, Long])
@@ -881,7 +883,12 @@ object EventStreams {
     * the widening will fail (or misdecode state) on restart. Restart
     * such a stream with a NEW checkpoint directory and replay the
     * source; the monitors are deterministic over their input log, so
-    * replay reconverges to the same cards.
+    * replay reconverges to the same cards. Since r12 this class of
+    * break is ENFORCED, not just documented: every monitor's state
+    * rides in a version-stamped [[StateVersion.VState]] envelope, and
+    * a semantic re-versioning (same fields, new meaning) fails the
+    * resumed read with the named
+    * [[StateVersion.MismatchException]] instead of misdecoding.
     */
   case class TwapState(tus: Long, eventId: Long, cents: Long,
                        numHi: Long, numLo: Long, den: Long, n: Long)
@@ -905,7 +912,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[TwapState, TwapRow](
+      .flatMapGroupsWithVersionedState[TwapState, TwapRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[TwapState]) =>
           def tusOf(e: Ev): Long =
@@ -987,7 +994,7 @@ object EventStreams {
     val holdUs = graft.queries.TimeseriesQueries.ConcurrencyHoldUs
     events
       .groupByKey(_.event_type)
-      .flatMapGroupsWithState[ConcState, ConcRow](
+      .flatMapGroupsWithVersionedState[ConcState, ConcRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, it: Iterator[Ev], state: GroupState[ConcState]) =>
           def tusOf(e: Ev): Long =

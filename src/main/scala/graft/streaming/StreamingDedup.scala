@@ -7,6 +7,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.streaming.StateVersion.Ops
+
 /** Incoming document on the stream. */
 case class DocEv(doc_id: Long, text: String, ts: Timestamp)
 
@@ -62,7 +64,7 @@ object StreamingDedup {
 
     banded
       .groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState[BandState, DupCandidate](
+      .flatMapGroupsWithVersionedState[BandState, DupCandidate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Int, String), it: Iterator[(Long, Timestamp, Int, String)],
          state: GroupState[BandState]) =>

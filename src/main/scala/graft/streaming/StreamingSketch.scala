@@ -4,6 +4,8 @@ import graft.functions.DedupFunctions
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.streaming.StateVersion.Ops
+
 /** Streaming count-min sketch — the online twin of
   * [[graft.queries.SamplingQueries.q116]]'s batch grid, and the
   * third exactly-consistent sketch twin beside the KMV monitor
@@ -47,7 +49,7 @@ object StreamingSketch {
     val width = graft.queries.SamplingQueries.CmsWidth
     tokens
       .groupByKey(w => DedupFunctions.md5Hash32Jvm("cms-shard-" + w) % shards)
-      .flatMapGroupsWithState[CmsShardState, CmsShardRow](
+      .flatMapGroupsWithVersionedState[CmsShardState, CmsShardRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (shard: Long, it: Iterator[String], state: GroupState[CmsShardState]) =>
           val grid = state.getOption

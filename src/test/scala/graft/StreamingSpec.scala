@@ -1160,4 +1160,101 @@ class StreamingSpec extends SparkSpec {
         r.getString(3))).toSeq
     assert(out == Seq(("a", 3L, 30L, "v3"), ("b", 5L, 50L, "w5")))
   }
+
+  test("state versioning: every stateful monitor site goes through the " +
+    "versioned wrapper (no bare flatMapGroupsWithState in src/main)") {
+    import scala.jdk.CollectionConverters._
+    val bare = java.nio.file.Files.walk(
+        java.nio.file.Paths.get("src/main/scala/graft"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("StateVersion.scala")) // the seam itself
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if line.contains(".flatMapGroupsWithState[") =>
+            s"$p:${i + 1}"
+        }
+      }.toList
+    assert(bare.isEmpty,
+      s"bare flatMapGroupsWithState call sites (use " +
+        s"flatMapGroupsWithVersionedState): ${bare.mkString(", ")}")
+  }
+
+  test("state versioning: a mismatched stamp fails the read with the " +
+    "named MismatchException (unit, via TestGroupState)") {
+    import graft.streaming.StateVersion
+    val old = StateVersion.VState(StateVersion.Current + 7, 42L)
+    val gs = org.apache.spark.sql.streaming.TestGroupState.create[
+      StateVersion.VState[Long]](
+      org.apache.spark.api.java.Optional.of(old),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), false)
+    val f = (k: Long, it: Iterator[Long],
+             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+      Iterator.single(state.get)
+    val e = intercept[StateVersion.MismatchException] {
+      StateVersion.guard(f)(1L, Iterator.empty, gs).toList
+    }
+    assert(e.found == StateVersion.Current + 7 &&
+      e.expected == StateVersion.Current)
+    // a CURRENT stamp passes through the same path
+    val ok = org.apache.spark.sql.streaming.TestGroupState.create[
+      StateVersion.VState[Long]](
+      org.apache.spark.api.java.Optional.of(
+        StateVersion.VState(StateVersion.Current, 42L)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), false)
+    assert(StateVersion.guard(f)(1L, Iterator.empty, ok).toList == List(42L))
+  }
+
+  test("state versioning: resuming a checkpoint across a version bump " +
+    "fails loudly with the named error instead of misdecoding (r11 " +
+    "verdict item 5)") {
+    import graft.streaming.StateVersion
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_vck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_vout").toString
+    def t(sec: Int) = ts(f"2024-01-01 10:00:$sec%02d")
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.twapMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // phase 1: leave a held observation in state under the CURRENT epoch
+    val q1 = start()
+    try {
+      in.addData(Ev(1L, 7L, "t", t(0), 1.0), Ev(2L, 7L, "t", t(10), 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: the binary's semantics epoch moves on; resuming the same
+    // checkpoint must fail the first state read with the NAMED error —
+    // the silent alternative is folding a misdecoded integral
+    StateVersion.overrideCurrent = Some(StateVersion.Current + 1)
+    try {
+      val q2 = start()
+      val e = intercept[Throwable] {
+        try {
+          in.addData(Ev(3L, 7L, "t", t(30), 0.0))
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(20).toList
+      assert(chain.exists { t =>
+        t.isInstanceOf[StateVersion.MismatchException] ||
+          Option(t.getMessage).exists(_.contains("state version mismatch"))
+      }, s"expected a MismatchException in the cause chain, got: " +
+        chain.map(_.getClass.getSimpleName).mkString(" <- "))
+    } finally StateVersion.overrideCurrent = None
+    // phase 3: back on the matching epoch the same checkpoint resumes
+    // cleanly — the guard only rejects mismatches, it is not a tripwire
+    val q3 = start()
+    try {
+      in.addData(Ev(4L, 7L, "t", t(40), 0.0))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val users = spark.read.parquet(outDir).select("user_id")
+      .as[Long].collect().toSet
+    assert(users == Set(7L))
+  }
 }
