@@ -255,6 +255,39 @@ class PlanSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined, p)
   }
 
+  test("DPP: the day-partitioned lake join prunes fact partitions from " +
+    "the filtered dim side (J3/q08 deployment shape — at 100 TB the " +
+    "date-partitioned fact must never full-scan under a dim filter)") {
+    import org.apache.spark.sql.functions._
+    // the production lake layout this models: the fact table written
+    // day-partitioned (F8/q26's strftime partitions), joined to a dim
+    // carrying the date filter — exactly how a deployment scopes a
+    // reprocessing window without enumerating paths
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val allDays = fact.select("day").distinct()
+      .collect().map(_.getDate(0)).sortBy(_.getTime)
+    assert(allDays.length >= 5, "need several day partitions for pruning")
+    val hot = allDays.take(2).toSet
+    // the dim must be a real scan: a LocalRelation's filter constant-
+    // folds away and DPP sees no selective predicate to reuse
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppd").toString
+    spark.createDataFrame(allDays.toSeq.map(d =>
+      (d, if (hot(d)) "hot" else "cold"))).toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === "hot"), "day")
+    val p = plan(joined)
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruning subquery in the partitioned-fact join plan:\n$p")
+    // and it actually prunes: only the hot days' rows come back
+    val expected = fact.filter(col("day").isin(hot.toSeq.map(lit): _*)).count()
+    assert(joined.count() == expected && expected > 0)
+  }
+
   test("IVF index lifecycle: deterministic path, adopted across memo " +
     "evictions without a rebuild") {
     import graft.queries.{QueryMemo, VectorQueries}
