@@ -1,11 +1,13 @@
 package graft
 
+import graft.functions.AviCodec
 import graft.queries.MultimodalQueries
-import graft.queries.MultimodalQueries.{MediaCodecStub, MediaIn}
+import graft.queries.MultimodalQueries.MediaIn
+import org.apache.spark.sql.functions.octet_length
 
-/** A SUBSTITUTE codec pushed through the q40/q55 decode seam by the
-  * swap test below — deliberately different arithmetic from
-  * [[MediaCodecStub]] (it reads every byte, not just the first), so
+/** A SUBSTITUTE codec pushed through the q40 decode seam by the swap
+  * test below — deliberately different arithmetic from the real AVI
+  * parse (it sums every byte instead of walking RIFF chunks), so
   * matching outputs can only mean the query plumbing called THIS
   * decoder. Top-level object: the closure serializes into executor
   * tasks without dragging the test class along.
@@ -20,6 +22,20 @@ object AltTestCodec {
       width = 32L + s % 911L, height = 32L + (s * 13L) % 499L,
       format = "alt")
   }
+
+  /** The q55 seam's substitute: a synthetic one-frame clip whose
+    * dimensions and pixels derive from the byte sum — nothing the AVI
+    * parser would ever produce, so q55 outputs matching the
+    * driver-side prediction prove the clip seam called this decoder.
+    */
+  def decodeClip(bytes: Array[Byte]): AviCodec.AviClip = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+    val w = (8 + s % 8).toInt; val h = (8 + s % 5).toInt
+    val px = Array.tabulate(w * h)(j => ((s + 131L * j) % 0xffffff).toInt)
+    AviCodec.AviClip(AviCodec.AviMeta(w, h, 1000L, 1), IndexedSeq(px))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -31,41 +47,83 @@ class MultimodalSpec extends SparkSpec {
     "q40/q55 with zero query-code changes and its outputs round-trip") {
     // q40 through the seam: every output row must equal the substitute
     // decoder applied driver-side to the same payload — proof the
-    // query plumbing is decoder-agnostic (the real-codec swap claim)
-    val texts = Tables.load(spark, sf, "documents")
-      .select($"doc_id", $"text").as[(Long, String)].collect()
-    val expected = texts.map { case (id, t) =>
-      id -> AltTestCodec.decode(MediaIn(id, t.getBytes("UTF-8")))
+    // query plumbing is decoder-agnostic (the payload is rebuilt
+    // driver-side from the pure generator, the realPngMedia trick the
+    // AVI path shares by construction)
+    val ids = Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val expected = ids.map { id =>
+      id -> AltTestCodec.decode(MediaIn(id, MultimodalQueries.aviPayload(id)))
     }.toMap
     val got = MultimodalQueries.q40With(spark, sf)(AltTestCodec.decode)
       .as[MultimodalQueries.MediaMeta].collect()
     assert(got.length == expected.size)
     got.foreach { m => assert(m == expected(m.doc_id), s"doc ${m.doc_id}") }
-    assert(got.forall(_.format == "alt")) // the stub never says "alt"
-    // q55 through the same seam: the resize arithmetic downstream of
-    // the decoder consumes the SUBSTITUTE's dimensions
-    val resized = MultimodalQueries.q55With(spark, sf)(AltTestCodec.decode)
+    assert(got.forall(_.format == "alt")) // the real parse never says "alt"
+    // q55 through the clip seam: the resize + feature arithmetic
+    // downstream of the decoder consumes the SUBSTITUTE's clip
+    val resized = MultimodalQueries.q55With(spark, sf)(AltTestCodec.decodeClip)
       .select($"doc_id", $"width", $"height", $"resize_h")
       .as[(Long, Long, Long, Long)].collect()
     assert(resized.nonEmpty)
     resized.foreach { case (id, w, h, rh) =>
-      val e = expected(id)
-      assert(w == e.width && h == e.height)
-      assert(rh == math.round(e.height * MultimodalQueries.ResizeW.toDouble / e.width))
+      val clip = AltTestCodec.decodeClip(MultimodalQueries.aviPayload(id))
+      assert(w == clip.meta.width && h == clip.meta.height)
+      assert(rh == math.round(
+        clip.meta.height * MultimodalQueries.ResizeW.toDouble / clip.meta.width))
     }
   }
 
-  test("codec stub is deterministic and total") {
-    val m = MediaIn(7L, "hello world".getBytes("UTF-8"))
-    val d1 = MediaCodecStub.decode(m)
-    val d2 = MediaCodecStub.decode(m)
-    assert(d1 == d2)
-    assert(d1.n_bytes == 11L)
-    assert(d1.width >= 64 && d1.width < 64 + 577)
-    assert(d1.height >= 64 && d1.height < 64 + 353)
-    assert(MediaCodecStub.Formats.contains(d1.format))
-    // empty payload doesn't crash the decode path
-    assert(MediaCodecStub.decode(MediaIn(8L, Array.emptyByteArray)).n_bytes == 0L)
+  test("AVI codec: encode→decode round-trips meta and every pixel; " +
+    "the container is genuine RIFF and the size closed form is exact") {
+    import MultimodalQueries._
+    for (id <- Seq(0L, 3L, 17L, 118L, 9999L)) {
+      val bytes = aviPayload(id)
+      // real container bytes: RIFF magic + AVI form type
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+      // the closed form the q40 oracle relies on IS the payload size
+      assert(bytes.length ==
+        AviCodec.encodedSize(aviW(id), aviH(id), aviFrames(id)))
+      val clip = AviCodec.decode(bytes)
+      assert(clip.meta.width == aviW(id) && clip.meta.height == aviH(id))
+      assert(clip.meta.nFrames == aviFrames(id))
+      assert(clip.meta.usPerFrame == aviUsPerFrame(id)) // fps round-trip
+      assert(clip.frames.length == aviFrames(id))
+      // pixel-exact round-trip through the bottom-up BGR DIB layout
+      clip.frames.zipWithIndex.foreach { case (px, f) =>
+        var y = 0
+        while (y < aviH(id)) {
+          var x = 0
+          while (x < aviW(id)) {
+            assert(px(y * aviW(id) + x) == aviPixel(id, f, x, y),
+              s"doc $id frame $f pixel ($x,$y)")
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+  }
+
+  test("AVI codec: corrupt containers fail loudly, never echo") {
+    import MultimodalQueries._
+    val bytes = aviPayload(42L)
+    // truncation mid-movi: the RIFF size check fires
+    intercept[IllegalArgumentException] {
+      AviCodec.decode(bytes.take(bytes.length / 2))
+    }
+    // a bit-flip in the avih width makes headers disagree with strf
+    val flipped = bytes.clone()
+    flipped(64) = (flipped(64) ^ 0x01).toByte // avih dwWidth low byte
+    val echoed =
+      try AviCodec.decode(flipped).meta.width == aviW(42L)
+      catch { case _: IllegalArgumentException => false }
+    assert(!echoed, "decode echoed id-derived dims for a corrupted container")
+    // frame-count lie: strh/avih vs movi mismatch is cross-checked
+    val lied = bytes.clone()
+    lied(48) = (lied(48) ^ 0x01).toByte // avih dwTotalFrames low byte
+    intercept[IllegalArgumentException] { AviCodec.decode(lied) }
   }
 
   test("q40 decode keeps one output row per payload with the typed schema") {
@@ -151,10 +209,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.exists(_._4))
   }
 
-  test("q41 frame sampling emits ceil(n_bytes/step) frames per doc") {
+  test("q41 byte-stride sampling emits ceil(n_bytes/step) rows per doc") {
+    // n_bytes comes straight from the text payload q41 samples — q40
+    // moved to real AVI containers, so its metadata no longer
+    // describes q41's input (the r12 decoupling)
     val out = MultimodalQueries.q41(spark, sf)
       .groupBy("doc_id").count()
-      .join(MultimodalQueries.q40(spark, sf), "doc_id")
+      .join(Tables.load(spark, sf, "documents")
+        .select($"doc_id", octet_length($"text".cast("binary"))
+          .cast("long").as("n_bytes")), "doc_id")
       .select($"count", $"n_bytes").as[(Long, Long)].collect()
     assert(out.nonEmpty)
     out.foreach { case (frames, bytes) =>
