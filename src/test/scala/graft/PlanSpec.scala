@@ -437,6 +437,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
   }
 
+  test("q40/q55: AVI encode+decode is one typed pass over the id spread — " +
+    "exactly the round-robin exchange, payload bytes never shuffle") {
+    // the only exchange is the 8-byte-id repartition BEFORE the codec
+    // pass (realAviMedia's spread); a second exchange would mean
+    // container payloads crossing the wire
+    for (df <- Seq(graft.queries.MultimodalQueries.q40(spark, sf),
+                   graft.queries.MultimodalQueries.q55(spark, sf))) {
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).size == 1)
+      assert(p.contains("RoundRobinPartitioning"))
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    }
+  }
+
   test("q119: normalization is one narrow typed pass, zero exchanges") {
     val p = plan(graft.queries.TextQueries.q119(spark, sf))
     assert(!p.contains("Exchange"))
