@@ -25,6 +25,9 @@ object Bench {
     * bus delivery is FIFO, so every task event of the measured query is
     * in by then. Sentinel tasks themselves are excluded by stage id.
     */
+  /** Job-group prefix naming every listener-drain sentinel job. */
+  private val SentinelGroupPrefix = "graft-bench-drain-"
+
   private final class TaskTimeListener
       extends org.apache.spark.scheduler.SparkListener {
     private val runMs = new java.util.concurrent.atomic.AtomicLong
@@ -33,16 +36,21 @@ object Bench {
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val sentinelJobs =
       new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.CountDownLatch]()
-    @volatile private var sentinelGroup: String = null
-    @volatile private var latch: java.util.concurrent.CountDownLatch = null
+    private val sentinelLatches =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
 
     override def onJobStart(
         e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       val g = Option(e.properties)
         .map(_.getProperty("spark.jobGroup.id")).orNull
-      if (g != null && g == sentinelGroup) {
+      // match by the stable PREFIX, not the latest drain's group: after
+      // a drain timeout the next drain has already replaced the
+      // bookkeeping, and an equality match would let the late
+      // sentinel's own task leak into the NEXT query's counters
+      if (g != null && g.startsWith(SentinelGroupPrefix)) {
         e.stageIds.foreach(sentinelStages.add(_): Unit)
-        sentinelJobs.put(e.jobId, latch): Unit
+        val l = sentinelLatches.get(g)
+        if (l != null) sentinelJobs.put(e.jobId, l): Unit
       }
     }
 
@@ -64,18 +72,19 @@ object Bench {
       */
     def drainAndRead(spark: SparkSession): (Double, Double) = {
       val sc = spark.sparkContext
-      val group = s"graft-bench-drain-${System.nanoTime()}"
+      val group = s"$SentinelGroupPrefix${System.nanoTime()}"
       val l = new java.util.concurrent.CountDownLatch(1)
-      latch = l
-      sentinelGroup = group
+      sentinelLatches.put(group, l): Unit
       sc.setJobGroup(group, "bench listener drain", false)
       try sc.parallelize(Seq(1), 1).count(): Unit
       finally sc.clearJobGroup()
       // 10 s is orders of magnitude past any observed bus lag; on
       // timeout the numbers are still usable (at most one query's tail
-      // events land in its successor), so don't fail the sweep
+      // events land in its successor — the prefix match above keeps
+      // the late sentinel itself excluded), so don't fail the sweep
       if (!l.await(10, java.util.concurrent.TimeUnit.SECONDS))
         System.err.println("[bench] WARNING: listener drain timed out")
+      sentinelLatches.remove(group): Unit
       (runMs.get / 1e3, cpuNs.get / 1e9)
     }
   }

@@ -57,7 +57,15 @@ object Materialize {
   private def reliable(s: SparkSession): Boolean =
     s.conf.getOption(ReliableConfKey).exists(_.equalsIgnoreCase("true"))
 
-  private def ensureCheckpointDir(s: SparkSession): Unit = {
+  /** Serializes the first-use check-then-set: QueryMemo runs builds on
+    * concurrent threads, and two racing first materializations would
+    * otherwise BOTH call setCheckpointDir (each minting a UUID subdir
+    * — the loser's would never be cleaned) and register duplicate
+    * cleanup listeners.
+    */
+  private val ckptDirLock = new Object
+
+  private def ensureCheckpointDir(s: SparkSession): Unit = ckptDirLock.synchronized {
     val sc = s.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
       val dir = s.conf
@@ -88,7 +96,11 @@ object Materialize {
 
   /** Best-effort recursive delete through the Hadoop FS API (works for
     * local paths and object stores alike); failures are swallowed — a
-    * leftover checkpoint dir must never fail a shutdown.
+    * leftover checkpoint dir must never fail a shutdown. Deliberately
+    * NOT `ObjectStore.deleteRecursively` (the `java.io.File` one copy
+    * for local lake paths): a checkpoint dir can be an `hdfs://`/`s3a`
+    * URI only the Hadoop FS API can resolve, and shutdown must swallow
+    * every failure where lake deletes must not.
     */
   private[graft] def deleteRecursively(
       dir: String, conf: org.apache.hadoop.conf.Configuration): Unit =

@@ -60,6 +60,15 @@ object AviCodec {
   def encode(w: Int, h: Int, usPerFrame: Long,
              frames: IndexedSeq[Array[Int]]): Array[Byte] = {
     require(w > 0 && h > 0 && frames.nonEmpty, "empty clip")
+    // strh's rcFrame carries the dims as 16-bit shorts, and the header
+    // fields are unsigned 32-bit — validate instead of truncating (a
+    // silently-wrapped value would decode to DIFFERENT metadata than
+    // was encoded, violating the fail-loud codec discipline)
+    require(w <= 0x7fff && h <= 0x7fff, s"dimensions exceed rcFrame range: ${w}x$h")
+    require(usPerFrame > 0 && usPerFrame <= 0xffffffffL,
+      s"usPerFrame out of u32 range: $usPerFrame")
+    require(224L + frames.length.toLong * (8L + stride(w).toLong * h) <= Int.MaxValue,
+      "container exceeds 2 GiB — split the clip")
     require(frames.forall(_.length == w * h), "frame size mismatch")
     val fb = stride(w) * h
     val buf = ByteBuffer.allocate(encodedSize(w, h, frames.length))

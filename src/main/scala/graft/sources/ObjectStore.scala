@@ -173,9 +173,12 @@ class HadoopFsObjectStore(baseUri: String,
 
 object ObjectStore {
 
-  /** Recursive local-filesystem delete — THE one copy (staging dirs,
-    * lake table swaps, retention sweeps, orphaned warehouse dirs all
-    * use it). Missing paths are a no-op.
+  /** Recursive local-filesystem delete — THE one copy for `java.io.File`
+    * paths (staging dirs, lake table swaps, retention sweeps, orphaned
+    * warehouse dirs all use it). Missing paths are a no-op. The one
+    * deliberate sibling is `Materialize.deleteRecursively`, which goes
+    * through the Hadoop FS API because checkpoint dirs can be
+    * `hdfs://`/object-store URIs and shutdown swallows failures.
     */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
