@@ -168,12 +168,16 @@ object MultimodalQueries {
     * ([[graft.functions.AviCodec.decode]] — pixel payload, not just
     * headers), derive the post-resize dimensions (fixed target width,
     * aspect-preserving height) and a fixed-[[FeatDims]]-dim "frame
-    * embedding" read from the FIRST decoded frame's raster at strided
-    * pixel offsets, normalized to [0,1]. The oracle rebuilds every
-    * feature from the generator's pixel closed form, so a match
-    * proves the bottom-up DIB rows and BGR byte order round-tripped
-    * pixel-exactly — a decoder that echoed container bytes or flipped
-    * row order breaks the gate.
+    * embedding" read from frame `doc_id mod n_frames` at strided
+    * pixel offsets, normalized to [0,1] — the per-doc frame index
+    * walks every frame position across the corpus, so the hash gate
+    * exercises the MULTI-frame decode, not just frame 0. The oracle
+    * rebuilds every feature from the generator's pixel closed form
+    * (the `97·frame` term included), so a match proves frame
+    * addressing, the bottom-up DIB rows and BGR byte order all
+    * round-tripped pixel-exactly — a decoder that echoed container
+    * bytes, flipped row order, or mis-seeked the movi list breaks
+    * the gate.
     *
     * The feature vector is presented as a comma-joined list of
     * 1e4-scaled integers (round(v·1e4) of the 4-dp value): the
@@ -198,7 +202,7 @@ object MultimodalQueries {
         val clip = decode(m.payload)
         val w = clip.meta.width; val h = clip.meta.height
         val resizeH = math.round(h * ResizeW.toDouble / w)
-        val px = clip.frames.head
+        val px = clip.frames((m.doc_id % clip.frames.length).toInt)
         val n = w * h
         val feat = Array.tabulate(FeatDims) { d =>
           val off = d * n / FeatDims
@@ -974,15 +978,16 @@ object MultimodalQueries {
          |CROSS JOIN unnest(range(0, octet_length(encode(text)), $FrameStep)) AS t(f)
          |WHERE octet_length(encode(text)) > 0""".stripMargin,
     "q55_media_features" ->
-      // pixel-exact feature reads off frame 0: the strided linear
-      // offset off = (d·w·h) // 8 maps to (x, y) = (off % w, off // w)
-      // and the generator pixel is (doc_id + 31x + 17y) % 0xffffff
-      // (the 97·frame term vanishes at frame 0), normalized exactly
+      // pixel-exact feature reads off frame (doc_id % n_frames): the
+      // strided linear offset off = (d·w·h) // 8 maps to
+      // (x, y) = (off % w, off // w) and the generator pixel is
+      // (doc_id + 97·f + 31x + 17y) % 0xffffff, normalized exactly
       // like the engine: round to 4 dp, then scale to integer units
       s"""WITH p AS (
          | SELECT doc_id,
          |  $AviWBase + doc_id % $AviWMod AS w,
-         |  $AviHBase + (doc_id * 5) % $AviHMod AS h
+         |  $AviHBase + (doc_id * 5) % $AviHMod AS h,
+         |  doc_id % ($AviFramesBase + doc_id % $AviFramesMod) AS f
          | FROM documents)
          |SELECT doc_id,
          | CAST(w AS BIGINT) AS width,
@@ -991,7 +996,7 @@ object MultimodalQueries {
          | CAST(round(h * $ResizeW.0 / w) AS BIGINT) AS resize_h,
          | array_to_string(list_transform(range(0, $FeatDims),
          |   d -> CAST(CAST(round(round(
-         |     ((doc_id + 31 * (((d * w * h) // $FeatDims) % w)
+         |     ((doc_id + 97 * f + 31 * (((d * w * h) // $FeatDims) % w)
          |       + 17 * (((d * w * h) // $FeatDims) // w)) % 16777215)
          |      / 16777215.0, 4) * 10000) AS BIGINT) AS VARCHAR)), ',')
          |  AS feature
