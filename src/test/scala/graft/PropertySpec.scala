@@ -482,4 +482,63 @@ class PropertySpec extends Properties("graft") {
           atHist(math.max(rank, 1)) == sorted((math.max(rank, 1) - 1).toInt)
         }
     }
+
+  // --- AviCodec (q40/q55): pure-JVM codec, so these afford arbitrary
+  // clips rather than only the generator's id-derived ones -----------
+
+  import graft.functions.AviCodec
+
+  private val aviClipGen: Gen[(Int, Int, Long, IndexedSeq[Array[Int]])] =
+    for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      nf <- Gen.choose(1, 6)
+      us <- Gen.choose(1L, 0xffffffffL)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      (w, h, us, IndexedSeq.fill(nf)(Array.fill(w * h)(rnd.nextInt(0x1000000))))
+    }
+
+  property("AviCodec: encode→decode round-trips meta + every pixel for " +
+    "ARBITRARY clips, and the size closed form is exact") =
+    Prop.forAll(aviClipGen) { case (w, h, us, frames) =>
+      val bytes = AviCodec.encode(w, h, us, frames)
+      val clip = AviCodec.decode(bytes)
+      bytes.length == AviCodec.encodedSize(w, h, frames.length) &&
+        clip.meta == AviCodec.AviMeta(w, h, us, frames.length) &&
+        clip.frames.size == frames.size &&
+        clip.frames.zip(frames).forall { case (a, b) => a.sameElements(b) }
+    }
+
+  property("AviCodec: every strict prefix fails loudly (no truncated " +
+    "container ever decodes)") =
+    Prop.forAll(aviClipGen, Gen.choose(0, Int.MaxValue)) {
+      case ((w, h, us, frames), cutSeed) =>
+        val bytes = AviCodec.encode(w, h, us, frames)
+        val cut = cutSeed % bytes.length // every value < full length
+        Prop.throws(classOf[IllegalArgumentException]) {
+          AviCodec.decode(bytes.take(cut))
+        }
+    }
+
+  property("AviCodec: a pixel-byte flip decodes to a DIFFERENT raster — " +
+    "the parser reads the movi payload, never echoes the generator") =
+    Prop.forAll(aviClipGen, Gen.choose(0, Int.MaxValue),
+      Gen.choose(0, Int.MaxValue), Gen.choose(0, Int.MaxValue),
+      Gen.choose(0, 2)) {
+      case ((w, h, us, frames), fSeed, ySeed, xSeed, ch) =>
+        val bytes = AviCodec.encode(w, h, us, frames)
+        val f = fSeed % frames.length
+        val y = ySeed % h // row as STORED (bottom-up)
+        val x = xSeed % w
+        val fb = AviCodec.stride(w) * h
+        val pos = 224 + f * (8 + fb) + 8 + y * AviCodec.stride(w) + 3 * x + ch
+        val flipped = bytes.clone()
+        flipped(pos) = (flipped(pos) ^ 0x01).toByte
+        val clip = AviCodec.decode(flipped)
+        val decodedRow = h - 1 - y // decode un-flips the bottom-up rows
+        clip.frames(f)(decodedRow * w + x) !=
+          frames(f)(decodedRow * w + x)
+    }
 }
