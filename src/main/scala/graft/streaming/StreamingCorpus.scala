@@ -21,6 +21,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * incoming-id set: the 100 TB corpus side never re-enters the
   * decision, exactly q58's asymmetric-cost contract.
   */
+/** Media-ingest event: an opaque container payload arriving on the
+  * stream — the binary column type the batch q40 decode processes,
+  * with an arrival timestamp.
+  */
+case class MediaEv(doc_id: Long, payload: Array[Byte],
+                   ts: java.sql.Timestamp)
+
 object StreamingCorpus {
 
   /** Materialize the candidate stream into `path` as replay-safe
@@ -139,5 +146,39 @@ object StreamingCorpus {
         (d.ts, d.doc_id, fs, fs > 0L)
       }
       .toDF("ts", "doc_id", "feat_sum", "keep")
+  }
+
+  /** MEDIA-ingest monitor: the q40 video-metadata decode at arrival —
+    * each payload is parsed with the same strict
+    * [[graft.functions.AviCodec]] the batch query runs, emitting the
+    * decoded metadata plus an `ok` verdict. A malformed container is
+    * QUARANTINED (`ok=false`, sentinel metadata), never thrown: one
+    * corrupt blob must not kill a 100 TB ingest stream, and the
+    * flagged row is what routes it to a dead-letter sink. The decode
+    * is a stateless map, so stream and batch metadata are identical
+    * by construction on well-formed payloads (StreamingSpec pins the
+    * equality against q40 itself and the quarantine verdict against a
+    * truncated container).
+    *
+    * Scale shape: the q40 cost model streamed — payload bytes die
+    * inside the micro-batch task; only the typed scalar row flows on.
+    */
+  def mediaMonitor(media: Dataset[MediaEv]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .map { m =>
+        try {
+          val clip = graft.functions.AviCodec.decode(m.payload)
+          (m.ts, m.doc_id, m.payload.length.toLong,
+            clip.meta.width.toLong, clip.meta.height.toLong,
+            clip.meta.nFrames.toLong, clip.meta.usPerFrame, true)
+        } catch {
+          case _: IllegalArgumentException =>
+            (m.ts, m.doc_id, m.payload.length.toLong,
+              -1L, -1L, -1L, -1L, false)
+        }
+      }
+      .toDF("ts", "doc_id", "n_bytes", "width", "height", "n_frames",
+        "us_per_frame", "ok")
   }
 }

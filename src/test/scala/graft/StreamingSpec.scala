@@ -596,6 +596,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaMonitor: streamed AVI metadata equals the batch q40 decode; " +
+    "a corrupt container is quarantined, not thrown") {
+    import graft.streaming.{MediaEv, StreamingCorpus}
+    implicit val sqlCtx = spark.sqlContext
+    // real generator payloads, so the equality check runs against the
+    // q40 batch decode itself, not a reimplementation
+    val ids = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id").as[Long].collect().take(20)
+    val events = ids.zipWithIndex.map { case (id, i) =>
+      MediaEv(id, graft.queries.MultimodalQueries.aviPayload(id),
+        ts(f"2024-01-01 10:${i % 60}%02d:00"))
+    }
+    val goodBytes = graft.queries.MultimodalQueries.aviPayload(ids.head)
+    val corrupt = MediaEv(-1L, goodBytes.take(goodBytes.length / 2),
+      ts("2024-01-01 10:59:00"))
+    val in = MemoryStream[MediaEv]
+    val q = StreamingCorpus.mediaMonitor(in.toDS())
+      .writeStream.format("memory").queryName("mm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((events :+ corrupt).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val rows = spark.table("mm")
+        .select($"doc_id", $"n_bytes", $"width", $"height", $"n_frames",
+          $"ok")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      val streamed = rows.filter(_._6)
+        .map(r => (r._1, r._2, r._3, r._4)).toSet
+      val batch = graft.queries.MultimodalQueries
+        .q40(spark, "/root/testdata/sf0.001")
+        .filter($"doc_id".isin(ids.toIndexedSeq: _*))
+        .select($"doc_id", $"n_bytes", $"width", $"height")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // frame count decoded from the container, not echoed
+      rows.filter(_._6).foreach { r =>
+        assert(r._5 == graft.queries.MultimodalQueries.aviFrames(r._1))
+      }
+      // the truncated container arrived, was flagged, and did not kill
+      // the stream (every good row above came through the same batch)
+      val bad = rows.filter(!_._6)
+      assert(bad.map(_._1).toSeq == Seq(-1L))
+      assert(bad.head._3 == -1L && bad.head._4 == -1L)
+    } finally q.stop()
+  }
+
   test("qualityMonitor: windowed quality matches the batch TextJvm math, " +
     "watermark drops a too-late document") {
     import graft.streaming.StreamingCorpus
