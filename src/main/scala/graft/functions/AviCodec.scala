@@ -154,6 +154,17 @@ object AviCodec {
       if (buf.remaining < 4) fail("truncated size field")
       buf.getInt.toLong & 0xffffffffL
     }
+    // Chunk-size reads for WALKS must be bounds-checked BEFORE any
+    // position arithmetic: a forged size like 0xFFFFFFFF wraps negative
+    // through .toInt, and the skip `pos + sz + (sz & 1)` can then
+    // advance by ZERO — an infinite loop, the one failure mode worse
+    // than a wrong answer (a quarantining stream consumer would hang,
+    // not flag). Bounded size ⇒ every skip strictly advances.
+    def chunkSize(): Int = {
+      val sz = u32()
+      if (sz > buf.remaining) fail(s"chunk size $sz exceeds container")
+      sz.toInt
+    }
     if (fcc() != "RIFF") fail("missing RIFF magic")
     val riffSize = u32()
     if (riffSize != bytes.length - 8) fail("RIFF size != payload size")
@@ -168,7 +179,7 @@ object AviCodec {
     def parseHdrl(end: Int): Unit = while (buf.position() < end) {
       fcc() match {
         case "avih" =>
-          val sz = u32(); val at = buf.position()
+          val sz = chunkSize(); val at = buf.position()
           if (sz < 40) fail("avih too short")
           val usPerFrame = u32()      // dwMicroSecPerFrame, offset 0
           buf.position(at + 16)       // skip to dwTotalFrames
@@ -176,34 +187,34 @@ object AviCodec {
           buf.position(at + 32)       // skip to dwWidth/dwHeight
           val w = u32().toInt; val h = u32().toInt
           meta = AviMeta(w, h, usPerFrame, totalFrames)
-          buf.position(at + sz.toInt)
+          buf.position(at + sz)
         case "LIST" =>
-          val sz = u32(); val at = buf.position()
+          val sz = chunkSize(); val at = buf.position()
           if (fcc() != "strl") fail("unexpected LIST in hdrl")
-          parseHdrl(at + sz.toInt)
+          parseHdrl(at + sz)
         case "strh" =>
-          val sz = u32(); val at = buf.position()
+          val sz = chunkSize(); val at = buf.position()
           if (fcc() != "vids") fail("first stream is not video")
           if (fcc() != "DIB ") fail("unsupported video handler")
           buf.position(at + 32)
           strhFrames = u32().toInt
-          buf.position(at + sz.toInt)
+          buf.position(at + sz)
         case "strf" =>
-          val sz = u32(); val at = buf.position()
+          val sz = chunkSize(); val at = buf.position()
           if (u32() != 40) fail("unexpected BITMAPINFOHEADER size")
           biW = u32().toInt; biH = u32().toInt
           buf.position(at + 14)
           if ((buf.getShort.toInt & 0xffff) != 24) fail("not 24 bpp")
           if (u32() != 0) fail("compressed frames unsupported (not BI_RGB)")
-          buf.position(at + sz.toInt)
+          buf.position(at + sz)
         case _ =>
-          val sz = u32()
-          buf.position(buf.position() + sz.toInt + (sz.toInt & 1))
+          val sz = chunkSize()
+          buf.position(math.min(buf.position() + sz + (sz & 1), buf.limit()))
       }
     }
 
     def parseMovi(end: Int): Unit = while (buf.position() < end) {
-      val id = fcc(); val sz = u32().toInt
+      val id = fcc(); val sz = chunkSize()
       if (id == "00db" || id == "00dc") {
         if (meta == null || biW <= 0) fail("frame chunk before headers")
         val st = stride(biW)
@@ -224,21 +235,21 @@ object AviCodec {
         }
         frames += px
         nMovi += 1
-      } else buf.position(buf.position() + sz + (sz & 1))
+      } else buf.position(math.min(buf.position() + sz + (sz & 1), buf.limit()))
     }
 
     while (buf.remaining >= 8) {
       fcc() match {
         case "LIST" =>
-          val sz = u32(); val at = buf.position()
+          val sz = chunkSize(); val at = buf.position()
           fcc() match {
-            case "hdrl" => parseHdrl(at + sz.toInt)
-            case "movi" => parseMovi(at + sz.toInt)
-            case _      => buf.position(at + sz.toInt)
+            case "hdrl" => parseHdrl(at + sz)
+            case "movi" => parseMovi(at + sz)
+            case _      => buf.position(at + sz)
           }
         case _ =>
-          val sz = u32()
-          buf.position(buf.position() + sz.toInt + (sz.toInt & 1))
+          val sz = chunkSize()
+          buf.position(math.min(buf.position() + sz + (sz & 1), buf.limit()))
       }
     }
     if (meta == null) fail("no avih header")

@@ -124,6 +124,17 @@ class MultimodalSpec extends SparkSpec {
     val lied = bytes.clone()
     lied(48) = (lied(48) ^ 0x01).toByte // avih dwTotalFrames low byte
     intercept[IllegalArgumentException] { AviCodec.decode(lied) }
+    // forged chunk size 0xFFFFFFF8: wraps to -8 through .toInt, which
+    // exactly cancels the 8-byte chunk-header read — the unbounded
+    // walk would loop FOREVER on the same bytes (a hang, which a
+    // quarantining stream consumer can't flag). Must fail loudly.
+    val forged = bytes.clone()
+    val frameSzOff = 224 + 4 // first '00db' chunk's size field
+    forged(frameSzOff) = 0xf8.toByte
+    forged(frameSzOff + 1) = 0xff.toByte
+    forged(frameSzOff + 2) = 0xff.toByte
+    forged(frameSzOff + 3) = 0xff.toByte
+    intercept[IllegalArgumentException] { AviCodec.decode(forged) }
   }
 
   test("q40 decode keeps one output row per payload with the typed schema") {
