@@ -143,8 +143,24 @@ object AviCodec {
     * truncated or bit-flipped container fails loudly instead of
     * echoing plausible metadata (the q71/q109/q118 corrupt-container
     * discipline).
+    *
+    * Exception contract: a malformed container ALWAYS surfaces as
+    * `IllegalArgumentException` — guaranteed structurally (bounded
+    * chunk walks, length-validated header chunks, Long-width size
+    * math, depth-capped list nesting) plus a NonFatal backstop — so
+    * a quarantining consumer ([[graft.streaming.StreamingCorpus]]
+    * `mediaMonitor`) can catch ONE exception type and know no forged
+    * byte pattern kills its stream some other way.
     */
-  def decode(bytes: Array[Byte]): AviClip = {
+  def decode(bytes: Array[Byte]): AviClip =
+    try decodeStrict(bytes)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case scala.util.control.NonFatal(e) =>
+        fail(s"unexpected parse failure: ${e.getClass.getSimpleName}")
+    }
+
+  private def decodeStrict(bytes: Array[Byte]): AviClip = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fcc(): String = {
       if (buf.remaining < 4) fail("truncated fourcc")
@@ -176,7 +192,7 @@ object AviCodec {
     val frames = IndexedSeq.newBuilder[Array[Int]]
     var nMovi = 0
 
-    def parseHdrl(end: Int): Unit = while (buf.position() < end) {
+    def parseHdrl(end: Int, depth: Int): Unit = while (buf.position() < end) {
       fcc() match {
         case "avih" =>
           val sz = chunkSize(); val at = buf.position()
@@ -190,10 +206,14 @@ object AviCodec {
           buf.position(at + sz)
         case "LIST" =>
           val sz = chunkSize(); val at = buf.position()
+          // real AVIs nest hdrl→strl (2 deep); a forged container of
+          // endlessly nested lists must fail, not overflow the stack
+          if (depth >= 8) fail("list nesting too deep")
           if (fcc() != "strl") fail("unexpected LIST in hdrl")
-          parseHdrl(at + sz)
+          parseHdrl(at + sz, depth + 1)
         case "strh" =>
           val sz = chunkSize(); val at = buf.position()
+          if (sz < 56) fail("strh too short")
           if (fcc() != "vids") fail("first stream is not video")
           if (fcc() != "DIB ") fail("unsupported video handler")
           buf.position(at + 32)
@@ -201,8 +221,11 @@ object AviCodec {
           buf.position(at + sz)
         case "strf" =>
           val sz = chunkSize(); val at = buf.position()
+          if (sz < 40) fail("strf too short")
           if (u32() != 40) fail("unexpected BITMAPINFOHEADER size")
           biW = u32().toInt; biH = u32().toInt
+          if (biW <= 0 || biH <= 0 || biW > 0x7fff || biH > 0x7fff)
+            fail(s"implausible strf dimensions: ${biW}x$biH")
           buf.position(at + 14)
           if ((buf.getShort.toInt & 0xffff) != 24) fail("not 24 bpp")
           if (u32() != 0) fail("compressed frames unsupported (not BI_RGB)")
@@ -218,7 +241,9 @@ object AviCodec {
       if (id == "00db" || id == "00dc") {
         if (meta == null || biW <= 0) fail("frame chunk before headers")
         val st = stride(biW)
-        if (sz != st * biH) fail("frame chunk size != stride·height")
+        // Long-width compare: forged dims whose 32-bit product wraps
+        // must not slip past the size check into the allocation below
+        if (sz.toLong != st.toLong * biH) fail("frame chunk size != stride·height")
         if (buf.remaining < sz) fail("truncated frame payload")
         val px = new Array[Int](biW * biH)
         var y = biH - 1
@@ -243,7 +268,7 @@ object AviCodec {
         case "LIST" =>
           val sz = chunkSize(); val at = buf.position()
           fcc() match {
-            case "hdrl" => parseHdrl(at + sz)
+            case "hdrl" => parseHdrl(at + sz, 0)
             case "movi" => parseMovi(at + sz)
             case _      => buf.position(at + sz)
           }

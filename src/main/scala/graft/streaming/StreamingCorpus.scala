@@ -173,7 +173,11 @@ object StreamingCorpus {
             clip.meta.width.toLong, clip.meta.height.toLong,
             clip.meta.nFrames.toLong, clip.meta.usPerFrame, true)
         } catch {
-          case _: IllegalArgumentException =>
+          // decode's contract is IllegalArgumentException-only for
+          // malformed input; NonFatal is the defense-in-depth backstop
+          // so no byte pattern can fail the micro-batch task instead
+          // of landing a quarantine row
+          case scala.util.control.NonFatal(_) =>
             (m.ts, m.doc_id, m.payload.length.toLong,
               -1L, -1L, -1L, -1L, false)
         }

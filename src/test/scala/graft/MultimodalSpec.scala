@@ -124,17 +124,42 @@ class MultimodalSpec extends SparkSpec {
     val lied = bytes.clone()
     lied(48) = (lied(48) ^ 0x01).toByte // avih dwTotalFrames low byte
     intercept[IllegalArgumentException] { AviCodec.decode(lied) }
-    // forged chunk size 0xFFFFFFF8: wraps to -8 through .toInt, which
-    // exactly cancels the 8-byte chunk-header read — the unbounded
-    // walk would loop FOREVER on the same bytes (a hang, which a
-    // quarantining stream consumer can't flag). Must fail loudly.
+    // forged SKIP-branch chunk with size 0xFFFFFFF8: the fourcc is
+    // junked so the top-level walk takes its default skip, and the
+    // size wraps to -8 through .toInt — exactly cancelling the 8-byte
+    // chunk-header read, so the unbounded walk re-parses the same
+    // bytes FOREVER (a hang, which a quarantining stream consumer
+    // can't flag; the frame branch's own size check never runs on a
+    // skip). Must fail loudly instead.
     val forged = bytes.clone()
-    val frameSzOff = 224 + 4 // first '00db' chunk's size field
-    forged(frameSzOff) = 0xf8.toByte
-    forged(frameSzOff + 1) = 0xff.toByte
-    forged(frameSzOff + 2) = 0xff.toByte
-    forged(frameSzOff + 3) = 0xff.toByte
+    val moviOff = 212 // the top-level 'LIST <sz> movi' header
+    "JUNK".getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) =>
+      forged(moviOff + i) = b
+    }
+    Array(0xf8, 0xff, 0xff, 0xff).zipWithIndex.foreach { case (b, i) =>
+      forged(moviOff + 4 + i) = b.toByte
+    }
     intercept[IllegalArgumentException] { AviCodec.decode(forged) }
+    // deeply nested forged LIST/strl headers must fail the depth cap,
+    // never overflow the stack (StackOverflowError is uncatchable for
+    // the quarantine path)
+    val nested = java.nio.ByteBuffer.allocate(8 + 4 + 12 * 64 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nested.put("RIFF".getBytes("US-ASCII"))
+    nested.putInt(nested.capacity - 8)
+    nested.put("AVI ".getBytes("US-ASCII"))
+    var levelLen = nested.capacity - 12 - 8 // outer hdrl list content
+    nested.put("LIST".getBytes("US-ASCII")); nested.putInt(levelLen)
+    nested.put("hdrl".getBytes("US-ASCII"))
+    (0 until 63).foreach { _ =>
+      levelLen -= 12
+      nested.put("LIST".getBytes("US-ASCII")); nested.putInt(levelLen)
+      nested.put("strl".getBytes("US-ASCII"))
+    }
+    val ex = intercept[IllegalArgumentException] {
+      AviCodec.decode(nested.array)
+    }
+    assert(ex.getMessage.contains("nesting too deep"))
   }
 
   test("q40 decode keeps one output row per payload with the typed schema") {
