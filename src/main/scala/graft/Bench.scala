@@ -129,7 +129,26 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
-    val loadStart = loadAvg()
+    var loadStart = loadAvg()
+    // Loadavg GATE (VERDICT r12 item 6): three rounds running, the
+    // driver's sweep landed in a loaded window (r12: loadavg 2.95 at
+    // start, q114 6.8 s vs quiet 0.58) and the per-query history had to
+    // be adjudicated from builder-side profile JSONs. For full-registry
+    // runs, wait once for a quieter window; if it stays loaded, run
+    // anyway but stamp the artifact contaminated so consumers know the
+    // per-query numbers are load-noise, not regressions.
+    if (only.isEmpty && loadStart > 1.5 &&
+        !sys.env.get("SPARK_GRAFT_BENCH_NOGATE").contains("1")) {
+      System.err.println(f"[bench] WARNING: start loadavg $loadStart%.2f > 1.5 " +
+        "— waiting 60 s for a quieter window")
+      Thread.sleep(60000)
+      loadStart = loadAvg()
+    }
+    val contaminated = loadStart > 1.5
+    if (contaminated)
+      System.err.println(f"[bench] WARNING: sweep starts at loadavg " +
+        f"$loadStart%.2f > 1.5 — stamping \"contaminated\":true; per-query " +
+        "times in this artifact are not comparable across rounds")
     // flush warmup task events so the first query's snapshot is clean
     var lastTaskSnap = taskTimes.drainAndRead(spark)
     val results = selected.map { case (name, fn) =>
@@ -227,9 +246,17 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.isDefined) "bench_probe.json" else "bench_detail.json"),
-      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
+    // FIELD ORDER IS LOAD-BEARING (VERDICT r12 "what's wrong"): the
+    // harness archives a bounded stdout TAIL, and a truncated tail
+    // recovers whichever per-query map sits nearest the end. Round 12
+    // serialized "tasks" after "queries" and the archived tail silently
+    // parsed to TASK-seconds where every earlier round's tail parsed to
+    // wall — a cross-round diff trap. The wall "queries" map therefore
+    // stays the LAST map on the line; "tasks" rides before it and the
+    // full-resolution copies live in bench_detail.json.
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"warm":$warmJson,"queries":$qs,"tasks":$taskQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not

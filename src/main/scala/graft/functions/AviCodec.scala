@@ -203,7 +203,7 @@ object AviCodec {
           buf.position(at + 32)       // skip to dwWidth/dwHeight
           val w = u32().toInt; val h = u32().toInt
           meta = AviMeta(w, h, usPerFrame, totalFrames)
-          buf.position(at + sz)
+          buf.position(math.min(at + sz + (sz & 1), buf.limit())) // RIFF pad rule
         case "LIST" =>
           val sz = chunkSize(); val at = buf.position()
           // real AVIs nest hdrl→strl (2 deep); a forged container of
@@ -218,7 +218,7 @@ object AviCodec {
           if (fcc() != "DIB ") fail("unsupported video handler")
           buf.position(at + 32)
           strhFrames = u32().toInt
-          buf.position(at + sz)
+          buf.position(math.min(at + sz + (sz & 1), buf.limit())) // RIFF pad rule
         case "strf" =>
           val sz = chunkSize(); val at = buf.position()
           if (sz < 40) fail("strf too short")
@@ -229,7 +229,7 @@ object AviCodec {
           buf.position(at + 14)
           if ((buf.getShort.toInt & 0xffff) != 24) fail("not 24 bpp")
           if (u32() != 0) fail("compressed frames unsupported (not BI_RGB)")
-          buf.position(at + sz)
+          buf.position(math.min(at + sz + (sz & 1), buf.limit())) // RIFF pad rule
         case _ =>
           val sz = chunkSize()
           buf.position(math.min(buf.position() + sz + (sz & 1), buf.limit()))

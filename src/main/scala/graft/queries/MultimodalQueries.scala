@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * Every modality decodes a REAL container with a zero-dependency
   * JVM codec: still images q71/q101 (`javax.imageio` PNG), animated
   * frames q109 (ImageIO GIF sequences), audio q118/q130
-  * (`javax.sound.sampled` WAV), and VIDEO q40/q55
-  * ([[graft.functions.AviCodec]] — RIFF/AVI with uncompressed DIB
-  * frames, written and parsed by this repo because the JDK ships no
-  * video codec). Each generated container's metadata and pixel/sample
+  * ([[graft.functions.WavCodec]] — RIFF/WAVE PCM16, lock-free where
+  * the JDK's `AudioSystem` convoys on a global provider lookup), and
+  * VIDEO q40/q55 ([[graft.functions.AviCodec]] — RIFF/AVI with
+  * uncompressed DIB frames, written and parsed by this repo because
+  * the JDK ships no video codec). Each generated container's metadata and pixel/sample
   * payload is a pure function of doc_id, so the DuckDB oracles predict
   * the DECODED output in closed form — a hash match proves the parse
   * round-tripped bit-exactly, never that the query echoed its input.
@@ -654,50 +655,42 @@ object MultimodalQueries {
     * (`amp = 1000 + 500·(id%10)`, half-period `4 + id%5` samples,
     * `800 + 80·(id%7)` samples total) rendered to 16-bit signed
     * little-endian mono PCM and wrapped in a genuine RIFF/WAVE
-    * container by the JDK's own `javax.sound.sampled` writer (zero
-    * extra dependencies — audio file I/O ships in the JDK the way
-    * ImageIO does for images).
+    * container by [[graft.functions.WavCodec.encode]] — the repo's
+    * own RIFF writer, byte-layout-identical to what
+    * `AudioSystem.write(.., Type.WAVE, ..)` produces for this format
+    * (MultimodalSpec cross-checks one container against the JDK
+    * parser so the layouts can never drift apart silently).
     *
-    * Deliberately NOT `repartition`-spread like the PNG/GIF twins:
-    * `AudioSystem.write`/`getAudioInputStream` run a GLOBALLY
+    * Round 10–12 could NOT spread this generator like the PNG/GIF
+    * twins: the JDK's `AudioSystem` entry points run a GLOBALLY
     * SYNCHRONIZED service-provider lookup per call, and fanning the
-    * per-doc calls across all 32 local threads convoys on that lock —
-    * measured 0.63 s → 1.7 s (q118) and 0.85 s → 2.3 s (q130) when
-    * round-10 tried it. On a real cluster each EXECUTOR has its own
-    * lock, so the convoy is a single-JVM artifact — a deployment
-    * replacing this generator with real blob reads parallelizes
-    * normally.
+    * per-doc calls across all 32 local threads convoyed on that lock
+    * (56×/50× task inflation at sf0.5, SCALE.md §20/§24). The
+    * hand-rolled codec has no lock, so the spread is back — the
+    * per-row encode work dwarfs the 8-byte id that carries it.
     */
   private[graft] def realWavMedia(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val amp = (WavAmpBase + (id % WavAmpMod) * WavAmpStep).toInt
         val halfP = (WavHalfPBase + id % WavHalfPMod).toInt
         val n = (WavLenBase + (id % WavLenMod) * WavLenStep).toInt
-        val pcm = new Array[Byte](n * 2)
+        val pcm = new Array[Short](n)
         var i = 0
         while (i < n) {
-          val v = if ((i / halfP) % 2 == 0) amp else -amp
-          pcm(2 * i) = (v & 0xff).toByte          // little-endian
-          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          pcm(i) = (if ((i / halfP) % 2 == 0) amp else -amp).toShort
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          WavRate.toFloat, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        MediaIn(id, bos.toByteArray)
+        MediaIn(id, graft.functions.WavCodec.encode(WavRate, pcm))
       })
   }
 
   /** q118 — REAL audio decode: parse the WAV container back with
-    * `AudioSystem.getAudioInputStream` (header → format fields, PCM
-    * frames → samples) and compute integer signal features — frame
-    * count, Σ|sample|, and sign-transition count. Completes the
+    * [[graft.functions.WavCodec.decode]] (strict RIFF walk: fmt header
+    * → format fields, data chunk → samples) and compute integer signal
+    * features — frame count, Σ|sample|, and sign-transition count. Completes the
     * real-codec seam across all three media modalities (q71/q101
     * still images, q109 multi-frame video-like containers, q118
     * audio): the oracle predicts every feature in CLOSED FORM from the
@@ -718,32 +711,22 @@ object MultimodalQueries {
     import s.implicits._
     realWavMedia(s, dir)
       .mapPartitions(_.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
-        try {
-          val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-            s"unexpected decoded format for doc ${m.doc_id}: $fmt")
-          val frames = ais.getFrameLength
-          val raw = ais.readAllBytes()
-          var sumAbs = 0L
-          var transitions = 0L
-          var prev = 0
-          var i = 0
-          val nb = raw.length
-          while (i + 1 < nb) {
-            val lo = raw(i) & 0xff
-            val hi = raw(i + 1).toInt // sign-extends the high byte
-            val v = (hi << 8) | lo
-            sumAbs += math.abs(v)
-            if (i > 0 && ((v > 0) != (prev > 0))) transitions += 1
-            prev = v
-            i += 2
-          }
-          (m.doc_id, frames, fmt.getSampleRate.toLong,
-            fmt.getSampleSizeInBits.toLong, fmt.getChannels.toLong,
-            sumAbs, transitions)
-        } finally ais.close()
+        val clip = graft.functions.WavCodec.decode(m.payload)
+        val meta = clip.meta
+        require(meta.bits == 16 && meta.channels == 1,
+          s"unexpected decoded format for doc ${m.doc_id}: $meta")
+        val xs = clip.samples
+        var sumAbs = 0L
+        var transitions = 0L
+        var i = 0
+        while (i < xs.length) {
+          val v = xs(i).toInt
+          sumAbs += math.abs(v)
+          if (i > 0 && ((v > 0) != (xs(i - 1).toInt > 0))) transitions += 1
+          i += 1
+        }
+        (m.doc_id, meta.nFrames.toLong, meta.sampleRate.toLong,
+          meta.bits.toLong, meta.channels.toLong, sumAbs, transitions)
       })
       .toDF("doc_id", "n_samples", "sample_rate", "bits", "channels",
         "sum_abs", "n_transitions")
@@ -773,17 +756,12 @@ object MultimodalQueries {
     import s.implicits._
     val fps = realWavMedia(s, dir)
       .mapPartitions(_.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
-        try {
-          val raw = ais.readAllBytes()
-          val n = raw.length / 2
+        {
+          val clip = graft.functions.WavCodec.decode(m.payload)
+          val n = clip.samples.length
           val xs = new Array[Int](n)
           var i = 0
-          while (i < n) {
-            xs(i) = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
-            i += 1
-          }
+          while (i < n) { xs(i) = clip.samples(i).toInt; i += 1 }
           val feats = (0 until FpWindows).map { w =>
             val a = w * n / FpWindows
             val b = (w + 1) * n / FpWindows
@@ -802,7 +780,7 @@ object MultimodalQueries {
             s"$sumAbs-$trans"
           }
           (m.doc_id, feats.mkString(","))
-        } finally ais.close()
+        }
       })
       .toDF("doc_id", "feat_str")
       .select(col("doc_id"), md5(col("feat_str")).as("audio_fp"))

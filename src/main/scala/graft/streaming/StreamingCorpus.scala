@@ -7,6 +7,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
+/** Media-ingest event: an opaque container payload arriving on the
+  * stream — the binary column type the batch q40 decode processes,
+  * with an arrival timestamp.
+  */
+case class MediaEv(doc_id: Long, payload: Array[Byte],
+                   ts: java.sql.Timestamp)
+
 /** The streaming → corpus bridge: [[StreamingDedup]] candidates are
   * materialized into the lake ([[LakeSink]]'s replay-safe layout) and
   * decided with the SAME q58 policy code the batch DAG ships
@@ -21,13 +28,6 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * incoming-id set: the 100 TB corpus side never re-enters the
   * decision, exactly q58's asymmetric-cost contract.
   */
-/** Media-ingest event: an opaque container payload arriving on the
-  * stream — the binary column type the batch q40 decode processes,
-  * with an arrival timestamp.
-  */
-case class MediaEv(doc_id: Long, payload: Array[Byte],
-                   ts: java.sql.Timestamp)
-
 object StreamingCorpus {
 
   /** Materialize the candidate stream into `path` as replay-safe

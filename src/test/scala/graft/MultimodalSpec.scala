@@ -337,12 +337,100 @@ class MultimodalSpec extends SparkSpec {
     // read, never echo plausible features
     val m0 = sample.head
     val truncated = m0.payload.take(20) // cuts inside the fmt chunk
-    val quiet =
-      try {
-        javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(truncated)).readAllBytes()
-        true
-      } catch { case _: Exception => false }
-    assert(!quiet, "truncated WAV decoded as if complete")
+    intercept[IllegalArgumentException] {
+      graft.functions.WavCodec.decode(truncated)
+    }
+  }
+
+  test("WavCodec encoder layout matches the JDK's WAV writer/parser " +
+    "byte-for-byte (independent oracle: AudioSystem must read our " +
+    "container back to the identical format + PCM payload)") {
+    import graft.functions.WavCodec
+    // one driver-side cross-check — the JDK's synchronized provider
+    // lookup is exactly why the hot path no longer calls AudioSystem,
+    // but as a spec-only oracle it proves the two encoders can't drift
+    val pcm = Array.tabulate(321)(i => ((i * 37) % 1500 - 700).toShort)
+    val bytes = WavCodec.encode(8000, pcm)
+    assert(bytes.length == WavCodec.encodedSize(pcm.length))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 8000f && fmt.getSampleSizeInBits == 16 &&
+        fmt.getChannels == 1 && !fmt.isBigEndian)
+      assert(ais.getFrameLength == pcm.length.toLong)
+      val raw = ais.readAllBytes()
+      assert(raw.length == 2 * pcm.length)
+      pcm.indices.foreach { i =>
+        val v = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)).toShort
+        assert(v == pcm(i), s"PCM drift at sample $i")
+      }
+      // and the JDK's own writer produces the identical container for
+      // the identical PCM — the layouts are byte-for-byte the same
+      val fmt2 = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val raw2 = new Array[Byte](2 * pcm.length)
+      pcm.indices.foreach { i =>
+        raw2(2 * i) = (pcm(i) & 0xff).toByte
+        raw2(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw2), fmt2, pcm.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(bos.toByteArray, bytes),
+        "WavCodec container differs from the JDK writer's layout")
+    } finally ais.close()
+  }
+
+  test("WavCodec strict parse: forged sizes, header inconsistencies, " +
+    "and structural corruption all fail loudly as IllegalArgumentException") {
+    import graft.functions.WavCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = WavCodec.encode(8000, Array.tabulate(100)(i => (i - 50).toShort))
+    def mut(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone()
+      f(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)); b
+    }
+    // bad magic / form type
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.put(0, 'X'.toByte))) }
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.put(8, 'X'.toByte))) }
+    // RIFF size lies about the payload
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putInt(4, 7))) }
+    // forged fmt chunk size 0xFFFFFFF8 — the wrap-to-negative pattern
+    // that used to hang the AVI walk; must fail, never loop
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putInt(16, 0xFFFFFFF8))) }
+    // blockAlign / byteRate inconsistent with channels·bits
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putShort(32, 4.toShort))) }
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putInt(28, 999))) }
+    // 8-bit sample size unsupported
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putShort(34, 8.toShort))) }
+    // data length not a multiple of blockAlign
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putInt(40, 199))) }
+    // compressed format tag
+    intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putShort(20, 2.toShort))) }
+    // empty input and garbage input
+    intercept[IllegalArgumentException] { WavCodec.decode(Array.emptyByteArray) }
+    intercept[IllegalArgumentException] { WavCodec.decode(Array.fill(64)(0x5a.toByte)) }
+    // an unknown odd-sized chunk between fmt and data is skipped with
+    // the RIFF pad byte and the container still decodes
+    val n = 10
+    val withJunk = {
+      val pcm = Array.tabulate(n)(i => i.toShort)
+      val base = WavCodec.encode(8000, pcm)
+      val junk = Array[Byte]('j', 'u', 'n', 'k', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+      val out = ByteBuffer.allocate(base.length + junk.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.put(base, 0, 36)            // RIFF..WAVE + fmt chunk
+      out.put(junk)                   // 'junk' sz=5 + 5 bytes + pad
+      out.put(base, 36, base.length - 36) // data chunk
+      val arr = out.array
+      ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, arr.length - 8)    // re-true the RIFF size
+      arr
+    }
+    val clip = WavCodec.decode(withJunk)
+    assert(clip.meta.nFrames == n && clip.samples.length == n)
+    assert(clip.samples.zipWithIndex.forall { case (v, i) => v.toInt == i })
   }
 }

@@ -541,4 +541,51 @@ class PropertySpec extends Properties("graft") {
         clip.frames(f)(decodedRow * w + x) !=
           frames(f)(decodedRow * w + x)
     }
+
+  // --- WavCodec (q118/q130): same pure-JVM discipline as AviCodec ----
+
+  import graft.functions.WavCodec
+
+  private val wavClipGen: Gen[(Int, Array[Short])] =
+    for {
+      rate <- Gen.choose(1, 192000)
+      n <- Gen.choose(1, 4000)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      (rate, Array.fill(n)(rnd.nextInt(0x10000).toShort))
+    }
+
+  property("WavCodec: encode→decode round-trips meta + every sample for " +
+    "ARBITRARY clips, and the size closed form is exact") =
+    Prop.forAll(wavClipGen) { case (rate, pcm) =>
+      val bytes = WavCodec.encode(rate, pcm)
+      val clip = WavCodec.decode(bytes)
+      bytes.length == WavCodec.encodedSize(pcm.length) &&
+        clip.meta == WavCodec.WavMeta(rate, 16, 1, pcm.length) &&
+        clip.samples.sameElements(pcm)
+    }
+
+  property("WavCodec: every strict prefix fails loudly (no truncated " +
+    "container ever decodes)") =
+    Prop.forAll(wavClipGen, Gen.choose(0, Int.MaxValue)) {
+      case ((rate, pcm), cutSeed) =>
+        val bytes = WavCodec.encode(rate, pcm)
+        val cut = cutSeed % bytes.length
+        Prop.throws(classOf[IllegalArgumentException]) {
+          WavCodec.decode(bytes.take(cut))
+        }
+    }
+
+  property("WavCodec: a sample-byte flip decodes to a DIFFERENT sample — " +
+    "the parser reads the data payload, never echoes the generator") =
+    Prop.forAll(wavClipGen, Gen.choose(0, Int.MaxValue), Gen.oneOf(0, 1)) {
+      case ((rate, pcm), iSeed, byteHalf) =>
+        val bytes = WavCodec.encode(rate, pcm)
+        val i = iSeed % pcm.length
+        val pos = 44 + 2 * i + byteHalf
+        val flipped = bytes.clone()
+        flipped(pos) = (flipped(pos) ^ 0x01).toByte
+        WavCodec.decode(flipped).samples(i) != pcm(i)
+    }
 }

@@ -642,6 +642,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaMonitor survives a checkpointed restart: verdict rows stay " +
+    "contiguous across the stop, no container is re-decoded twice") {
+    import graft.streaming.{MediaEv, StreamingCorpus}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mout").toString
+    val ids = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id").as[Long].collect().take(12)
+    def ev(id: Long, i: Int) =
+      MediaEv(id, graft.queries.MultimodalQueries.aviPayload(id),
+        ts(f"2024-01-01 10:${i % 60}%02d:00"))
+    val (first, second) = ids.zipWithIndex.map((ev _).tupled).splitAt(7)
+    val in = MemoryStream[MediaEv]
+    def start() = StreamingCorpus.mediaMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1 decodes the first tranche — then the query STOPS
+    val q1 = start()
+    try { in.addData(first.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the same checkpoint: the monitor is a stateless
+    // per-row decode, so recovery must (a) not replay tranche 1 into
+    // duplicate verdict rows and (b) decode tranche 2 normally
+    val q2 = start()
+    try { in.addData(second.toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .select($"doc_id", $"n_bytes", $"ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == ids.length, "re-decode duplicates or lost rows")
+    assert(rows.map(_._1).sorted.toSeq == ids.sorted.toSeq)
+    rows.foreach { case (id, nBytes, ok) =>
+      assert(ok)
+      assert(nBytes == graft.queries.MultimodalQueries.aviPayload(id).length)
+    }
+  }
+
   test("qualityMonitor: windowed quality matches the batch TextJvm math, " +
     "watermark drops a too-late document") {
     import graft.streaming.StreamingCorpus
