@@ -245,7 +245,12 @@ object Bench {
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        if (only.isDefined) "bench_probe.json" else "bench_detail.json"),
+        if (only.isDefined) "bench_probe.json"
+        // a COLD full sweep is a companion measurement (VERDICT r12
+        // item 7), never the artifact of record — its own file, so it
+        // can't shadow the normal sweep's bench_detail.json
+        else if (coldMode) "bench_cold.json"
+        else "bench_detail.json"),
       s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
     // FIELD ORDER IS LOAD-BEARING (VERDICT r12 "what's wrong"): the
     // harness archives a bounded stdout TAIL, and a truncated tail
@@ -262,7 +267,7 @@ object Bench {
     // rounds of BENCH_r*.json.parsed=null prove that channel is not
     // machine-readable. The fixed-path file IS: byte-exact compact JSON,
     // no prefixes, overwritten per run (referenced from BASELINE.md).
-    if (only.isEmpty)
+    if (only.isEmpty && !coldMode)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_RESULT.json"), line)
     println(line)

@@ -432,9 +432,13 @@ class PlanSpec extends SparkSpec {
       "rank window must sit above the TakeOrdered, not over the vocab")
   }
 
-  test("q118: WAV decode is one narrow typed pass, zero exchanges") {
+  test("q118: WAV encode+decode is one typed pass over the id spread — " +
+    "exactly the round-robin exchange, payload bytes never shuffle " +
+    "(the q40/q55 shape, enabled by WavCodec killing the AudioSystem lock)") {
     val p = plan(graft.queries.MultimodalQueries.q118(spark, sf))
-    assert(!p.contains("Exchange"))
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert(p.contains("RoundRobinPartitioning"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
   }
 
   test("q40/q55: AVI encode+decode is one typed pass over the id spread — " +
