@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
-"""Append round-13 columns (quiet / cold / sf1 / x10 ratio) to the
-per-query BENCH history table in BASELINE.md. Dev tooling only.
+"""(Re)write the round-13 columns (quiet / cold / sf1 / x10 ratio) in the
+per-query BENCH history table in BASELINE.md. Idempotent: if the four
+r13 columns are already present they are stripped and regenerated, so
+a quieter re-run can refresh the quiet column in place. Dev tooling.
 
 Usage: python3 scripts/update_baseline_table.py
 Reads bench_detail.json (r13 quiet sf0.1), bench_cold.json (r13 cold
@@ -12,32 +14,47 @@ quiet = json.load(open("bench_detail.json"))
 cold = json.load(open("bench_cold.json"))
 sf1 = json.load(open("bench_profile_sf1.json"))
 
+N_NEW = 4  # r13-quiet | r13-cold | r13-sf1 | x10 ratio
+
+
+def strip_new(line):
+    """Drop the last N_NEW cells if the header says they exist."""
+    cells = line.rstrip().rstrip("|").split("|")
+    return "|".join(cells[:-N_NEW]) + "|"
+
+
 lines = open("BASELINE.md").read().split("\n")
 out = []
-header_done = False
+in_table = False
+has_new = False
 for ln in lines:
+    if ln.startswith("| query |"):
+        in_table = True
+        has_new = "r13-quiet" in ln
+        base = strip_new(ln) if has_new else ln.rstrip()
+        out.append(base + " r13-quiet | r13-cold | r13-sf1 | ×10 ratio |")
+        continue
+    if in_table and ln.startswith("|---|"):
+        base = strip_new(ln) if has_new else ln.rstrip()
+        out.append(base + "---|---|---|---|")
+        continue
     m = re.match(r"^\| (q\d+\w*) \|", ln)
-    if ln.startswith("| query |") and not header_done:
-        assert ln.rstrip().endswith("×5 ratio |"), ln
-        out.append(ln.rstrip() + " r13-quiet | r13-cold | r13-sf1 | ×10 ratio |")
-        header_done = True
-    elif header_done and ln.startswith("|---|"):
-        out.append(ln.rstrip() + "---|---|---|---|")
-        header_done = "sep_done"
-    elif m:
+    if in_table and m:
         q = m.group(1)
+        base = strip_new(ln) if has_new else ln.rstrip()
         qw = quiet["queries"].get(q)
-        cw = cold["queries"].get(q)
-        sw = sf1["queries"].get(q)
         if qw is None:
             out.append(ln)
             continue
+        cw = cold["queries"].get(q)
+        sw = sf1["queries"].get(q)
         warm = " (w)" if q in quiet.get("warm", []) else ""
         ratio = sw / qw if qw else float("nan")
-        out.append(ln.rstrip() +
-                   f" {qw:.2f}{warm} | {cw:.2f} | {sw:.2f} | {ratio:.1f} |")
-    else:
-        out.append(ln)
+        out.append(base + f" {qw:.2f}{warm} | {cw:.2f} | {sw:.2f} | {ratio:.1f} |")
+        continue
+    if in_table and not ln.startswith("|"):
+        in_table = False
+    out.append(ln)
 
 open("BASELINE.md", "w").write("\n".join(out))
 print("updated", sum(1 for l in out if re.match(r"^\| q\d", l)), "rows")

@@ -153,7 +153,9 @@ object WavCodec {
           if (byteRate != rate * blockAlign)
             fail(s"byteRate $byteRate != rate·blockAlign")
           meta = WavMeta(rate.toInt, bits, channels, -1)
-          buf.position(at + sz + (sz & 1)) // RIFF pad rule
+          // clamped like the unknown-chunk skip: an odd-sized fmt chunk
+          // ending flush with the container must not overshoot the limit
+          buf.position(math.min(at + sz + (sz & 1), buf.limit())) // RIFF pad rule
         case "data" =>
           if (meta == null) fail("data chunk before fmt header")
           if (samples != null) fail("duplicate data chunk")
