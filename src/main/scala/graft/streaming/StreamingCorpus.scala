@@ -185,4 +185,47 @@ object StreamingCorpus {
       .toDF("ts", "doc_id", "n_bytes", "width", "height", "n_frames",
         "us_per_frame", "ok")
   }
+
+  /** AUDIO-ingest monitor: [[mediaMonitor]]'s twin for WAV payloads —
+    * the q118 feature decode at arrival via the same strict
+    * [[graft.functions.WavCodec]] the batch query runs (round 13's
+    * lock-free replacement for the JDK audio stack). Same quarantine
+    * contract: a malformed container lands an `ok=false` row with
+    * sentinel features, never an exception — WavCodec guarantees the
+    * single-IllegalArgumentException contract structurally, and the
+    * NonFatal backstop covers defense in depth. Stateless map, so the
+    * streamed features equal batch q118 by construction on well-formed
+    * payloads (StreamingSpec pins the equality and the quarantine).
+    *
+    * Scale shape: identical to [[mediaMonitor]] — PCM bytes die inside
+    * the micro-batch task; only the typed feature row flows on.
+    */
+  def audioMonitor(media: Dataset[MediaEv]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .map { m =>
+        try {
+          val clip = graft.functions.WavCodec.decode(m.payload)
+          val xs = clip.samples
+          var sumAbs = 0L
+          var transitions = 0L
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toInt
+            sumAbs += math.abs(v)
+            if (i > 0 && ((v > 0) != (xs(i - 1).toInt > 0))) transitions += 1
+            i += 1
+          }
+          (m.ts, m.doc_id, m.payload.length.toLong,
+            clip.meta.nFrames.toLong, clip.meta.sampleRate.toLong,
+            sumAbs, transitions, true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (m.ts, m.doc_id, m.payload.length.toLong,
+              -1L, -1L, -1L, -1L, false)
+        }
+      }
+      .toDF("ts", "doc_id", "n_bytes", "n_samples", "sample_rate",
+        "sum_abs", "n_transitions", "ok")
+  }
 }

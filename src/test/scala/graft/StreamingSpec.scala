@@ -642,6 +642,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audioMonitor: streamed WAV features equal the batch q118 decode; " +
+    "a corrupt container is quarantined, not thrown") {
+    import graft.streaming.{MediaEv, StreamingCorpus}
+    implicit val sqlCtx = spark.sqlContext
+    // real generator payloads (the q118 WavCodec containers), so the
+    // equality check runs against the batch decode itself
+    val sample = graft.queries.MultimodalQueries
+      .realWavMedia(spark, "/root/testdata/sf0.001").collect().take(20)
+    val events = sample.zipWithIndex.map { case (m, i) =>
+      MediaEv(m.doc_id, m.payload, ts(f"2024-01-01 10:${i % 60}%02d:00"))
+    }
+    val corrupt = MediaEv(-1L, sample.head.payload.take(20),
+      ts("2024-01-01 10:59:00"))
+    val in = MemoryStream[MediaEv]
+    val q = StreamingCorpus.audioMonitor(in.toDS())
+      .writeStream.format("memory").queryName("am")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((events :+ corrupt).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val rows = spark.table("am")
+        .select($"doc_id", $"n_samples", $"sample_rate", $"sum_abs",
+          $"n_transitions", $"ok")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      val ids = sample.map(_.doc_id).toSet
+      val streamed = rows.filter(_._6)
+        .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+      val batch = graft.queries.MultimodalQueries
+        .q118(spark, "/root/testdata/sf0.001")
+        .filter($"doc_id".isin(ids.toSeq: _*))
+        .select($"doc_id", $"n_samples", $"sample_rate", $"sum_abs",
+          $"n_transitions")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // the truncated container arrived, was flagged, and did not kill
+      // the stream (every good row above came through the same batch)
+      val bad = rows.filter(!_._6)
+      assert(bad.map(_._1).toSeq == Seq(-1L))
+      assert(bad.head._2 == -1L && bad.head._4 == -1L)
+    } finally q.stop()
+  }
+
   test("mediaMonitor survives a checkpointed restart: verdict rows stay " +
     "contiguous across the stop, no container is re-decoded twice") {
     import graft.streaming.{MediaEv, StreamingCorpus}
