@@ -43,14 +43,16 @@ for ln in lines:
         q = m.group(1)
         base = strip_new(ln) if has_new else ln.rstrip()
         qw = quiet["queries"].get(q)
-        if qw is None:
-            out.append(ln)
-            continue
         cw = cold["queries"].get(q)
         sw = sf1["queries"].get(q)
+        # a query missing from any profile gets an em-dash cell, never a
+        # crash mid-rewrite or a row shorter than the header
+        def cell(v):
+            return f"{v:.2f}" if v is not None else "—"
         warm = " (w)" if q in quiet.get("warm", []) else ""
-        ratio = sw / qw if qw else float("nan")
-        out.append(base + f" {qw:.2f}{warm} | {cw:.2f} | {sw:.2f} | {ratio:.1f} |")
+        ratio = f"{sw / qw:.1f}" if qw and sw is not None else "—"
+        qcell = cell(qw) + (warm if qw is not None else "")
+        out.append(base + f" {qcell} | {cell(cw)} | {cell(sw)} | {ratio} |")
         continue
     if in_table and not ln.startswith("|"):
         in_table = False

@@ -94,6 +94,13 @@ object Bench {
     // the stdout/stderr tail the harness JSON-parses the result from
     // must stay clean of the known-benign WARN spam (see LogHygiene)
     LogHygiene.quietKnownWarnings()
+    // sample EXTERNAL load before the session + 32-thread warmup add
+    // our own runnable threads to the 1-min average — the gate below
+    // must measure the host, not the bench itself
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    var loadStart = loadAvg()
     val spark = GraftSession.create(cpus)
     val taskTimes = new TaskTimeListener
     spark.sparkContext.addSparkListener(taskTimes)
@@ -126,10 +133,6 @@ object Bench {
     // manufactured ~20 phantom per-query regressions the judge had to
     // hand-adjudicate — the archived snapshot must self-describe its
     // noise conditions (VERDICT r10 item 3)
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-    var loadStart = loadAvg()
     // Loadavg GATE (VERDICT r12 item 6): three rounds running, the
     // driver's sweep landed in a loaded window (r12: loadavg 2.95 at
     // start, q114 6.8 s vs quiet 0.58) and the per-query history had to
@@ -260,8 +263,12 @@ object Bench {
     // wall — a cross-round diff trap. The wall "queries" map therefore
     // stays the LAST map on the line; "tasks" rides before it and the
     // full-resolution copies live in bench_detail.json.
+    // "cold" rides the line too: a cold sweep never writes
+    // BENCH_RESULT.json, but its stdout copy is schema-identical to a
+    // normal sweep's — without the marker an archived tail could pass
+    // ~2× cold totals off as the sweep of record
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not

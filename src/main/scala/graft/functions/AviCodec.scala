@@ -270,7 +270,8 @@ object AviCodec {
           fcc() match {
             case "hdrl" => parseHdrl(at + sz, 0)
             case "movi" => parseMovi(at + sz)
-            case _      => buf.position(at + sz)
+            case _ => // RIFF pad rule, clamped like every other skip
+              buf.position(math.min(at + sz + (sz & 1), buf.limit()))
           }
         case _ =>
           val sz = chunkSize()

@@ -44,6 +44,24 @@ object WavCodec {
     */
   def encodedSize(n: Int): Int = 44 + 2 * n
 
+  /** Integer signal features over decoded samples — (Σ|sample|,
+    * sign-transition count): the q118 feature pair, kept here so the
+    * batch query and the streaming `audioMonitor` share ONE copy of
+    * the math and can never silently diverge.
+    */
+  def features(samples: Array[Short]): (Long, Long) = {
+    var sumAbs = 0L
+    var transitions = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toInt
+      sumAbs += math.abs(v)
+      if (i > 0 && ((v > 0) != (samples(i - 1).toInt > 0))) transitions += 1
+      i += 1
+    }
+    (sumAbs, transitions)
+  }
+
   /** Encode mono 16-bit signed PCM into a canonical RIFF/WAVE
     * container. Validates ranges instead of truncating (the [[AviCodec]]
     * fail-loud encoder discipline: a silently-wrapped header field
@@ -52,9 +70,7 @@ object WavCodec {
   def encode(sampleRate: Int, pcm: Array[Short]): Array[Byte] = {
     require(pcm.nonEmpty, "empty clip")
     require(sampleRate > 0, s"sample rate out of range: $sampleRate")
-    // byteRate = rate·blockAlign is a u32 header field; 2 GiB caps the
-    // single-container allocation like AviCodec's encoder bound
-    require(sampleRate.toLong * 2 <= 0xffffffffL, "byteRate overflows u32")
+    // 2 GiB caps the single-container allocation like AviCodec's bound
     require(44L + 2L * pcm.length <= Int.MaxValue,
       "container exceeds 2 GiB — split the clip")
     val buf = ByteBuffer.allocate(encodedSize(pcm.length))
@@ -65,7 +81,10 @@ object WavCodec {
     buf.putShort(1)                // wFormatTag = PCM
     buf.putShort(1)                // nChannels = mono
     buf.putInt(sampleRate)
-    buf.putInt(sampleRate * 2)     // byteRate = rate · blockAlign
+    // byteRate = rate · blockAlign, written as the u32 bit pattern via
+    // explicit Long math (Int `rate * 2` would overflow for rates >
+    // 2^30 and only coincidentally serialize to the same bits)
+    buf.putInt((sampleRate.toLong * 2).toInt)
     buf.putShort(2)                // blockAlign = channels · bits/8
     buf.putShort(16)               // bits per sample
     fcc("data"); buf.putInt(2 * pcm.length)

@@ -715,16 +715,8 @@ object MultimodalQueries {
         val meta = clip.meta
         require(meta.bits == 16 && meta.channels == 1,
           s"unexpected decoded format for doc ${m.doc_id}: $meta")
-        val xs = clip.samples
-        var sumAbs = 0L
-        var transitions = 0L
-        var i = 0
-        while (i < xs.length) {
-          val v = xs(i).toInt
-          sumAbs += math.abs(v)
-          if (i > 0 && ((v > 0) != (xs(i - 1).toInt > 0))) transitions += 1
-          i += 1
-        }
+        val (sumAbs, transitions) =
+          graft.functions.WavCodec.features(clip.samples)
         (m.doc_id, meta.nFrames.toLong, meta.sampleRate.toLong,
           meta.bits.toLong, meta.channels.toLong, sumAbs, transitions)
       })
@@ -756,31 +748,26 @@ object MultimodalQueries {
     import s.implicits._
     val fps = realWavMedia(s, dir)
       .mapPartitions(_.map { m =>
-        {
-          val clip = graft.functions.WavCodec.decode(m.payload)
-          val n = clip.samples.length
-          val xs = new Array[Int](n)
-          var i = 0
-          while (i < n) { xs(i) = clip.samples(i).toInt; i += 1 }
-          val feats = (0 until FpWindows).map { w =>
-            val a = w * n / FpWindows
-            val b = (w + 1) * n / FpWindows
-            var sumAbs = 0L
-            var j = a
-            while (j < b) { sumAbs += math.abs(xs(j)); j += 1 }
-            // window-LOCAL transitions: compare within [a+1, b) only —
-            // the a-vs-(a−1) boundary change belongs to no window, so
-            // the closed form is (b−1) div halfP − a div halfP
-            var trans = 0L
-            j = a + 1
-            while (j < b) {
-              if ((xs(j) > 0) != (xs(j - 1) > 0)) trans += 1
-              j += 1
-            }
-            s"$sumAbs-$trans"
+        val xs = graft.functions.WavCodec.decode(m.payload).samples
+        val n = xs.length
+        val feats = (0 until FpWindows).map { w =>
+          val a = w * n / FpWindows
+          val b = (w + 1) * n / FpWindows
+          var sumAbs = 0L
+          var j = a
+          while (j < b) { sumAbs += math.abs(xs(j).toInt); j += 1 }
+          // window-LOCAL transitions: compare within [a+1, b) only —
+          // the a-vs-(a−1) boundary change belongs to no window, so
+          // the closed form is (b−1) div halfP − a div halfP
+          var trans = 0L
+          j = a + 1
+          while (j < b) {
+            if ((xs(j) > 0) != (xs(j - 1) > 0)) trans += 1
+            j += 1
           }
-          (m.doc_id, feats.mkString(","))
+          s"$sumAbs-$trans"
         }
+        (m.doc_id, feats.mkString(","))
       })
       .toDF("doc_id", "feat_str")
       .select(col("doc_id"), md5(col("feat_str")).as("audio_fp"))

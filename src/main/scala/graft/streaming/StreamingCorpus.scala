@@ -193,9 +193,14 @@ object StreamingCorpus {
     * contract: a malformed container lands an `ok=false` row with
     * sentinel features, never an exception — WavCodec guarantees the
     * single-IllegalArgumentException contract structurally, and the
-    * NonFatal backstop covers defense in depth. Stateless map, so the
-    * streamed features equal batch q118 by construction on well-formed
-    * payloads (StreamingSpec pins the equality and the quarantine).
+    * NonFatal backstop covers defense in depth. A WELL-FORMED but
+    * non-mono/non-16-bit container is quarantined too: batch q118
+    * REQUIRES mono PCM16, so passing a stereo clip through with
+    * interleaved-channel features would silently break the stream ≡
+    * batch contract — the monitor enforces the same format gate and
+    * the features come from the SAME [[graft.functions.WavCodec
+    * .features]] helper q118 calls (StreamingSpec pins the equality,
+    * the corrupt-container quarantine, and the stereo quarantine).
     *
     * Scale shape: identical to [[mediaMonitor]] — PCM bytes die inside
     * the micro-batch task; only the typed feature row flows on.
@@ -206,16 +211,11 @@ object StreamingCorpus {
       .map { m =>
         try {
           val clip = graft.functions.WavCodec.decode(m.payload)
-          val xs = clip.samples
-          var sumAbs = 0L
-          var transitions = 0L
-          var i = 0
-          while (i < xs.length) {
-            val v = xs(i).toInt
-            sumAbs += math.abs(v)
-            if (i > 0 && ((v > 0) != (xs(i - 1).toInt > 0))) transitions += 1
-            i += 1
-          }
+          // the q118 format gate, as a quarantine instead of a crash
+          require(clip.meta.bits == 16 && clip.meta.channels == 1,
+            s"non-mono/non-16-bit stream payload: ${clip.meta}")
+          val (sumAbs, transitions) =
+            graft.functions.WavCodec.features(clip.samples)
           (m.ts, m.doc_id, m.payload.length.toLong,
             clip.meta.nFrames.toLong, clip.meta.sampleRate.toLong,
             sumAbs, transitions, true)

@@ -684,6 +684,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("audioMonitor quarantines a WELL-FORMED stereo container: batch " +
+    "q118 requires mono PCM16, so the stream must not pass it through") {
+    import graft.streaming.{MediaEv, StreamingCorpus}
+    import java.nio.{ByteBuffer, ByteOrder}
+    implicit val sqlCtx = spark.sqlContext
+    // a structurally valid 2-channel PCM16 container: take a mono clip
+    // and re-true channels/byteRate/blockAlign consistently, so
+    // WavCodec.decode ACCEPTS it and only the monitor's format gate
+    // can reject it
+    val stereo = {
+      val b = graft.functions.WavCodec
+        .encode(8000, Array.tabulate(100)(i => (i - 50).toShort)).clone()
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(22, 2.toShort) // nChannels
+      bb.putInt(28, 8000 * 4)    // byteRate = rate · blockAlign
+      bb.putShort(32, 4.toShort) // blockAlign = channels · 2
+      b
+    }
+    assert(graft.functions.WavCodec.decode(stereo).meta.channels == 2)
+    val good = graft.queries.MultimodalQueries
+      .realWavMedia(spark, "/root/testdata/sf0.001").collect().head
+    val in = MemoryStream[MediaEv]
+    val q = StreamingCorpus.audioMonitor(in.toDS())
+      .writeStream.format("memory").queryName("am2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(MediaEv(good.doc_id, good.payload, ts("2024-01-01 10:00:00")),
+        MediaEv(-2L, stereo, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("am2").select($"doc_id", $"ok")
+        .as[(Long, Boolean)].collect().toMap
+      assert(rows(good.doc_id))
+      assert(!rows(-2L), "stereo container must be quarantined, not scored")
+    } finally q.stop()
+  }
+
   test("mediaMonitor survives a checkpointed restart: verdict rows stay " +
     "contiguous across the stop, no container is re-decoded twice") {
     import graft.streaming.{MediaEv, StreamingCorpus}
