@@ -5,16 +5,22 @@ BASELINE.md compares BENCH numbers against. Dev tooling only.
 
 Usage: python3 scripts/bench_duck.py <sfDir> <oracleSqlJson> [iters]
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def table_glob(sf_dir, t):
+    """Driver lakes are flat files; ScaleUpData replica lakes are Spark
+    directory-parquet — glob the part files in that case."""
+    path = f"{sf_dir}/{t}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
 def main(sf_dir, oracle_path, iters=2):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracle = json.load(open(oracle_path))
     times = {}
     for name, sql in sorted(oracle.items()):

@@ -5,11 +5,17 @@ Dev tooling only — the shipped Scala library has no Python dependency.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+def table_glob(sf_dir, t):
+    """Driver lakes are flat files; ScaleUpData replica lakes are Spark
+    directory-parquet — glob the part files in that case."""
+    path = f"{sf_dir}/{t}.parquet"
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 def canon(v):
     if v is None:
@@ -33,7 +39,7 @@ def rows_canon(cols, rows):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):

@@ -197,6 +197,13 @@ object WavCodec {
     }
     if (meta == null) fail("no fmt header")
     if (samples == null) fail("no data chunk")
+    // the chunk walk stops when < 8 bytes remain; any leftover means a
+    // forged chunk size re-framed trailing payload bytes as a chunk tail
+    // (e.g. a bit-flip that SHRINKS the data size would otherwise decode
+    // fewer samples and pass) — the RIFF-size check pins total length
+    // only, so the fail-loud contract needs this explicit zero-remainder
+    if (buf.remaining != 0)
+      fail(s"${buf.remaining} trailing bytes after final chunk")
     WavClip(meta, samples)
   }
 }

@@ -701,11 +701,15 @@ object MultimodalQueries {
     * breaks the gate (MultimodalSpec additionally pins that a
     * truncated container fails loudly).
     *
-    * Scale shape: identical to q40/q71/q109 — one narrow typed pass,
+    * Scale shape: identical to q40/q55/q109 — one narrow typed pass,
     * payload bytes die in-executor, only (doc_id, 6×long) feature rows
-    * leave; no shuffle at all. The 100 TB cost model for media is
-    * embarrassingly-parallel decode scan work, and this keeps it that
-    * way.
+    * leave. The only exchange is the generator's round-robin 8-byte-id
+    * spread ([[realWavMedia]]'s repartition; PlanSpec pins exactly one
+    * RoundRobinPartitioning Exchange with encode+decode fused behind
+    * it); payload bytes never shuffle, and real blob inputs arrive
+    * pre-partitioned needing no exchange at all. The 100 TB cost model
+    * for media is embarrassingly-parallel decode scan work, and this
+    * keeps it that way.
     */
   def q118(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -588,4 +588,102 @@ class PropertySpec extends Properties("graft") {
         flipped(pos) = (flipped(pos) ^ 0x01).toByte
         WavCodec.decode(flipped).samples(i) != pcm(i)
     }
+
+  // --- WavCodec forged-container fuzz (VERDICT r13 item 4): unlike the
+  // three properties above, these containers do NOT start from a valid
+  // encode — the generator assembles arbitrary chunk walks (honest and
+  // LYING size fields including the 0xFFFFFFFF wrap pattern, unknown
+  // fourccs, odd-size chunks exercising the RIFF pad rule, duplicate /
+  // missing fmt+data, forged RIFF headers, trailing junk). Allocation
+  // stays bounded by construction: decode validates every claimed size
+  // against buf.remaining BEFORE allocating, so a lying u32 can never
+  // claim more memory than the ≤ ~6 KiB container the generator built.
+
+  /** One raw chunk: fourcc + DECLARED size (possibly a lie) + body. */
+  private def rawChunk(id: String, declared: Int, body: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(id.getBytes("US-ASCII")); buf.putInt(declared); buf.put(body)
+    buf.array
+  }
+
+  /** A structurally VALID mono-PCM16 fmt chunk body for `rate`. */
+  private def validFmtBody(rate: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(1); buf.putShort(1); buf.putInt(rate)
+    buf.putInt(rate * 2); buf.putShort(2); buf.putShort(16)
+    buf.array
+  }
+
+  private val forgedChunkGen: Gen[Array[Byte]] = Gen.frequency(
+    // honest-enough pieces so the fuzzer reaches DEEP into the walk
+    // (all-garbage inputs die at the RIFF header and test nothing)
+    3 -> Gen.choose(1, 192000).map(r => rawChunk("fmt ", 16, validFmtBody(r))),
+    3 -> Gen.choose(1, 64).flatMap(n =>
+      Gen.listOfN(2 * n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(b => rawChunk("data", 2 * n, b.toArray))),
+    2 -> (for { // honest unknown chunk, odd sizes exercise the pad rule
+      id <- Gen.oneOf("LIST", "JUNK", "id3 ", "fact", "xxxx")
+      n <- Gen.choose(0, 33)
+      pad <- Gen.oneOf(0, 1) // pad byte present or absent at the tail
+      body <- Gen.listOfN(n + (if (n % 2 == 1) pad else 0),
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk(id, n, body.toArray)),
+    2 -> (for { // LYING size field over an arbitrary body
+      id <- Gen.oneOf("fmt ", "data", "LIST", "RIFF", "WAVE", "    ")
+      n <- Gen.choose(0, 33)
+      declared <- Gen.oneOf(
+        Gen.choose(0, 200),
+        Gen.oneOf(0xFFFFFFF8, -1, Int.MaxValue, Int.MinValue, 0x80000000))
+      body <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk(id, declared, body.toArray)),
+    1 -> Gen.choose(0, 7).flatMap(n => // a ragged sub-header tail
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)))
+
+  private val forgedWavGen: Gen[Array[Byte]] =
+    for {
+      nChunks <- Gen.choose(0, 6)
+      chunks <- Gen.listOfN(nChunks, forgedChunkGen)
+      magic <- Gen.frequency(6 -> Gen.const("RIFF"), 1 -> Gen.const("RIFX"))
+      form <- Gen.frequency(6 -> Gen.const("WAVE"), 1 -> Gen.const("AVI "))
+      honestSize <- Gen.frequency(4 -> Gen.const(true), 1 -> Gen.const(false))
+      forgedSize <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield {
+      val payload = form.getBytes("US-ASCII") ++ chunks.flatten
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(magic.getBytes("US-ASCII"))
+      buf.putInt(if (honestSize) payload.length else forgedSize)
+      buf.put(payload)
+      buf.array
+    }
+
+  property("WavCodec: decode over arbitrary forged chunk walks either " +
+    "succeeds or throws EXACTLY IllegalArgumentException — never hangs, " +
+    "never leaks another exception type") =
+    Prop.forAll(forgedWavGen) { bytes =>
+      try { WavCodec.decode(bytes); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
+  property("WavCodec: a successful decode of a forged walk implies full " +
+    "structural consistency — valid fmt+data present, sample count " +
+    "matches the data chunk's claim, and no trailing bytes were ignored") =
+    Prop.forAll(forgedWavGen) { bytes =>
+      val decoded = try Some(WavCodec.decode(bytes)) catch {
+        case _: IllegalArgumentException => None
+      }
+      decoded.forall { clip =>
+        clip.meta.bits == 16 && clip.meta.nFrames >= 1 &&
+          clip.samples.length == clip.meta.nFrames * clip.meta.channels &&
+          // the trailing-bytes rule (r13 ADVICE): everything after the
+          // header must have parsed as well-formed chunks, so a decode
+          // that succeeded can never have skipped a ragged tail
+          bytes.length >= 20 + 16 + 8 + 2 * clip.samples.length
+      }
+    }
 }

@@ -758,6 +758,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("audioMonitor survives a checkpointed restart: verdict rows stay " +
+    "contiguous across the stop, no clip is re-decoded twice") {
+    import graft.streaming.{MediaEv, StreamingCorpus}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ack").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_aout").toString
+    val clips = graft.queries.MultimodalQueries
+      .realWavMedia(spark, "/root/testdata/sf0.001").collect().take(12)
+    def ev(m: graft.queries.MultimodalQueries.MediaIn, i: Int) =
+      MediaEv(m.doc_id, m.payload, ts(f"2024-01-01 10:${i % 60}%02d:00"))
+    val (first, second) = clips.zipWithIndex.map((ev _).tupled).splitAt(7)
+    val in = MemoryStream[MediaEv]
+    def start() = StreamingCorpus.audioMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1 decodes the first tranche — then the query STOPS
+    val q1 = start()
+    try { in.addData(first.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the same checkpoint: like mediaMonitor the decode is
+    // a stateless per-row map, so recovery must (a) not replay tranche 1
+    // into duplicate verdict rows and (b) decode tranche 2 normally
+    val q2 = start()
+    try { in.addData(second.toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .select($"doc_id", $"n_bytes", $"ok")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length == clips.length, "re-decode duplicates or lost rows")
+    assert(rows.map(_._1).sorted.toSeq == clips.map(_.doc_id).sorted.toSeq)
+    val sizeById = clips.map(c => c.doc_id -> c.payload.length.toLong).toMap
+    rows.foreach { case (id, nBytes, ok) =>
+      assert(ok)
+      assert(nBytes == sizeById(id))
+    }
+  }
+
   test("qualityMonitor: windowed quality matches the batch TextJvm math, " +
     "watermark drops a too-late document") {
     import graft.streaming.StreamingCorpus
