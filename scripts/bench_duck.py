@@ -19,22 +19,48 @@ def table_glob(sf_dir, t):
 
 def main(sf_dir, oracle_path, iters=2):
     con = duckdb.connect()
+    # Optional spill cap (e.g. DUCK_TEMP_CAP=48GiB): above sf0.1 some
+    # replays (q141's HITS unroll) spill unboundedly — the uncapped r14
+    # run exhausted all 79 GiB of free disk at sf0.5 and died after
+    # ~9 min; a cap turns that into a fast, recorded DNF instead of
+    # killing the whole sweep's host.
+    cap = os.environ.get("DUCK_TEMP_CAP")
+    if cap:
+        con.execute(f"SET max_temp_directory_size='{cap}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracle = json.load(open(oracle_path))
+    # DUCK_SKIP=q141_hits,q199_hotspot_clusters: replays already PROVEN
+    # DNF/super-linear at a smaller SF (q141 exhausted 79 GiB of spill at
+    # sf0.5; q199's recursive-CTE CC took 2228 s there) — skipping them
+    # is recorded in the summary line, never silent.
+    skip = set(filter(None, os.environ.get("DUCK_SKIP", "").split(",")))
     times = {}
+    dnf = {}
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            dnf[name] = "skipped (DUCK_SKIP: proven DNF/super-linear at smaller SF)"
+            print(f"    SKIP  {name}", flush=True)
+            continue
         best = None
-        for _ in range(int(iters)):
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(int(iters)):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:
+            # a query that cannot complete (out of spill space, OOM) is
+            # a DNF datum, not a reason to lose the other 199 numbers
+            dnf[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"     DNF  {name}: {dnf[name]}", flush=True)
+            continue
         times[name] = round(best, 3)
         print(f"{times[name]:8.3f}  {name}", flush=True)
     total = round(sum(times.values()), 3)
     print(json.dumps({"metric": "duckdb_total", "value": total,
-                      "unit": "sec", "n_queries": len(times), "sf": sf_dir}))
+                      "unit": "sec", "n_queries": len(times),
+                      "dnf": sorted(dnf), "sf": sf_dir}))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], *(sys.argv[3:] or []))
