@@ -41,8 +41,17 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # CHECK_SKIP=q141_hits,...: replica-lake cross-checks above sf0.1
+    # where a specific ORACLE replay is infeasible in DuckDB (q141
+    # exhausts 79 GiB of spill at sf0.5, q199's recursive CTE takes
+    # 2228 s there — SCALE.md §28). Skips are printed, never silent;
+    # the driver's own sf0.01 gate always runs the full surface.
+    skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}: oracle replay infeasible at this SF (CHECK_SKIP)")
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

@@ -1,20 +1,26 @@
 #!/usr/bin/env python3
-"""(Re)write the round-13 columns (quiet / cold / sf1 / x10 ratio) in the
-per-query BENCH history table in BASELINE.md. Idempotent: if the four
-r13 columns are already present they are stripped and regenerated, so
-a quieter re-run can refresh the quiet column in place. Dev tooling.
+"""(Re)write the newest round's columns in the per-query BENCH history
+table in BASELINE.md. Idempotent per round: if this round's columns are
+already present they are stripped and regenerated, so a quieter re-run
+can refresh a column in place. Earlier rounds' columns are kept as
+history. Dev tooling.
 
 Usage: python3 scripts/update_baseline_table.py
-Reads bench_detail.json (r13 quiet sf0.1), bench_cold.json (r13 cold
-sf0.1), bench_profile_sf1.json (r13 sf1) from the repo root.
+Round 14 reads the per-query full-resolution maps from the repo root:
+bench_detail.json (the r14 sf0.1 sweep of record), plus
+bench_profile_sf05_r14.json, bench_profile_sf1_r14.json and
+bench_cold_sf1.json.
 """
 import json, re
 
 quiet = json.load(open("bench_detail.json"))
-cold = json.load(open("bench_cold.json"))
-sf1 = json.load(open("bench_profile_sf1.json"))
+sf05 = json.load(open("bench_profile_sf05_r14.json"))
+sf1 = json.load(open("bench_profile_sf1_r14.json"))
+cold1 = json.load(open("bench_cold_sf1.json"))
 
-N_NEW = 4  # r13-quiet | r13-cold | r13-sf1 | x10 ratio
+TAG = "r14-rec"
+HEADER = " r14-rec | r14-sf0.5 | r14-sf1 | r14-cold-sf1 |"
+N_NEW = 4
 
 
 def strip_new(line):
@@ -30,9 +36,9 @@ has_new = False
 for ln in lines:
     if ln.startswith("| query |"):
         in_table = True
-        has_new = "r13-quiet" in ln
+        has_new = TAG in ln
         base = strip_new(ln) if has_new else ln.rstrip()
-        out.append(base + " r13-quiet | r13-cold | r13-sf1 | ×10 ratio |")
+        out.append(base + HEADER)
         continue
     if in_table and ln.startswith("|---|"):
         base = strip_new(ln) if has_new else ln.rstrip()
@@ -42,17 +48,18 @@ for ln in lines:
     if in_table and m:
         q = m.group(1)
         base = strip_new(ln) if has_new else ln.rstrip()
-        qw = quiet["queries"].get(q)
-        cw = cold["queries"].get(q)
-        sw = sf1["queries"].get(q)
+
         # a query missing from any profile gets an em-dash cell, never a
         # crash mid-rewrite or a row shorter than the header
-        def cell(v):
-            return f"{v:.2f}" if v is not None else "—"
-        warm = " (w)" if q in quiet.get("warm", []) else ""
-        ratio = f"{sw / qw:.1f}" if qw and sw is not None else "—"
-        qcell = cell(qw) + (warm if qw is not None else "")
-        out.append(base + f" {qcell} | {cell(cw)} | {cell(sw)} | {ratio} |")
+        def cell(src, q=q):
+            v = src["queries"].get(q)
+            if v is None:
+                return "—"
+            warm = " (w)" if q in src.get("warm", []) else ""
+            return f"{v:.2f}{warm}"
+
+        out.append(base + f" {cell(quiet)} | {cell(sf05)} |"
+                   f" {cell(sf1)} | {cell(cold1)} |")
         continue
     if in_table and not ln.startswith("|"):
         in_table = False
