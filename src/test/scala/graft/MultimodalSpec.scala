@@ -407,6 +407,14 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putShort(34, 8.toShort))) }
     // data length not a multiple of blockAlign
     intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putInt(40, 199))) }
+    // data length SHRUNK by one sample (still even, still <= remaining):
+    // the RIFF-size check pins only total length, so without the
+    // trailing-bytes rule this decoded 99 samples with ok=true — the
+    // r13 ADVICE hole; must fail naming the 2 leftover bytes
+    val shrunkErr = intercept[IllegalArgumentException] {
+      WavCodec.decode(mut(_.putInt(40, 198)))
+    }
+    assert(shrunkErr.getMessage.contains("trailing bytes"))
     // compressed format tag
     intercept[IllegalArgumentException] { WavCodec.decode(mut(_.putShort(20, 2.toShort))) }
     // empty input and garbage input
