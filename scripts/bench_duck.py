@@ -37,9 +37,13 @@ def main(sf_dir, oracle_path, iters=2):
     skip = set(filter(None, os.environ.get("DUCK_SKIP", "").split(",")))
     times = {}
     dnf = {}
+    skipped = []
     for name, sql in sorted(oracle.items()):
         if name in skip:
-            dnf[name] = "skipped (DUCK_SKIP: proven DNF/super-linear at smaller SF)"
+            # deliberate skips are a SEPARATE field from genuine
+            # failures (r14 ADVICE): a JSON consumer must be able to
+            # tell "we chose not to run it" from "it crashed"
+            skipped.append(name)
             print(f"    SKIP  {name}", flush=True)
             continue
         best = None
@@ -51,16 +55,24 @@ def main(sf_dir, oracle_path, iters=2):
                 best = dt if best is None else min(best, dt)
         except Exception as e:
             # a query that cannot complete (out of spill space, OOM) is
-            # a DNF datum, not a reason to lose the other 199 numbers
+            # a DNF datum, not a reason to lose the other 199 numbers.
+            # If an EARLIER iteration completed, its timing is real
+            # evidence — keep it alongside the DNF tag (r14 ADVICE)
+            # rather than discarding a finished measurement.
+            if best is not None:
+                times[name] = round(best, 3)
             dnf[name] = f"{type(e).__name__}: {str(e)[:200]}"
-            print(f"     DNF  {name}: {dnf[name]}", flush=True)
+            print(f"     DNF  {name}: {dnf[name]}"
+                  + (f" (iter-1 completed in {times[name]}s)"
+                     if best is not None else ""), flush=True)
             continue
         times[name] = round(best, 3)
         print(f"{times[name]:8.3f}  {name}", flush=True)
     total = round(sum(times.values()), 3)
     print(json.dumps({"metric": "duckdb_total", "value": total,
                       "unit": "sec", "n_queries": len(times),
-                      "dnf": sorted(dnf), "sf": sf_dir}))
+                      "dnf": sorted(dnf), "skipped": sorted(skipped),
+                      "sf": sf_dir}))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], *(sys.argv[3:] or []))

@@ -47,10 +47,11 @@ def main(sf_dir, out_dir):
     # 2228 s there — SCALE.md §28). Skips are printed, never silent;
     # the driver's own sf0.01 gate always runs the full surface.
     skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
-    ok = fail = 0
+    ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
             print(f"SKIP {name}: oracle replay infeasible at this SF (CHECK_SKIP)")
+            skipped += 1
             continue
         try:
             got = con.execute(
@@ -85,7 +86,10 @@ def main(sf_dir, out_dir):
                 only_e = list(se - sg)[:3]
                 print(f"  only in got: {only_g}\n  only in exp: {only_e}")
             fail += 1
-    print(f"\n{ok} ok, {fail} fail")
+    # the skip count rides the summary line (r14 ADVICE): a wrapper
+    # parsing only this line or the exit code must see that the checked
+    # surface was reduced, so a partial run can't pass as full coverage
+    print(f"\n{ok} ok, {fail} fail, {skipped} skipped")
     return 1 if fail else 0
 
 if __name__ == "__main__":

@@ -28,6 +28,34 @@ object Bench {
   /** Job-group prefix naming every listener-drain sentinel job. */
   private val SentinelGroupPrefix = "graft-bench-drain-"
 
+  /** Loadavg above which a full-registry sweep counts as contaminated
+    * (per-query numbers are load noise, not regressions — VERDICT r10/
+    * r12 history at the gate below).
+    */
+  private val GateLoadMax = 1.5
+
+  /** Max 60 s quiet-window waits before running contaminated anyway:
+    * bounded so a busy host delays the sweep by ≤3 min, never starves
+    * it (VERDICT r14 item 2).
+    */
+  private val GateWaits = 3
+
+  /** True iff writing this sweep to `BENCH_RESULT.json` would REPLACE a
+    * clean artifact of record with a contaminated one — the refusal
+    * rule of VERDICT r14 item 2: the r14 driver sweep ran at loadavg
+    * 2.06 and overwrote the committed-clean working-tree artifact; the
+    * honest `"contaminated":true` stamp saved the round, but the prior
+    * clean artifact is strictly better evidence than a noisy rerun, so
+    * a contaminated sweep now refuses the overwrite (its numbers still
+    * go to stdout + bench_detail.json). The match is against the exact
+    * byte sequence this writer emits (compact JSON, fixed key order) —
+    * an existing file that is missing, unreadable, or already
+    * contaminated is fair to replace.
+    */
+  private[graft] def keepExistingRecord(contaminated: Boolean,
+                                        existing: Option[String]): Boolean =
+    contaminated && existing.exists(_.contains("\"contaminated\":false"))
+
   private final class TaskTimeListener
       extends org.apache.spark.scheduler.SparkListener {
     private val runMs = new java.util.concurrent.atomic.AtomicLong
@@ -126,14 +154,23 @@ object Bench {
     // re-sample taken after them would read that self-load as host
     // contamination — the opposite of "measure the host, not the
     // bench" the early first sample exists for (r13 ADVICE).
-    if (only.isEmpty && loadStart > 1.5 &&
+    // BOUNDED RETRY (VERDICT r14 item 2): one 60 s wait proved too
+    // short against a multi-minute co-tenant burst (the r14 driver
+    // sweep stamped contaminated after its single wait) — retry up to
+    // GateWaits times, breaking early the moment a sample is quiet.
+    if (only.isEmpty && loadStart > GateLoadMax &&
         !sys.env.get("SPARK_GRAFT_BENCH_NOGATE").contains("1")) {
-      System.err.println(f"[bench] WARNING: start loadavg $loadStart%.2f > 1.5 " +
-        "— waiting 60 s for a quieter window")
-      Thread.sleep(60000)
-      loadStart = loadAvg()
+      var waits = 0
+      while (loadStart > GateLoadMax && waits < GateWaits) {
+        waits += 1
+        System.err.println(f"[bench] WARNING: start loadavg $loadStart%.2f > " +
+          f"$GateLoadMax%.1f — waiting 60 s for a quieter window " +
+          s"($waits/$GateWaits)")
+        Thread.sleep(60000)
+        loadStart = loadAvg()
+      }
     }
-    val contaminated = loadStart > 1.5
+    val contaminated = loadStart > GateLoadMax
     if (contaminated)
       System.err.println(f"[bench] WARNING: sweep starts at loadavg " +
         f"$loadStart%.2f > 1.5 — stamping \"contaminated\":true; per-query " +
@@ -280,9 +317,20 @@ object Bench {
     // rounds of BENCH_r*.json.parsed=null prove that channel is not
     // machine-readable. The fixed-path file IS: byte-exact compact JSON,
     // no prefixes, overwritten per run (referenced from BASELINE.md).
-    if (only.isEmpty && !coldMode)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_RESULT.json"), line)
+    if (only.isEmpty && !coldMode) {
+      val recordPath = java.nio.file.Paths.get("BENCH_RESULT.json")
+      val existing =
+        if (java.nio.file.Files.isReadable(recordPath))
+          Some(java.nio.file.Files.readString(recordPath))
+        else None
+      if (keepExistingRecord(contaminated, existing))
+        System.err.println("[bench] WARNING: this sweep is contaminated and " +
+          "BENCH_RESULT.json holds a CLEAN artifact of record — refusing the " +
+          "overwrite; this sweep's numbers are on stdout and in " +
+          "bench_detail.json (VERDICT r14 item 2)")
+      else
+        java.nio.file.Files.writeString(recordPath, line): Unit
+    }
     println(line)
     spark.stop()
   }

@@ -179,11 +179,32 @@ object TextJvm extends Serializable {
     }
   }
 
-  /** q166's bigram emitter: all adjacent CODEPOINT pairs, one O(len)
-    * pass (same O(len²) SQL-substring trap as [[cdcChunks]]).
+  /** q166's bigram emitter: all adjacent CODEPOINT pairs in one O(len)
+    * pass (the per-position SQL-substring form is the same O(len²)
+    * trap as [[cdcChunks]]), each pair PACKED into one long —
+    * `(cp₁ << 21) | cp₂`, injective because codepoints are ≤ 0x10FFFF
+    * (21 bits). The packed key replaces a per-bigram 2-char String in
+    * q166's group-by and broadcast-join hot path: long hashing and
+    * equality are branch-free codegen where String keys pay object
+    * allocation + per-char hashing on every one of the corpus's ~|text|
+    * bigram rows (the q120 fixed-width-key discipline, A/B'd in
+    * BASELINE.md). `key >>> `[[BigramShift]] recovers the conditioning
+    * codepoint without string surgery.
     */
-  def charBigrams(text: String): Seq[String] = {
+  def charBigramKeys(text: String): Array[Long] = {
     val cps = text.codePoints().toArray
-    (0 until cps.length - 1).map(k => new String(cps, k, 2))
+    val out = new Array[Long](math.max(cps.length - 1, 0))
+    var k = 0
+    while (k < out.length) {
+      out(k) = (cps(k).toLong << 21) | cps(k + 1).toLong
+      k += 1
+    }
+    out
   }
+
+  /** Number of bits [[charBigramKeys]] shifts the first codepoint by —
+    * shared with the SQL side (`shiftrightunsigned(bg, 21)`) so the
+    * context extraction can never drift from the packing.
+    */
+  val BigramShift = 21
 }

@@ -678,10 +678,21 @@ object TextQueries {
     * BROADCASTS back onto a second explode pass; the only wide
     * shuffle carries (doc_id, partial-sum) pairs. Fitting and
     * scoring on 100 TB are the same two corpus scans.
+    *
+    * The bigram key is a PACKED LONG (`(cp₁ << 21) | cp₂`,
+    * [[graft.functions.TextJvm.charBigramKeys]]) rather than a
+    * 2-char string: the key crosses the model group-by AND the
+    * per-bigram broadcast-join probe — the two places where every
+    * one of the corpus's ~|text| rows pays key hashing — and the
+    * long form cut task-seconds 45% / cpu-seconds 53% in the
+    * same-window sf0.1 A/B, corroborated at sf0.5 (BASELINE.md §
+    * "q166 packed-key A/B"; the fixed-width-key discipline). The
+    * conditioning codepoint is recovered with one unsigned shift
+    * instead of string surgery.
     */
   def q166(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // one O(len) codepoint pass per doc (TextJvm.charBigrams) — the
+    // one O(len) codepoint pass per doc (TextJvm.charBigramKeys) — the
     // per-position SQL substring form re-seeks codepoints from the
     // string head, O(len²) per doc (measured 4.9 s vs 0.6 s at sf0.1)
     def bigrams = t(s, dir, "documents")
@@ -694,15 +705,17 @@ object TextQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .flatMap { case (id, tx) =>
-        graft.functions.TextJvm.charBigrams(tx).map((id, _)) }
+        graft.functions.TextJvm.charBigramKeys(tx).map((id, _)) }
       .toDF("doc_id", "bg")
+    val bigramCtx =
+      shiftrightunsigned(col("bg"), graft.functions.TextJvm.BigramShift)
     val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
       .materialize() // vocab-sized; two consumers (ctx + model join)
     val ctxCounts = bgCounts
-      .groupBy(substring(col("bg"), 1, 1).as("c1"))
+      .groupBy(bigramCtx.as("c1"))
       .agg(sum(col("cbg")).as("cctx"))
     val model = bgCounts
-      .join(ctxCounts, substring(col("bg"), 1, 1) === col("c1"))
+      .join(ctxCounts, bigramCtx === col("c1"))
       .select(col("bg"), col("cbg"), col("cctx"))
     bigrams.join(broadcast(model), Seq("bg"))
       .groupBy("doc_id")

@@ -257,19 +257,34 @@ object VectorQueries extends Serializable {
     cents
   }
 
+  /** System property naming an explicit IVF index root. Two callers:
+    * a deployment pointing the index home at a shared lake path
+    * (instead of the node-local tmpdir default below), and
+    * [[graft.IvfBuildBench]], which must rebuild indexes WITHOUT
+    * touching the published root other JVMs may be adopting from
+    * mid-run (r14 ADVICE — its delete-and-rebuild loop could expose a
+    * missing/half-built index to a concurrent Bench/Verify).
+    */
+  val IvfRootProp = "graft.ivf.root"
+
   /** Per-dataset root for IVF index versions:
-    * tmpdir/graft-ivf-(user)/md5(dataset path). User-scoped because the
-    * path is otherwise predictable under a world-writable /tmp — another
-    * local user could pre-create it (poisoned index / DoS). A deployment
-    * passes a lake path instead; all index IO below goes through the
-    * Hadoop FS API so the same code runs against one.
+    * (root)/md5(dataset path), where root is [[IvfRootProp]] if set and
+    * otherwise tmpdir/graft-ivf-(user). User-scoped in the default
+    * because the path is otherwise predictable under a world-writable
+    * /tmp — another local user could pre-create it (poisoned index /
+    * DoS). All index IO below goes through the Hadoop FS API so the
+    * same code runs against a lake path root.
     */
   private[graft] def ivfRoot(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val user = sys.props.getOrElse("user.name", "anon")
-    java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), s"graft-ivf-$user", h).toString
+    sys.props.get(IvfRootProp) match {
+      case Some(root) => java.nio.file.Paths.get(root, h).toString
+      case None =>
+        val user = sys.props.getOrElse("user.name", "anon")
+        java.nio.file.Paths
+          .get(sys.props("java.io.tmpdir"), s"graft-ivf-$user", h).toString
+    }
   }
 
   /** On-disk index format tag, part of the version dir name: bumped

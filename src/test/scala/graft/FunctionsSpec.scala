@@ -134,4 +134,29 @@ class FunctionsSpec extends SparkSpec {
     val scaled = Seq(Tuple1((0 until 64).map(i => (i + 1) * 0.02f))).toDF("v")
     assert(scaled.select(VectorFunctions.lshBucket($"v", 8, 64)).as[Long].head() == b1)
   }
+
+  // ---- TextJvm.charBigramKeys (q166's packed bigram key) ----
+
+  test("charBigramKeys packs exactly the adjacent codepoint pairs, " +
+    "including supplementary-plane codepoints") {
+    import graft.functions.TextJvm
+    // "a😀b" is 4 UTF-16 units but 3 CODEPOINTS — the packing must pair
+    // codepoints, not chars (a char-indexed walk would emit a lone
+    // surrogate as a phantom context)
+    val txt = "a😀b"
+    val cps = txt.codePoints().toArray
+    val expected = cps.sliding(2).map(p =>
+      (p(0).toLong << TextJvm.BigramShift) | p(1).toLong).toSeq
+    assert(TextJvm.charBigramKeys(txt).toSeq == expected)
+    assert(expected.size == 2)
+    // injectivity at the boundary: max codepoint fits below the shift
+    assert(Character.MAX_CODE_POINT < (1 << TextJvm.BigramShift))
+    // degenerate inputs: empty and single-codepoint docs emit nothing
+    assert(TextJvm.charBigramKeys("").isEmpty)
+    assert(TextJvm.charBigramKeys("😀").isEmpty)
+    // the context recovery q166's SQL side performs is the packing's
+    // exact inverse for the FIRST codepoint
+    assert(TextJvm.charBigramKeys("xy")
+      .forall(k => (k >>> TextJvm.BigramShift) == 'x'.toLong))
+  }
 }

@@ -7,12 +7,18 @@ package graft
   * cold bench mode because the index is shared cross-JVM infrastructure
   * a production DAG builds once as a job; THIS is that job, priced.
   *
-  * Each iteration deletes the published index version for <sfDir>,
-  * clears the session memo, and times a fresh
-  * [[graft.queries.VectorQueries.ivfIndex]] build end-to-end (quantizer
-  * k-means over the deterministic sample + full-corpus assignment pass
-  * + list-partitioned write + atomic publish). Reported per-iteration
-  * so the min (steady-state) and max (first-touch) are both visible.
+  * Builds run against a HARNESS-PRIVATE index root (a fresh temp dir
+  * via [[graft.queries.VectorQueries.IvfRootProp]], swept at exit), so
+  * the published root other JVMs adopt from is never deleted mid-run —
+  * a concurrent Bench/Verify (exactly the parallel-main use case
+  * run_main.sh advertises) can never observe a missing or half-built
+  * index because of this harness (r14 ADVICE). Each iteration deletes
+  * the PRIVATE index version for <sfDir>, clears the session memo, and
+  * times a fresh [[graft.queries.VectorQueries.ivfIndex]] build
+  * end-to-end (quantizer k-means over the deterministic sample +
+  * full-corpus assignment pass + list-partitioned write + atomic
+  * publish). Reported per-iteration so the min (steady-state) and max
+  * (first-touch) are both visible.
   *
   * Usage: `Test/runMain graft.IvfBuildBench <sfDir> [iters]`
   */
@@ -22,8 +28,14 @@ object IvfBuildBench {
     val dir = args(0)
     val iters = if (args.length > 1) args(1).toInt else 3
     LogHygiene.quietKnownWarnings()
+    val privateRoot =
+      java.nio.file.Files.createTempDirectory("graft-ivf-bench")
+    sys.props(graft.queries.VectorQueries.IvfRootProp) =
+      privateRoot.toString
     val spark = GraftSession.create("32")
     val path = graft.queries.VectorQueries.ivfIndexPath(spark, dir)
+    require(path.startsWith(privateRoot.toString),
+      s"index root override not honored: $path")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // absorb session/codegen/footer warmup outside the measured builds
@@ -39,5 +51,8 @@ object IvfBuildBench {
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     println(s"""{"metric":"ivf_build","unit":"sec","sf":"$dir","iters":$iters,"times":[${times.map(r3).mkString(",")}],"min":${r3(times.min)}}""")
     spark.stop()
+    // sweep the private root — these builds exist only to be timed
+    if (fs.exists(new org.apache.hadoop.fs.Path(privateRoot.toString)))
+      fs.delete(new org.apache.hadoop.fs.Path(privateRoot.toString), true): Unit
   }
 }

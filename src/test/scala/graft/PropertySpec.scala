@@ -686,4 +686,206 @@ class PropertySpec extends Properties("graft") {
           bytes.length >= 20 + 16 + 8 + 2 * clip.samples.length
       }
     }
+
+  // --- AviCodec forged-container fuzz (VERDICT r14 item 5): the WAV
+  // forged-walk discipline ported to the video container. Unlike the
+  // three AviCodec properties above, these containers do NOT start
+  // from a valid encode (except the flip/resize arms, which mutate
+  // one): the generator assembles arbitrary RIFF walks — honest and
+  // LYING size fields, unknown fourccs, nested LISTs deep enough to
+  // hit the depth cap, frame chunks whose size disagrees with the
+  // headers, ragged tails. The load-bearing claim is the allocation
+  // rule: decode validates every claimed size against buf.remaining
+  // BEFORE allocating pixel storage, so a forged u32 can never claim
+  // more memory than the ≤ ~8 KiB container the generator built —
+  // asserted below as pixels ≤ input bytes on every successful decode.
+
+  /** A structurally VALID avih chunk body (56 bytes). */
+  private def validAvihBody(w: Int, h: Int, us: Int, n: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(us); b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(n); b.putInt(0); b.putInt(1); b.putInt(0)
+    b.putInt(w); b.putInt(h)
+    (0 until 4).foreach(_ => b.putInt(0))
+    b.array
+  }
+
+  /** A structurally VALID strh chunk body ('vids'/'DIB ', 56 bytes). */
+  private def validStrhBody(w: Int, h: Int, us: Int, n: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("vids".getBytes("US-ASCII")); b.put("DIB ".getBytes("US-ASCII"))
+    b.putInt(0); b.putShort(0); b.putShort(0); b.putInt(0)
+    b.putInt(us); b.putInt(1000000); b.putInt(0); b.putInt(n)
+    b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putShort(0); b.putShort(0); b.putShort(w.toShort); b.putShort(h.toShort)
+    b.array
+  }
+
+  /** A structurally VALID strf chunk body (BITMAPINFOHEADER, 40 bytes). */
+  private def validStrfBody(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(40); b.putInt(w); b.putInt(h)
+    b.putShort(1); b.putShort(24); b.putInt(0)
+    b.putInt(AviCodec.stride(w) * h); b.putInt(0); b.putInt(0)
+    b.putInt(0); b.putInt(0)
+    b.array
+  }
+
+  /** A LIST chunk: declared size spans the inner fourcc + body. */
+  private def listChunk(form: String, body: Array[Byte]): Array[Byte] =
+    rawChunk("LIST", 4 + body.length, form.getBytes("US-ASCII") ++ body)
+
+  /** Small-dims generator shared by the honest AVI pieces. */
+  private val aviDimsGen: Gen[(Int, Int)] =
+    Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8))
+
+  private val forgedAviHdrlChunkGen: Gen[Array[Byte]] = Gen.frequency(
+    3 -> (for { // honest avih
+      (w, h) <- aviDimsGen; us <- Gen.choose(1, 100000); n <- Gen.choose(0, 4)
+    } yield rawChunk("avih", 56, validAvihBody(w, h, us, n))),
+    3 -> (for { // honest strl list (strh + strf)
+      (w, h) <- aviDimsGen; us <- Gen.choose(1, 100000); n <- Gen.choose(0, 4)
+    } yield listChunk("strl",
+      rawChunk("strh", 56, validStrhBody(w, h, us, n)) ++
+        rawChunk("strf", 40, validStrfBody(w, h)))),
+    2 -> (for { // LYING size over an arbitrary body
+      id <- Gen.oneOf("avih", "strh", "strf", "LIST", "00db", "vedr")
+      nBody <- Gen.choose(0, 40)
+      declared <- Gen.oneOf(
+        Gen.choose(0, 300),
+        Gen.oneOf(0xFFFFFFF8, -1, Int.MaxValue, Int.MinValue, 0x80000000))
+      body <- Gen.listOfN(nBody, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk(id, declared, body.toArray)),
+    1 -> Gen.choose(9, 14).map { depth => // nest past the depth cap
+      (1 to depth).foldLeft(Array.emptyByteArray) { (inner, _) =>
+        listChunk("strl", inner)
+      }
+    },
+    1 -> (for { // honest unknown chunk, odd sizes exercise the pad rule
+      id <- Gen.oneOf("JUNK", "vprp", "odml", "xxxx")
+      nBody <- Gen.choose(0, 17)
+      pad <- Gen.oneOf(0, 1)
+      body <- Gen.listOfN(nBody + (if (nBody % 2 == 1) pad else 0),
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk(id, nBody, body.toArray)),
+    1 -> Gen.choose(0, 7).flatMap(nRag => // a ragged sub-header tail
+      Gen.listOfN(nRag, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray)))
+
+  private val forgedAviMoviChunkGen: Gen[Array[Byte]] = Gen.frequency(
+    3 -> (for { // frame chunk with honest size (dims may still disagree
+                // with whatever headers the walk carries)
+      (w, h) <- aviDimsGen
+      body <- Gen.listOfN(AviCodec.stride(w) * h,
+        Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk("00db", body.length, body.toArray)),
+    2 -> (for { // frame chunk with a LYING size
+      id <- Gen.oneOf("00db", "00dc")
+      nBody <- Gen.choose(0, 40)
+      declared <- Gen.oneOf(
+        Gen.choose(0, 300),
+        Gen.oneOf(0xFFFFFFF8, -1, Int.MaxValue, Int.MinValue))
+      body <- Gen.listOfN(nBody, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk(id, declared, body.toArray)),
+    1 -> (for { // non-frame chunk inside movi
+      nBody <- Gen.choose(0, 17)
+      body <- Gen.listOfN(nBody, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield rawChunk("idx1", nBody, body.toArray)))
+
+  private val forgedAviGen: Gen[Array[Byte]] = {
+    // arm 1: free-assembled chunk walk under LIST hdrl / LIST movi
+    val walkGen = for {
+      nh <- Gen.choose(0, 3)
+      hdrl <- Gen.listOfN(nh, forgedAviHdrlChunkGen)
+      nm <- Gen.choose(0, 3)
+      movi <- Gen.listOfN(nm, forgedAviMoviChunkGen)
+      stray <- Gen.oneOf(
+        Gen.const(Array.emptyByteArray),
+        Gen.listOfN(6, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(b =>
+          rawChunk("JUNK", 6, b.toArray)))
+      magic <- Gen.frequency(8 -> Gen.const("RIFF"), 1 -> Gen.const("RIFX"))
+      form <- Gen.frequency(8 -> Gen.const("AVI "), 1 -> Gen.const("WAVE"))
+      honestSize <- Gen.frequency(5 -> Gen.const(true), 1 -> Gen.const(false))
+      forgedSize <- Gen.choose(Int.MinValue, Int.MaxValue)
+    } yield {
+      val payload = form.getBytes("US-ASCII") ++
+        listChunk("hdrl", hdrl.flatten.toArray) ++ stray ++
+        listChunk("movi", movi.flatten.toArray)
+      val buf = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(magic.getBytes("US-ASCII"))
+      buf.putInt(if (honestSize) payload.length else forgedSize)
+      buf.put(payload)
+      buf.array
+    }
+    // arm 2: a VALID encode with k byte flips — reaches every parse
+    // stage deep, and some cases survive (flips landing in pixel bytes)
+    val flipGen = for {
+      (w, h, us, frames) <- aviClipGen
+      k <- Gen.choose(1, 6)
+      seeds <- Gen.listOfN(k, Gen.choose(0, Int.MaxValue))
+    } yield {
+      val bytes = AviCodec.encode(w, h, us, frames)
+      seeds.foreach { sd =>
+        val pos = sd % bytes.length
+        bytes(pos) = (bytes(pos) ^ (1 << (sd % 8))).toByte
+      }
+      bytes
+    }
+    // arm 3: a VALID encode truncated or junk-extended with the RIFF
+    // size field PATCHED to match — walks the mangled tree past the
+    // first header check instead of dying on "RIFF size != payload"
+    val resizeGen = for {
+      (w, h, us, frames) <- aviClipGen
+      grow <- Gen.oneOf(true, false)
+      amt <- Gen.choose(1, 64)
+      junk <- Gen.listOfN(amt, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield {
+      val bytes = AviCodec.encode(w, h, us, frames)
+      val out =
+        if (grow) bytes ++ junk.toArray
+        else bytes.take(math.max(12, bytes.length - amt))
+      val buf = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(4, out.length - 8)
+      out
+    }
+    Gen.frequency(3 -> walkGen, 2 -> flipGen, 2 -> resizeGen)
+  }
+
+  property("AviCodec: decode over arbitrary forged chunk walks either " +
+    "succeeds or throws EXACTLY IllegalArgumentException — never hangs, " +
+    "never leaks another exception type") =
+    Prop.forAll(forgedAviGen) { bytes =>
+      try { AviCodec.decode(bytes); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+
+  property("AviCodec: a successful decode of a forged walk implies full " +
+    "structural consistency, and ALLOCATION IS BOUNDED BY INPUT SIZE — " +
+    "decoded pixel bytes never exceed the container's byte count, no " +
+    "matter what any forged size field claimed") =
+    Prop.forAll(forgedAviGen) { bytes =>
+      val decoded = try Some(AviCodec.decode(bytes)) catch {
+        case _: IllegalArgumentException => None
+      }
+      decoded.forall { clip =>
+        val m = clip.meta
+        m.width > 0 && m.height > 0 && m.nFrames >= 1 &&
+          clip.frames.size == m.nFrames &&
+          clip.frames.forall(_.length == m.width * m.height) &&
+          // every accepted frame consumed stride(w)·h ≥ 3·w·h payload
+          // bytes from the container, and frames never overlap — so
+          // pixel storage is bounded by what was actually read, never
+          // by a header's claim (a forged dwTotalFrames/biWidth either
+          // fails the cross-checks or describes real payload)
+          clip.frames.iterator.map(_.length.toLong * 3L).sum <= bytes.length
+      }
+    }
 }
