@@ -483,7 +483,27 @@ object RelationalQueries {
     }
 
   def q141(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Hits.run(purchaseEdges(s, dir), HitsIters)
+    q141For(s, dir, HitsIters)
+
+  /** [[q141]] with a caller-chosen round count — the REDUCED-ROUND
+    * scale check of VERDICT r14 item 1: the full 3-round unrolled SQL
+    * replay is infeasible in DuckDB above sf0.1 (it exhausted 79 GiB
+    * of spill at sf0.5), but a 1-round replay fits, so
+    * [[graft.ScaleStabilityProbe]] pairs `q141For(_, _, 1)` against
+    * [[q141OracleSqlFor]](1) at sf0.5/sf1 — an independent
+    * hash-compare of the exact half-step arithmetic at the scales the
+    * full replay can't reach.
+    */
+  private[graft] def q141For(s: SparkSession, dir: String,
+                             iters: Int): DataFrame =
+    graft.operators.Hits.run(purchaseEdges(s, dir), iters)
+
+  /** [[purchaseEdges]] exposed for the partitioning-stability leg of
+    * [[graft.ScaleStabilityProbe]] — same memoized artifact, so a
+    * probe re-run measures the HITS rounds, not the edge build.
+    */
+  private[graft] def hitsEdges(s: SparkSession, dir: String): DataFrame =
+    purchaseEdges(s, dir)
 
   /** q142's decay geometry: weights halve every [[HalfLifeDays]] days
     * of age relative to [[DecayRef]], in 2⁻²⁰ fixed point
@@ -911,15 +931,20 @@ object RelationalQueries {
        |h$i AS (SELECT c, (s * $sc) // (SELECT max(s) FROM h${i}r) AS s FROM h${i}r)""".stripMargin
   }
 
-  private def q141OracleSql: String =
+  private def q141OracleSql: String = q141OracleSqlFor(HitsIters)
+
+  /** The [[q141]] unrolled-SQL oracle for a caller-chosen round count
+    * (see [[q141For]] — the reduced-round scale check).
+    */
+  private[graft] def q141OracleSqlFor(iters: Int): String =
     s"""WITH e AS (
        | SELECT DISTINCT o_custkey AS c, l_partkey AS p
        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |h0 AS (SELECT DISTINCT c, CAST(${graft.operators.Hits.Scale} AS BIGINT) AS s FROM e),
-       |${(1 to HitsIters).map(hitsRoundSql).mkString(",\n")}
-       |SELECT 'hub' AS side, c AS id, CAST(s AS BIGINT) AS score FROM h$HitsIters
+       |${(1 to iters).map(hitsRoundSql).mkString(",\n")}
+       |SELECT 'hub' AS side, c AS id, CAST(s AS BIGINT) AS score FROM h$iters
        |UNION ALL
-       |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$HitsIters""".stripMargin
+       |SELECT 'auth' AS side, p AS id, CAST(s AS BIGINT) AS score FROM a$iters""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q197_benford_audit" -> {

@@ -1,0 +1,106 @@
+package graft
+
+import graft.queries.{RelationalQueries, TimeseriesQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Engine-side scale checks for the two queries whose FULL DuckDB
+  * oracle replays are infeasible above sf0.1 (VERDICT r14 item 1 —
+  * q141's 3-round HITS unroll exhausts 79 GiB of spill at sf0.5;
+  * q199's recursive-CTE CC took 2228 s there). Two independent probes,
+  * run on a replica lake (sf0.5/sf1):
+  *
+  *  1. **Reduced-round replay** — q141 with ONE hub→auth→hub round is
+  *     the same edge build, join-sum, and max-normalization arithmetic
+  *     minus the unroll blowup, and DuckDB CAN finish it at sf0.5/sf1.
+  *     The probe dumps `q141r1_hits` in Verify format (parquet +
+  *     oracle_sql.json) so `scripts/check.py <lake> <outDir>` runs the
+  *     standard hash-compare against
+  *     [[RelationalQueries.q141OracleSqlFor]](1).
+  *  2. **Partitioning-stability invariant** — the determinism contract
+  *     of both queries is order-free integer arithmetic, so their full
+  *     results must be BYTE-IDENTICAL under radically different
+  *     physical execution: leg A (shuffle.partitions=32, AQE on,
+  *     default scan splits) vs leg B (shuffle.partitions=17, AQE off,
+  *     1 MiB scan splits). Any partial-agg order sensitivity, overflow
+  *     races, or partition-dependent tie-breaking at scale breaks the
+  *     checksum equality. (The sf0.1 gate catches these too — but only
+  *     up to sf0.1; this pin runs at the scales the oracle can't.)
+  *
+  * Run: `Test/runMain graft.ScaleStabilityProbe <sfDir> <outDir>`
+  * then `python3 scripts/check.py <sfDir> <outDir>` for probe 1.
+  * BASELINE.md records results per round.
+  */
+object ScaleStabilityProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outDir = args(1)
+    LogHygiene.quietKnownWarnings()
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    var failed = List.empty[String]
+
+    // ---- probe 1: reduced-round q141, dumped for the DuckDB compare --
+    new java.io.File(outDir).mkdirs()
+    RelationalQueries.q141For(spark, dir, iters = 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q141r1_hits")
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      s"""{"q141r1_hits": ${jq(RelationalQueries.q141OracleSqlFor(1))}}""")
+    println(s"dumped q141r1_hits + oracle_sql.json to $outDir — run " +
+      s"scripts/check.py $dir $outDir for the DuckDB compare")
+
+    // ---- probe 2: partitioning-stability invariant -------------------
+    // order-insensitive frame fingerprint (the ChurnProbe rule: XOR of
+    // row hashes + count; both queries' outputs are key-unique)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val row = df.select(
+        coalesce(bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L)),
+        count(lit(1))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    def withProfile[T](shuffle: Int, aqe: Boolean, splitBytes: String)
+                      (body: => T): T = {
+      val conf = spark.conf
+      val saved = Seq("spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled", "spark.sql.files.maxPartitionBytes")
+        .map(k => k -> conf.get(k))
+      conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+      conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+      try body
+      finally saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+    val probes: Seq[(String, () => DataFrame)] = Seq(
+      "q141_hits" -> (() => RelationalQueries.q141(spark, dir)),
+      "q199_hotspot_clusters" -> (() => TimeseriesQueries.q199(spark, dir)))
+    probes.foreach { case (name, q) =>
+      val t0 = System.nanoTime()
+      val a = withProfile(32, aqe = true, "134217728") { checksum(q()) }
+      // leg B re-derives every stage under a different physical plan —
+      // drop memo/cache so nothing from leg A is reused except the
+      // deliberately-shared purchase-edges artifact noted in
+      // RelationalQueries.hitsEdges
+      spark.catalog.clearCache()
+      val b = withProfile(17, aqe = false, "1048576") { checksum(q()) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = a == b
+      println(f"${if (ok) "PASS" else "FAIL"}  $name%-24s stable across " +
+        f"partitionings (xor=${a._1}%016x rows=${a._2}) ${sec}%6.1f s" +
+        (if (ok) "" else s" — leg B read (xor=${b._1}, rows=${b._2})"))
+      if (!ok) failed ::= name
+    }
+    spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
+  }
+}
