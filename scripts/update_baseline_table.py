@@ -6,21 +6,19 @@ can refresh a column in place. Earlier rounds' columns are kept as
 history. Dev tooling.
 
 Usage: python3 scripts/update_baseline_table.py
-Round 14 reads the per-query full-resolution maps from the repo root:
-bench_detail.json (the r14 sf0.1 sweep of record), plus
-bench_profile_sf05_r14.json, bench_profile_sf1_r14.json and
-bench_cold_sf1.json.
+Round 15 reads the per-query full-resolution maps from the repo root:
+bench_detail.json (the r15 sf0.1 sweep of record), plus
+bench_profile_sf05_r15.json and bench_profile_sf1_r15.json.
 """
 import json, re
 
 quiet = json.load(open("bench_detail.json"))
-sf05 = json.load(open("bench_profile_sf05_r14.json"))
-sf1 = json.load(open("bench_profile_sf1_r14.json"))
-cold1 = json.load(open("bench_cold_sf1.json"))
+sf05 = json.load(open("bench_profile_sf05_r15.json"))
+sf1 = json.load(open("bench_profile_sf1_r15.json"))
 
-TAG = "r14-rec"
-HEADER = " r14-rec | r14-sf0.5 | r14-sf1 | r14-cold-sf1 |"
-N_NEW = 4
+TAG = "r15-rec"
+HEADER = " r15-rec | r15-sf0.5 | r15-sf1 |"
+N_NEW = 3
 
 
 def strip_new(line):
@@ -42,7 +40,7 @@ for ln in lines:
         continue
     if in_table and ln.startswith("|---|"):
         base = strip_new(ln) if has_new else ln.rstrip()
-        out.append(base + "---|---|---|---|")
+        out.append(base + "---|---|---|")
         continue
     m = re.match(r"^\| (q\d+\w*) \|", ln)
     if in_table and m:
@@ -58,8 +56,7 @@ for ln in lines:
             warm = " (w)" if q in src.get("warm", []) else ""
             return f"{v:.2f}{warm}"
 
-        out.append(base + f" {cell(quiet)} | {cell(sf05)} |"
-                   f" {cell(sf1)} | {cell(cold1)} |")
+        out.append(base + f" {cell(quiet)} | {cell(sf05)} | {cell(sf1)} |")
         continue
     if in_table and not ln.startswith("|"):
         in_table = False
