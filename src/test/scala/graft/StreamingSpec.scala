@@ -1457,4 +1457,86 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(users == Set(7L))
   }
+
+  test("kmvUsersMonitor state survives a checkpointed restart: the k-min " +
+    "set recovered from the checkpoint finishes at exactly the batch q115 " +
+    "sketch") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.queries.SamplingQueries
+      .q115(spark, "/root/testdata/sf0.001")
+      .select($"event_type", $"kmv_users").as[(String, Long)]
+      .collect().toMap
+    val evs = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"user_id".isNotNull && $"ts".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+    val shuffled = new scala.util.Random(11).shuffle(evs.toVector)
+    val (h1, h2) = shuffled.splitAt(shuffled.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmvck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_kmvout").toString
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.kmvUsersMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { in.addData(h1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart from the checkpoint: the recovered ≤k-min lists must carry
+    // every first-half user hash, or the final estimate lands short
+    val q2 = start()
+    try { in.addData(h2: _*); q2.processAllAvailable() } finally q2.stop()
+    val emissions = spark.read.parquet(outDir)
+      .as[(String, Long)].collect().toSeq
+    // the sketch estimate is nondecreasing as the set grows (more users
+    // can only lower the k-th min), so each type's MAX emission is its
+    // full-set value — parquet read order is not arrival order
+    val fin = emissions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(fin == batch && fin.nonEmpty)
+  }
+
+  test("anomalyMonitor state survives a checkpointed restart: the running " +
+    "(n, Σv, Σv²) recovered from the checkpoint scores the second half " +
+    "exactly as batch q102 does") {
+    import graft.streaming.{EventStreams, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_anomck_in").toString
+    val subset = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter($"ts".isNotNull && $"value".isNotNull &&
+        $"event_type".isNotNull && $"user_id" < 8)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    subset.coalesce(1).write.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.TimeseriesQueries.q102(spark, dir)
+      .select($"event_id", $"mean_centi", $"z_centi", $"is_anomaly")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+      .toSet
+    // split in global event-time order so per user the restart carries
+    // genuinely mid-series statistics, not a fresh state
+    val evs = subset.as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_anomck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_anomout").toString
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.anomalyMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { in.addData(first.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart: a lost or zeroed (n, Σv, Σv²) would shift every
+    // second-half mean and z-score off the batch values
+    val q2 = start()
+    try { in.addData(second.toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select($"event_id", $"mean_centi", $"z_centi", $"is_anomaly")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._3.isDefined))
+  }
 }
