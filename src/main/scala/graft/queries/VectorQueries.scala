@@ -1173,7 +1173,15 @@ object VectorQueries extends Serializable {
     var v = covFull.select(col("i")).distinct()
       .select(col("i"), lit(EigScale).as("s"))
     for (_ <- 1 to EigIters) {
-      // cv·s brushes 10²² — accumulate the matvec in DECIMAL(38,0)
+      // cv·s brushes 10²² — accumulate the matvec in DECIMAL(38,0).
+      // Each round's matvec is consumed TWICE (the scalar max and the
+      // rescale) yet deliberately NOT materialized, unlike the Hits
+      // half-steps: here the whole fixed-k loop stays inside ONE
+      // action, where ReuseExchange dedupes the repeated subtrees — an
+      // explicit per-round materialize was A/B'd in a matched window
+      // (r15, stash-alternated solo probes: wall 1.814 vs 1.815 s,
+      // task unchanged) and rejected as pure-neutral complexity. The
+      // Hits rule bites only when normalization crosses ACTIONS.
       val raw = covFull.toDF("i", "j", "cv")
         .join(v.toDF("j", "s"), Seq("j"))
         .groupBy("i")
