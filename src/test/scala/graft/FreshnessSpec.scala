@@ -73,6 +73,39 @@ class FreshnessSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".stage-")), names.toString)
   }
 
+  test("IVF root override (graft.ivf.root) relocates the index home and " +
+    "restores the user-scoped default when cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh-root").toString
+    writeEmbeddings(dir, n = 30, seed = 3)
+    val defaultPath = VectorQueries.ivfIndexPath(spark, dir)
+    val user = sys.props.getOrElse("user.name", "anon")
+    assert(defaultPath.contains(s"graft-ivf-$user"),
+      s"default home must stay user-scoped: $defaultPath")
+    val priv = java.nio.file.Files.createTempDirectory("graft-root-ovr")
+    val saved = sys.props.get(VectorQueries.IvfRootProp)
+    try {
+      sys.props(VectorQueries.IvfRootProp) = priv.toString
+      val overridden = VectorQueries.ivfIndexPath(spark, dir)
+      // the override relocates the ROOT; the content-fingerprinted leaf
+      // (format tag + dataset fingerprint) must be byte-identical, so a
+      // deployment pointing the root at a lake path keeps the same
+      // version addressing (and IvfBuildBench's private builds stay
+      // adoptable only within their own root)
+      assert(overridden.startsWith(priv.toString), overridden)
+      assert(java.nio.file.Paths.get(overridden).getFileName ==
+        java.nio.file.Paths.get(defaultPath).getFileName,
+        s"version leaf drifted: $overridden vs $defaultPath")
+      assert(overridden != defaultPath)
+    } finally {
+      saved match {
+        case Some(v) => sys.props(VectorQueries.IvfRootProp) = v
+        case None => sys.props -= VectorQueries.IvfRootProp: Unit
+      }
+    }
+    assert(VectorQueries.ivfIndexPath(spark, dir) == defaultPath,
+      "clearing the override must restore the default home")
+  }
+
   test("basket pair artifact recomputes after an in-place lineitem " +
     "rewrite, and q133/q174 read the SAME shared table") {
     import graft.queries.RelationalQueries
