@@ -483,6 +483,50 @@ class PropertySpec extends Properties("graft") {
         }
     }
 
+  // --- SequencePacking (q57/q75/q135/q158): the distributed two-pass
+  // prefix sum must equal a sequential per-key fold for ARBITRARY
+  // inputs and partition counts — the operator is the one place a
+  // split-index bookkeeping bug would silently shift every cum/bin
+  // downstream, and the example tests only cover two partitionings.
+
+  private val packGen: Gen[(List[(String, Long, Long)], Int, Long)] =
+    for {
+      nRows <- Gen.choose(0, 40)
+      keys <- Gen.listOfN(nRows, Gen.oneOf("a", "b", "c"))
+      toks <- Gen.listOfN(nRows, Gen.choose(0L, 120L))
+      parts <- Gen.choose(1, 7)
+      budget <- Gen.choose(1L, 100L)
+    } yield {
+      // unique (key, order) pairs: order ties inside a key would make
+      // the sequential oracle ambiguous (the operator's contract
+      // requires a total per-key order, which every caller has)
+      val rows = keys.zipWithIndex.zip(toks).map { case ((k, i), t) =>
+        (k, i.toLong, t)
+      }
+      (rows, parts, budget)
+    }
+
+  property("SequencePacking.withBins: distributed two-pass prefix sum == " +
+    "sequential per-key fold, for arbitrary inputs, budgets, and " +
+    "partition counts") =
+    Prop.forAll(packGen) { case (rows, parts, budget) =>
+      val df = rows.toDF("source", "doc_id", "n_tokens")
+      val got = graft.operators.SequencePacking
+        .withBins(df, Seq("source"), "doc_id", "n_tokens", budget,
+          numPartitions = parts)
+        .select($"source", $"doc_id", $"cum_tokens", $"bin_id")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val expected = rows.groupBy(_._1).iterator.flatMap { case (_, ks) =>
+        var acc = 0L
+        ks.sortBy(_._2).map { case (k, id, t) =>
+          acc += t
+          (k, id) -> ((acc, (acc - t) / budget))
+        }
+      }.toMap
+      got == expected
+    }
+
   // --- AviCodec (q40/q55): pure-JVM codec, so these afford arbitrary
   // clips rather than only the generator's id-derived ones -----------
 
