@@ -1346,6 +1346,88 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burstMonitor state survives a checkpointed restart: the open " +
+    "hour, its count, and the trailing-24 baseline map recover so " +
+    "post-restart alarms equal batch q181 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val base = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.coalesce($"value",
+          org.apache.spark.sql.functions.lit(0.0)).as("value"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val maxMs = base.map(_.ts.getTime).max
+    val sentinels = base.map(_.event_type).distinct.zipWithIndex.map {
+      case (t, i) =>
+        Ev(900000L + i, 0L, t, new Timestamp(maxMs + 48L * 3600000L), 0.0)
+    }
+    val evs = base ++ sentinels
+    val batch = graft.queries.TimeseriesQueries.burstsOf(
+      spark.createDataset(evs.toSeq).toDF())
+      .as[(String, Timestamp, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2.getTime) -> ((r._3, r._4, r._5))).toMap
+    // split MID-hour (event-time order), so the recovered state carries
+    // an open hour's partial count plus a populated baseline map — a
+    // zeroed recovery would mis-count that hour and shift its alarm
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_burstck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_burstout").toString
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.burstMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { in.addData(h1.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { in.addData(h2.toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(String, Timestamp, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2.getTime) -> ((r._3, r._4, r._5))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("concurrencyMonitor state survives a checkpointed restart: the " +
+    "running sweep count and high-water mark recover so the final mark " +
+    "per type equals batch q158") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q158(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"ts".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        org.apache.spark.sql.functions.coalesce($"value",
+          org.apache.spark.sql.functions.lit(0.0)).as("value"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_concck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_concout").toString
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.concurrencyMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { in.addData(h1.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // a lost sweep count would restart the live column at zero and the
+    // recovered mark could never reach the batch high-water value
+    val q2 = start()
+    try { in.addData(h2.toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(String, Timestamp, Long, Long)].collect()
+    val got = streamed.groupBy(_._1).map { case (t, rs) =>
+      t -> ((rs.length.toLong, rs.map(_._4).max)) }
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("latestPerKey: hostile card column names (a literal __seq, a " +
     "dotted name) resolve correctly (r10 ADVICE)") {
     // the internal seq field auto-renames past collisions and fields
