@@ -1428,6 +1428,90 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("sessionize state AND its event-time timeout survive a " +
+    "checkpointed restart: an open session extends across the restart " +
+    "and a session left open closes from the RECOVERED timeout alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sessout").toString
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    // run 1: user 10 has an OPEN 2-event session; user 20 an OPEN
+    // 1-event session — both unclosed at shutdown
+    val q1 = start()
+    try {
+      in.addData(
+        Ev(1, 10, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Ev(2, 10, "click", ts("2024-01-01 10:10:00"), 2.0),
+        Ev(3, 20, "click", ts("2024-01-01 10:05:00"), 8.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2 from the same checkpoint: user 10's next event is INSIDE
+    // the gap — it must EXTEND the recovered session (a lost state
+    // would start a fresh one at 10:20 with n=1); user 20 receives
+    // nothing — their close must fire purely from the recovered state
+    // + recovered timeout when the watermark advances past 10:05+30min
+    val q2 = start()
+    try {
+      in.addData(Ev(4, 10, "click", ts("2024-01-01 10:20:00"), 4.0))
+      q2.processAllAvailable()
+      in.addData(Ev(9, 99, "click", ts("2024-01-01 23:00:00"), 0.0))
+      q2.processAllAvailable()
+      in.addData(Ev(10, 99, "click", ts("2024-01-02 23:00:00"), 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val sessions = spark.read.parquet(outDir)
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(sessions.contains(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3L, 7.0)),
+      s"user 10's session did not extend across the restart: $sessions")
+    assert(sessions.contains(
+      (20L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1L, 8.0)),
+      s"user 20's recovered timeout did not close the session: $sessions")
+  }
+
+  test("srmMonitor state survives a checkpointed restart: the exact " +
+    "distinct-user sets recover so the final card equals batch q189") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.queries.TimeseriesQueries.q189(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val evs = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isNotNull && $"ts".isNotNull &&
+        $"user_id".isNotNull && $"value".isNotNull)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .as[Ev].collect()
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_srmck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_srmout").toString
+    val in = MemoryStream[Ev]
+    def start() = EventStreams.srmMonitor(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try { in.addData(h1.toIndexedSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // a lost arm-set would double-count returning users after the
+    // restart (distinctness is the whole guardrail) or halve n_a/n_b
+    val q2 = start()
+    try { in.addData(h2.toIndexedSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        val last = rs.maxBy(r => r._2 + r._3)
+        t -> ((last._2, last._3, last._4, last._5))
+      }
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("latestPerKey: hostile card column names (a literal __seq, a " +
     "dotted name) resolve correctly (r10 ADVICE)") {
     // the internal seq field auto-renames past collisions and fields
