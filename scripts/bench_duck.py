@@ -37,6 +37,7 @@ def main(sf_dir, oracle_path, iters=2):
     skip = set(filter(None, os.environ.get("DUCK_SKIP", "").split(",")))
     times = {}
     dnf = {}
+    partial = {}
     skipped = []
     for name, sql in sorted(oracle.items()):
         if name in skip:
@@ -57,13 +58,16 @@ def main(sf_dir, oracle_path, iters=2):
             # a query that cannot complete (out of spill space, OOM) is
             # a DNF datum, not a reason to lose the other 199 numbers.
             # If an EARLIER iteration completed, its timing is real
-            # evidence — keep it alongside the DNF tag (r14 ADVICE)
-            # rather than discarding a finished measurement.
+            # evidence — keep it in "partial" (r15 ADVICE), a field
+            # DISJOINT from times/dnf/skipped and excluded from
+            # duckdb_total/n_queries, so consumers never double-count
+            # the query and the total never mixes best-of-1 timings
+            # with best-of-N ones across rounds.
             if best is not None:
-                times[name] = round(best, 3)
+                partial[name] = round(best, 3)
             dnf[name] = f"{type(e).__name__}: {str(e)[:200]}"
             print(f"     DNF  {name}: {dnf[name]}"
-                  + (f" (iter-1 completed in {times[name]}s)"
+                  + (f" (iter-1 completed in {partial[name]}s)"
                      if best is not None else ""), flush=True)
             continue
         times[name] = round(best, 3)
@@ -71,8 +75,8 @@ def main(sf_dir, oracle_path, iters=2):
     total = round(sum(times.values()), 3)
     print(json.dumps({"metric": "duckdb_total", "value": total,
                       "unit": "sec", "n_queries": len(times),
-                      "dnf": sorted(dnf), "skipped": sorted(skipped),
-                      "sf": sf_dir}))
+                      "dnf": sorted(dnf), "partial": partial,
+                      "skipped": sorted(skipped), "sf": sf_dir}))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], *(sys.argv[3:] or []))

@@ -40,6 +40,89 @@ object Bench {
     */
   private val GateWaits = 3
 
+  /** Average EXTERNAL busy cores above which a sweep is contaminated
+    * even when it STARTED quiet — the mid-sweep blind spot of VERDICT
+    * r15 item 1: the r15 driver sweep started at loadavg 0.74, took a
+    * co-tenant burst mid-sweep (end loadavg 2.00), read 108.3 s vs
+    * the 62.9 s record, and stamped itself clean. The end LOADAVG
+    * cannot be the signal — it counts the bench's own 32 runnable
+    * threads (the committed clean 62.9 s record itself ended at 2.25),
+    * so `max(start, end) > GateLoadMax` would stamp EVERY sweep
+    * contaminated. Instead the sweep measures external CPU directly:
+    * host busy jiffies (/proc/stat) minus this JVM's own jiffies
+    * (/proc/self/stat), divided by the sweep's wall time — average
+    * co-tenant cores, self-load excluded by construction. Host busy
+    * includes STEAL (field 9), which is the dominant contaminant on
+    * this VM: a physical-host co-tenant shows up as stolen vCPU
+    * cycles that inflate task run-time while leaving cpu-time flat
+    * (measured r16: a window with ext_load 0.96 read q166 at 14.0
+    * task-s / 3.8 cpu-s vs 7.9 / 4.9 quiet — 1.8× task inflation).
+    * Calibration on this host: quiet windows measure 0.03–0.1
+    * external cores even under a full 32-wide burst; the r15/r16
+    * co-tenant windows measure ~1.0. The threshold sits between the
+    * two bands, nearer the clean one — task numbers were already
+    * visibly inflated at 0.96.
+    */
+  private val ExtLoadMax = 0.5
+
+  /** Linux USER_HZ — the /proc/stat and /proc/self/stat jiffy unit.
+    * Fixed at 100 on every Linux ABI the JVM runs on (the kernel
+    * scales internal HZ to USER_HZ=100 for /proc); only the RATIO of
+    * two jiffy deltas over the same window feeds the stamp, so even a
+    * wrong constant would cancel out of `extLoad`'s numerator and
+    * only mis-scale it against wall time, which uses nanoTime.
+    */
+  private val UserHz = 100.0
+
+  /** (host busy jiffies, this-process jiffies) — a matched snapshot
+    * pair; callers diff two snapshots over the same wall window.
+    * Host busy = user+nice+system+irq+softirq+steal (idle and iowait
+    * are not work); self = utime+stime across ALL this JVM's threads
+    * (executors, GC, JIT), parsed after the comm field's closing
+    * paren so an exotic process name can't shift the columns. None on
+    * any read/parse failure (non-Linux, locked-down /proc) — the
+    * stamp then falls back to the start-loadavg-only signal.
+    */
+  private def cpuJiffies(): Option[(Long, Long)] =
+    try {
+      val stat = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = stat.trim.split("\\s+")
+      // cpu  user nice system idle iowait irq softirq steal ...
+      val busy = f(1).toLong + f(2).toLong + f(3).toLong +
+        f(6).toLong + f(7).toLong + f(8).toLong
+      val self = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat"))
+      val after = self.substring(self.lastIndexOf(')') + 2).split(" ")
+      // post-comm fields are 1-indexed from state: utime=12, stime=13
+      val selfJ = after(11).toLong + after(12).toLong
+      Some((busy, selfJ))
+    } catch { case _: Exception => None }
+
+  /** Average external busy cores between two [[cpuJiffies]] snapshots:
+    * (Δhost busy − Δself) / HZ / elapsed. Clamped at 0 (scheduler
+    * accounting granularity can put a tiny negative in the numerator
+    * on an otherwise-idle host). 0.0 when either snapshot failed —
+    * never contaminates on missing evidence.
+    */
+  private[graft] def externalLoad(start: Option[(Long, Long)],
+                                  end: Option[(Long, Long)],
+                                  elapsedSec: Double): Double =
+    (start, end) match {
+      case (Some((hb0, sj0)), Some((hb1, sj1))) if elapsedSec > 0 =>
+        math.max(0.0, ((hb1 - hb0) - (sj1 - sj0)) / UserHz / elapsedSec)
+      case _ => 0.0
+    }
+
+  /** The artifact's contamination stamp: loaded at the START (the
+    * r10/r12 signal — external load the gate could see before the
+    * bench added its own threads) OR external CPU burn DURING the
+    * sweep (the r15 mid-sweep burst the start sample is blind to).
+    */
+  private[graft] def contaminatedStamp(loadStart: Double,
+                                       extLoad: Double): Boolean =
+    loadStart > GateLoadMax || extLoad > ExtLoadMax
+
   /** True iff writing this sweep to `BENCH_RESULT.json` would REPLACE a
     * clean artifact of record with a contaminated one — the refusal
     * rule of VERDICT r14 item 2: the r14 driver sweep ran at loadavg
@@ -50,11 +133,21 @@ object Bench {
     * go to stdout + bench_detail.json). The match is against the exact
     * byte sequence this writer emits (compact JSON, fixed key order) —
     * an existing file that is missing, unreadable, or already
-    * contaminated is fair to replace.
+    * contaminated is fair to replace. The clean record must also
+    * describe the SAME lake (r15 ADVICE): a clean record for another
+    * sf is not better evidence for THIS one, and refusing the
+    * overwrite would leave the artifact describing the wrong dataset
+    * — so a contaminated sweep over a new sf replaces it (honestly
+    * stamped) rather than keeping a mismatched file. The sf match is
+    * against the exact `"sf":"<dir>"` byte sequence this writer
+    * emits.
     */
   private[graft] def keepExistingRecord(contaminated: Boolean,
+                                        sf: String,
                                         existing: Option[String]): Boolean =
-    contaminated && existing.exists(_.contains("\"contaminated\":false"))
+    contaminated && existing.exists(e =>
+      e.contains("\"contaminated\":false") &&
+        e.contains("\"sf\":\"" + sf + "\""))
 
   private final class TaskTimeListener
       extends org.apache.spark.scheduler.SparkListener {
@@ -170,11 +263,20 @@ object Bench {
         loadStart = loadAvg()
       }
     }
-    val contaminated = loadStart > GateLoadMax
-    if (contaminated)
+    // the final stamp is computed AFTER the sweep (it also needs the
+    // external-CPU burn of the window itself — VERDICT r15 item 1);
+    // this early warning covers the start-load half of the signal
+    if (loadStart > GateLoadMax)
       System.err.println(f"[bench] WARNING: sweep starts at loadavg " +
-        f"$loadStart%.2f > 1.5 — stamping \"contaminated\":true; per-query " +
-        "times in this artifact are not comparable across rounds")
+        f"$loadStart%.2f > $GateLoadMax%.1f — stamping " +
+        "\"contaminated\":true; per-query times in this artifact are " +
+        "not comparable across rounds")
+    // matched host/self CPU snapshot for the mid-sweep burst signal:
+    // taken BEFORE session creation so the window covers everything
+    // the wall numbers cover (self-load is subtracted, so our own
+    // warmup inside the window costs the signal nothing)
+    val extT0 = System.nanoTime()
+    val extSnap0 = cpuJiffies()
     val spark = GraftSession.create(cpus)
     val taskTimes = new TaskTimeListener
     spark.sparkContext.addSparkListener(taskTimes)
@@ -235,6 +337,14 @@ object Bench {
         times.map(_._2).min, times.map(_._3).min)
     }
     val loadEnd = loadAvg()
+    val extLoad = externalLoad(extSnap0, cpuJiffies(),
+      (System.nanoTime() - extT0) / 1e9)
+    val contaminated = contaminatedStamp(loadStart, extLoad)
+    if (contaminated && loadStart <= GateLoadMax)
+      System.err.println(f"[bench] WARNING: mid-sweep co-tenant burn " +
+        f"averaged $extLoad%.2f external cores > $ExtLoadMax%.1f — " +
+        "stamping \"contaminated\":true; the sweep started quiet but " +
+        "its window was not (VERDICT r15 item 1)")
     // The machine-readable channel is the BENCH_RESULT.json file (six
     // rounds of stdout-tail parsing failures proved the sbt-prefixed
     // stdout channel dead — see the note at the write below); the
@@ -297,7 +407,7 @@ object Bench {
         // can't shadow the normal sweep's bench_detail.json
         else if (coldMode) "bench_cold.json"
         else "bench_detail.json"),
-      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
     // FIELD ORDER IS LOAD-BEARING (VERDICT r12 "what's wrong"): the
     // harness archives a bounded stdout TAIL, and a truncated tail
     // recovers whichever per-query map sits nearest the end. Round 12
@@ -311,7 +421,7 @@ object Bench {
     // normal sweep's — without the marker an archived tail could pass
     // ~2× cold totals off as the sweep of record
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not
@@ -323,7 +433,7 @@ object Bench {
         if (java.nio.file.Files.isReadable(recordPath))
           Some(java.nio.file.Files.readString(recordPath))
         else None
-      if (keepExistingRecord(contaminated, existing))
+      if (keepExistingRecord(contaminated, sfDir, existing))
         System.err.println("[bench] WARNING: this sweep is contaminated and " +
           "BENCH_RESULT.json holds a CLEAN artifact of record — refusing the " +
           "overwrite; this sweep's numbers are on stdout and in " +

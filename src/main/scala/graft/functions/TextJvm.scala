@@ -196,15 +196,74 @@ object TextJvm extends Serializable {
     val out = new Array[Long](math.max(cps.length - 1, 0))
     var k = 0
     while (k < out.length) {
-      out(k) = (cps(k).toLong << 21) | cps(k + 1).toLong
+      out(k) = (cps(k).toLong << BigramShift) | cps(k + 1).toLong
       k += 1
     }
     out
   }
 
   /** Number of bits [[charBigramKeys]] shifts the first codepoint by —
-    * shared with the SQL side (`shiftrightunsigned(bg, 21)`) so the
-    * context extraction can never drift from the packing.
+    * shared between the packing above and the SQL side
+    * (`shiftrightunsigned(bg, 21)`) so the context extraction can
+    * never drift from the packing (r15 ADVICE: the packing itself
+    * must use it too, not a literal).
     */
-  val BigramShift = 21
+  final val BigramShift = 21
+
+  /** Immutable open-address long→long hash table over NON-NEGATIVE
+    * keys ([[charBigramKeys]] packs into 42 bits, so −1 is free as the
+    * empty slot) — the broadcast model lookup of q166's typed score
+    * pass. Linear probing at ≤50% load: ~1–2 probes per hit where a
+    * binary search pays ~14 on a 10k vocab, and the hot loop runs once
+    * per corpus bigram. Two plain long arrays, so the broadcast
+    * serializes compactly and deserializes allocation-free.
+    *
+    * A miss THROWS: q166 fits and scores on the same corpus, so every
+    * scored bigram was counted — an absent key means the two passes
+    * diverged, which must fail the query loudly, never score as 0.
+    */
+  final class PackedKeyTable private (mask: Int, ks: Array[Long],
+                                      vs: Array[Long]) extends Serializable {
+    def apply(k: Long): Long = {
+      var i = PackedKeyTable.slot(k, mask)
+      while (ks(i) != k) {
+        if (ks(i) == -1L)
+          throw new NoSuchElementException(s"key $k absent from table")
+        i = (i + 1) & mask
+      }
+      vs(i)
+    }
+  }
+
+  object PackedKeyTable {
+    /** SplitMix64 finalizer — packed keys are sequential-ish in their
+      * low bits, so identity hashing would convoy the probe chains.
+      */
+    private def slot(k: Long, mask: Int): Int = {
+      var z = k * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) & mask).toInt
+    }
+
+    def build(keys: Array[Long], vals: Array[Long]): PackedKeyTable = {
+      require(keys.length == vals.length, "keys/vals length mismatch")
+      var cap = 4
+      while (cap < keys.length * 2) cap <<= 1
+      val mask = cap - 1
+      val ks = Array.fill(cap)(-1L)
+      val vs = new Array[Long](cap)
+      var n = 0
+      while (n < keys.length) {
+        val k = keys(n)
+        require(k >= 0L, s"PackedKeyTable keys must be non-negative: $k")
+        var i = slot(k, mask)
+        while (ks(i) != -1L && ks(i) != k) i = (i + 1) & mask
+        ks(i) = k
+        vs(i) = vals(n)
+        n += 1
+      }
+      new PackedKeyTable(mask, ks, vs)
+    }
+  }
 }

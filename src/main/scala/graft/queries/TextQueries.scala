@@ -674,36 +674,45 @@ object TextQueries {
     * order.
     *
     * Scale shape: one explode→partial-agg pass builds the model
-    * (vocabulary ≤ |charset|² — driver-sized even for CJK), which
-    * BROADCASTS back onto a second explode pass; the only wide
-    * shuffle carries (doc_id, partial-sum) pairs. Fitting and
+    * (vocabulary ≤ |charset|² — driver-sized even for CJK, the same
+    * bound the r15 broadcast-join form already leaned on), whose
+    * per-bigram QUANTIZED terms come back to the driver and broadcast
+    * as a long→long table onto a typed score pass that folds each
+    * document in one O(len) loop — ONE output row per doc, so the
+    * score side materializes no bigram rows, probes no join hash
+    * table per bigram, and needs no re-aggregation shuffle at all
+    * (the r15 form exploded ~|text| rows a second time, broadcast-
+    * hash-joined each, and shuffled (doc_id, partial-sum) pairs back
+    * together — VERDICT r15 item 3; task −57% / cpu −71% in the
+    * same-window A/B, BASELINE.md "q166 fold A/B"). Fitting and
     * scoring on 100 TB are the same two corpus scans.
     *
     * The bigram key is a PACKED LONG (`(cp₁ << 21) | cp₂`,
     * [[graft.functions.TextJvm.charBigramKeys]]) rather than a
-    * 2-char string: the key crosses the model group-by AND the
-    * per-bigram broadcast-join probe — the two places where every
-    * one of the corpus's ~|text| rows pays key hashing — and the
-    * long form cut task-seconds 45% / cpu-seconds 53% in the
-    * same-window sf0.1 A/B, corroborated at sf0.5 (BASELINE.md §
-    * "q166 packed-key A/B"; the fixed-width-key discipline). The
-    * conditioning codepoint is recovered with one unsigned shift
-    * instead of string surgery.
+    * 2-char string (r15 A/B: task −45%); the conditioning codepoint
+    * is recovered with one unsigned shift instead of string surgery.
+    *
+    * Cross-engine exactness: the per-bigram `round(ln(cbg/cctx)·10⁶)`
+    * terms are computed by the SAME Catalyst expression the r15 form
+    * used — on the vocab-sized model BEFORE collect — so the typed
+    * fold only ever adds pre-quantized longs; no JVM-vs-Catalyst
+    * rounding seam exists for a doc score to drift through.
     */
   def q166(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one O(len) codepoint pass per doc (TextJvm.charBigramKeys) — the
     // per-position SQL substring form re-seeks codepoints from the
     // string head, O(len²) per doc (measured 4.9 s vs 0.6 s at sf0.1)
-    def bigrams = t(s, dir, "documents")
+    val docs = t(s, dir, "documents")
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"), col("text"))
-      // spread doc rows before the ~|text| bigram fan-out: this pass
-      // runs TWICE (fit + score) and would otherwise inherit the
-      // sub-4MB documents scan's one partition — per-doc cost ×
+      // spread doc rows before the ~|text| bigram fan-out: the fit
+      // explode (and the per-doc fold below) would otherwise inherit
+      // the sub-4MB documents scan's one partition — per-doc cost ×
       // fan-out clears the SCALE.md §20 spread bar
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
+    val bigrams = docs
       .flatMap { case (id, tx) =>
         graft.functions.TextJvm.charBigramKeys(tx).map((id, _)) }
       .toDF("doc_id", "bg")
@@ -714,15 +723,29 @@ object TextQueries {
     val ctxCounts = bgCounts
       .groupBy(bigramCtx.as("c1"))
       .agg(sum(col("cbg")).as("cctx"))
-    val model = bgCounts
+    // vocab-sized collect (the bound the broadcast already required);
+    // quantization happens HERE, in Catalyst, once per distinct bigram
+    val modelRows = bgCounts
       .join(ctxCounts, bigramCtx === col("c1"))
-      .select(col("bg"), col("cbg"), col("cctx"))
-    bigrams.join(broadcast(model), Seq("bg"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr(
-          "CAST(round(ln(CAST(cbg AS DOUBLE) / cctx) * 1000000) AS BIGINT)"))
-          .as("s"))
+      .select(col("bg"),
+        expr("CAST(round(ln(CAST(cbg AS DOUBLE) / cctx) * 1000000) AS BIGINT)")
+          .as("term"))
+      .collect()
+    val terms = graft.functions.TextJvm.PackedKeyTable.build(
+      modelRows.map(_.getLong(0)), modelRows.map(_.getLong(1)))
+    val bcTerms = s.sparkContext.broadcast(terms)
+    docs
+      .mapPartitions { it =>
+        val tbl = bcTerms.value
+        it.map { case (id, tx) =>
+          val bgs = graft.functions.TextJvm.charBigramKeys(tx)
+          var i = 0
+          var acc = 0L
+          while (i < bgs.length) { acc += tbl(bgs(i)); i += 1 }
+          (id, bgs.length.toLong, acc)
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "s")
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("s").cast("double") / col("n_bigrams") / 1000000.0, 6)
           .as("h_nats"))

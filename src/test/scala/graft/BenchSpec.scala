@@ -3,41 +3,85 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins for [[Bench]]'s artifact-of-record hygiene (VERDICT r14
-  * item 2). Pure decision logic — no SparkSession, so this spec costs
-  * nothing in the suite.
+  * item 2; mid-sweep stamp + sf-match r15 item 1 / r15 ADVICE). Pure
+  * decision logic — no SparkSession, so this spec costs nothing in
+  * the suite.
   */
 class BenchSpec extends AnyFunSuite {
 
+  private val Sf = "/root/testdata/sf0.1"
+
   // a real (abbreviated) record line in the exact shape Bench writes:
-  // compact JSON, "contaminated" with no surrounding spaces
-  private def record(contaminated: Boolean): String =
+  // compact JSON, "contaminated"/"sf" with no surrounding spaces
+  private def record(contaminated: Boolean, sf: String = Sf): String =
     s"""{"metric":"total","value":79.489,"unit":"sec","iters":3,""" +
       s""""cold":false,"contaminated":$contaminated,"loadavg":[0.50,1.20],""" +
-      s""""sf":"/root/testdata/sf0.1","queries":{"q01":0.1}}"""
+      s""""ext_load":0.05,"sf":"$sf","queries":{"q01":0.1}}"""
 
   test("a contaminated sweep refuses to overwrite a clean record") {
-    assert(Bench.keepExistingRecord(contaminated = true,
+    assert(Bench.keepExistingRecord(contaminated = true, sf = Sf,
       existing = Some(record(contaminated = false))))
   }
 
   test("a clean sweep always writes — over clean, contaminated, or no record") {
-    assert(!Bench.keepExistingRecord(contaminated = false,
+    assert(!Bench.keepExistingRecord(contaminated = false, sf = Sf,
       existing = Some(record(contaminated = false))))
-    assert(!Bench.keepExistingRecord(contaminated = false,
+    assert(!Bench.keepExistingRecord(contaminated = false, sf = Sf,
       existing = Some(record(contaminated = true))))
-    assert(!Bench.keepExistingRecord(contaminated = false, existing = None))
+    assert(!Bench.keepExistingRecord(contaminated = false, sf = Sf,
+      existing = None))
   }
 
   test("a contaminated sweep still writes when there is nothing clean to protect") {
     // no prior record at all
-    assert(!Bench.keepExistingRecord(contaminated = true, existing = None))
+    assert(!Bench.keepExistingRecord(contaminated = true, sf = Sf,
+      existing = None))
     // prior record is itself contaminated — replacing noise with fresh
     // noise keeps the artifact current without losing clean evidence
-    assert(!Bench.keepExistingRecord(contaminated = true,
+    assert(!Bench.keepExistingRecord(contaminated = true, sf = Sf,
       existing = Some(record(contaminated = true))))
     // prior record is unparseable garbage (truncated write, manual
     // edit) — it carries no clean-stamp claim, so it is fair to replace
-    assert(!Bench.keepExistingRecord(contaminated = true,
+    assert(!Bench.keepExistingRecord(contaminated = true, sf = Sf,
       existing = Some("{\"met")))
+  }
+
+  test("a clean record for a DIFFERENT lake does not block the overwrite") {
+    // r15 ADVICE: refusing here would leave BENCH_RESULT.json
+    // describing the wrong dataset — a clean sf0.1 record is not
+    // better evidence for an sf0.5 sweep
+    assert(!Bench.keepExistingRecord(contaminated = true,
+      sf = "/tmp/sf0.5-r14",
+      existing = Some(record(contaminated = false, sf = Sf))))
+  }
+
+  test("mid-sweep co-tenant burn contaminates a quiet-start sweep (r15 item 1)") {
+    // the r15 driver-sweep shape: started at 0.74 (below the 1.5
+    // gate) but a co-tenant burned multiple external cores mid-sweep
+    assert(Bench.contaminatedStamp(loadStart = 0.74, extLoad = 2.5))
+    // the measured r16 burst window (ext_load 0.96 — hypervisor
+    // steal; task times read 1.8× inflated there, so it must stamp)
+    assert(Bench.contaminatedStamp(loadStart = 0.97, extLoad = 0.96))
+    // loaded start still contaminates regardless of external burn
+    assert(Bench.contaminatedStamp(loadStart = 2.06, extLoad = 0.0))
+    // quiet start + only daemon-level background burn = clean: the
+    // committed clean 62.9 s record's own END loadavg was 2.25 (its
+    // own 32 threads) — self-load must never contaminate the stamp
+    assert(!Bench.contaminatedStamp(loadStart = 0.76, extLoad = 0.08))
+  }
+
+  test("externalLoad subtracts self jiffies and never goes negative or NaN") {
+    // 60 s window, host burned 9000 jiffies (90 cpu-s at HZ=100), we
+    // burned 6000 of them → 30 external cpu-s / 60 s = 0.5 cores
+    assert(math.abs(Bench.externalLoad(
+      Some((100000L, 50000L)), Some((109000L, 56000L)), 60.0) - 0.5) < 1e-9)
+    // accounting jitter (self > host delta) clamps to 0, not negative
+    assert(Bench.externalLoad(
+      Some((100L, 50L)), Some((110L, 70L)), 10.0) == 0.0)
+    // a failed snapshot (non-Linux /proc) never contaminates
+    assert(Bench.externalLoad(None, Some((1L, 1L)), 10.0) == 0.0)
+    assert(Bench.externalLoad(Some((1L, 1L)), None, 10.0) == 0.0)
+    // degenerate window
+    assert(Bench.externalLoad(Some((1L, 1L)), Some((2L, 1L)), 0.0) == 0.0)
   }
 }
