@@ -38,6 +38,13 @@ def rows_canon(cols, rows):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Optional spill cap (e.g. DUCK_TEMP_CAP=48GiB), mirroring
+    # bench_duck.py: above sf0.1 some replays spill unboundedly — the
+    # cap turns a disk-filling replay into a fast, recorded FAIL with
+    # the DuckDB error in the output instead of a dead host.
+    cap = os.environ.get("DUCK_TEMP_CAP")
+    if cap:
+        con.execute(f"SET max_temp_directory_size='{cap}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -6,18 +6,18 @@ can refresh a column in place. Earlier rounds' columns are kept as
 history. Dev tooling.
 
 Usage: python3 scripts/update_baseline_table.py
-Round 15 reads the per-query full-resolution maps from the repo root:
-bench_detail.json (the r15 sf0.1 sweep of record), plus
-bench_profile_sf05_r15.json and bench_profile_sf1_r15.json.
+Round 16 reads the per-query full-resolution maps from the repo root:
+bench_detail.json (the r16 sf0.1 sweep of record), plus
+bench_profile_sf05_r16.json and bench_profile_sf1_r16.json.
 """
 import json, re
 
 quiet = json.load(open("bench_detail.json"))
-sf05 = json.load(open("bench_profile_sf05_r15.json"))
-sf1 = json.load(open("bench_profile_sf1_r15.json"))
+sf05 = json.load(open("bench_profile_sf05_r16.json"))
+sf1 = json.load(open("bench_profile_sf1_r16.json"))
 
-TAG = "r15-rec"
-HEADER = " r15-rec | r15-sf0.5 | r15-sf1 |"
+TAG = "r16-rec"
+HEADER = " r16-rec | r16-sf0.5 | r16-sf1 |"
 N_NEW = 3
 
 

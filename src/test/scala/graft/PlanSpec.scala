@@ -512,17 +512,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("In(event_type"))
   }
 
-  test("q166: exactly two corpus explode passes (model fit + scoring); " +
-    "the model broadcasts onto the scoring pass") {
+  test("q166: the scoring pass is ONE typed fold over the corpus scan — " +
+    "no bigram explode, no join, no aggregate, no exchange past the spread") {
+    // the fit side (explode → partial agg → vocab collect) already ran
+    // at plan() time; the LIVE plan is only the score side (VERDICT
+    // r15 item 3): scan → spread → MapPartitions fold → project.
     val p = plan(graft.queries.TextQueries.q166(spark, sf))
-    // the model-fit explode ran once at the bigram-count checkpoint;
-    // the final plan scans that RDD (twice: ctx + join build) plus ONE
-    // corpus scan for scoring — without the checkpoint the ctx rollup
-    // would re-run the model explode as a third corpus pass
     assert("Scan parquet".r.findAllIn(p).size == 1)
-    assert(p.contains("Scan ExistingRDD"))
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("MapPartitions"))
+    assert(!p.contains("Join"))          // the model rides a broadcast VARIABLE, not a join
+    assert(!p.contains("HashAggregate")) // one row per doc needs no re-agg
+    // the only exchange is the deliberate §20 fan-out spread
+    assert("Exchange".r.findAllIn(p).size == 1)
+    assert(p.contains("RoundRobinPartitioning"))
   }
 
   test("q160: each relationship audits both directions in ONE " +

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   * q199's recursive-CTE CC took 2228 s there). Two independent probes,
   * run on a replica lake (sf0.5/sf1):
   *
-  *  1. **Reduced-round replay** — q141 with ONE hub→auth→hub round is
+  *  1. **Reduced-round replay** — q141 with one (default) or two
+  *     (optional third arg — VERDICT r15 item 4, exercises the
+  *     cross-round hub→auth→hub normalization composition) rounds is
   *     the same edge build, join-sum, and max-normalization arithmetic
   *     minus the unroll blowup, and DuckDB CAN finish it at sf0.5/sf1.
-  *     The probe dumps `q141r1_hits` in Verify format (parquet +
+  *     The probe dumps `q141r<n>_hits` in Verify format (parquet +
   *     oracle_sql.json) so `scripts/check.py <lake> <outDir>` runs the
   *     standard hash-compare against
-  *     [[RelationalQueries.q141OracleSqlFor]](1).
+  *     [[RelationalQueries.q141OracleSqlFor]](n) — set
+  *     `DUCK_TEMP_CAP=48GiB` so a too-deep unroll DNFs fast instead of
+  *     filling the disk.
   *  2. **Partitioning-stability invariant** — the determinism contract
   *     of both queries is order-free integer arithmetic, so their full
   *     results must be BYTE-IDENTICAL under radically different
@@ -36,14 +40,21 @@ object ScaleStabilityProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val outDir = args(1)
+    // optional round count for probe 1 (VERDICT r15 item 4): 1 round
+    // never exercises cross-round normalization composition
+    // (hub→auth→hub feedback into the next round's join-sum); 2 rounds
+    // do, and the 2-round unroll still fits DuckDB's spill cap at
+    // sf0.5 where the full 3-round unroll exhausted 79 GiB. Default
+    // stays 1 — the sf1 check keeps the cheapest feasible replay.
+    val rounds = if (args.length > 2) args(2).toInt else 1
     LogHygiene.quietKnownWarnings()
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     var failed = List.empty[String]
 
     // ---- probe 1: reduced-round q141, dumped for the DuckDB compare --
     new java.io.File(outDir).mkdirs()
-    RelationalQueries.q141For(spark, dir, iters = 1)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q141r1_hits")
+    RelationalQueries.q141For(spark, dir, iters = rounds)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/q141r${rounds}_hits")
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -53,8 +64,8 @@ object ScaleStabilityProbe {
     } + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{"q141r1_hits": ${jq(RelationalQueries.q141OracleSqlFor(1))}}""")
-    println(s"dumped q141r1_hits + oracle_sql.json to $outDir — run " +
+      s"""{"q141r${rounds}_hits": ${jq(RelationalQueries.q141OracleSqlFor(rounds))}}""")
+    println(s"dumped q141r${rounds}_hits + oracle_sql.json to $outDir — run " +
       s"scripts/check.py $dir $outDir for the DuckDB compare")
 
     // ---- probe 2: partitioning-stability invariant -------------------
