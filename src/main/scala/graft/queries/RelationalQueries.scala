@@ -797,13 +797,29 @@ object RelationalQueries {
     * ever crosses an engine boundary.
     *
     * Scale shape: the LTV rollup is one partial-agg shuffle; the
-    * ×[[BootB]] explode happens MAP-SIDE and collapses to
-    * |segments|·B partial groups inside each task before its shuffle
-    * — resampling 10M customers 200 times moves 200·|segments| rows
-    * per task, not 2×10⁹. The rank window orders B rows per segment.
-    * (Weighted-product sums fit longs here: w₄ < 2.3·10⁵ and cents <
-    * 2⁶³/(2.3·10⁵·n_segment) — the q157-style DECIMAL(38,0) upgrade
-    * is one cast away when a segment's mass outgrows that.)
+    * ×[[BootB]] replica pass folds MAP-SIDE into |segments|·B partial
+    * groups inside each task before its shuffle — resampling 10M
+    * customers 200 times moves 200·|segments| rows per task, not
+    * 2×10⁹. The rank window orders B rows per segment. (Weighted-
+    * product sums fit longs here: w₄ < 2.3·10⁵ and cents < 2⁶³/
+    * (2.3·10⁵·n_segment) — the q157-style DECIMAL(38,0) upgrade is
+    * one cast away when a segment's mass outgrows that.)
+    *
+    * The draw loop is a TYPED per-partition fold (VERDICT r16 second
+    * A/B, the q166-fold discipline): the r15 form exploded 200 rows
+    * per customer and ran the md5 draw as a codegen'd
+    * concat→md5→hex-substring→conv→log→round expression chain per
+    * row; the fold computes the SAME value from the raw digest bytes
+    * ([[graft.functions.DedupFunctions.md5Hash32Jvm]] — first 4
+    * bytes == first 8 hex chars parsed base-16, bit-identical) and
+    * accumulates (num, den) per (segment, b) in one pass, so the ×B
+    * rows are never materialized and the only expression work left
+    * is one ln + one round per draw. Round semantics replicate
+    * Spark's `round(double, 0)` exactly: a frac-vs-0.5 fast path
+    * (exact — `r − floor(r)` is exact for r ≥ 0, and shortest-repr
+    * decimal ordering against .5 agrees with binary ordering), with
+    * true dyadic ties delegated to the BigDecimal HALF_UP form the
+    * codegen'd Round uses. Oracle hash unchanged at every gated SF.
     */
   def q167(s: SparkSession, dir: String): DataFrame = {
     val ltv = t(s, dir, "customer")
@@ -822,15 +838,48 @@ object RelationalQueries {
       // keep side, unlike the rejected tokenize-scale spreads)
       .repartition(s.sparkContext.defaultParallelism)
       .materialize() // two consumers: point estimate + replicas
-    val u = (graft.functions.DedupFunctions.md5Hash32(
-      concat(lit("bb-"), col("c_custkey").cast("string"), lit("-"),
-        col("b").cast("string"))) + lit(1L))
-      .cast("double") / lit(4294967296.0)
-    val rep = ltv
-      .withColumn("b", explode(expr(s"sequence(0, ${BootB - 1})")))
-      .withColumn("w4", round(-log(u) * lit(10000.0), 0).cast("long"))
+    import s.implicits._
+    val repPartial = ltv
+      .select(col("c_mktsegment"), col("c_custkey"), col("cents"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // (segment, b) → [num, den]; |segments|·B entries per task
+        val acc = new java.util.HashMap[(String, Int), Array[Long]]()
+        it.foreach { case (seg, ck, cents) =>
+          val prefix = "bb-" + ck + "-"
+          var b = 0
+          while (b < BootB) {
+            val h = graft.functions.DedupFunctions.md5Hash32Jvm(prefix + b)
+            // the exact expression chain of the r15 column form:
+            // u = (hash+1)/2³², w4 = round(-ln(u)·10⁴, 0) HALF_UP
+            val r = -math.log((h + 1L).toDouble / 4294967296.0) * 10000.0
+            val f = math.floor(r)
+            val frac = r - f
+            val w4 =
+              if (frac > 0.5) f.toLong + 1L
+              else if (frac < 0.5) f.toLong
+              else // exact .5 — the BigDecimal HALF_UP path Round codegens
+                new java.math.BigDecimal(java.lang.Double.toString(r))
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            val cell = acc.computeIfAbsent((seg, b), _ => new Array[Long](2))
+            cell(0) += w4 * cents
+            cell(1) += w4
+            b += 1
+          }
+        }
+        val eit = acc.entrySet().iterator()
+        new Iterator[(String, Int, Long, Long)] {
+          def hasNext: Boolean = eit.hasNext
+          def next(): (String, Int, Long, Long) = {
+            val e = eit.next()
+            (e.getKey._1, e.getKey._2, e.getValue()(0), e.getValue()(1))
+          }
+        }
+      }
+      .toDF("c_mktsegment", "b", "num", "den")
+    val rep = repPartial
       .groupBy(col("c_mktsegment"), col("b"))
-      .agg(sum(col("w4") * col("cents")).as("num"), sum(col("w4")).as("den"))
+      .agg(sum(col("num")).as("num"), sum(col("den")).as("den"))
       .withColumn("mean_cents", expr("num div den"))
     val rk = rep.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window
