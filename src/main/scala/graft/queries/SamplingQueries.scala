@@ -293,8 +293,30 @@ object SamplingQueries {
     val cms = graft.operators.CountMinSketch.aggregator(CmsDepth, CmsWidth,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    toks.select(cmsBuckets(col("w")).as("bks"))
-      .as[Seq[Int]].select(cms.toColumn.name("grid")).head()
+    // the depth bucket hashes run as a TYPED pass (the q167-fold
+    // discipline, VERDICT r16): every token occurrence pays CmsDepth
+    // md5 draws, and the codegen'd concat→md5→hex-substring→conv
+    // chain of [[cmsBuckets]] is the same per-row expression tax the
+    // q167 A/B measured at ~2× the raw-digest form
+    // ([[DedupFunctions.md5Hash32Jvm]] — bit-identical values, so the
+    // grid, the oracle replay, and the streaming twin's column-form
+    // fold all still agree). The rows were already crossing a typed
+    // boundary into the aggregator, so this swap removes the
+    // expression chain without adding a serialization seam.
+    toks.select(col("w")).as[String]
+      .mapPartitions { it =>
+        it.map { w =>
+          val bks = new Array[Int](CmsDepth)
+          var d = 0
+          while (d < CmsDepth) {
+            bks(d) = (graft.functions.DedupFunctions
+              .md5Hash32Jvm("cms" + d + "-" + w) % CmsWidth).toInt
+            d += 1
+          }
+          bks.toSeq
+        }
+      }
+      .select(cms.toColumn.name("grid")).head()
   }
 
   def q116(s: SparkSession, dir: String): DataFrame = {
