@@ -932,4 +932,36 @@ class PropertySpec extends Properties("graft") {
           clip.frames.iterator.map(_.length.toLong * 3L).sum <= bytes.length
       }
     }
+
+  // ---- PackedKeyTable (q166's broadcast model lookup, r16) ----------
+
+  private val packedEntriesGen: Gen[List[(Long, Long)]] =
+    Gen.choose(0, 60).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(
+        // bias toward clustered keys: sequential-ish low bits are the
+        // probe-chain adversary the SplitMix slot mix exists for
+        Gen.oneOf(Gen.choose(0L, 50L), Gen.choose(0L, (1L << 42) - 1)),
+        Gen.choose(Long.MinValue, Long.MaxValue)))
+        .map(_.distinctBy(_._1))
+    }
+
+  property("PackedKeyTable: every inserted key looks up to its value; " +
+    "any absent key throws (never a silent zero score)") =
+    Prop.forAll(packedEntriesGen) { entries =>
+      val tbl = graft.functions.TextJvm.PackedKeyTable.build(
+        entries.map(_._1).toArray, entries.map(_._2).toArray)
+      val hits = entries.forall { case (k, v) => tbl(k) == v }
+      val present = entries.map(_._1).toSet
+      val absent = Iterator.from(0).map(i => (1L << 42) + i.toLong)
+        .find(!present.contains(_)).get
+      val misses = scala.util.Try(tbl(absent)).isFailure
+      hits && misses
+    }
+
+  property("PackedKeyTable rejects negative keys at build (the -1 " +
+    "empty-slot sentinel must stay unreachable)") =
+    Prop.forAll(Gen.choose(Long.MinValue, -1L)) { bad =>
+      scala.util.Try(graft.functions.TextJvm.PackedKeyTable.build(
+        Array(bad), Array(0L))).isFailure
+    }
 }
