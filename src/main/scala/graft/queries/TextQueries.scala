@@ -712,13 +712,29 @@ object TextQueries {
       // fan-out clears the SCALE.md §20 spread bar
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
-    val bigrams = docs
-      .flatMap { case (id, tx) =>
-        graft.functions.TextJvm.charBigramKeys(tx).map((id, _)) }
-      .toDF("doc_id", "bg")
     val bigramCtx =
       shiftrightunsigned(col("bg"), graft.functions.TextJvm.BigramShift)
-    val bgCounts = bigrams.groupBy("bg").agg(count(lit(1)).as("cbg"))
+    // the FIT pass folds per-partition (bg → count) maps instead of
+    // exploding ~|text| bigram rows into the partial agg: occurrence
+    // counts are order-free integer sums, so per-partition pre-counts
+    // followed by sum-by-bg is the identical vocabulary — the explode
+    // was the last per-bigram row materialization left in q166
+    val bgCounts = docs
+      .mapPartitions { it =>
+        val m = new scala.collection.mutable.LongMap[Long]()
+        it.foreach { case (_, tx) =>
+          val bgs = graft.functions.TextJvm.charBigramKeys(tx)
+          var i = 0
+          while (i < bgs.length) {
+            val k = bgs(i)
+            m(k) = m.getOrElse(k, 0L) + 1L
+            i += 1
+          }
+        }
+        m.iterator
+      }
+      .toDF("bg", "c")
+      .groupBy("bg").agg(sum(col("c")).as("cbg"))
       .materialize() // vocab-sized; two consumers (ctx + model join)
     val ctxCounts = bgCounts
       .groupBy(bigramCtx.as("c1"))
