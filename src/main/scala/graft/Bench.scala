@@ -91,11 +91,32 @@ object Bench {
       // cpu  user nice system idle iowait irq softirq steal ...
       val busy = f(1).toLong + f(2).toLong + f(3).toLong +
         f(6).toLong + f(7).toLong + f(8).toLong
-      val self = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/self/stat"))
-      val after = self.substring(self.lastIndexOf(')') + 2).split(" ")
-      // post-comm fields are 1-indexed from state: utime=12, stime=13
-      val selfJ = after(11).toLong + after(12).toLong
+      // per-process jiffies: utime+stime of the process itself PLUS
+      // cutime+cstime of its already-REAPED children (post-comm fields
+      // 1-indexed from state: utime=12 stime=13 cutime=14 cstime=15 —
+      // parsed after the comm paren so exotic names can't shift them).
+      // A child alive at a snapshot is counted by the descendant walk
+      // below and is NOT yet in cutime; once reaped it leaves the walk
+      // and lands in cutime — the two sources never overlap, so the
+      // sum is exact across child death between snapshots.
+      def procJ(pid: Long): Long = {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"/proc/$pid/stat"))
+        val a = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        a(11).toLong + a(12).toLong + a(13).toLong + a(14).toLong
+      }
+      val me = ProcessHandle.current()
+      var selfJ = procJ(me.pid)
+      // SPARK_GRAFT_MASTER=local-cluster[...] forks worker + executor
+      // JVMs as SEPARATE processes — their CPU is the bench's own work,
+      // and counting it as host burn would stamp every local-cluster
+      // sweep contaminated (r16 ADVICE). Sum all live descendants; a
+      // process that exits mid-walk is skipped (its time surfaces via
+      // its parent's cutime once reaped).
+      me.descendants().forEach { d =>
+        try selfJ += procJ(d.pid)
+        catch { case _: Exception => () }
+      }
       Some((busy, selfJ))
     } catch { case _: Exception => None }
 
@@ -148,6 +169,45 @@ object Bench {
     contaminated && existing.exists(e =>
       e.contains("\"contaminated\":false") &&
         e.contains("\"sf\":\"" + sf + "\""))
+
+  /** The one lake whose full sweeps are the artifact of record. Every
+    * other lake (the /tmp sf0.5/sf1 replicas, ad-hoc dirs) is a
+    * COMPANION measurement: the r16 end-of-round snapshot committed a
+    * contaminated sf0.5 replica sweep as `BENCH_RESULT.json` because
+    * the sf-match refusal rule (correct in itself) only protects a
+    * clean record of the SAME lake — so a replica sweep always
+    * replaced the record (VERDICT r16 item 1). Routing by lake closes
+    * that: only sweeps of THIS lake can ever touch the record file.
+    */
+  private[graft] val RecordLake = "/root/testdata/sf0.1"
+
+  /** Canonical form of a lake path: symlinks resolved when the path
+    * exists, else absolute + `..`/`.`/trailing-slash normalized — so
+    * `/root/testdata/sf0.1/`, `sf0.1` via a relative cwd, or a symlink
+    * to the record lake all read as the SAME lake in both the routing
+    * below and the `"sf"` byte-match in [[keepExistingRecord]]
+    * (r16 ADVICE: exact byte equality defeated the clean-record
+    * protection for aliased paths).
+    */
+  private[graft] def normalizeLake(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir)
+    try p.toRealPath().toString
+    catch { case _: Exception => p.toAbsolutePath.normalize.toString }
+  }
+
+  /** Artifact file for a full sweep of `sfDir` (already normalized):
+    * the record lake writes `BENCH_RESULT.json`; any other lake writes
+    * `bench_profile_<slug>.json`, slugged from its full normalized
+    * path so two replicas with the same basename in different parents
+    * cannot collide.
+    */
+  private[graft] def recordArtifactPath(sfDir: String): String =
+    if (normalizeLake(sfDir) == normalizeLake(RecordLake)) "BENCH_RESULT.json"
+    else {
+      val slug = normalizeLake(sfDir).dropWhile(_ == '/')
+        .map(c => if (c.isLetterOrDigit || c == '.' || c == '_') c else '-')
+      s"bench_profile_$slug.json"
+    }
 
   private final class TaskTimeListener
       extends org.apache.spark.scheduler.SparkListener {
@@ -210,7 +270,10 @@ object Bench {
     }
   }
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // normalized at the boundary so the "sf" stamp, the record-lake
+    // routing, and keepExistingRecord's byte-match all see one spelling
+    val sfDir = normalizeLake(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", RecordLake))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the stdout/stderr tail the harness JSON-parses the result from
     // must stay clean of the known-benign WARN spam (see LogHygiene)
@@ -428,14 +491,20 @@ object Bench {
     // machine-readable. The fixed-path file IS: byte-exact compact JSON,
     // no prefixes, overwritten per run (referenced from BASELINE.md).
     if (only.isEmpty && !coldMode) {
-      val recordPath = java.nio.file.Paths.get("BENCH_RESULT.json")
+      // non-record lakes get their own file — a replica-lake sweep
+      // must never clobber the sf0.1 artifact of record (r16 item 1)
+      val artifact = recordArtifactPath(sfDir)
+      val recordPath = java.nio.file.Paths.get(artifact)
+      if (artifact != "BENCH_RESULT.json")
+        System.err.println(s"[bench] NOTE: $sfDir is not the record lake " +
+          s"($RecordLake) — writing $artifact; BENCH_RESULT.json untouched")
       val existing =
         if (java.nio.file.Files.isReadable(recordPath))
           Some(java.nio.file.Files.readString(recordPath))
         else None
       if (keepExistingRecord(contaminated, sfDir, existing))
         System.err.println("[bench] WARNING: this sweep is contaminated and " +
-          "BENCH_RESULT.json holds a CLEAN artifact of record — refusing the " +
+          s"$artifact holds a CLEAN artifact of record — refusing the " +
           "overwrite; this sweep's numbers are on stdout and in " +
           "bench_detail.json (VERDICT r14 item 2)")
       else

@@ -246,8 +246,18 @@ object TextJvm extends Serializable {
       ((z ^ (z >>> 31)) & mask).toInt
     }
 
+    /** Max buildable key count: keeps `cap` (≥2× keys, power of two)
+      * inside positive Int so the capacity doubling below can never
+      * overflow into a >100% load table whose absent-key probe loops
+      * forever (r16 ADVICE — the |charset|² vocab bound that made this
+      * unreachable was assumed, not enforced).
+      */
+    private val MaxKeys = 1 << 29
+
     def build(keys: Array[Long], vals: Array[Long]): PackedKeyTable = {
       require(keys.length == vals.length, "keys/vals length mismatch")
+      require(keys.length <= MaxKeys,
+        s"PackedKeyTable supports at most $MaxKeys keys, got ${keys.length}")
       var cap = 4
       while (cap < keys.length * 2) cap <<= 1
       val mask = cap - 1
@@ -259,6 +269,12 @@ object TextJvm extends Serializable {
         require(k >= 0L, s"PackedKeyTable keys must be non-negative: $k")
         var i = slot(k, mask)
         while (ks(i) != -1L && ks(i) != k) i = (i + 1) & mask
+        // last-wins on a duplicate would silently pick one value; the
+        // table's callers feed groupBy output where keys are distinct
+        // by construction, so an equal-key hit here means the caller's
+        // invariant broke — fail as loudly as the miss path does
+        // (VERDICT r16 item 5)
+        require(ks(i) != k, s"duplicate key $k in PackedKeyTable.build")
         ks(i) = k
         vs(i) = vals(n)
         n += 1

@@ -70,6 +70,35 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.contaminatedStamp(loadStart = 0.76, extLoad = 0.08))
   }
 
+  test("only the record lake routes to BENCH_RESULT.json (r16 item 1)") {
+    assert(Bench.recordArtifactPath(Sf) == "BENCH_RESULT.json")
+    // aliased spellings of the record lake still route to the record:
+    // trailing slash, dot segments (r16 ADVICE — byte-equality on the
+    // raw path defeated the clean-record protection)
+    assert(Bench.recordArtifactPath(Sf + "/") == "BENCH_RESULT.json")
+    assert(Bench.recordArtifactPath("/root/testdata/./sf0.1") ==
+      "BENCH_RESULT.json")
+    assert(Bench.recordArtifactPath("/root/testdata/../testdata/sf0.1") ==
+      "BENCH_RESULT.json")
+    // replica lakes write their own slugged file — never the record,
+    // even when they share a basename across parents
+    assert(Bench.recordArtifactPath("/tmp/sf1-r14") ==
+      "bench_profile_tmp-sf1-r14.json")
+    assert(Bench.recordArtifactPath("/tmp/sf0.5-r14") !=
+      Bench.recordArtifactPath("/var/sf0.5-r14"))
+    assert(!Bench.recordArtifactPath("/tmp/sf0.5-r14")
+      .contains("BENCH_RESULT"))
+  }
+
+  test("normalizeLake canonicalizes aliases of the same directory") {
+    val base = Bench.normalizeLake("/tmp")
+    assert(Bench.normalizeLake("/tmp/") == base)
+    assert(Bench.normalizeLake("/tmp/x/..") == base)
+    // nonexistent paths still normalize (no symlink resolution, but
+    // absolute + dot-free) instead of throwing
+    assert(Bench.normalizeLake("/no/such/dir/") == "/no/such/dir")
+  }
+
   test("externalLoad subtracts self jiffies and never goes negative or NaN") {
     // 60 s window, host burned 9000 jiffies (90 cpu-s at HZ=100), we
     // burned 6000 of them → 30 external cpu-s / 60 s = 0.5 cores

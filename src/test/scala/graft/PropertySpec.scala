@@ -964,4 +964,17 @@ class PropertySpec extends Properties("graft") {
       scala.util.Try(graft.functions.TextJvm.PackedKeyTable.build(
         Array(bad), Array(0L))).isFailure
     }
+
+  property("PackedKeyTable rejects duplicate keys at build — silent " +
+    "last-wins would pick one value unannounced (VERDICT r16 item 5)") =
+    Prop.forAll(packedEntriesGen.suchThat(_.nonEmpty),
+      Gen.choose(0, Int.MaxValue)) { (entries, seed) =>
+      // duplicate an arbitrary existing key at the END of the array so
+      // the collision happens mid-build, wherever probing lands it
+      val dupOf = entries(seed % entries.size)._1
+      val ks = entries.map(_._1).toArray :+ dupOf
+      val vs = entries.map(_._2).toArray :+ 99L
+      scala.util.Try(
+        graft.functions.TextJvm.PackedKeyTable.build(ks, vs)).isFailure
+    }
 }
