@@ -69,6 +69,24 @@ object DedupFunctions {
       ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
 
+  /** [[md5Hash32Jvm]] over the first `len` bytes of a caller-owned
+    * UTF-8 buffer — the allocation-free variant for hot loops that
+    * assemble each input into a REUSABLE buffer instead of building a
+    * String per row (q97's sliding spans: ~|text| windows per doc,
+    * each previously paying a collection + builder + String + getBytes
+    * before the digest even started). Identical to
+    * `md5Hash32Jvm(new String(buf, 0, len, UTF_8))` because UTF-8
+    * concatenation is byte-concatenation (property-pinned).
+    */
+  def md5Hash32JvmBytes(buf: Array[Byte], len: Int): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    d.update(buf, 0, len)
+    val b = d.digest()
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
   /** Element-wise 32-bit hashes of a string array, pre-reduced mod `m`
     * (pre-reduction keeps downstream fold arithmetic overflow-free and
     * makes Spark's fold-with-init equal DuckDB's init-less list_reduce).

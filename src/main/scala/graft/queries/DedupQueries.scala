@@ -1036,8 +1036,36 @@ object DedupQueries {
       .flatMap { case (id, text) =>
         val ws = text.split("\\s+").filter(_.nonEmpty)
         if (ws.length < SpanW) Iterator.empty
-        else ws.iterator.sliding(SpanW).withPartial(false)
-          .map(win => (id, DedupFunctions.md5Hash32Jvm(win.mkString(" "))))
+        else {
+          // words UTF-8-encode ONCE per doc; each window then
+          // assembles into one reusable byte buffer via arraycopy —
+          // the old `sliding(SpanW)` + `mkString` form allocated a
+          // collection, a builder, a String, AND its getBytes copy
+          // per window position before the digest started (the q167
+          // allocation-tax discipline; SCALE.md §33). md5 input bytes
+          // are identical because UTF-8 concatenation is
+          // byte-concatenation (property-pinned in PropertySpec).
+          val wb = ws.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var cap = 0
+          var w = 0
+          while (w < wb.length) {
+            cap = math.max(cap, wb(w).length); w += 1
+          }
+          val buf = new Array[Byte](SpanW * (cap + 1))
+          Iterator.range(0, ws.length - SpanW + 1).map { i =>
+            var len = 0
+            var j = i
+            val end = i + SpanW
+            while (j < end) {
+              if (j > i) { buf(len) = ' '; len += 1 }
+              val wj = wb(j)
+              System.arraycopy(wj, 0, buf, len, wj.length)
+              len += wj.length
+              j += 1
+            }
+            (id, DedupFunctions.md5Hash32JvmBytes(buf, len))
+          }
+        }
       }
       .toDF("doc_id", "h")
   }

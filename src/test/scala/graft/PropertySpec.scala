@@ -965,6 +965,23 @@ class PropertySpec extends Properties("graft") {
         Array(bad), Array(0L))).isFailure
     }
 
+  property("md5Hash32JvmBytes over an assembled span buffer equals " +
+    "md5Hash32Jvm of the space-joined string (UTF-8 concat = byte " +
+    "concat — q97's zero-allocation window assembly)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.oneOf("日本語", "עברית", "😀x", "naïve", "Ω≈ç")))) { words =>
+      val wb = words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val buf = new Array[Byte](wb.map(_.length + 1).sum)
+      var len = 0
+      wb.zipWithIndex.foreach { case (w, i) =>
+        if (i > 0) { buf(len) = ' '; len += 1 }
+        System.arraycopy(w, 0, buf, len, w.length); len += w.length
+      }
+      graft.functions.DedupFunctions.md5Hash32JvmBytes(buf, len) ==
+        graft.functions.DedupFunctions.md5Hash32Jvm(words.mkString(" "))
+    }
+
   property("PackedKeyTable rejects duplicate keys at build — silent " +
     "last-wins would pick one value unannounced (VERDICT r16 item 5)") =
     Prop.forAll(packedEntriesGen.suchThat(_.nonEmpty),
