@@ -120,6 +120,33 @@ object Bench {
       Some((busy, selfJ))
     } catch { case _: Exception => None }
 
+  /** Steal jiffies alone (/proc/stat cpu field 8) — the hypervisor-
+    * shorted share of [[cpuJiffies]]'s busy total, snapshotted
+    * separately so the artifact can say WHICH kind of external burn
+    * contaminated a window: `steal_load ≈ ext_load` is a physical-
+    * host co-tenant regime (SCALE.md §34 — no in-VM remedy exists,
+    * idle pre-samples are blind to it because an idle vCPU accrues
+    * no steal), while `steal_load ≪ ext_load` is another process in
+    * THIS VM (find and stop it). None on read failure.
+    */
+  private def stealJiffies(): Option[Long] =
+    try {
+      val stat = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      Some(stat.trim.split("\\s+")(8).toLong)
+    } catch { case _: Exception => None }
+
+  /** Average hypervisor-steal cores between two [[stealJiffies]]
+    * snapshots over the same wall window. 0.0 on missing evidence.
+    */
+  private[graft] def stealLoad(start: Option[Long], end: Option[Long],
+                               elapsedSec: Double): Double =
+    (start, end) match {
+      case (Some(s0), Some(s1)) if elapsedSec > 0 =>
+        math.max(0.0, (s1 - s0) / UserHz / elapsedSec)
+      case _ => 0.0
+    }
+
   /** Average external busy cores between two [[cpuJiffies]] snapshots:
     * (Δhost busy − Δself) / HZ / elapsed. Clamped at 0 (scheduler
     * accounting granularity can put a tiny negative in the numerator
@@ -340,6 +367,7 @@ object Bench {
     // warmup inside the window costs the signal nothing)
     val extT0 = System.nanoTime()
     val extSnap0 = cpuJiffies()
+    val stealSnap0 = stealJiffies()
     val spark = GraftSession.create(cpus)
     val taskTimes = new TaskTimeListener
     spark.sparkContext.addSparkListener(taskTimes)
@@ -400,12 +428,14 @@ object Bench {
         times.map(_._2).min, times.map(_._3).min)
     }
     val loadEnd = loadAvg()
-    val extLoad = externalLoad(extSnap0, cpuJiffies(),
-      (System.nanoTime() - extT0) / 1e9)
+    val extWindowSec = (System.nanoTime() - extT0) / 1e9
+    val extLoad = externalLoad(extSnap0, cpuJiffies(), extWindowSec)
+    val stealAvg = stealLoad(stealSnap0, stealJiffies(), extWindowSec)
     val contaminated = contaminatedStamp(loadStart, extLoad)
     if (contaminated && loadStart <= GateLoadMax)
       System.err.println(f"[bench] WARNING: mid-sweep co-tenant burn " +
-        f"averaged $extLoad%.2f external cores > $ExtLoadMax%.1f — " +
+        f"averaged $extLoad%.2f external cores > $ExtLoadMax%.1f " +
+        f"(steal $stealAvg%.2f of it) — " +
         "stamping \"contaminated\":true; the sweep started quiet but " +
         "its window was not (VERDICT r15 item 1)")
     // The machine-readable channel is the BENCH_RESULT.json file (six
@@ -470,7 +500,7 @@ object Bench {
         // can't shadow the normal sweep's bench_detail.json
         else if (coldMode) "bench_cold.json"
         else "bench_detail.json"),
-      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
     // FIELD ORDER IS LOAD-BEARING (VERDICT r12 "what's wrong"): the
     // harness archives a bounded stdout TAIL, and a truncated tail
     // recovers whichever per-query map sits nearest the end. Round 12
@@ -484,7 +514,7 @@ object Bench {
     // normal sweep's — without the marker an archived tail could pass
     // ~2× cold totals off as the sweep of record
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not

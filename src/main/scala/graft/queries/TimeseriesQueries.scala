@@ -851,21 +851,26 @@ object TimeseriesQueries {
     * Scale shape: one distinct over (user-hour, type) — the activity
     * table; pair counts via ordered within-basket self-join bounded
     * by the type space; marginals and N ride the same distinct frame
-    * (the q133 anatomy with a provably tiny basket).
+    * (the q133 anatomy with a provably tiny basket). The basket key
+    * is the COMPOSITE (user_id, hour), never a concatenated string:
+    * the key exists only to group and join, and a composite of two
+    * native columns shuffles ~2× fewer bytes through both exchanges
+    * (distinct + self-join) and hashes/compares as longs instead of
+    * ~30-char strings — with no numeric-range packing assumption a
+    * 64-bit user space would break (r17 A/B in BASELINE.md).
     */
   def q159(s: SparkSession, dir: String): DataFrame = {
     val items = t(s, dir, "events")
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull)
-      .select(concat(col("user_id").cast("string"), lit("@"),
-          date_trunc("HOUR", col("ts")).cast("string")).as("o"),
+      .select(col("user_id").as("u"), date_trunc("HOUR", col("ts")).as("h"),
         col("event_type").as("p"))
       .distinct()
       .materialize() // three consumers: pairs, marginals, N
-    val totals = items.agg(countDistinct(col("o")).as("n_baskets"))
+    val totals = items.agg(countDistinct(col("u"), col("h")).as("n_baskets"))
     val itemCnt = items.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val pairs = items.toDF("o", "type_a")
-      .join(items.toDF("o", "type_b"), Seq("o"))
+    val pairs = items.toDF("u", "h", "type_a")
+      .join(items.toDF("u", "h", "type_b"), Seq("u", "h"))
       .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
     pairs

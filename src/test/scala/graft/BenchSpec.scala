@@ -113,4 +113,17 @@ class BenchSpec extends AnyFunSuite {
     // degenerate window
     assert(Bench.externalLoad(Some((1L, 1L)), Some((2L, 1L)), 0.0) == 0.0)
   }
+
+  test("stealLoad averages steal jiffies over the window and is inert " +
+    "on missing evidence (the SCALE.md §34 regime-diagnosis field)") {
+    // 60 s window, 3000 steal jiffies (30 stolen cpu-s) → 0.5 cores
+    assert(math.abs(Bench.stealLoad(
+      Some(200000L), Some(203000L), 60.0) - 0.5) < 1e-9)
+    // counter monotonicity jitter clamps to 0
+    assert(Bench.stealLoad(Some(100L), Some(90L), 10.0) == 0.0)
+    // failed snapshots and degenerate windows read 0
+    assert(Bench.stealLoad(None, Some(1L), 10.0) == 0.0)
+    assert(Bench.stealLoad(Some(1L), None, 10.0) == 0.0)
+    assert(Bench.stealLoad(Some(1L), Some(2L), 0.0) == 0.0)
+  }
 }
