@@ -278,31 +278,74 @@ object RelationalQueries {
     * truncation from floor). A float regression would disagree across
     * engines in the last ulp; this one is bit-exact by construction.
     */
-  /** The q121 core over any (grpCol, x DECIMAL(38,0), y DECIMAL(38,0))
-    * frame — factored so PropertySpec can replay the fixed-point
-    * algebra against an exact BigInt reference on generated points
-    * (including negative-y / negative-slope cases, where truncating
-    * vs floor division actually differ).
+  /** The q121 core over any (grpCol STRING, x BIGINT, y BIGINT) frame
+    * — factored so PropertySpec can replay the fixed-point algebra
+    * against an exact BigInt reference on generated points (including
+    * negative-y / negative-slope cases, where truncating vs floor
+    * division actually differ).
+    *
+    * Per-ROW and per-PARTITION arithmetic runs in LONG (caller
+    * contract: |x·x| and |x·y| fit a long — row VALUES are
+    * magnitude-bounded by the schema, not by corpus size, so the bound
+    * is scale-free; partition subtotals add ≤ ~10⁶ such products at
+    * 128 MB splits, 4 orders inside the long range, and every
+    * accumulation is `addExact`/`multiplyExact` so an out-of-contract
+    * caller fails LOUDLY instead of wrapping). Only the cross-
+    * partition SUMS accumulate in DECIMAL(38,0), which keeps the
+    * order-free exactness at unbounded row counts — |partitions| · 5
+    * decimal adds total, off the per-row path. Groups are
+    * low-cardinality by caller contract (a flag / a scope label), so
+    * the per-partition state is a handful of 5-long arrays.
+    *
+    * The r16-era form multiplied DECIMAL(38,0)×DECIMAL(38,0) per row —
+    * a precision-checked BigDecimal multiply on the hot path for
+    * values that fit a long; the r17 A/B measured the long-row fold at
+    * −21% task and this dense-partial pass on top of it (BASELINE.md
+    * "q121 long-row-math").
     */
-  private[graft] def trendOf(pts: DataFrame, grpCol: String): DataFrame =
-    pts.groupBy(grpCol)
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"))
+  private[graft] def trendOf(pts: DataFrame, grpCol: String): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val partials = pts
+      .select(col(grpCol).cast("string"), col("x").cast("long"),
+        col("y").cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Array[Long]]
+        it.foreach { case (g, x, y) =>
+          val a = acc.getOrElseUpdate(g, new Array[Long](5))
+          a(0) += 1L
+          a(1) = Math.addExact(a(1), x)
+          a(2) = Math.addExact(a(2), y)
+          a(3) = Math.addExact(a(3), Math.multiplyExact(x, x))
+          a(4) = Math.addExact(a(4), Math.multiplyExact(x, y))
+        }
+        acc.iterator.map { case (g, a) => (g, a(0), a(1), a(2), a(3), a(4)) }
+      }
+      .toDF(grpCol, "pn", "psx", "psy", "psxx", "psxy")
+    partials.groupBy(grpCol)
+      .agg(sum(col("pn").cast(dec)).as("n"),
+        sum(col("psx").cast(dec)).as("sx"),
+        sum(col("psy").cast(dec)).as("sy"),
+        sum(col("psxx").cast(dec)).as("sxx"),
+        sum(col("psxy").cast(dec)).as("sxy"))
       .select(col(grpCol), col("n").cast("long").as("n_rows"),
         expr("""CAST(((n * sxy - sx * sy) * 1000000)
             div (n * sxx - sx * sx) AS BIGINT)""").as("slope_1e6"),
         expr("""CAST(((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
               * 1000000)
             div (n * (n * sxx - sx * sx)) AS BIGINT)""").as("intercept_1e6"))
+  }
 
   def q121(s: SparkSession, dir: String): DataFrame =
     trendOf(
       t(s, dir, "lineitem")
         .select(col("l_returnflag"),
-          col("l_quantity").cast("decimal(38,0)").as("x"),
-          round(col("l_extendedprice") * 100, 0).cast("decimal(38,0)").as("y")),
+          // long row values (quantity ≤ 50, cents < 10⁸): products fit
+          // a long per ROW at any corpus size; sums go DECIMAL in trendOf
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("y")),
       "l_returnflag")
 
   /** Minimum basket co-occurrence count for a q133 pair — the standard

@@ -152,14 +152,22 @@ object SamplingQueries {
     * `(k−1)·space div U_k` integer floor; sources with < k distinct
     * hashes short-circuit to the exact count.
     *
-    * Scale shape: [[graft.operators.KmvSketch]] is a mergeable typed
-    * aggregator — map-side partial aggregation reduces every partition
-    * to ≤ k longs per source BEFORE the exchange, so raw (heavily
-    * duplicated) token rows never shuffle and no corpus-wide DISTINCT
-    * materializes for the estimate. The exact count beside it is the
-    * deliberately-expensive oracle baseline (distinct pairs, q45/q46
-    * discipline) the sketch's error is judged against; at 100 TB a
-    * deployment runs the sketch alone.
+    * Scale shape: the query declares BOTH the sketch and its
+    * deliberately-expensive exact baseline (distinct pairs, q45/q46
+    * discipline), and the KMV state is a pure function of the input
+    * SET — so both sides ride ONE tokenize+hash pass and ONE
+    * (source, h) distinct exchange: sketching the distinct frame is
+    * bit-identical to sketching the raw stream (PropertySpec: the
+    * sketch reduces to the k smallest DISTINCT hashes under any
+    * order/duplication), and the exact count is a row count of the
+    * same frame.
+    * The r17 rewrite removed the second full corpus scan the estimate
+    * path used to pay (solo A/B in BASELINE.md). A 100 TB deployment
+    * running the sketch ALONE uses [[graft.operators.KmvSketch]]'s
+    * mergeable map-side shape (≤ k longs per source per partition
+    * cross the wire, no corpus-wide DISTINCT) — that shape lives in
+    * the streaming twin; here the distinct exchange is already paid
+    * for by the exact side.
     */
   def q114(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -170,16 +178,14 @@ object SamplingQueries {
     val sk = graft.operators.KmvSketch.aggregator(KmvK,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    val est = hashes.as[(String, Long)]
+    hashes.distinct().as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2)
-      .agg(sk.toColumn.name("mins"))
-      .map { case (src, mins) =>
-        (src, graft.operators.KmvSketch.estimate(mins, KmvK, KmvSpace))
+      .agg(sk.toColumn.name("mins"),
+        count(lit(1)).cast("long").as[Long].name("exact_hashes"))
+      .map { case (src, mins, exact) =>
+        (src, graft.operators.KmvSketch.estimate(mins, KmvK, KmvSpace), exact)
       }
-      .toDF("source", "kmv_estimate")
-    val exact = hashes.distinct()
-      .groupBy("source").agg(count(lit(1)).as("exact_hashes"))
-    est.join(exact, "source")
+      .toDF("source", "kmv_estimate", "exact_hashes")
       .select(col("source"), col("kmv_estimate"), col("exact_hashes"),
         round(abs(col("kmv_estimate") - col("exact_hashes")).cast("double") /
           col("exact_hashes"), 4).as("rel_err"))
@@ -210,17 +216,17 @@ object SamplingQueries {
     val sk = graft.operators.KmvSketch.aggregator(KmvUserK,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]](),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
-    val est = hashes.as[(String, Long)]
+    // one scan + one (type, h) distinct exchange feeds BOTH sides —
+    // the q114 single-pass shape (KMV is a pure function of the set)
+    hashes.distinct().as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2)
-      .agg(sk.toColumn.name("mins"))
-      .map { case (tpe, mins) =>
-        (tpe, graft.operators.KmvSketch.estimate(mins, KmvUserK, KmvSpace))
+      .agg(sk.toColumn.name("mins"),
+        count(lit(1)).cast("long").as[Long].name("exact_users"))
+      .map { case (tpe, mins, exact) =>
+        (tpe, graft.operators.KmvSketch.estimate(mins, KmvUserK, KmvSpace),
+          exact)
       }
-      .toDF("event_type", "kmv_users")
-    val exact = hashes.distinct()
-      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
-    est.join(exact, "event_type")
-      .select(col("event_type"), col("kmv_users"), col("exact_users"))
+      .toDF("event_type", "kmv_users", "exact_users")
   }
 
   /** Count-min sketch grid shape (q116): 4 depth rows × 256 counters.

@@ -572,7 +572,6 @@ object TextQueries {
     * constant, not the vocabulary.
     */
   def q140(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val top = t(s, dir, "documents")
       .select(explode(TextFunctions.words(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -581,8 +580,10 @@ object TextQueries {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("freq").desc, col("w").asc)).cast("long"))
     val pts = top.select(lit("corpus").as("scope"),
-      round(log(col("rank").cast("double")) * 1000000, 0).cast(dec).as("x"),
-      round(log(col("freq").cast("double")) * 1000000, 0).cast(dec).as("y"))
+      // trendOf's long-row contract: ln·1e6 values are ≤ ~5×10⁷, so
+      // per-row products stay far inside a long
+      round(log(col("rank").cast("double")) * 1000000, 0).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1000000, 0).cast("long").as("y"))
     // trendOf emits another 1e6 of fixed-point scale on top of the
     // already-1e6-scaled ln inputs: the slope is a ratio (scale
     // cancels), the intercept is not — renormalize it back to ln·1e6

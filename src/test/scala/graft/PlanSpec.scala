@@ -468,11 +468,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("q121: OLS is ONE partial-agg exchange; the model algebra runs on " +
-    "the k-group result, not the data") {
+  test("q121: OLS is ONE partial-agg exchange over dense per-partition " +
+    "long partials; the model algebra runs on the k-group result") {
     val p = plan(RelationalQueries.q121(spark, sf))
     assert("Exchange".r.findAllIn(p).size == 1)
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+    assert(p.contains("MapPartitions")) // the r17 dense-partial typed pass
     assert(!p.contains("Window"))
   }
 

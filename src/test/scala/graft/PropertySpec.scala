@@ -299,8 +299,8 @@ class PropertySpec extends Properties("graft") {
       val pts = pts0.distinctBy(_._1)
       pts.size < 2 || {
         val df = pts.toDF("x0", "y0")
-          .selectExpr("'g' AS grp", "CAST(x0 AS DECIMAL(38,0)) AS x",
-            "CAST(y0 AS DECIMAL(38,0)) AS y")
+          .selectExpr("'g' AS grp", "CAST(x0 AS BIGINT) AS x",
+            "CAST(y0 AS BIGINT) AS y")
         val got = graft.queries.RelationalQueries.trendOf(df, "grp")
           .selectExpr("n_rows", "slope_1e6", "intercept_1e6")
           .as[(Long, Long, Long)].head()
