@@ -72,6 +72,49 @@ object CountMinSketch {
                  outEnc: Encoder[Seq[Long]]): CmsAggregator =
     new CmsAggregator(depth, width, bufEnc, outEnc)
 
+  /** Weighted variant: one row per DISTINCT key carrying its
+    * occurrence count, each counter bumped by the count. Because grid
+    * cells are plain sums, folding (key, n) pairs is EXACTLY the
+    * per-occurrence fold of the expanded multiset (addition is
+    * commutative/associative — SamplingSpec pins the equality), which
+    * lets a consumer that already aggregated exact counts (q116's
+    * baseline side) derive the grid with |vocab| hash draws instead of
+    * |tokens|. Streaming folds keep the per-occurrence form — a stream
+    * has no final counts to ride.
+    */
+  class CmsWeightedAggregator(depth: Int, width: Int,
+                              bufEnc: Encoder[Array[Long]],
+                              outEnc: Encoder[Seq[Long]])
+      extends Aggregator[(Seq[Int], Long), Array[Long], Seq[Long]]
+      with Serializable {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(grid: Array[Long],
+                        row: (Seq[Int], Long)): Array[Long] = {
+      val (buckets, n) = row
+      var d = 0
+      while (d < depth) {
+        grid(d * width + buckets(d)) += n
+        d += 1
+      }
+      grid
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(grid: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(grid)
+    override def bufferEncoder: Encoder[Array[Long]] = bufEnc
+    override def outputEncoder: Encoder[Seq[Long]] = outEnc
+  }
+
+  def weightedAggregator(depth: Int, width: Int,
+                         bufEnc: Encoder[Array[Long]],
+                         outEnc: Encoder[Seq[Long]]): CmsWeightedAggregator =
+    new CmsWeightedAggregator(depth, width, bufEnc, outEnc)
+
   /** Point-frequency estimate from a merged grid: min over the key's
     * `depth` counters. Never under the true count; equality holds iff
     * some depth row gave the key a collision-free counter.

@@ -260,18 +260,22 @@ object SamplingQueries {
     * depths), including each token's `overcount` (est − exact ≥ 0, the
     * sketch's one-sided error made visible).
     *
-    * Scale shape: the sketch pass reduces every partition map-side to
-    * one depth×width long grid (~8 KiB) — token rows never shuffle for
-    * the estimate; the merged grid is a bounded driver artifact
-    * re-entering the plan as a literal array, and the estimate itself
-    * is codegen'd `least(element_at(...))` over broadcast-scalar state.
-    * The exact-count side (groupBy token) is the deliberately-expensive
-    * baseline the sketch is judged against, exactly q46/q65/q114's
-    * discipline; at 100 TB a deployment runs the grid pass alone and
-    * probes it with whatever keys arrive later. The streaming twin
-    * ([[graft.streaming.EventStreams]]) folds the same rows to the
-    * IDENTICAL grid in any arrival order — commutative addition, the
-    * KMV argument — which StreamingSpec pins.
+    * Scale shape: the query also declares the exact-count baseline
+    * (groupBy token — q46/q65/q114's deliberately-expensive-judge
+    * discipline), so since r17 the grid FOLDS FROM that baseline's
+    * materialized (token, count) frame by weighted adds — grid cells
+    * are sums, so this is bit-identical to the per-occurrence fold
+    * (SamplingSpec pin) while paying the depth·md5 draws per VOCAB
+    * entry instead of per token occurrence, and scanning the corpus
+    * ONCE. The merged grid stays a bounded driver artifact (~8 KiB)
+    * re-entering the plan as a literal array; the estimate is
+    * codegen'd `least(element_at(...))`. A 100 TB deployment running
+    * the grid ALONE (no exact side) uses [[graft.operators.CountMinSketch]]'s
+    * per-occurrence map-side shape — every partition reduces to one
+    * grid, token rows never shuffle — which is exactly what the
+    * streaming twin ([[graft.streaming.EventStreams]]) folds: same
+    * rows, IDENTICAL grid in any arrival order (commutative addition,
+    * the KMV argument; StreamingSpec pins it against [[cmsGrid]]).
     */
   /** The q116 token stream: one row per token occurrence. Shared with
     * the streaming twin's spec so stream and batch fold the same rows.
@@ -325,11 +329,49 @@ object SamplingQueries {
       .select(cms.toColumn.name("grid")).head()
   }
 
+  /** Fold a (w, exact_cnt) DISTINCT-token frame into the merged CMS
+    * grid by WEIGHTED adds — bit-identical to [[cmsGrid]] over the
+    * expanded multiset (grid cells are sums; SamplingSpec pins the
+    * equality), but the md5 bucket draws run per VOCAB entry instead
+    * of per token occurrence, and the corpus is never re-scanned.
+    */
+  private[graft] def cmsGridFromCounts(counts: DataFrame): Seq[Long] = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val cms = graft.operators.CountMinSketch.weightedAggregator(
+      CmsDepth, CmsWidth,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    counts.select(col("w"), col("exact_cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.map { case (w, n) =>
+          val bks = new Array[Int](CmsDepth)
+          var d = 0
+          while (d < CmsDepth) {
+            bks(d) = (graft.functions.DedupFunctions
+              .md5Hash32Jvm("cms" + d + "-" + w) % CmsWidth).toInt
+            d += 1
+          }
+          (bks.toSeq, n)
+        }
+      }
+      .select(cms.toColumn.name("grid")).head()
+  }
+
   def q116(s: SparkSession, dir: String): DataFrame = {
-    val toks = docTokens(s, dir)
-    val grid: Seq[Long] = cmsGrid(toks)
+    // ONE tokenize pass: the exact-baseline (w, count) aggregation —
+    // which the query declares anyway — is materialized (vocab-sized)
+    // and the grid folds from it with weighted adds; the r16-era form
+    // re-scanned and re-tokenized the corpus for the grid and paid
+    // CmsDepth md5 draws per token OCCURRENCE (r17 A/B, BASELINE.md
+    // "q116 counts-driven grid"). Per-occurrence map-side grids remain
+    // the standalone/streaming shape (CountMinSketch docstring,
+    // EventStreams twin).
+    val counts = docTokens(s, dir)
+      .groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .materialize()
+    val grid: Seq[Long] = cmsGridFromCounts(counts)
     val gridLit = typedLit(grid)
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
     // global top-k: TakeOrderedAndProject (distributed sort-limit),
     // never a single-partition window over the vocab-sized frame;
     // the rank window runs over the already-limited K rows

@@ -539,8 +539,16 @@ class PlanSpec extends SparkSpec {
 
   test("q116/q166: the fan-out passes are spread across session " +
     "parallelism before the explode (the §20 fan-out rider)") {
+    // since the r17 counts-driven grid, q116's declared frame reads the
+    // materialized (token, count) checkpoint — the spread lives in the
+    // tokenize+count job that produces it, so pin THAT frame's plan
+    val pToks = plan(graft.queries.SamplingQueries.docTokens(spark, sf))
+    assert(pToks.contains("RoundRobinPartitioning"))
+    // and the declared q116 plan is the residual top-k over the
+    // checkpoint: one scan of ExistingRDD, no second corpus scan
     val p116 = plan(graft.queries.SamplingQueries.q116(spark, sf))
-    assert(p116.contains("RoundRobinPartitioning"))
+    assert(p116.contains("Scan ExistingRDD"))
+    assert(!p116.contains("Scan parquet"))
     // q166's fit-pass spread sits behind the bigram checkpoint; the
     // surviving scoring pass carries the same spread in the live plan
     val p166 = plan(graft.queries.TextQueries.q166(spark, sf))

@@ -83,6 +83,15 @@ class SamplingSpec extends SparkSpec {
       })
       .reduceLeft(agg.merge)
     assert(agg.finish(merged) == direct.toSeq)
+    // weighted fold over (DISTINCT token, count) == per-occurrence fold
+    // — the multiset-additivity identity the r17 q116 counts-driven
+    // grid rides (grid cells are sums)
+    val wAgg = CountMinSketch.weightedAggregator(d, w, enc1, enc2)
+    val weighted = exact.toSeq.sortBy(_._1)
+      .foldLeft(wAgg.zero) { case (g, (t, n)) =>
+        wAgg.reduce(g, ((0 until d).map(bucketJvm(_, t)), n))
+      }
+    assert(wAgg.finish(weighted) == direct.toSeq)
     // one-sided error, and equality whenever some depth row is
     // collision-free for the token
     exact.foreach { case (t, c) =>
