@@ -149,4 +149,27 @@ object DedupFunctions {
     when(size(hs) > 0,
       aggregate(hs, lit(0L), (acc, h) => (acc * FpBase + h) % FpPrime))
   }
+
+  /** CODE-POINT lexicographic comparison — the JVM-side twin of
+    * UTF8String's unsigned-byte comparison (UTF-8 byte order equals
+    * code-point order). This is NOT `String.compareTo`, which compares
+    * UTF-16 code units and orders supplementary-plane characters
+    * (surrogate pairs, 0xD800-prefixed) BEFORE U+E000..U+FFFF; arrays
+    * sorted with this comparator merge-walk correctly against
+    * UTF8String ordering inside
+    * [[graft.expressions.SortedStringIntersectSize]] (ExpressionSpec
+    * pins the alignment on exactly that divergence).
+    */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 }

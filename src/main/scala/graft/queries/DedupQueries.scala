@@ -57,10 +57,19 @@ object DedupQueries {
     * measured several times slower at sf0.1. Semantics identical to
     * [[TextFunctions.wordShingles]] + `array_distinct`.
     */
-  private def shingleSet(text: String): Array[String] =
-    text.split("\\s+").iterator.filter(_.nonEmpty).toSeq
+  private def shingleSet(text: String): Array[String] = {
+    val out = text.split("\\s+").iterator.filter(_.nonEmpty).toSeq
       .sliding(ShingleN).filter(_.size == ShingleN)
       .map(_.mkString(" ")).distinct.toArray
+    // sorted in CODE-POINT order (== UTF8String binary order) so the
+    // candidate-verify intersections run as allocation-free merge
+    // walks ([[graft.expressions.SortedStringIntersectSize]]); every
+    // consumer is order-insensitive in value (intersect SIZE, size,
+    // explode-to-set, MinHash min-fold), so only artifact bytes change
+    java.util.Arrays.sort(out,
+      (x: String, y: String) => DedupFunctions.codePointCompare(x, y))
+    out
+  }
 
   /** Per-doc distinct shingle sets as arrays — q31's exact-Jaccard
     * inputs. Narrow typed map, no shuffle.
@@ -321,7 +330,7 @@ object DedupQueries {
     // shingle sets + signatures from ONE tokenization pass; the exact
     // intersection only ever runs on the (few) LSH candidate pairs
     val both = shingleSigs(s, dir)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.expressions.SetExpressions.intersectSizeSorted(col("sh_a"), col("sh_b"))
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -344,7 +353,7 @@ object DedupQueries {
     */
   def q113(s: SparkSession, dir: String): DataFrame = {
     val both = shingleSigs(s, dir)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = graft.expressions.SetExpressions.intersectSizeSorted(col("sh_a"), col("sh_b"))
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -1333,7 +1342,7 @@ object DedupQueries {
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        graft.expressions.SetExpressions.intersectSizeSorted(col("sh_a"), col("sh_b")).cast("long").as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("szsum"))
       .select(col("doc_a"), col("doc_b"),
         greatest(lit(1L),
@@ -1573,7 +1582,7 @@ object DedupQueries {
       .map(i => when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1L)
         .otherwise(0L))
       .reduce(_ + _)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val inter = graft.expressions.SetExpressions.intersectSizeSorted(col("sh_a"), col("sh_b")).cast("long")
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("sh").as("sh_a")), "doc_a")

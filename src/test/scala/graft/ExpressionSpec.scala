@@ -97,6 +97,45 @@ class ExpressionSpec extends SparkSpec {
     assert(native == fold)
   }
 
+  test("sorted_intersect_size equals size(array_intersect) on sorted inputs, " +
+    "including the UTF-16-vs-codepoint ordering divergence") {
+    import graft.expressions.SetExpressions
+    import graft.functions.DedupFunctions
+    val rng = new scala.util.Random(42)
+    // alphabet spans ASCII, BMP-high (U+E000..U+FFFF region via U+F8FF),
+    // and supplementary-plane chars (surrogate pairs) — exactly where
+    // Java String.compareTo and code-point order diverge
+    val alphabet = Seq("a", "zz", "tok", "\uF8FF", "\uE000x",
+      new String(Character.toChars(0x1F600)), // emoji, supplementary
+      new String(Character.toChars(0x10348)), "mix\uF8FF",
+      "mix" + new String(Character.toChars(0x1F600)))
+    def randSet(): Array[String] = {
+      val n = rng.nextInt(6) + 1
+      val picked = Seq.fill(n)(alphabet(rng.nextInt(alphabet.size))).distinct.toArray
+      java.util.Arrays.sort(picked,
+        (x: String, y: String) => DedupFunctions.codePointCompare(x, y))
+      picked
+    }
+    val rows = Seq.fill(200)((randSet().toSeq, randSet().toSeq))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      SetExpressions.intersectSizeSorted($"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).as("builtin"))
+      .filter(!($"native" <=> $"builtin")).count()
+    assert(got == 0)
+    // and against a plain JVM set intersection (one collect, in order)
+    val natives = df.select(SetExpressions.intersectSizeSorted($"a", $"b"))
+      .as[Int].collect().toSeq
+    val expected = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(natives == expected)
+    // null array -> null, matching non-legacy size(array_intersect)
+    val z = Seq((Option.empty[Seq[String]], Option(Seq("a"))))
+      .toDF("a", "b")
+      .select(SetExpressions.intersectSizeSorted($"a", $"b"))
+      .as[Option[Int]].head()
+    assert(z.isEmpty)
+  }
+
   test("vec_dot and vec_cosine are registered as SQL functions via GraftExtensions") {
     Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
     val got = spark.sql("SELECT vec_dot(a, b) AS d FROM v").as[Double].head()
