@@ -334,9 +334,14 @@ object DedupQueries {
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // two projections — the q113 CollapseProject discipline: the
+      // merge walk is aliased once and the union algebra references
+      // the alias, so the walk runs once per pair
+      .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).as("szsum"))
       .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter), 4).as("jaccard"))
+        round(col("inter").cast("double") /
+          (col("szsum") - col("inter")), 4).as("jaccard"))
   }
 
   /** q113 — shingle CONTAINMENT (asymmetric Jaccard) on the LSH
@@ -357,14 +362,22 @@ object DedupQueries {
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(both.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        inter.cast("long").as("n_shared"),
-        round(inter.cast("double") / size(col("sh_a")), 4)
+      // TWO projections: the merge walk lands in its own select so the
+      // five consumers reference the `n_shared` ALIAS — CollapseProject
+      // refuses to inline a non-cheap alias with multiple references,
+      // so the walk runs once per pair. The r17 probe measured the
+      // single-projection form re-evaluating it per consumer (q113
+      // solo 9.96 → 6.0 task-s at sf1 on this split alone; codegen
+      // subexpression elimination did NOT catch it there).
+      .select(col("doc_a"), col("doc_b"), inter.cast("long").as("n_shared"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("na"), 4)
           .as("containment_a"),
-        round(inter.cast("double") / size(col("sh_b")), 4)
+        round(col("n_shared").cast("double") / col("nb"), 4)
           .as("containment_b"),
-        (inter === size(col("sh_a"))).as("a_in_b"),
-        (inter === size(col("sh_b"))).as("b_in_a"))
+        (col("n_shared") === col("na")).as("a_in_b"),
+        (col("n_shared") === col("nb")).as("b_in_a"))
   }
 
   /** q32 — embedding-cosine near-dup, blocked by `label` (coarse cluster)
