@@ -481,10 +481,19 @@ object MultimodalQueries {
   val FrameStride = 2L
 
   /** Deterministic REAL multi-frame animated GIFs: per doc,
-    * `2 + id % 6` constant-gray 16×16 frames written through the JDK
-    * `ImageIO` GIF writer as a SEQUENCE, each frame carrying its
-    * GraphicControlExtension delay (`2 + id % 5` cs) in real container
-    * metadata — the multi-frame twin of [[realPngMedia]].
+    * `2 + id % 6` constant-gray 16×16 frames written through the
+    * repo's own [[graft.functions.GifCodec.Encoder]] as a GIF89a
+    * sequence, each frame carrying its GraphicControlExtension delay
+    * (`2 + id % 5` cs) in real container metadata — the multi-frame
+    * twin of [[realPngMedia]], on the [[realWavMedia]] hand-rolled-
+    * codec precedent: a single-threaded microbench of this exact
+    * generator shape put the JDK `ImageIO` GIF writer at 11.5 s/20k
+    * docs against 0.8 s for the whole read side — `writeToSequence`'s
+    * per-frame metadata merge and palette machinery were 93% of q109's
+    * codec tax. MultimodalSpec decodes this encoder's output with the
+    * JDK ImageIO reader (frame count, delay metadata, raster values)
+    * so the hand-rolled container can never drift from what the
+    * reference codec accepts.
     */
   private[graft] def realGifMedia(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -496,87 +505,32 @@ object MultimodalQueries {
       // work — the id shuffle is  |docs|·8 bytes, effectively free
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        // ImageIO's default stream cache is a TEMP FILE per stream —
-        // per-container disk I/O that dwarfs the actual tiny-frame
-        // codec work; in-memory payloads want in-memory streams
-        // (JVM-global flag, idempotent per partition)
-        javax.imageio.ImageIO.setUseCache(false)
         // codec state hoisted to ONE instance per partition: the
-        // ImageIO service lookup, the write-param object and the frame
-        // buffer are identical for every doc. The writer is safely
-        // reusable — setOutput resets its sequence state — and
-        // plain-Java GIF codec instances carry no native resources, so
-        // partition teardown (GC) is their dispose.
-        val writer =
-          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val param = writer.getDefaultWriteParam
-        val img = new java.awt.image.BufferedImage(
-          GifW, GifW, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val typeSpec = new javax.imageio.ImageTypeSpecifier(img)
-        val raster = img.getRaster
-        // the delay is per-DOC with only [[GifDelayMod]] distinct
-        // values, and the metadata tree is delay-pure — cache one
-        // configured IIOMetadata per delay instead of rebuilding the
-        // DOM 4.5×/doc (the metadata object is read synchronously by
-        // writeToSequence, so reuse across writes is safe)
-        val metaByDelay = scala.collection.mutable.LongMap
-          .empty[javax.imageio.metadata.IIOMetadata]
-        def metaFor(delay: Long) = metaByDelay.getOrElseUpdate(delay, {
-          val meta = writer.getDefaultImageMetadata(typeSpec, param)
-          val fmt = meta.getNativeMetadataFormatName
-          val root = meta.getAsTree(fmt)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          // set the per-frame delay on the (default-present or
-          // created) GraphicControlExtension node
-          val gces = root.getElementsByTagName("GraphicControlExtension")
-          val gce =
-            if (gces.getLength > 0)
-              gces.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-            else {
-              val n = new javax.imageio.metadata.IIOMetadataNode(
-                "GraphicControlExtension")
-              n.setAttribute("disposalMethod", "none")
-              n.setAttribute("userInputFlag", "FALSE")
-              n.setAttribute("transparentColorFlag", "FALSE")
-              n.setAttribute("transparentColorIndex", "0")
-              root.appendChild(n)
-              n
-            }
-          gce.setAttribute("delayTime", delay.toString)
-          meta.setFromTree(fmt, root)
-          meta
-        })
+        // encoder's LZW dictionary, bit packer and output buffer are
+        // reused across docs (it copies each finished container out);
+        // one reusable frame raster serves every constant-gray fill
+        val enc = new graft.functions.GifCodec.Encoder(GifW, GifW)
+        val frame = new Array[Byte](GifW * GifW)
         it.map { id =>
           val nf = (GifFramesBase + id % GifFramesMod).toInt
-          val meta = metaFor(GifDelayBase + id % GifDelayMod)
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          try {
-            writer.setOutput(ios)
-            writer.prepareWriteSequence(null)
-            var f = 0
-            while (f < nf) {
-              val g = ((id + 7L * f) % 256L).toInt
-              var y = 0
-              while (y < GifW) {
-                var x = 0
-                while (x < GifW) { raster.setSample(x, y, 0, g); x += 1 }
-                y += 1
-              }
-              writer.writeToSequence(
-                new javax.imageio.IIOImage(img, null, meta), param)
-              f += 1
-            }
-            writer.endWriteSequence()
-          } finally ios.close()
-          MediaIn(id, bos.toByteArray)
+          val delay = (GifDelayBase + id % GifDelayMod).toInt
+          enc.begin()
+          var f = 0
+          while (f < nf) {
+            val g = ((id + 7L * f) % 256L).toByte
+            java.util.Arrays.fill(frame, g)
+            enc.addFrame(frame, delay)
+            f += 1
+          }
+          MediaIn(id, enc.finish())
         }
       }
   }
 
   /** q109 — REAL frame sampling over an animated container: decode the
-    * GIF frame SEQUENCE back out (`reader.getNumImages`, per-frame
-    * raster + GraphicControlExtension delay from container metadata),
+    * GIF frame SEQUENCE back out ([[graft.functions.GifCodec.Sampler]]:
+    * frame count from the image-descriptor walk, per-frame LZW raster
+    * + GraphicControlExtension delay from container metadata),
     * keep every [[FrameStride]]-th frame, and emit its event-time
     * offset (`frame · delay` cs) and mean intensity — q41's sampling
     * shape (explode-by-stride) upgraded from the byte-offset stub to
@@ -597,40 +551,26 @@ object MultimodalQueries {
     import s.implicits._
     realGifMedia(s, dir)
       .mapPartitions { it =>
-        // one reader per partition (the encode-side hoist, mirrored):
-        // setInput resets reader state per container; a non-GIF payload
-        // still fails loudly in getNumImages/read, which MultimodalSpec
-        // pins with a truncated container
-        javax.imageio.ImageIO.setUseCache(false) // see realGifMedia
-        val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        // one sampler per partition (the encode-side hoist, mirrored):
+        // its LZW dictionary arrays are reused across containers; a
+        // truncated or non-GIF payload still fails loudly, which
+        // MultimodalSpec pins. The sampler skips non-sampled frames at
+        // sub-block granularity (no LZW work) and decodes sampled
+        // frames in O(#codes) — each dictionary entry carries the
+        // length and index-sum of its string, and with the identity
+        // grayscale palette an index IS its gray level, so the mean
+        // needs no frame buffer (the JDK-reader raster mean this
+        // replaces read the same palette indices pixel by pixel;
+        // MultimodalSpec cross-decodes both codecs' containers).
+        val sampler = new graft.functions.GifCodec.Sampler
         it.flatMap { m =>
-          val in = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(m.payload))
-          try {
-            r.setInput(in)
-            val nf = r.getNumImages(true)
-            (0 until nf by FrameStride.toInt).map { f =>
-              val img = r.read(f)
-              val raster = img.getRaster
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  sum += raster.getSample(x, y, 0); x += 1
-                }
-                y += 1
-              }
-              val mean = sum / (img.getWidth.toLong * img.getHeight)
-              val gce = r.getImageMetadata(f)
-                .getAsTree("javax_imageio_gif_image_1.0")
-                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-                .getElementsByTagName("GraphicControlExtension").item(0)
-                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-              val delay = gce.getAttribute("delayTime").toLong
-              (m.doc_id, nf.toLong, f.toLong, delay, f * delay, mean)
-            }
-          } finally in.close()
+          val dec = sampler.sample(m.payload, FrameStride.toInt)
+          val nf = dec.nFrames.toLong
+          dec.samples.map { fr =>
+            val mean = fr.indexSum / (fr.width.toLong * fr.height)
+            val delay = fr.delayCs.toLong
+            (m.doc_id, nf, fr.frameIdx.toLong, delay, fr.frameIdx * delay, mean)
+          }
         }
       }
       .toDF("doc_id", "n_frames", "frame_idx", "delay_cs", "ts_cs", "gray")

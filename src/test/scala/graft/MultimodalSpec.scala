@@ -310,6 +310,119 @@ class MultimodalSpec extends SparkSpec {
     assert(!quiet, "truncated GIF decoded as if complete")
   }
 
+  test("GifCodec cross-codec pins: JDK ImageIO reads the hand-rolled " +
+    "encoder's containers; the Sampler reads the JDK writer's; both " +
+    "agree on arbitrary rasters; truncation fails loudly") {
+    import graft.functions.GifCodec
+    javax.imageio.ImageIO.setUseCache(false)
+    // (1) our encoder's output through the REFERENCE codec: frame
+    // count, GCE delay metadata, and every raster sample round-trip
+    val enc = new GifCodec.Encoder(16, 16)
+    val jdkReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    def jdkDecode(payload: Array[Byte]): (Int, Seq[(Long, Long)]) = {
+      // (nFrames, per-frame (delay, rasterSum)) via javax.imageio
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        jdkReader.setInput(in)
+        val nf = jdkReader.getNumImages(true)
+        (nf, (0 until nf).map { f =>
+          val img = jdkReader.read(f)
+          var sum = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            sum += img.getRaster.getSample(x, y, 0)
+          val gce = jdkReader.getImageMetadata(f)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .getElementsByTagName("GraphicControlExtension").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          (gce.getAttribute("delayTime").toLong, sum)
+        })
+      } finally in.close()
+    }
+    // arbitrary (NOT constant-gray) rasters: a mixed-period pattern
+    // that exercises dictionary growth and the KwKwK corner, one
+    // gradient frame, one constant frame
+    val frames = Array(
+      Array.tabulate(256)(i => ((i * 7 + i / 16) % 256).toByte),
+      Array.tabulate(256)(i => (i % 256).toByte),
+      Array.fill(256)(42.toByte),
+      Array.tabulate(256)(i => (if (i % 3 == 0) 5 else i % 11).toByte))
+    val delays = Array(3, 7, 11, 2)
+    enc.begin()
+    frames.zip(delays).foreach { case (px, d) => enc.addFrame(px, d) }
+    val ours = enc.finish()
+    val (jnf, jframes) = jdkDecode(ours)
+    assert(jnf == 4)
+    jframes.zipWithIndex.foreach { case ((delay, sum), f) =>
+      assert(delay == delays(f).toLong)
+      assert(sum == frames(f).map(_ & 0xff).map(_.toLong).sum,
+        s"frame $f raster sum drifted through the JDK reader")
+    }
+    // (2) the Sampler over the SAME container at stride 1 agrees
+    val sampler = new GifCodec.Sampler
+    val s1 = sampler.sample(ours, 1)
+    assert(s1.nFrames == 4)
+    s1.samples.foreach { fr =>
+      assert(fr.width == 16 && fr.height == 16)
+      assert(fr.delayCs == delays(fr.frameIdx))
+      assert(fr.indexSum ==
+        frames(fr.frameIdx).map(_ & 0xff).map(_.toLong).sum)
+    }
+    // stride 2 keeps exactly frames 0 and 2
+    assert(sampler.sample(ours, 2).samples.map(_.frameIdx).toSeq == Seq(0, 2))
+    // (3) the Sampler over the JDK WRITER's container (interlaced,
+    // TYPE_BYTE_GRAY palette) — the reverse direction of pin (1)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val typeSpec = new javax.imageio.ImageTypeSpecifier(img)
+    val meta = writer.getDefaultImageMetadata(typeSpec, param)
+    val fmt = meta.getNativeMetadataFormatName
+    val root = meta.getAsTree(fmt)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    root.getElementsByTagName("GraphicControlExtension").item(0)
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      .setAttribute("delayTime", "9")
+    meta.setFromTree(fmt, root)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, px(y * 16 + x) & 0xff)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    val theirs = bos.toByteArray
+    val s2 = sampler.sample(theirs, 1)
+    assert(s2.nFrames == 4)
+    s2.samples.foreach { fr =>
+      assert(fr.delayCs == 9)
+      assert(fr.indexSum ==
+        frames(fr.frameIdx).map(_ & 0xff).map(_.toLong).sum,
+        s"frame ${fr.frameIdx} index sum drifted through the Sampler " +
+          "on a JDK-written (interlaced) stream")
+    }
+    // (4) truncation fails loudly at EVERY prefix length — never a
+    // silent partial answer (the WavCodec exception contract)
+    (1 until ours.length).foreach { cut =>
+      intercept[IllegalArgumentException] {
+        sampler.sample(ours.take(cut), 2): Unit
+      }: Unit
+    }
+    // a forged trailer position (trailer byte flipped to an image
+    // introducer) cannot loop or succeed either
+    val forged = ours.clone()
+    forged(forged.length - 1) = 0x2C.toByte
+    intercept[IllegalArgumentException] { sampler.sample(forged, 1): Unit }: Unit
+  }
+
   test("q118 WAV: container is genuine RIFF/WAVE, features match the " +
     "generator closed form, corrupt container fails loudly") {
     import MultimodalQueries._
