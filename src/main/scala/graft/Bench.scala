@@ -208,6 +208,18 @@ object Bench {
     */
   private[graft] val RecordLake = "/root/testdata/sf0.1"
 
+  /** The core count whose record-lake sweeps are the artifact of
+    * record. The r17 driver ran its scaling sweep at 8 cores on the
+    * record lake and — both sweeps clean, same lake — OVERWROTE the
+    * committed 32-core 62.5 s record with a 74.7 s / 44.97 task-s
+    * 8-core line (task-seconds are not even comparable across core
+    * counts on this bandwidth-contended VM: identical work reads
+    * 108.8 vs 45.0 total task-s at 32 vs 8 threads, SCALE.md §34).
+    * Exactly the r16 lake-clobber class, one axis over (VERDICT r17
+    * item 1) — so routing now keys on (lake, cpus), not lake alone.
+    */
+  private[graft] val RecordCpus = "32"
+
   /** Canonical form of a lake path: symlinks resolved when the path
     * exists, else absolute + `..`/`.`/trailing-slash normalized — so
     * `/root/testdata/sf0.1/`, `sf0.1` via a relative cwd, or a symlink
@@ -222,19 +234,28 @@ object Bench {
     catch { case _: Exception => p.toAbsolutePath.normalize.toString }
   }
 
-  /** Artifact file for a full sweep of `sfDir` (already normalized):
-    * the record lake writes `BENCH_RESULT.json`; any other lake writes
-    * `bench_profile_<slug>.json`, slugged from its full normalized
+  /** Artifact file for a full sweep of `sfDir` (already normalized) at
+    * `cpus` cores: the record lake AT THE RECORD CORE COUNT writes
+    * `BENCH_RESULT.json`; every other (lake, cpus) combination writes
+    * `bench_profile_<slug>.json`, slugged from the full normalized
     * path so two replicas with the same basename in different parents
-    * cannot collide.
+    * cannot collide, with a `_c<cpus>` suffix for non-record core
+    * counts so a scaling sweep can never clobber the same lake's
+    * record-width profile either (VERDICT r17 item 1).
     */
-  private[graft] def recordArtifactPath(sfDir: String): String =
-    if (normalizeLake(sfDir) == normalizeLake(RecordLake)) "BENCH_RESULT.json"
-    else {
+  private[graft] def recordArtifactPath(sfDir: String, cpus: String): String = {
+    val cSuffix =
+      if (cpus == RecordCpus) ""
+      else "_c" + cpus.map(c => if (c.isLetterOrDigit) c else '-')
+    if (normalizeLake(sfDir) == normalizeLake(RecordLake)) {
+      if (cSuffix.isEmpty) "BENCH_RESULT.json"
+      else s"bench_profile_record$cSuffix.json"
+    } else {
       val slug = normalizeLake(sfDir).dropWhile(_ == '/')
         .map(c => if (c.isLetterOrDigit || c == '.' || c == '_') c else '-')
-      s"bench_profile_$slug.json"
+      s"bench_profile_$slug$cSuffix.json"
     }
+  }
 
   private final class TaskTimeListener
       extends org.apache.spark.scheduler.SparkListener {
@@ -492,6 +513,14 @@ object Bench {
         "later consumers; raise QueryMemo.MaxEntries")
     val evictedJson = evictedList.map("\"" + _ + "\"").mkString("[", ",", "]")
     def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // the sweep's core count, stamped on both artifacts so a record
+    // can never be mistaken for (or replaced by) a sweep at another
+    // width (VERDICT r17 item 1: task-seconds are not comparable
+    // across core counts on this VM). JSON number when numeric, else
+    // a quoted string — additions-only, the maps stay last.
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus.filter(c => c.isLetterOrDigit || c == '.') + "\""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         if (only.isDefined) "bench_probe.json"
@@ -500,7 +529,7 @@ object Bench {
         // can't shadow the normal sweep's bench_detail.json
         else if (coldMode) "bench_cold.json"
         else "bench_detail.json"),
-      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","cpu_count":$cpusJson,"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
     // FIELD ORDER IS LOAD-BEARING (VERDICT r12 "what's wrong"): the
     // harness archives a bounded stdout TAIL, and a truncated tail
     // recovers whichever per-query map sits nearest the end. Round 12
@@ -514,20 +543,24 @@ object Bench {
     // normal sweep's — without the marker an archived tail could pass
     // ~2× cold totals off as the sweep of record
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_nonwarm":${r3(totalNonwarm)},"task_total":${r3(taskTotal)},"cpu_total":${r3(cpuTotal)},"iters":$iters,"cpus":$cpusJson,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"sf":"$sfDir","warm":$warmJson,"tasks":$taskQs,"queries":$qs}"""
     // The harness JSON-parses the result from a bounded stdout tail that
     // sbt prefixes with "[info] " and interleaves with stderr — six
     // rounds of BENCH_r*.json.parsed=null prove that channel is not
     // machine-readable. The fixed-path file IS: byte-exact compact JSON,
     // no prefixes, overwritten per run (referenced from BASELINE.md).
     if (only.isEmpty && !coldMode) {
-      // non-record lakes get their own file — a replica-lake sweep
-      // must never clobber the sf0.1 artifact of record (r16 item 1)
-      val artifact = recordArtifactPath(sfDir)
+      // non-record (lake, cpus) combinations get their own file — a
+      // replica-lake sweep must never clobber the sf0.1 artifact of
+      // record (r16 item 1), and neither may a record-lake sweep at a
+      // non-record core count (r17 item 1: the driver's clean 8-core
+      // scaling sweep replaced the clean 32-core record)
+      val artifact = recordArtifactPath(sfDir, cpus)
       val recordPath = java.nio.file.Paths.get(artifact)
       if (artifact != "BENCH_RESULT.json")
-        System.err.println(s"[bench] NOTE: $sfDir is not the record lake " +
-          s"($RecordLake) — writing $artifact; BENCH_RESULT.json untouched")
+        System.err.println(s"[bench] NOTE: ($sfDir, $cpus cores) is not the " +
+          s"record configuration ($RecordLake at $RecordCpus) — writing " +
+          s"$artifact; BENCH_RESULT.json untouched")
       val existing =
         if (java.nio.file.Files.isReadable(recordPath))
           Some(java.nio.file.Files.readString(recordPath))

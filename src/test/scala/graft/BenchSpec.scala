@@ -70,24 +70,38 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.contaminatedStamp(loadStart = 0.76, extLoad = 0.08))
   }
 
-  test("only the record lake routes to BENCH_RESULT.json (r16 item 1)") {
-    assert(Bench.recordArtifactPath(Sf) == "BENCH_RESULT.json")
+  test("only the record lake AT the record core count routes to " +
+    "BENCH_RESULT.json (r16 item 1 + r17 item 1)") {
+    assert(Bench.recordArtifactPath(Sf, "32") == "BENCH_RESULT.json")
     // aliased spellings of the record lake still route to the record:
     // trailing slash, dot segments (r16 ADVICE — byte-equality on the
     // raw path defeated the clean-record protection)
-    assert(Bench.recordArtifactPath(Sf + "/") == "BENCH_RESULT.json")
-    assert(Bench.recordArtifactPath("/root/testdata/./sf0.1") ==
+    assert(Bench.recordArtifactPath(Sf + "/", "32") == "BENCH_RESULT.json")
+    assert(Bench.recordArtifactPath("/root/testdata/./sf0.1", "32") ==
       "BENCH_RESULT.json")
-    assert(Bench.recordArtifactPath("/root/testdata/../testdata/sf0.1") ==
+    assert(Bench.recordArtifactPath("/root/testdata/../testdata/sf0.1", "32") ==
       "BENCH_RESULT.json")
     // replica lakes write their own slugged file — never the record,
     // even when they share a basename across parents
-    assert(Bench.recordArtifactPath("/tmp/sf1-r14") ==
+    assert(Bench.recordArtifactPath("/tmp/sf1-r14", "32") ==
       "bench_profile_tmp-sf1-r14.json")
-    assert(Bench.recordArtifactPath("/tmp/sf0.5-r14") !=
-      Bench.recordArtifactPath("/var/sf0.5-r14"))
-    assert(!Bench.recordArtifactPath("/tmp/sf0.5-r14")
+    assert(Bench.recordArtifactPath("/tmp/sf0.5-r14", "32") !=
+      Bench.recordArtifactPath("/var/sf0.5-r14", "32"))
+    assert(!Bench.recordArtifactPath("/tmp/sf0.5-r14", "32")
       .contains("BENCH_RESULT"))
+    // r17 item 1: the driver's clean 8-core scaling sweep of the
+    // RECORD LAKE overwrote the clean 32-core record — a non-record
+    // core count now routes to its own file, record lake or not
+    assert(Bench.recordArtifactPath(Sf, "8") ==
+      "bench_profile_record_c8.json")
+    assert(!Bench.recordArtifactPath(Sf, "8").contains("BENCH_RESULT"))
+    assert(Bench.recordArtifactPath(Sf, "8") !=
+      Bench.recordArtifactPath(Sf, "16"))
+    assert(Bench.recordArtifactPath("/tmp/sf1-r14", "8") ==
+      "bench_profile_tmp-sf1-r14_c8.json")
+    // a hostile/odd cpus string cannot escape the filename (slugged)
+    assert(Bench.recordArtifactPath(Sf, "../8") ==
+      "bench_profile_record_c---8.json")
   }
 
   test("normalizeLake canonicalizes aliases of the same directory") {
