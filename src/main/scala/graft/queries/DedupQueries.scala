@@ -1349,7 +1349,7 @@ object DedupQueries {
       weightedCandidatesCold(s, dir).materialize()
     }
 
-  private def weightedCandidatesCold(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def weightedCandidatesCold(s: SparkSession, dir: String): DataFrame = {
     val both = shingleSigs(s, dir)
     lshCandidates(both.select(col("doc_id"), col("sig")))
       .join(both.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

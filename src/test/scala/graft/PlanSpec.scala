@@ -840,4 +840,34 @@ class PlanSpec extends SparkSpec {
       assert("Scan parquet".r.findAllIn(p).size == 1)
     }
   }
+
+  test("q31/q113/q147 + the q107/q127 edge build: the sorted-intersect " +
+    "merge walk appears EXACTLY ONCE per plan (the r17 projection-split " +
+    "discipline is load-bearing but was unpinned — VERDICT r17 item 2)") {
+    // The win relies on CollapseProject DECLINING to inline a non-cheap
+    // multi-referenced alias: q113's five consumers reference the walk
+    // through its alias in a separate projection. A Spark upgrade or
+    // rule change that re-merges the projections would silently
+    // quintuple the walk (measured: codegen CSE did NOT deduplicate the
+    // repeated custom expression; q113 solo 9.96 → 6.03 task-s on the
+    // split alone). Count the expression in the FINAL plan text:
+    // exactly one occurrence, not zero (the fold must stay native) and
+    // not N (no re-inline).
+    Seq(
+      "q31" -> DedupQueries.q31(spark, sf),
+      "q113" -> DedupQueries.q113(spark, sf),
+      "q147" -> DedupQueries.q147(spark, sf),
+      // q107/q127 consume the walk through the memoized weighted-edge
+      // artifact, so their FINAL plans scan the checkpoint — pin the
+      // builder frame itself
+      "weightedCandidatesCold" ->
+        DedupQueries.weightedCandidatesCold(spark, sf)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      val n = "sorted_intersect_size".r.findAllIn(p).size
+      assert(n == 1,
+        s"$name: expected exactly 1 sorted_intersect_size in the final " +
+          s"plan, found $n\n${p.linesIterator.take(40).mkString("\n")}")
+    }
+  }
 }
