@@ -261,6 +261,12 @@ object Bench {
       extends org.apache.spark.scheduler.SparkListener {
     private val runMs = new java.util.concurrent.atomic.AtomicLong
     private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    // spill diagnostics (VERDICT r17 item 6): task-summed memory/disk
+    // spill bytes, so per-query spill lands in bench_detail.json and
+    // an in-sweep-vs-solo gap can be attributed to memory pressure
+    // from the artifact instead of a one-off UI session
+    private val spillMem = new java.util.concurrent.atomic.AtomicLong
+    private val spillDisk = new java.util.concurrent.atomic.AtomicLong
     private val sentinelStages =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val sentinelJobs =
@@ -294,6 +300,8 @@ object Bench {
       if (!sentinelStages.contains(e.stageId) && e.taskMetrics != null) {
         runMs.addAndGet(e.taskMetrics.executorRunTime): Unit
         cpuNs.addAndGet(e.taskMetrics.executorCpuTime): Unit
+        spillMem.addAndGet(e.taskMetrics.memoryBytesSpilled): Unit
+        spillDisk.addAndGet(e.taskMetrics.diskBytesSpilled): Unit
       }
 
     /** Flush pending events with a sentinel job, then return the
@@ -316,6 +324,12 @@ object Bench {
       sentinelLatches.remove(group): Unit
       (runMs.get / 1e3, cpuNs.get / 1e9)
     }
+
+    /** Cumulative (memory, disk) spill bytes — same snapshot/diff
+      * discipline as [[drainAndRead]]; callers read it right after a
+      * drain so the async bus is already flushed.
+      */
+    def spillBytes(): (Long, Long) = (spillMem.get, spillDisk.get)
   }
   def main(args: Array[String]): Unit = {
     // normalized at the boundary so the "sf" stamp, the record-lake
@@ -411,6 +425,7 @@ object Bench {
         graft.queries.QueryMemo.externalHitCount
     // flush warmup task events so the first query's snapshot is clean
     var lastTaskSnap = taskTimes.drainAndRead(spark)
+    var lastSpill = taskTimes.spillBytes()
     val results = selected.map { case (name, fn) =>
       val hits0 = warmSignals()
       val evict0 = graft.queries.QueryMemo.evictionCount
@@ -436,7 +451,10 @@ object Bench {
         val taskSec = snap._1 - lastTaskSnap._1
         val cpuSec = snap._2 - lastTaskSnap._2
         lastTaskSnap = snap
-        (wall, taskSec, cpuSec)
+        val spill = taskTimes.spillBytes()
+        val spillB = (spill._1 - lastSpill._1, spill._2 - lastSpill._2)
+        lastSpill = spill
+        (wall, taskSec, cpuSec, spillB._1, spillB._2)
       }
       // warm = at least one iteration was served a memoized frame OR
       // adopted a persistent artifact (the on-disk IVF index): either
@@ -444,9 +462,12 @@ object Bench {
       // session would pay (VERDICT r09 item 2)
       // each axis takes its own min — the iteration with the best wall
       // is not necessarily the one with the least task time
+      // (spill takes the MAX: it is a pressure diagnostic, and the
+      // worst iteration is the one that explains an inflated column)
       (name, times.map(_._1).min, warmSignals() > hits0,
         graft.queries.QueryMemo.evictionCount - evict0,
-        times.map(_._2).min, times.map(_._3).min)
+        times.map(_._2).min, times.map(_._3).min,
+        times.map(_._4).max, times.map(_._5).max)
     }
     val loadEnd = loadAvg()
     val extWindowSec = (System.nanoTime() - extT0) / 1e9
@@ -474,24 +495,32 @@ object Bench {
     require(prefixes.distinct.size == results.size,
       s"non-unique bench key prefixes: ${prefixes.diff(prefixes.distinct).mkString(",")}")
     val qs = results
-      .map { case (k, v, _, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v, _, _, _, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val taskQs = results
-      .map { case (k, _, _, _, t, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(t) }
+      .map { case (k, _, _, _, t, _, _, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(t) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val taskTotal = results.map(_._5).sum
     val cpuTotal = results.map(_._6).sum
-    val detail = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val detail = results.map { case (k, v, _, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val taskDetail = results.map { case (k, _, _, _, t, _) => "\"" + k + "\":" + t }
+    val taskDetail = results.map { case (k, _, _, _, t, _, _, _) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val cpuDetail = results.map { case (k, _, _, _, _, c) => "\"" + k + "\":" + c }
+    val cpuDetail = results.map { case (k, _, _, _, _, c, _, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    // per-query MAX-iteration spill bytes (memory, disk), non-zero
+    // entries only — the §5 pressure diagnostic behind in-sweep-vs-solo
+    // gaps (VERDICT r17 item 6); detail-file only, the stdout line's
+    // schema is untouched
+    val spillDetail = results
+      .collect { case (k, _, _, _, _, _, sm, sd) if sm > 0 || sd > 0 =>
+        "\"" + k + "\":[" + sm + "," + sd + "]" }
       .mkString("{", ",", "}")
     // queries whose measured time rode a QueryMemo artifact built
     // earlier in the sweep — their entries are join-cost, not
     // standalone cost (cold numbers live in BASELINE.md)
-    val warmList = results.collect { case (k, _, true, _, _, _) => k }
+    val warmList = results.collect { case (k, _, true, _, _, _, _, _) => k }
     val warmJson = warmList.map("\"" + _.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val warmDetail = warmList.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -499,13 +528,13 @@ object Bench {
     // with real speedups; a consumer comparing across rounds without
     // honoring the warm array should compare THIS number instead —
     // only queries that built everything they measured.
-    val totalNonwarm = results.collect { case (_, v, false, _, _, _) => v }.sum
+    val totalNonwarm = results.collect { case (_, v, false, _, _, _, _, _) => v }.sum
     // any mid-sweep LRU eviction means a shared artifact was silently
     // re-built inside a later consumer's measurement — the §21 cliff.
     // Flag it loudly; the zero-eviction invariant at MaxEntries is
     // pinned by MaterializeSpec's registry sweep test.
     val evictions = results.map(_._4).sum
-    val evictedList = results.collect { case (k, _, _, e, _, _) if e > 0 => k }
+    val evictedList = results.collect { case (k, _, _, e, _, _, _, _) if e > 0 => k }
     if (!coldMode && evictions > 0)
       System.err.println(s"[bench] WARNING: $evictions mid-sweep QueryMemo " +
         s"evictions (queries: ${evictedList.mkString(",")}) — per-query " +
@@ -529,7 +558,7 @@ object Bench {
         // can't shadow the normal sweep's bench_detail.json
         else if (coldMode) "bench_cold.json"
         else "bench_detail.json"),
-      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","cpu_count":$cpusJson,"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
+      s"""{"total":$total,"total_nonwarm":$totalNonwarm,"task_total":$taskTotal,"cpu_total":$cpuTotal,"sf":"$sfDir","cpu_count":$cpusJson,"iters":$iters,"cold":$coldMode,"contaminated":$contaminated,"loadavg":[${r2(loadStart)},${r2(loadEnd)}],"ext_load":${r2(extLoad)},"steal_load":${r2(stealAvg)},"evictions":$evictions,"evicted":$evictedJson,"warm":$warmDetail,"spill_bytes":$spillDetail,"queries":$detail,"tasks":$taskDetail,"cpus":$cpuDetail}""")
     // FIELD ORDER IS LOAD-BEARING (VERDICT r12 "what's wrong"): the
     // harness archives a bounded stdout TAIL, and a truncated tail
     // recovers whichever per-query map sits nearest the end. Round 12
