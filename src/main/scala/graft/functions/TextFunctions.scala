@@ -37,21 +37,35 @@ object TextFunctions {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
-  def stopwordRatio(text: Column): Column = {
-    val ws = words(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(words(text))
+
+  /** [[stopwordRatio]] over an ALREADY-TOKENIZED column — the q34
+    * alias-split entry point (the q113 discipline): `filter(split(..))`
+    * is an interpreted higher-order lambda with no codegen CSE, so a
+    * caller emitting several token-derived columns aliases [[words]]
+    * once in its own projection and feeds the attribute here, instead
+    * of re-tokenizing per reference (this expression alone holds three).
+    */
+  def stopwordRatioOf(ws: Column): Column =
     when(size(ws) === 0, 0.0).otherwise(
       size(filter(ws, w => w.isin(EnStopwords.map(x => x: Any): _*))).cast("double")
         / size(ws).cast("double"))
-  }
 
   /** Composite quality score in [0,1]: length sweet-spot × low punctuation
     * × presence of stopwords. Deterministic, documented formula so the
     * DuckDB oracle can replicate it.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCountWs(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(words(text), punctRatio(text))
+
+  /** [[qualityScore]] over already-computed token array and punctuation
+    * ratio — same alias-split entry point as [[stopwordRatioOf]]; the
+    * arithmetic is shared verbatim so the two forms can never drift.
+    */
+  def qualityScoreOf(ws: Column, pr: Column): Column = {
+    val n = size(ws).cast("double")
     val lengthScore = least(n / 100.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val punctScore = greatest(lit(0.0), lit(1.0) - pr * 5.0)
     round(lengthScore * punctScore, 4)
   }
 

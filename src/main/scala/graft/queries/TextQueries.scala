@@ -49,14 +49,29 @@ object TextQueries {
 
   /** q34 — per-document quality scores: whitespace token count,
     * punctuation ratio, stopword ratio, composite quality score.
+    *
+    * TWO projections (the q113 alias-split discipline, found by the
+    * r18 repeated-expression audit): the single-projection form
+    * re-evaluated `words(text)` — an INTERPRETED `filter(split(..))`
+    * higher-order lambda, no codegen CSE — five times per row (once
+    * for the count, three references inside the stopword ratio, once
+    * for the quality score) and the punctuation regexp twice. The
+    * token array and the unrounded punctuation ratio are aliased once
+    * here; CollapseProject declines to inline the non-cheap
+    * multi-referenced aliases, so each runs once per document. Values
+    * are expression-identical (same math, shared nodes) — oracle
+    * hash unchanged.
     */
   def q34(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
-        round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+        TextFunctions.words(col("text")).as("ws"),
+        TextFunctions.punctRatio(col("text")).as("pr"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        round(col("pr"), 4).as("punct_ratio"),
+        round(TextFunctions.stopwordRatioOf(col("ws")), 4).as("stopword_ratio"),
+        TextFunctions.qualityScoreOf(col("ws"), col("pr")).as("quality"))
 
   /** q35 — corpus token statistics by language: whitespace tokens and the
     * BPE-ish regex token proxy, aggregated per `lang` (map-side partial
