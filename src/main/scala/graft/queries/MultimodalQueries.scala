@@ -217,12 +217,21 @@ object MultimodalQueries {
       .toDF("doc_id", "width", "height", "resize_w", "resize_h", "feature")
   }
 
-  /** Deterministic REAL PNG payloads: a fixed-pattern
-    * `BufferedImage` sized by doc_id, encoded through the JDK's own
-    * `ImageIO` PNG writer inside the executor pass. The bytes are a
-    * genuine PNG container (magic, IHDR, IDAT, CRCs) whose DIMENSIONS
-    * are a pure function of doc_id — which is what lets the q71 oracle
-    * predict the decoded metadata without running a decoder itself.
+  /** Deterministic REAL PNG payloads: a fixed-pattern raster sized by
+    * doc_id, encoded through the repo's own
+    * [[graft.functions.PngCodec.Encoder]] (real zlib IDAT, CRC'd
+    * chunks) — the still-image member of the hand-rolled codec family
+    * ([[realWavMedia]]/[[realGifMedia]] precedent): the JDK
+    * `ImageIO.write` path measured 1.78 s per 10k docs against ~0.1 s
+    * of actual deflate work (see PngCodec's scaladoc), and the
+    * container size is not part of any query contract (q71's gate
+    * excludes `n_bytes` as writer-specific). The bytes are a genuine
+    * PNG container (magic, IHDR, IDAT, CRCs) whose DIMENSIONS are a
+    * pure function of doc_id — which is what lets the q71 oracle
+    * predict the decoded metadata without running a decoder itself;
+    * MultimodalSpec decodes this encoder's output with the JDK reader
+    * (dims + every pixel) so the container can never drift from what
+    * the reference codec accepts.
     */
   private[graft] def realPngMedia(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -234,50 +243,42 @@ object MultimodalQueries {
       // work — the id shuffle is  |docs|·8 bytes, effectively free
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false) // see realGifMedia
+        // encoder + raster hoisted once per partition (the realGifMedia
+        // discipline); max dims are 47×47 so one buffer serves all docs
+        val enc = new graft.functions.PngCodec.Encoder
+        val rgb = new Array[Int](48 * 48)
         it.map { id =>
-        val w = (16 + id % 32).toInt
-        val h = (16 + (id * 7) % 32).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            img.setRGB(x, y, ((id + x * 31L + y * 17L) % 0xffffff).toInt)
-            x += 1
+          val w = (16 + id % 32).toInt
+          val h = (16 + (id * 7) % 32).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              rgb(y * w + x) = ((id + x * 31L + y * 17L) % 0xffffff).toInt
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaIn(id, bos.toByteArray)
+          MediaIn(id, enc.encodeRgb(w, h, rgb))
         }
       }
   }
 
-  /** Decode a real image container's header with `javax.imageio` —
-    * the same I/O shape as [[decodeAvi]]: same input row type,
-    * same output row type, so the two paths are drop-in swappable (the
-    * q40 plumbing claim, now exercised against an actual codec).
-    * Header-only reads: `reader.getWidth/getHeight(0)` parse IHDR
-    * without decoding pixel data — the right cost model for a
-    * metadata pass over 100 TB of media blobs.
+  /** Decode a real image container's header — the same I/O shape as
+    * [[decodeAvi]]: same input row type, same output row type, so the
+    * two paths are drop-in swappable (the q40 plumbing claim, now
+    * exercised against an actual codec). Header-only reads:
+    * [[graft.functions.PngCodec.header]] parses + CRC-validates the
+    * IHDR without touching pixel data — the right cost model for a
+    * metadata pass over 100 TB of media blobs. A non-PNG or corrupted
+    * container fails loudly (missing signature / CRC mismatch), the
+    * same contract the previous `javax.imageio` reader-lookup form
+    * had.
     */
   private[graft] def decodeReal(m: MediaIn): MediaMeta = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(m.payload))
-    try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      require(readers.hasNext, s"no reader for doc ${m.doc_id}")
-      val r = readers.next()
-      try {
-        r.setInput(in)
-        MediaMeta(m.doc_id, m.payload.length.toLong,
-          r.getWidth(0).toLong, r.getHeight(0).toLong,
-          r.getFormatName.toLowerCase)
-      } finally r.dispose()
-    } finally in.close()
+    val hd = graft.functions.PngCodec.header(m.payload)
+    MediaMeta(m.doc_id, m.payload.length.toLong,
+      hd.width.toLong, hd.height.toLong, "png")
   }
 
   /** q71 — REAL image metadata decode: generate deterministic PNG bytes
@@ -359,42 +360,45 @@ object MultimodalQueries {
   private def ahashFrameCold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     realPngMedia(s, dir)
-      .mapPartitions(_.map { m =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(m.payload))
-        val w = img.getWidth
-        val h = img.getHeight
-        val bms = new Array[Long](64)
-        var b = 0
-        while (b < 64) {
-          val bx = b % 8; val by = b / 8
-          val xa = bx * w / 8; val xb = (bx + 1) * w / 8
-          val ya = by * h / 8; val yb = (by + 1) * h / 8
-          var sum = 0L; var cnt = 0L
-          var y = ya
-          while (y < yb) {
-            var x = xa
-            while (x < xb) {
-              sum += (img.getRGB(x, y) & 0xffffff).toLong
-              cnt += 1
-              x += 1
+      .mapPartitions { it =>
+        // decoder hoisted once per partition (its zlib/raster buffers
+        // are reused across docs); the raster int array it returns is
+        // consumed before the next decode
+        val dec = new graft.functions.PngCodec.Decoder
+        it.map { m =>
+          val (w, h, px) = dec.decodeRgb(m.payload)
+          val bms = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val bx = b % 8; val by = b / 8
+            val xa = bx * w / 8; val xb = (bx + 1) * w / 8
+            val ya = by * h / 8; val yb = (by + 1) * h / 8
+            var sum = 0L; var cnt = 0L
+            var y = ya
+            while (y < yb) {
+              var x = xa
+              while (x < xb) {
+                sum += (px(y * w + x) & 0xffffff).toLong
+                cnt += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            bms(b) = sum / cnt
+            b += 1
           }
-          bms(b) = sum / cnt
-          b += 1
-        }
-        val g = bms.sum / 64
-        var hi = 0L; var lo = 0L
-        b = 0
-        while (b < 64) {
-          if (bms(b) > g) {
-            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          val g = bms.sum / 64
+          var hi = 0L; var lo = 0L
+          b = 0
+          while (b < 64) {
+            if (bms(b) > g) {
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            b += 1
           }
-          b += 1
+          (m.doc_id, hi, lo)
         }
-        (m.doc_id, hi, lo)
-      })
+      }
       .toDF("doc_id", "ahash_hi", "ahash_lo")
       .materialize() // multiple consumers (counts/join; bands/verify)
   }
@@ -685,8 +689,15 @@ object MultimodalQueries {
     * match proves the decoded PCM was sample-exact in every window.
     *
     * Scale shape: one narrow decode pass (payload dies in-executor;
-    * only (doc_id, md5) leaves), then the q28 exact-dedup plan on the
-    * fingerprint key — merge-hinted join back like q101.
+    * only (doc_id, md5) leaves), then ONE fingerprint-keyed exchange
+    * feeding a count window — the q101 shape. Round 18 replaced the
+    * original groupBy + merge-hinted-join form: a stage probe showed
+    * the decode pass at 0.48 warm task-s while the agg + join plumbing
+    * burned ~5.9 (the checkpointed frame was scanned by TWO map
+    * stages, then both join sides sorted) — the window keys on the
+    * same column the join needed, so one exchange replaces two full
+    * passes plus the SMJ (guide §2.4), and with a single consumer the
+    * materialize() itself was pure overhead and is gone.
     */
   def q130(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -715,9 +726,8 @@ object MultimodalQueries {
       })
       .toDF("doc_id", "feat_str")
       .select(col("doc_id"), md5(col("feat_str")).as("audio_fp"))
-      .materialize() // two consumers: the count + the join back
-    val counts = fps.groupBy("audio_fp").agg(count(lit(1)).as("n_same"))
-    fps.join(counts.hint("merge"), Seq("audio_fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("audio_fp")
+    fps.withColumn("n_same", count(lit(1)).over(w))
       .select(col("doc_id"), col("audio_fp"), col("n_same"),
         (col("n_same") > 1L).as("has_audio_dup"))
   }
