@@ -310,6 +310,62 @@ class MultimodalSpec extends SparkSpec {
     assert(!quiet, "truncated GIF decoded as if complete")
   }
 
+  test("PngCodec cross-codec pins: JDK ImageIO reads the hand-rolled " +
+    "encoder's containers pixel-exactly; the Decoder reads the JDK " +
+    "writer's (adaptive filters); corruption fails loudly") {
+    import graft.functions.PngCodec
+    javax.imageio.ImageIO.setUseCache(false)
+    val enc = new PngCodec.Encoder
+    val dec = new PngCodec.Decoder
+    // (1) our encoder through the REFERENCE codec, on the real q71
+    // generator pattern plus asymmetric dims
+    Seq((3L, 19, 37), (7L, 47, 16), (11L, 1, 5)).foreach { case (id, w, h) =>
+      val rgb = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        ((id + x * 31L + y * 17L) % 0xffffff).toInt
+      }
+      val ours = enc.encodeRgb(w, h, rgb)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == rgb(y * w + x),
+          s"pixel ($x,$y) drifted through the JDK reader")
+      // header() agrees without touching IDAT
+      val hd = PngCodec.header(ours)
+      assert(hd.width == w && hd.height == h &&
+        hd.bitDepth == 8 && hd.colorType == 2)
+      // (2) round-trip through our own decoder
+      val (dw, dh, px) = dec.decodeRgb(ours)
+      assert(dw == w && dh == h)
+      assert(px.take(w * h).sameElements(rgb))
+      // (3) the JDK WRITER's container (adaptive row filters) through
+      // our decoder — the reverse direction
+      val jimg = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        jimg.setRGB(x, y, rgb(y * w + x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(jimg, "png", bos)
+      val (jw, jh, jpx) = dec.decodeRgb(bos.toByteArray)
+      assert(jw == w && jh == h)
+      assert(jpx.take(w * h).sameElements(rgb),
+        "JDK-written (adaptive-filter) raster drifted through the Decoder")
+    }
+    // (4) corruption fails loudly: every truncation prefix, a flipped
+    // IHDR byte (the CRC pin), and a flipped IDAT payload byte
+    val base = enc.encodeRgb(8, 8, Array.tabulate(64)(i => i * 1000))
+    (1 until base.length).foreach { cut =>
+      intercept[IllegalArgumentException] {
+        dec.decodeRgb(base.take(cut)): Unit
+      }: Unit
+    }
+    val flippedIhdr = base.clone(); flippedIhdr(19) = (flippedIhdr(19) ^ 1).toByte
+    intercept[IllegalArgumentException] { PngCodec.header(flippedIhdr): Unit }: Unit
+    val flippedIdat = base.clone(); flippedIdat(40) = (flippedIdat(40) ^ 1).toByte
+    intercept[IllegalArgumentException] { dec.decodeRgb(flippedIdat): Unit }: Unit
+  }
+
   test("GifCodec cross-codec pins: JDK ImageIO reads the hand-rolled " +
     "encoder's containers; the Sampler reads the JDK writer's; both " +
     "agree on arbitrary rasters; truncation fails loudly") {
